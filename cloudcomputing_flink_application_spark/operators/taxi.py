@@ -1,0 +1,99 @@
+"""NYC yellow-taxi queries: Q-CONG and Q-SAT.
+
+Capability reference: CongestionArea.java / SaturatedVendor.java (semantics
+pinned in SURVEY.md §2.11).  Operators take a ``taxi_trips``-shaped DataFrame
+(``schemas.TAXI_TRIPS``, or any frame with the starred columns) and return
+the query output.
+
+Scale notes (100 TB stance):
+- Q-CONG in the reference is a non-keyed ``windowAll`` — parallelism 1 by
+  construction (CongestionArea.java:60).  Here it is an ordinary hash
+  aggregate keyed by the day window: partial aggregation map-side, then a
+  shuffle whose cardinality is the number of days — fully parallel, no
+  single-subtask bottleneck to carry to a cluster.
+- Q-SAT is one window shuffle keyed by vendor with a lag-1 frame; state per
+  key is one row.  Vendor skew (a huge vendor) is bounded: lag frames stream
+  through sorted partitions without buffering the key's history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cloudcomputing_flink_application_spark.functions.scalar import (
+    avg_half_up_cents,
+    ts_fmt,
+)
+
+#: Back-to-back gap threshold, ms — SaturatedVendor.java:85-86 (strictly <).
+SATURATION_GAP_MIN = 10
+
+
+def congestion_daily(trips: DataFrame) -> DataFrame:
+    """Q-CONG: daily trip count + HALF_UP-rounded average total for
+    congestion-surcharged trips.
+
+    Reference: filter ``congestion_surcharge > 0``; 1-day tumbling event-time
+    window on pickup (UTC); emit ``(day 'yyyy/MM/dd', trips,
+    round(avg(total_amount), 2) HALF_UP)`` — CongestionArea.java:43-61,92-117.
+
+    Implementation detail that matters at scale: the average is computed on
+    exact integer cents (sum + count, then integer HALF_UP division) instead
+    of ``avg(double)`` — double summation is order-dependent under partial
+    aggregation, and this engine must produce identical bytes at any
+    parallelism.  ``round(x*100)`` per row is exact for 2-decimal inputs.
+    """
+    surcharged = trips.filter(F.col("congestion_surcharge") > 0.0)
+    daily = (
+        surcharged.groupBy(
+            F.window("tpep_pickup_datetime", "1 day").alias("win")
+        )
+        .agg(
+            F.count("*").alias("trips"),
+            F.sum(F.round(F.col("total_amount") * 100).cast("long")).alias("_cents"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy/MM/dd").alias("day"),
+            F.col("trips").cast("int").alias("trips"),
+            avg_half_up_cents(F.col("_cents"), F.col("trips")).alias("avg_total"),
+        )
+    )
+    return daily
+
+
+def saturated_vendors(trips: DataFrame, gap_minutes: int = SATURATION_GAP_MIN) -> DataFrame:
+    """Q-SAT: per-vendor back-to-back trip pairs.
+
+    Reference: per vendor, order trips by pickup; for each consecutive pair
+    with ``next.pickup - prev.dropoff < 10 min`` emit ``(vendor_id,
+    prev.pickup, next.dropoff, 2)`` — SaturatedVendor.java:40-91 (the
+    GlobalWindows+trigger+evictor at :56-71 is exactly a sliding count window
+    (2,1), SURVEY.md §2.6 N4).  Timestamps are formatted 24-hour
+    ``yyyy-MM-dd HH:mm:ss`` — deliberate normalization of the reference's
+    12-hour ``hh`` bug (SaturatedVendor.java:82, SURVEY.md §2.9 X6).
+
+    Spark-first plan: ``lag`` over a vendor-keyed, pickup-ordered window.
+    The order key includes dropoff as a tiebreak so simultaneous pickups
+    pair deterministically.
+    """
+    w = Window.partitionBy("vendor_id").orderBy(
+        "tpep_pickup_datetime", "tpep_dropoff_datetime"
+    )
+    paired = trips.select(
+        "vendor_id",
+        "tpep_pickup_datetime",
+        "tpep_dropoff_datetime",
+        F.lag("tpep_pickup_datetime").over(w).alias("_prev_pickup"),
+        F.lag("tpep_dropoff_datetime").over(w).alias("_prev_dropoff"),
+    )
+    gap_ok = (
+        F.unix_millis(F.col("tpep_pickup_datetime"))
+        - F.unix_millis(F.col("_prev_dropoff"))
+    ) < (gap_minutes * 60 * 1000)
+    return paired.filter(F.col("_prev_dropoff").isNotNull() & gap_ok).select(
+        "vendor_id",
+        ts_fmt(F.col("_prev_pickup")).alias("first_pickup"),
+        ts_fmt(F.col("tpep_dropoff_datetime")).alias("last_dropoff"),
+        F.lit(2).alias("trips"),
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory with pinned semantics.
+
+Pins the semantics the reference relies on implicitly:
+
+- UTC session timezone: the reference parses/format timestamps with
+  ``SimpleDateFormat`` forced to UTC (CongestionArea.java:78-82,
+  SaturatedVendor.java:109-113).  All event-time windowing below assumes it.
+- AQE on: runtime partition coalescing + skew-join handling replace the
+  hand-tuned parallelism the reference hard-codes (``setParallelism(1)``).
+- Arrow on: every Pandas-UDF operator (count windows, multimodal decode)
+  rides the vectorized Arrow path.
+
+Scale note: ``shuffle_partitions`` defaults to the local core count for
+tests; on a real cluster this is overridden (AQE coalesces down from a
+deliberately high initial number, so the same code runs unchanged at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "cloudcomputing_flink_application_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Every knob here is a scale decision, not a convenience:
+    partial aggregation, whole-stage codegen, and broadcast joins are all
+    Catalyst defaults we rely on; AQE re-plans shuffles at runtime so the
+    same logical plans hold from sf0.001 up to cluster scale.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,52 @@
+"""Batch and streaming readers.
+
+The reference's only source is ``env.readTextFile`` + manual ``split(",")``
+(VehicleTelematics.java:42-56, CongestionArea.java:31-42,
+SaturatedVendor.java:38-49).  Here schema-on-read replaces hand parsing:
+Catalyst prunes unread columns at the scan, and the same schema serves batch
+(``spark.read``) and streaming (``spark.readStream``) unchanged.
+
+Tolerant-parse semantics preserved from the reference:
+- ``Integer.parseInt`` throws on garbage (VehicleTelematics.java:51) — we use
+  strict casts; malformed rows become nulls under PERMISSIVE mode rather than
+  job failures (a deliberate robustness upgrade, recorded here).
+- ``NumberUtils.toDouble`` returns 0.0 on garbage, and short 17-column rows
+  have no ``congestion_surcharge`` (CongestionArea.java:39-40) — reproduced
+  with ``coalesce(cast, 0.0)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudcomputing_flink_application_spark import schemas
+
+
+def read_car_reports(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:
+    """Car-report CSV (8 ints, no header) -> CAR_REPORTS frame."""
+    reader = spark.readStream if streaming else spark.read
+    return reader.schema(schemas.CAR_REPORTS).csv(path)
+
+
+def read_taxi_trips(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:
+    """Yellow-taxi CSV (19 cols, no header) -> TAXI_TRIPS frame.
+
+    Missing ``congestion_surcharge`` (17-column rows) parses as null under
+    PERMISSIVE mode and is coalesced to 0.0, matching
+    CongestionArea.java:39-40.
+    """
+    reader = spark.readStream if streaming else spark.read
+    df = reader.schema(schemas.TAXI_TRIPS).option("mode", "PERMISSIVE").csv(path)
+    return df.withColumn(
+        "congestion_surcharge",
+        F.coalesce(F.col("congestion_surcharge").cast("double"), F.lit(0.0)),
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every driver parquet table from ``sf_dir`` (TESTDATA.md)."""
+    return {
+        name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for name in schemas.DRIVER_TABLES
+    }

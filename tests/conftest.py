@@ -1,0 +1,34 @@
+"""Shared pytest fixtures: one SparkSession per test run."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cloudcomputing_flink_application_spark.session import get_spark  # noqa: E402
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        app_name="cloudcomputing-flink-application-tests",
+        master=f"local[{os.environ.get('SPARK_GRAFT_TEST_CPUS', '4')}]",
+        shuffle_partitions=4,
+    )
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return f"{TESTDATA}/sf0.001"
+
+
+def rows_set(df):
+    """Order-insensitive row comparison helper."""
+    return {tuple(r) for r in df.collect()}
