@@ -1,0 +1,161 @@
+"""Query registry: every operator from SURVEY.md §2 as a (spark, sf_dir) ->
+DataFrame callable plus its DuckDB oracle SQL.
+
+This is the single source the driver contract (``__spark_entry__.py``) and
+``bench.py`` read.  Each entry's Spark plan and oracle SQL are written to be
+**bit-identical** under the driver's order-insensitive value-hash compare:
+integer-only derivations, exact-cents averages, explicit casts, and aligned
+column aliases on both sides (see sources.derived for the shared views).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cloudcomputing_flink_application_spark.operators import taxi, telematics
+from cloudcomputing_flink_application_spark.sources import derived
+from cloudcomputing_flink_application_spark.sources.readers import read_events
+
+
+@dataclass(frozen=True)
+class Query:
+    """A registered query: Spark implementation + optional DuckDB oracle."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_events(spark, sf_dir)
+
+
+def _car_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derived.car_reports_from_events(_events(spark, sf_dir))
+
+
+def _taxi_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derived.taxi_trips_from_events(_events(spark, sf_dir))
+
+
+# --- the five reference queries on the derived views -------------------------
+
+def q_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-SPEED (VehicleTelematics.java:59-83) on the derived car_reports."""
+    return telematics.speed_radar(_car_reports(spark, sf_dir))
+
+
+Q_SPEED_SQL = f"""
+WITH {derived.CAR_REPORTS_CTE.strip()}
+SELECT time, vid, xway, seg, dir, spd
+FROM car_reports
+WHERE spd >= 90
+"""
+
+
+def q_avgspd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-AVGSPD (VehicleTelematics.java:93-152,255-288) on derived reports."""
+    return telematics.average_speed_fines(_car_reports(spark, sf_dir))
+
+
+Q_AVGSPD_SQL = f"""
+WITH {derived.CAR_REPORTS_CTE.strip()},
+measured AS (
+  SELECT * FROM car_reports WHERE dir = 0 AND seg IN (52, 56)
+),
+pairs AS (
+  SELECT vid, xway,
+         max_by(time, pos) FILTER (WHERE seg = 52) AS t1,
+         max(pos)          FILTER (WHERE seg = 52) AS p1,
+         min_by(time, pos) FILTER (WHERE seg = 56) AS t2,
+         min(pos)          FILTER (WHERE seg = 56) AS p2
+  FROM measured
+  GROUP BY vid, xway
+),
+fines AS (
+  SELECT t1 AS time1, t2 AS time2, vid, xway, CAST(0 AS INT) AS dir,
+         CAST(trunc((((p2 - p1) // (t2 - t1)) * 3600 // 1000) * 0.621371) AS INT) AS avgspd
+  FROM pairs
+  WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t1 < t2
+)
+SELECT * FROM fines WHERE avgspd > 60
+"""
+
+
+def q_accidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-ACC (VehicleTelematics.java:162-172,290-331) on derived reports."""
+    return telematics.accident_reports(_car_reports(spark, sf_dir))
+
+
+Q_ACCIDENTS_SQL = f"""
+WITH {derived.CAR_REPORTS_CTE.strip()},
+runs AS (
+  SELECT time, vid, xway, seg, dir, pos,
+         count(*) OVER w AS n,
+         min(pos) OVER w AS mn,
+         max(pos) OVER w AS mx,
+         lag(time, 3) OVER (PARTITION BY vid ORDER BY time) AS t1,
+         lag(xway, 3) OVER (PARTITION BY vid ORDER BY time) AS xway1,
+         lag(seg, 3)  OVER (PARTITION BY vid ORDER BY time) AS seg1,
+         lag(dir, 3)  OVER (PARTITION BY vid ORDER BY time) AS dir1
+  FROM car_reports
+  WINDOW w AS (PARTITION BY vid ORDER BY time ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
+SELECT t1 AS time1, time AS time2, vid, xway1 AS xway, seg1 AS seg, dir1 AS dir, pos
+FROM runs
+WHERE n = 4 AND mn = mx
+"""
+
+
+def q_cong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-CONG (CongestionArea.java:43-61,92-117) on the derived taxi view."""
+    return taxi.congestion_daily(_taxi_trips(spark, sf_dir))
+
+
+Q_CONG_SQL = f"""
+WITH {derived.TAXI_TRIPS_CTE.strip()}
+SELECT strftime(date_trunc('day', tpep_pickup_datetime), '%Y/%m/%d') AS day,
+       CAST(count(*) AS INT) AS trips,
+       ((2 * sum(CAST(round(total_amount * 100) AS BIGINT)) + count(*))
+         // (2 * count(*))) / 100.0 AS avg_total
+FROM taxi_trips
+WHERE congestion_surcharge > 0
+GROUP BY 1
+"""
+
+
+def q_sat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-SAT (SaturatedVendor.java:40-91) on the derived taxi view."""
+    return taxi.saturated_vendors(_taxi_trips(spark, sf_dir))
+
+
+Q_SAT_SQL = f"""
+WITH {derived.TAXI_TRIPS_CTE.strip()},
+ordered AS (
+  SELECT vendor_id,
+         tpep_pickup_datetime AS p, tpep_dropoff_datetime AS d,
+         lag(tpep_pickup_datetime)  OVER w AS pp,
+         lag(tpep_dropoff_datetime) OVER w AS pd
+  FROM taxi_trips
+  WINDOW w AS (PARTITION BY vendor_id
+               ORDER BY tpep_pickup_datetime, tpep_dropoff_datetime)
+)
+SELECT vendor_id,
+       strftime(pp, '%Y-%m-%d %H:%M:%S') AS first_pickup,
+       strftime(d,  '%Y-%m-%d %H:%M:%S') AS last_dropoff,
+       CAST(2 AS INT) AS trips
+FROM ordered
+WHERE pd IS NOT NULL AND epoch_ms(p) - epoch_ms(pd) < 600000
+"""
+
+
+REGISTRY: dict[str, Query] = {
+    "q_speed": Query(q_speed, Q_SPEED_SQL, "Q-SPEED: reports at/over 90 mph"),
+    "q_avgspd": Query(q_avgspd, Q_AVGSPD_SQL, "Q-AVGSPD: seg 52-56 average-speed fines"),
+    "q_accidents": Query(q_accidents, Q_ACCIDENTS_SQL, "Q-ACC: 4+ stopped reports"),
+    "q_cong": Query(q_cong, Q_CONG_SQL, "Q-CONG: daily surcharged-trip averages"),
+    "q_sat": Query(q_sat, Q_SAT_SQL, "Q-SAT: back-to-back vendor trips"),
+}

@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Driver testdata stores TIMESTAMP(NANOS) parquet, which Spark's
+        # vectorized reader rejects; read as epoch-nanos longs and convert
+        # with exact integer division (sources.readers.read_events).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
         .config("spark.ui.enabled", "false")

@@ -44,9 +44,26 @@ def read_taxi_trips(spark: SparkSession, path: str, streaming: bool = False) -> 
     )
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver ``events`` table with ``ts`` normalized to a microsecond
+    timestamp.
+
+    The testdata stores ``ts`` as parquet TIMESTAMP(NANOS); Spark reads it as
+    epoch-nanos long (``spark.sql.legacy.parquet.nanosAsLong``).  Integer
+    ``div 1000`` (never float division — epoch nanos exceed 2^53) truncates
+    to microseconds exactly as DuckDB's TIMESTAMP_NS -> TIMESTAMP cast does,
+    keeping oracle comparisons bit-identical.
+    """
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every driver parquet table from ``sf_dir`` (TESTDATA.md)."""
-    return {
+    out = {
         name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for name in schemas.DRIVER_TABLES
+        if name != "events"
     }
+    out["events"] = read_events(spark, sf_dir)
+    return out
