@@ -1,0 +1,56 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line:
+
+    {"metric": "wall_sec_total", "value": N, "unit": "sec",
+     "queries": {"q_speed": sec, ...}, "sf": 0.1}
+
+Per-query time = median of 3 runs after 1 warm-up (BASELINE.md protocol).
+Results are materialized with collect(); outputs are aggregates/filters whose
+result sets are small relative to input, so driver-side materialization is
+not the bottleneck being measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from cloudcomputing_flink_application_spark.registry import REGISTRY
+from cloudcomputing_flink_application_spark.session import get_spark
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="cloudcomputing-flink-application-bench")
+
+    per_query: dict[str, float] = {}
+    for name, q in sorted(REGISTRY.items()):
+        q.fn(spark, sf_dir).collect()  # warm-up (JIT, code cache, FS cache)
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(samples), 3)
+        print(f"# {name}: {per_query[name]}s (runs: {[round(s, 3) for s in samples]})",
+              file=sys.stderr)
+
+    total = round(sum(per_query.values()), 3)
+    print(json.dumps({
+        "metric": "wall_sec_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
