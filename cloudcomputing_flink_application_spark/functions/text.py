@@ -1,0 +1,188 @@
+"""Deterministic text/hash primitives, defined ONCE for both engines.
+
+Every primitive here exists in two aligned forms: a Spark Column builder and
+a DuckDB SQL-fragment builder sharing the same constants.  Alignment is
+load-bearing — the driver's oracle gate hash-compares Spark output against
+DuckDB, so tokenization, shingling, and every hash must be bit-identical.
+
+Verified equivalences (tests/test_functions.py):
+- ``split(lower(t), '\\s+')`` == ``string_split_regex(lower(t), '\\s+')``
+  including empty-string edge behavior;
+- md5-prefix 56-bit hash: ``conv(substr(md5(s),1,14),16,10)`` ==
+  ``CAST('0x' || substr(md5(s),1,14) AS BIGINT)``;
+- MinHash permutations use 29-bit multipliers against a 33-bit prime so
+  ``a*h + b`` stays under 2^62 — no overflow under Spark's ANSI mode and no
+  engine-specific wraparound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- constants (single source of truth for both engines) ---------------------
+
+#: Prime modulus for MinHash permutations (> 2^32).
+MINHASH_PRIME = 4_294_967_311
+#: Number of MinHash permutations; BANDS * ROWS_PER_BAND must equal it.
+NUM_PERM = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+#: Deterministic permutation parameters (Knuth multiplicative hashing step,
+#: odd multipliers below 2^29; offsets below the prime).
+MINHASH_A = [((2_654_435_761 * (j + 1)) % ((1 << 29) - 1)) | 1 for j in range(NUM_PERM)]
+MINHASH_B = [(40_503 * (j + 1) * (j + 1) + 7 * (j + 1)) % MINHASH_PRIME for j in range(NUM_PERM)]
+
+#: SimHash width (bits) and LSH band layout for hamming blocking.
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits each; hamming distance <= SIMHASH_BANDS-1 always shares a band
+
+#: Shingle width (words) for MinHash / fingerprinting.
+SHINGLE_W = 3
+
+EMPTY = ""
+
+# --- tokenization ------------------------------------------------------------
+
+
+def tokens(col: str = "text") -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != EMPTY)
+
+
+def tokens_sql(col: str = "text") -> str:
+    return f"list_filter(string_split_regex(lower({col}), '\\s+'), t -> t <> '')"
+
+
+# --- hashing -----------------------------------------------------------------
+
+
+def h56(col: Column) -> Column:
+    """56-bit integer hash of a string: first 14 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def h56_sql(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 14) AS BIGINT)"
+
+
+# --- shingles ----------------------------------------------------------------
+
+
+def shingles(tok: Column, w: int = SHINGLE_W) -> Column:
+    """Word w-grams as space-joined strings; empty array when < w tokens.
+
+    Built with sequence+transform (no explode): stays a per-row array op, so
+    shingling fuses into the scan stage — no shuffle at any scale.
+    """
+    n = F.size(tok)
+    return F.when(n < w, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tok, i, w)),
+        )
+    )
+
+
+def shingles_sql(tok_expr: str, w: int = SHINGLE_W) -> str:
+    return (
+        f"CASE WHEN len({tok_expr}) < {w} THEN []::VARCHAR[] "
+        f"ELSE [array_to_string(({tok_expr})[i:i+{w - 1}], ' ') "
+        f"FOR i IN generate_series(1, len({tok_expr}) - {w - 1})] END"
+    )
+
+
+# --- MinHash -----------------------------------------------------------------
+
+
+def minhash_sig(shingle_col: Column) -> list[Column]:
+    """NUM_PERM MinHash values, each an independent permutation min.
+
+    Per-row array math only (array_min over transform) — no explode, no
+    shuffle; the signature computation is embarrassingly parallel and fuses
+    into the scan at any scale.
+    """
+    hashed = F.transform(shingle_col, lambda s: h56(s) % MINHASH_PRIME)
+    return [
+        F.array_min(
+            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def minhash_sig_sql(shingle_expr: str) -> list[str]:
+    hashed = f"list_transform({shingle_expr}, s -> ({h56_sql('s')}) % {MINHASH_PRIME})"
+    return [
+        f"list_min(list_transform({hashed}, h -> ({a} * h + {b}) % {MINHASH_PRIME})) AS mh{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def band_key(j: int) -> Column:
+    """LSH band key: concat of the band's ROWS consecutive minhash values."""
+    cols = [F.col(f"mh{j * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+    return F.concat_ws("_", *[c.cast("string") for c in cols])
+
+
+def band_key_sql(j: int) -> str:
+    cols = [f"CAST(mh{j * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)]
+    return f"concat_ws('_', {', '.join(cols)})"
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def token_hashes(tok: Column) -> Column:
+    """Per-token SIMHASH_BITS-bit hashes (hash once, reuse across all bits)."""
+    return F.transform(tok, lambda t: h56(t) % F.lit(1 << SIMHASH_BITS))
+
+
+def token_hashes_sql(tok_expr: str) -> str:
+    return f"list_transform({tok_expr}, t -> ({h56_sql('t')}) % {1 << SIMHASH_BITS})"
+
+
+def _bit_ones(th: Column, k: int) -> Column:
+    # PySpark's higher-order-function lambdas must be exactly 2-ary for the
+    # merge step, so bind k via an enclosing function, not a default arg.
+    return F.aggregate(
+        th, F.lit(0).cast("long"), lambda acc, h: acc + F.shiftright(h, k) % 2
+    )
+
+
+def simhash_from_hashes(th: Column) -> Column:
+    """SIMHASH_BITS-bit SimHash from pre-hashed tokens (majority per bit).
+
+    Callers must materialize ``token_hashes`` as a real column first so md5
+    runs once per token, not once per bit.
+    """
+    n = F.size(th)
+    out = F.lit(0).cast("long")
+    for k in range(SIMHASH_BITS):
+        ones = _bit_ones(th, k)
+        out = out + F.when(ones * 2 > n, F.lit(1 << k).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_from_hashes_sql(th_expr: str) -> str:
+    terms = []
+    for k in range(SIMHASH_BITS):
+        ones = f"list_sum(list_transform({th_expr}, h -> (h >> {k}) & 1))"
+        terms.append(
+            f"(CASE WHEN 2 * coalesce({ones}, 0) > len({th_expr}) "
+            f"THEN {1 << k}::BIGINT ELSE 0::BIGINT END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_band(col: Column, j: int) -> Column:
+    """8-bit band j of a SIMHASH_BITS simhash (for hamming LSH blocking)."""
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    return F.shiftright(col, j * width) % F.lit(1 << width)
+
+
+def simhash_band_sql(expr: str, j: int) -> str:
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    return f"(({expr} >> {j * width}) & {(1 << width) - 1})"

@@ -1,0 +1,215 @@
+"""Similarity search over the ``embeddings`` table (ANN operators).
+
+Two paths, as a training-data pipeline needs at 100 TB:
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  The query set is tiny (every 100th vector), so Spark broadcasts it and
+  scans the candidate side once (BroadcastNestedLoopJoin); the only shuffle
+  is the final per-query top-k window over ~|queries|*|corpus-partition|
+  partial results.  At cluster scale this is the classic
+  "broadcast-queries, map-side partial top-k" plan.
+- ``cosine_topk_ivf``: IVF pruning — deterministic centroids (the minimum
+  vec_id per label acts as a fixed codebook), vectors assigned to their
+  nearest centroid, queries probe the NPROBE nearest centroids only.  The
+  scan is restricted to probed clusters: sub-linear work per query, the
+  standard inverted-file ANN layout, expressed entirely in joins Catalyst
+  can plan (no UDFs).
+
+Cosine arithmetic is the double-cast sequential fold proven bit-identical
+to DuckDB's list_dot_product (tests/test_functions.py), so both operators
+carry full value-hash oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOPK = 5
+NPROBE = 3
+QUERY_STRIDE = 100  # vec_id % STRIDE == 0 -> query vector
+
+
+def _dot(u: Column, v: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _normed(embeddings: DataFrame) -> DataFrame:
+    e = embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    return e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+
+
+def cosine_topk(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
+    """Exact top-k cosine neighbors for every QUERY_STRIDE-th vector.
+
+    Output: (query_id, neighbor_id, rank, cos) — rank 1..k by
+    (cos desc, neighbor_id asc), self excluded.
+    """
+    base = _normed(embeddings)
+    queries = base.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(base, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+  FROM e WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_dot_product(qemb, emb) / (qnrm * nrm) AS cos
+  FROM q JOIN e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def cosine_topk_ivf(embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE) -> DataFrame:
+    """IVF-pruned top-k: probe only the nprobe clusters nearest each query.
+
+    Codebook: centroid of cluster L = the embedding with the minimum vec_id
+    among label L (deterministic; at real scale this would be a k-means
+    artifact versioned alongside the data — the plan shape is identical).
+    Assignment and probing both broadcast the tiny codebook; the search join
+    is an equi-join on cluster id, so each query scans only its probed
+    inverted lists.
+
+    Output: (query_id, neighbor_id, rank, cos) — exact cosine within the
+    probed subset (ANN semantics: may differ from exact top-k; that is the
+    operator's contract, and its oracle mirrors it).
+    """
+    base = _normed(embeddings)
+    min_ids = base.groupBy("label").agg(F.min("vec_id").alias("cvec"))
+    centroids = (
+        min_ids.join(base.select(F.col("vec_id").alias("cvec"),
+                                 F.col("emb").alias("cemb"),
+                                 F.col("nrm").alias("cnrm")), "cvec")
+        .select(F.col("label").alias("cluster"), "cemb", "cnrm")
+    )
+    # assignment: every vector -> nearest centroid (cos desc, cluster asc)
+    asg_scored = F.broadcast(centroids).join(base, how="cross").select(
+        "vec_id", "emb", "nrm", "cluster",
+        (_dot(F.col("cemb"), F.col("emb")) / (F.col("cnrm") * F.col("nrm"))).alias("ccos"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cluster"))
+    assigned = (
+        asg_scored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") == 1)
+        .select("vec_id", "emb", "nrm", "cluster")
+    )
+    # probing: every query -> its nprobe nearest clusters
+    queries = base.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    probe_scored = F.broadcast(centroids).join(queries, how="cross").select(
+        "query_id", "qemb", "qnrm", "cluster",
+        (_dot(F.col("cemb"), F.col("qemb")) / (F.col("cnrm") * F.col("qnrm"))).alias("ccos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cluster"))
+    probes = (
+        probe_scored.withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "qemb", "qnrm", "cluster")
+    )
+    # search only the probed inverted lists
+    scored = probes.join(assigned, "cluster").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+COSINE_TOPK_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+centroids AS (
+  SELECT label AS cluster, emb AS cemb, nrm AS cnrm
+  FROM e
+  WHERE vec_id IN (SELECT min(vec_id) FROM e GROUP BY label)
+),
+asg AS (
+  SELECT vec_id, emb, nrm, cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_dot_product(cemb, emb) / (cnrm * nrm) DESC,
+                                     cluster ASC) AS arank
+  FROM e CROSS JOIN centroids
+),
+assigned AS (
+  SELECT vec_id, emb, nrm, cluster FROM asg WHERE arank = 1
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+  FROM e WHERE vec_id % {QUERY_STRIDE} = 0
+),
+probes AS (
+  SELECT query_id, qemb, qnrm, cluster
+  FROM (
+    SELECT query_id, qemb, qnrm, cluster,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY list_dot_product(cemb, qemb) / (cnrm * qnrm) DESC,
+                                       cluster ASC) AS prank
+    FROM q CROSS JOIN centroids
+  ) WHERE prank <= {NPROBE}
+),
+scored AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+         list_dot_product(qemb, a.emb) / (qnrm * a.nrm) AS cos
+  FROM probes p JOIN assigned a USING (cluster)
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOPK}
+"""

@@ -1,0 +1,254 @@
+"""Text-analysis operators over ``documents``: language ID, quality scoring,
+token counting, fingerprinting.
+
+All four are pure per-row projections (no shuffle at any scale — they fuse
+into the parquet scan) built from JVM-side expressions, with full DuckDB
+oracles.  Ratios are exact integer quotients evaluated per-row, so there is
+no aggregation-order nondeterminism anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloudcomputing_flink_application_spark.functions import text as X
+
+#: Marker stopword lists per language (n-gram-heuristic language ID).  The
+#: CASE precedence below resolves ties deterministically in this key order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein", "zu"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "en", "est", "que"),
+    "zh": ("de", "shi", "zai", "le", "he", "you", "wo", "ta"),
+}
+LANG_ORDER = tuple(sorted(LANG_MARKERS))
+
+#: English-ish stopwords for the quality score's stopword ratio.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+BPE_ISH = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+FINGERPRINT_K = 4
+
+
+def _marker_count(tok_col: str, markers: tuple[str, ...]) -> F.Column:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(f"size(filter({tok_col}, t -> t IN ({in_list})))")
+
+
+def _marker_count_sql(tok_expr: str, markers: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({tok_expr}, t -> t IN ({in_list})))"
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-token counts.
+
+    Output: (doc_id, pred_lang, score).  Ties resolve to the first language
+    in LANG_ORDER whose score is >= all others (fixed CASE precedence —
+    identical in the oracle).
+    """
+    toks = documents.select("doc_id", X.tokens("text").alias("tok"))
+    scored = toks.select(
+        "doc_id",
+        *[
+            _marker_count("tok", LANG_MARKERS[lang]).alias(f"s_{lang}")
+            for lang in LANG_ORDER
+        ],
+    )
+    pred = None
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        branch = (F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang)))
+        pred = branch
+    score = None
+    for lang in LANG_ORDER:
+        score = F.col(f"s_{lang}") if score is None else F.greatest(score, F.col(f"s_{lang}"))
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"), score.cast("int").alias("score")
+    )
+
+
+def _lang_id_sql() -> str:
+    score_cols = ",\n         ".join(
+        f"{_marker_count_sql('tok', LANG_MARKERS[lang])} AS s_{lang}"
+        for lang in LANG_ORDER
+    )
+    whens = []
+    for lang in LANG_ORDER:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in LANG_ORDER if other != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    greatest = f"greatest({', '.join('s_' + l for l in LANG_ORDER)})"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {X.tokens_sql('text')} AS tok FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM toks
+)
+SELECT doc_id,
+       CASE {' '.join(whens)} END AS pred_lang,
+       CAST({greatest} AS INT) AS score
+FROM scored
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Per-document quality signals + a composite score.
+
+    Output: (doc_id, n_chars, n_tokens, avg_token_len, punct_ratio,
+    digit_ratio, stopword_ratio, quality).  All ratios are per-row integer
+    quotients in doubles; the composite is a fixed linear blend, so values
+    are deterministic at any parallelism.
+    """
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.lower(F.col("text")).alias("lo"),
+        X.tokens("text").alias("tok"),
+    )
+    feats = toks.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size("tok").cast("long").alias("n_tokens"),
+        (
+            F.aggregate(F.col("tok"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+            / F.greatest(F.size("tok"), F.lit(1))
+        ).alias("avg_token_len"),
+        (
+            F.regexp_count("lo", F.lit("[^a-z0-9\\s]")).cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            F.regexp_count("lo", F.lit("[0-9]")).cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("digit_ratio"),
+        (
+            F.expr(f"size(filter(tok, t -> t IN ({stop_list})))").cast("double")
+            / F.greatest(F.size("tok"), F.lit(1))
+        ).alias("stopword_ratio"),
+    )
+    quality = (
+        F.lit(0.3) * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0)))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.col("digit_ratio") * 10, F.lit(1.0)))
+        + F.lit(0.2) * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+    )
+    return feats.withColumn("quality", quality)
+
+
+def _quality_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars, lower(text) AS lo,
+         {X.tokens_sql('text')} AS tok
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(tok) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(tok, t -> length(t))), 0) AS DOUBLE)
+           / greatest(len(tok), 1) AS avg_token_len,
+         CAST(len(regexp_extract_all(lo, '[^a-z0-9\\s]')) AS DOUBLE)
+           / greatest(n_chars, 1) AS punct_ratio,
+         CAST(len(regexp_extract_all(lo, '[0-9]')) AS DOUBLE)
+           / greatest(n_chars, 1) AS digit_ratio,
+         CAST(len(list_filter(tok, t -> t IN ({stop_list}))) AS DOUBLE)
+           / greatest(len(tok), 1) AS stopword_ratio
+  FROM toks
+)
+SELECT *,
+       0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+     + 0.3 * (1.0 - least(punct_ratio * 4, 1.0))
+     + 0.2 * (1.0 - least(digit_ratio * 10, 1.0))
+     + 0.2 * least(stopword_ratio * 5, 1.0) AS quality
+FROM feats
+"""
+
+
+QUALITY_SQL = _quality_sql()
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace and BPE-ish token counts per document.
+
+    Output: (doc_id, ws_tokens, bpe_tokens, n_chars).  The BPE-ish count is
+    the match count of ``[a-z]+|[0-9]|[^a-z0-9\\s]`` over the lowercased
+    text — a cheap proxy for subword tokenizer cost accounting.
+    """
+    return documents.select(
+        "doc_id",
+        F.size(X.tokens("text")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_ISH)).cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(len({X.tokens_sql('text')}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_ISH}')) AS BIGINT) AS bpe_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Bottom-k document fingerprint over word-shingle hashes.
+
+    Output: (doc_id, fp, n_shingles) where fp is the comma-joined
+    FINGERPRINT_K smallest distinct shingle hashes — a compact sketch whose
+    equality is a strong near-dup signal (winnowing-lite).
+    """
+    sh = documents.select(
+        "doc_id", X.shingles(X.tokens("text")).alias("sh")
+    )
+    hashes = sh.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(F.transform("sh", lambda s: X.h56(s)))
+        ).alias("hs"),
+    )
+    return hashes.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.slice("hs", 1, FINGERPRINT_K), lambda h: h.cast("string")),
+            ",",
+        ).alias("fp"),
+        F.size("hs").cast("long").alias("n_shingles"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {X.tokens_sql('text')} AS tok FROM documents
+),
+sh AS (
+  SELECT doc_id, {X.shingles_sql('tok')} AS sh FROM toks
+),
+hashes AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(sh, s -> {X.h56_sql('s')}))) AS hs
+  FROM sh
+)
+SELECT doc_id,
+       array_to_string(list_transform(hs[1:{FINGERPRINT_K}], h -> CAST(h AS VARCHAR)), ',') AS fp,
+       CAST(len(hs) AS BIGINT) AS n_shingles
+FROM hashes
+"""

@@ -15,7 +15,14 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cloudcomputing_flink_application_spark.operators import taxi, telematics
+from cloudcomputing_flink_application_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    taxi,
+    telematics,
+    textstats,
+)
 from cloudcomputing_flink_application_spark.sources import derived
 from cloudcomputing_flink_application_spark.sources.readers import read_events
 
@@ -152,10 +159,83 @@ WHERE pd IS NOT NULL AND epoch_ms(p) - epoch_ms(pd) < 600000
 """
 
 
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _on_docs(op):
+    return lambda spark, sf_dir: op(_documents(spark, sf_dir))
+
+
+def _on_embs(op):
+    return lambda spark, sf_dir: op(_embeddings(spark, sf_dir))
+
+
 REGISTRY: dict[str, Query] = {
+    # --- reference queries (SURVEY.md §2.11) on derived views ---
     "q_speed": Query(q_speed, Q_SPEED_SQL, "Q-SPEED: reports at/over 90 mph"),
     "q_avgspd": Query(q_avgspd, Q_AVGSPD_SQL, "Q-AVGSPD: seg 52-56 average-speed fines"),
     "q_accidents": Query(q_accidents, Q_ACCIDENTS_SQL, "Q-ACC: 4+ stopped reports"),
     "q_cong": Query(q_cong, Q_CONG_SQL, "Q-CONG: daily surcharged-trip averages"),
     "q_sat": Query(q_sat, Q_SAT_SQL, "Q-SAT: back-to-back vendor trips"),
+    # --- dedup family (SURVEY.md §7 Milestone 6) ---
+    "dedup_exact": Query(
+        _on_docs(dedup.exact_dedup), dedup.EXACT_DEDUP_SQL,
+        "exact dedup: canonical id per text-hash group",
+    ),
+    "dedup_minhash_lsh": Query(
+        _on_docs(dedup.minhash_lsh_dedup), dedup.MINHASH_LSH_SQL,
+        "MinHash 16-perm 4x4-band LSH candidates, jaccard-verified",
+    ),
+    "dedup_simhash": Query(
+        _on_docs(dedup.simhash_dedup), dedup.SIMHASH_SQL,
+        "SimHash 32-bit, 8-bit-band blocking, hamming-verified",
+    ),
+    "dedup_ngram_jaccard": Query(
+        _on_docs(dedup.ngram_jaccard_dedup), dedup.NGRAM_JACCARD_SQL,
+        "char-trigram jaccard within source blocks",
+    ),
+    "dedup_embedding_cosine": Query(
+        _on_embs(dedup.embedding_cosine_dedup), dedup.EMBEDDING_COSINE_SQL,
+        "exact cosine near-dup pairs (baseline for ANN variants)",
+    ),
+    # --- similarity search ---
+    "ann_cosine_topk": Query(
+        _on_embs(similarity.cosine_topk), similarity.COSINE_TOPK_SQL,
+        "brute-force cosine top-k per query vector",
+    ),
+    "ann_cosine_topk_ivf": Query(
+        _on_embs(similarity.cosine_topk_ivf), similarity.COSINE_TOPK_IVF_SQL,
+        "IVF-pruned cosine top-k (nprobe nearest clusters)",
+    ),
+    # --- text analysis ---
+    "text_lang_id": Query(
+        _on_docs(textstats.lang_id), textstats.LANG_ID_SQL,
+        "marker-ngram language identification",
+    ),
+    "text_quality": Query(
+        _on_docs(textstats.quality_score), textstats.QUALITY_SQL,
+        "per-doc quality signals + composite score",
+    ),
+    "text_token_counts": Query(
+        _on_docs(textstats.token_counts), textstats.TOKEN_COUNTS_SQL,
+        "whitespace + BPE-ish token counting",
+    ),
+    "text_fingerprint": Query(
+        _on_docs(textstats.fingerprint), textstats.FINGERPRINT_SQL,
+        "bottom-k shingle-hash document fingerprint",
+    ),
+    # --- multimodal columns (mapInPandas plumbing, deterministic fake decode) ---
+    "mm_image_meta": Query(
+        _on_docs(multimodal.image_meta), multimodal.IMAGE_META_SQL,
+        "binary payload -> image metadata via Arrow mapInPandas",
+    ),
+    "mm_audio_frames": Query(
+        _on_docs(multimodal.audio_frames), multimodal.AUDIO_FRAMES_SQL,
+        "binary payload -> PCM frame accounting via Arrow mapInPandas",
+    ),
 }
