@@ -1,0 +1,277 @@
+"""Structured Streaming variants of the five reference queries.
+
+The reference runs these as always-on Flink DataStream jobs; here the same
+logical plans run incrementally:
+
+- Q-SPEED: stateless filter/project — identical operator, streaming input.
+- Q-CONG: watermarked 1-day tumbling window aggregation (append mode) —
+  Spark's partial-agg + state store replaces the reference's parallelism-1
+  ``windowAll`` (CongestionArea.java:60) with a fully parallel plan.
+- Q-ACC / Q-SAT: keyed sliding count windows on the custom
+  ``streaming.state.sliding_count_window`` operator.
+- Q-AVGSPD: a faithful port of the reference's running-reduce + pair-fire
+  dataflow (VehicleTelematics.java:103-152) as keyed GroupState.
+
+Watermark policy: ``0 seconds`` everywhere — the reference's
+AscendingTimestampExtractor admits zero lateness (SURVEY.md §2.3); late rows
+drop, matching Flink's behavior on the course data.
+
+O3 (one job, three sinks — VehicleTelematics.java:179-181):
+``run_telematics_job`` starts the three telematics queries against one input
+directory and returns their handles; each maintains its own keyed state, as
+Flink's single JobGraph did internally.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from cloudcomputing_flink_application_spark.operators.taxi import SATURATION_GAP_MIN
+from cloudcomputing_flink_application_spark.operators.telematics import (
+    ACCIDENT_RUN,
+    AVG_SPEED_LIMIT,
+    SEG_END,
+    SEG_START,
+    SPEED_LIMIT,
+    speed_radar,
+)
+from cloudcomputing_flink_application_spark.streaming.state import sliding_count_window
+
+# --- Q-SPEED -----------------------------------------------------------------
+
+
+def speed_radar_stream(cars: DataFrame, speed_limit: int = SPEED_LIMIT) -> DataFrame:
+    """Stateless: the batch operator works unchanged on a streaming frame."""
+    return speed_radar(cars, speed_limit)
+
+
+# --- Q-CONG ------------------------------------------------------------------
+
+
+def congestion_daily_stream(trips: DataFrame) -> DataFrame:
+    """Watermarked 1-day tumbling aggregation (append mode).
+
+    Exact integer-cents average as in the batch operator; windows emit when
+    the watermark passes day end (zero lateness, per the reference).
+    """
+    from cloudcomputing_flink_application_spark.functions.scalar import avg_half_up_cents
+
+    surcharged = (
+        trips.withWatermark("tpep_pickup_datetime", "0 seconds")
+        .filter(F.col("congestion_surcharge") > 0.0)
+    )
+    return (
+        surcharged.groupBy(F.window("tpep_pickup_datetime", "1 day").alias("win"))
+        .agg(
+            F.count("*").alias("trips"),
+            F.sum(F.round(F.col("total_amount") * 100).cast("long")).alias("_cents"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy/MM/dd").alias("day"),
+            F.col("trips").cast("int").alias("trips"),
+            avg_half_up_cents(F.col("_cents"), F.col("trips")).alias("avg_total"),
+        )
+    )
+
+
+# --- Q-ACC -------------------------------------------------------------------
+
+_ACC_SCHEMA = T.StructType(
+    [
+        T.StructField("time1", T.IntegerType()),
+        T.StructField("time2", T.IntegerType()),
+        T.StructField("vid", T.IntegerType()),
+        T.StructField("xway", T.IntegerType()),
+        T.StructField("seg", T.IntegerType()),
+        T.StructField("dir", T.IntegerType()),
+        T.StructField("pos", T.IntegerType()),
+    ]
+)
+
+
+def accident_reports_stream(cars: DataFrame, run: int = ACCIDENT_RUN) -> DataFrame:
+    """Q-ACC on the custom sliding count window (size 4, slide 1, key vid)."""
+
+    def emit(window: list[tuple], row: tuple) -> list[tuple]:
+        # window rows: (time, vid, xway, seg, dir, pos), oldest first
+        if len(window) == run and all(w[5] == window[0][5] for w in window):
+            first, last = window[0], window[-1]
+            return [(first[0], last[0], first[1], first[2], first[3], first[4], first[5])]
+        return []
+
+    return sliding_count_window(
+        cars,
+        keys=["vid"],
+        order_col="time",
+        buffer_cols=["time", "vid", "xway", "seg", "dir", "pos"],
+        n=run,
+        emit=emit,
+        output_schema=_ACC_SCHEMA,
+    )
+
+
+# --- Q-SAT -------------------------------------------------------------------
+
+_SAT_SCHEMA = T.StructType(
+    [
+        T.StructField("vendor_id", T.IntegerType()),
+        T.StructField("first_pickup", T.StringType()),
+        T.StructField("last_dropoff", T.StringType()),
+        T.StructField("trips", T.IntegerType()),
+    ]
+)
+
+
+def saturated_vendors_stream(trips: DataFrame, gap_minutes: int = SATURATION_GAP_MIN) -> DataFrame:
+    """Q-SAT on the custom sliding count window (size 2, slide 1, key vendor).
+
+    Matches the reference's hand-built GlobalWindows trigger/evictor
+    (SaturatedVendor.java:56-91 == countWindow(2,1), SURVEY.md §2.6 N4).
+    """
+    gap_ms = gap_minutes * 60 * 1000
+
+    def emit(window: list[tuple], row: tuple) -> list[tuple]:
+        # rows: (vendor_id, pickup, dropoff)
+        if len(window) == 2:
+            prev, cur = window
+            if (cur[1] - prev[2]).total_seconds() * 1000 < gap_ms:
+                return [
+                    (
+                        prev[0],
+                        prev[1].strftime("%Y-%m-%d %H:%M:%S"),
+                        cur[2].strftime("%Y-%m-%d %H:%M:%S"),
+                        2,
+                    )
+                ]
+        return []
+
+    return sliding_count_window(
+        trips.select("vendor_id", "tpep_pickup_datetime", "tpep_dropoff_datetime"),
+        keys=["vendor_id"],
+        order_col="tpep_pickup_datetime",
+        buffer_cols=["vendor_id", "tpep_pickup_datetime", "tpep_dropoff_datetime"],
+        n=2,
+        emit=emit,
+        output_schema=_SAT_SCHEMA,
+    )
+
+
+# --- Q-AVGSPD ----------------------------------------------------------------
+
+_AVG_SCHEMA = T.StructType(
+    [
+        T.StructField("time1", T.IntegerType()),
+        T.StructField("time2", T.IntegerType()),
+        T.StructField("vid", T.IntegerType()),
+        T.StructField("xway", T.IntegerType()),
+        T.StructField("dir", T.IntegerType()),
+        T.StructField("avgspd", T.IntegerType()),
+    ]
+)
+
+_AVG_STATE = T.StructType(
+    [
+        T.StructField("b52_t", T.IntegerType()),
+        T.StructField("b52_p", T.IntegerType()),
+        T.StructField("b56_t", T.IntegerType()),
+        T.StructField("b56_p", T.IntegerType()),
+        T.StructField("last_seg", T.IntegerType()),
+    ]
+)
+
+
+def average_speed_fines_stream(
+    cars: DataFrame,
+    seg_start: int = SEG_START,
+    seg_end: int = SEG_END,
+    limit_mph: int = AVG_SPEED_LIMIT,
+) -> DataFrame:
+    """Q-AVGSPD as the reference's running-reduce + pair-fire dataflow.
+
+    Per (vid): keep the max-pos seg-52 record and min-pos seg-56 record
+    (the reference's conditional reduce, VehicleTelematics.java:114-132);
+    a fire happens when consecutive reduce updates go 52 -> 56 (countWindow
+    (2,1) pairing + seg check, :255-288).  dir=1 is filtered: it provably
+    never emits (SURVEY.md §2.11) — pinned reference behavior.
+    """
+
+    measured = cars.filter(
+        (F.col("dir") == 0) & F.col("seg").isin(seg_start, seg_end)
+    ).select("time", "vid", "xway", "seg", "pos")
+
+    def process(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            b52_t, b52_p, b56_t, b56_p, last_seg = state.get
+        else:
+            b52_t = b52_p = b56_t = b56_p = last_seg = None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("time", kind="mergesort")
+            for time, vid, xway, seg, pos in pdf[
+                ["time", "vid", "xway", "seg", "pos"]
+            ].itertuples(index=False, name=None):
+                if seg == seg_start:
+                    if b52_p is None or pos > b52_p:
+                        b52_t, b52_p = time, pos
+                else:
+                    if b56_p is None or pos < b56_p:
+                        b56_t, b56_p = time, pos
+                if last_seg == seg_start and seg == seg_end and b52_t is not None:
+                    dpos, dt = b56_p - b52_p, b56_t - b52_t
+                    if dt > 0:
+                        v = int(int(dpos // dt) * 3600 // 1000 * 0.621371)
+                        if v > limit_mph:
+                            out.append((b52_t, b56_t, vid, xway, 0, v))
+                last_seg = seg
+        state.update((b52_t, b52_p, b56_t, b56_p, last_seg))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["time1", "time2", "vid", "xway", "dir", "avgspd"]
+            )
+
+    return measured.groupBy("vid").applyInPandasWithState(
+        process,
+        outputStructType=_AVG_SCHEMA,
+        stateStructType=_AVG_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- O3: one input, three sinks ---------------------------------------------
+
+
+def run_telematics_job(spark, input_dir: str, output_dir: str, schema=None):
+    """Start the three telematics streaming queries over one CSV input dir,
+    writing three CSV sinks (speedfines/, avgspeedfines/, accidents/) —
+    the streaming counterpart of the reference's three-sink single job
+    (VehicleTelematics.java:179-189).  Returns the query handles.
+    """
+    from cloudcomputing_flink_application_spark import schemas as SCH
+
+    cars = (
+        spark.readStream.schema(schema or SCH.CAR_REPORTS)
+        .csv(input_dir)
+    )
+    out = []
+    for name, q in (
+        ("speedfines", speed_radar_stream(cars)),
+        ("avgspeedfines", average_speed_fines_stream(cars)),
+        ("accidents", accident_reports_stream(cars)),
+    ):
+        out.append(
+            q.writeStream.outputMode("append")
+            .format("csv")
+            .option("path", f"{output_dir}/{name}")
+            .option("checkpointLocation", f"{output_dir}/_chk/{name}")
+            .start()
+        )
+    return out

@@ -1,0 +1,163 @@
+"""Streaming-parity tests: each streaming query must equal its batch
+counterpart on the same data, with state carried across micro-batches
+(maxFilesPerTrigger=1 forces one batch per input file)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cloudcomputing_flink_application_spark import schemas
+from cloudcomputing_flink_application_spark.operators.taxi import (
+    congestion_daily,
+    saturated_vendors,
+)
+from cloudcomputing_flink_application_spark.operators.telematics import (
+    accident_reports,
+    average_speed_fines,
+    speed_radar,
+)
+from cloudcomputing_flink_application_spark.streaming import jobs
+from tests.conftest import rows_set
+from tests.test_telematics import ACCIDENT_8, DATA_SMALL
+
+TAXI_CSV_1 = """1,2022-03-01 00:00:03,2022-03-01 00:09:02,1.0,1.0,1.0,N,1,1,1,5.0,0.5,0.5,0.0,0.0,0.3,10.56,2.5,0.0
+2,2022-03-01 08:00:00,2022-03-01 08:20:00,1.0,1.0,1.0,N,1,1,1,5.0,0.5,0.5,0.0,0.0,0.3,20.01,2.5,0.0
+5,2022-03-01 10:00:00,2022-03-01 10:10:00,1.0,1.0,1.0,N,1,1,1,5.0,0.5,0.5,0.0,0.0,0.3,5.0,0.0,0.0
+"""
+TAXI_CSV_2 = """5,2022-03-01 10:15:00,2022-03-01 10:30:00,1.0,1.0,1.0,N,1,1,1,5.0,0.5,0.5,0.0,0.0,0.3,5.0,0.0,0.0
+5,2022-03-01 10:42:00,2022-03-01 10:50:00,1.0,1.0,1.0,N,1,1,1,5.0,0.5,0.5,0.0,0.0,0.3,5.0,0.0,0.0
+1,2022-03-02 01:00:00,2022-03-02 01:10:00,1.0,1.0,1.0,N,1,1,1,5.0,0.5,0.5,0.0,0.0,0.3,30.0,2.5,0.0
+3,2022-03-04 09:00:00,2022-03-04 09:10:00,1.0,1.0,1.0,N,1,1,1,5.0,0.5,0.5,0.0,0.0,0.3,9.99,2.5,0.0
+"""
+
+
+def write_files(dirpath: str, contents: list[str]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    base = 1_700_000_000
+    for i, c in enumerate(contents):
+        p = os.path.join(dirpath, f"part-{i:03d}.csv")
+        with open(p, "w") as f:
+            f.write(c)
+        # FileStreamSource orders batches by modification time; make the
+        # intended arrival order explicit.
+        os.utime(p, (base + i, base + i))
+
+
+def run_stream(spark, df, name: str):
+    q = (
+        df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def csv_lines(rows) -> list[str]:
+    return ["\n".join(",".join(str(v) for v in r) for r in rows) + "\n"]
+
+
+@pytest.fixture()
+def car_stream(spark, tmp_path):
+    def make(rows_per_file: list[list[tuple]]):
+        d = str(tmp_path / "cars")
+        write_files(d, ["".join(",".join(map(str, r)) + "\n" for r in rs) for rs in rows_per_file])
+        return (
+            spark.readStream.schema(schemas.CAR_REPORTS)
+            .option("maxFilesPerTrigger", 1)
+            .csv(d)
+        )
+
+    return make
+
+
+def test_speed_radar_stream(spark, car_stream):
+    rows = [(10, 1, 95, 0, 0, 0, 5, 100), (20, 2, 80, 0, 0, 0, 5, 200)]
+    out = run_stream(spark, jobs.speed_radar_stream(car_stream([rows])), "speed_s")
+    assert rows_set(out) == {(10, 1, 0, 5, 0, 95)}
+
+
+def test_accidents_stream_matches_batch(spark, car_stream):
+    # split the 8-report stopped car across two files -> state crosses batches
+    stream = car_stream([ACCIDENT_8[:3], ACCIDENT_8[3:]])
+    out = run_stream(spark, jobs.accident_reports_stream(stream), "acc_s")
+    batch = accident_reports(
+        spark.createDataFrame(ACCIDENT_8, schema=schemas.CAR_REPORTS)
+    )
+    assert rows_set(out) == rows_set(batch)
+    assert out.count() == 5
+
+
+def test_avgspd_stream_matches_batch(spark, car_stream):
+    stream = car_stream([DATA_SMALL[:10], DATA_SMALL[10:]])
+    out = run_stream(spark, jobs.average_speed_fines_stream(stream), "avg_s")
+    batch = average_speed_fines(
+        spark.createDataFrame(DATA_SMALL, schema=schemas.CAR_REPORTS)
+    )
+    assert rows_set(out) == rows_set(batch) == {(32, 36, 72, 0, 0, 225)}
+
+
+@pytest.fixture()
+def taxi_stream(spark, tmp_path):
+    d = str(tmp_path / "taxi")
+    write_files(d, [TAXI_CSV_1, TAXI_CSV_2])
+    from cloudcomputing_flink_application_spark.sources.readers import read_taxi_trips
+
+    return (
+        spark.readStream.schema(schemas.TAXI_TRIPS)
+        .option("maxFilesPerTrigger", 1)
+        .csv(d)
+    )
+
+
+def test_saturated_vendors_stream_matches_batch(spark, taxi_stream, tmp_path):
+    out = run_stream(spark, jobs.saturated_vendors_stream(taxi_stream), "sat_s")
+    batch_df = spark.read.schema(schemas.TAXI_TRIPS).csv(str(tmp_path / "taxi"))
+    batch = saturated_vendors(batch_df)
+    # vendor 5: 10:00->10:30 pair fires (5m gap); 10:42 pickup vs 10:30 dropoff
+    # = 12m gap, no fire
+    assert rows_set(out) == rows_set(batch)
+    assert out.count() == 1
+
+
+def test_congestion_stream_closed_windows_match_batch(spark, taxi_stream, tmp_path):
+    # NOTE: Catalyst pushes the surcharge filter below the watermark node, so
+    # only surcharged trips advance the watermark — faithful to the
+    # reference, which also filters before assigning timestamps
+    # (CongestionArea.java:43-59).  The 03-04 sentinel is surcharged so it
+    # closes the 03-01 and 03-02 windows; its own window stays open (no
+    # later watermark) and must NOT appear in streaming output.
+    out = run_stream(spark, jobs.congestion_daily_stream(taxi_stream), "cong_s")
+    batch_df = spark.read.schema(schemas.TAXI_TRIPS).csv(str(tmp_path / "taxi"))
+    batch = congestion_daily(batch_df)
+    open_day = "2022/03/04"
+    closed_batch = {r for r in rows_set(batch) if r[0] != open_day}
+    assert rows_set(out) == closed_batch
+    assert out.count() == 2  # 03-01 (2 trips) and 03-02 (1 trip)
+
+
+def test_run_telematics_job_three_sinks(spark, tmp_path):
+    # O3: one input, three CSV sinks (VehicleTelematics.java:179-189)
+    rows = DATA_SMALL + ACCIDENT_8
+    ind = str(tmp_path / "in")
+    write_files(ind, ["".join(",".join(map(str, r)) + "\n" for r in rows)])
+    outd = str(tmp_path / "out")
+    queries = jobs.run_telematics_job(spark, ind, outd)
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    speed = spark.read.schema("time INT, vid INT, xway INT, seg INT, dir INT, spd INT").csv(f"{outd}/speedfines")
+    avg = spark.read.schema("time1 INT, time2 INT, vid INT, xway INT, dir INT, avgspd INT").csv(f"{outd}/avgspeedfines")
+    acc = spark.read.schema("time1 INT, time2 INT, vid INT, xway INT, seg INT, dir INT, pos INT").csv(f"{outd}/accidents")
+    assert speed.count() == 0  # all speeds < 90 in this fixture
+    assert rows_set(avg) == {(32, 36, 72, 0, 0, 225)}
+    assert acc.count() == 5
