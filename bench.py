@@ -22,6 +22,7 @@ from cloudcomputing_flink_application_spark.registry import REGISTRY
 from cloudcomputing_flink_application_spark.session import get_spark
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+HEAVY_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SEC", "8"))
 
 
 def main() -> None:
@@ -31,9 +32,12 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):
+        t0 = time.perf_counter()
         q.fn(spark, sf_dir).collect()  # warm-up (JIT, code cache, FS cache)
+        warm = time.perf_counter() - t0
+        runs = 1 if warm > HEAVY_SEC else RUNS  # heavy queries: single timed run
         samples = []
-        for _ in range(RUNS):
+        for _ in range(runs):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).collect()
             samples.append(time.perf_counter() - t0)

@@ -47,7 +47,12 @@ EMPTY = ""
 
 def tokens(col: str = "text") -> Column:
     """Lowercased whitespace tokens, empties removed."""
-    return F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda t: t != EMPTY)
+    return tokens_of(F.col(col))
+
+
+def tokens_of(col: Column) -> Column:
+    """``tokens`` over an arbitrary Column expression."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != EMPTY)
 
 
 def tokens_sql(col: str = "text") -> str:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cloudcomputing_flink_application_spark.functions import text as X
+from cloudcomputing_flink_application_spark.plans.barrier import filter_after_barrier
 
 # thresholds (shared by Spark impls and SQL oracles)
 MINHASH_JACCARD = 0.9
@@ -69,9 +70,28 @@ FROM by_hash b JOIN canon c USING (h)
 
 
 def _token_sets(documents: DataFrame) -> DataFrame:
-    return documents.select(
-        "doc_id", F.array_distinct(X.tokens("text")).alias("tokset")
-    ).filter(F.size("tokset") > 0)
+    # Repartition BEFORE the tokenize/hash projection: a single-file parquet
+    # scan is one partition, and computing per-doc arrays there would
+    # serialize the whole corpus prep.  Explicit numPartitions — AQE never
+    # coalesces a user repartition.  The non-empty check is the CHEAP
+    # equivalent predicate (text has a non-whitespace char), applied before
+    # the projection so pushdown can't re-inline the tokenize pipeline.
+    # coalesce(text,'') makes every derived expression non-nullable, so the
+    # isnotnull constraints the downstream joins infer fold to true instead
+    # of dragging the whole tokenize+md5 pipeline into a pre-repartition
+    # scan filter (observed: 10x slowdown from exactly that).
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    return (
+        documents.filter(F.col("text").rlike(r"\S"))
+        .repartition(nparts)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                X.tokens_of(F.coalesce(F.col("text"), F.lit("")))
+            ).alias("tokset"),
+        )
+        .withColumn("nset", F.size("tokset"))
+    )
 
 
 def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
@@ -113,21 +133,32 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+    # |union| = |A| + |B| - |I|, so one array_intersect per pair is the whole
+    # verify cost — array_union would double it for no information.
     toks = _token_sets(documents)
-    verified = (
-        cands.join(toks.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tokset", "ta"), "doc_a")
-        .join(toks.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tokset", "tb"), "doc_b")
+    ta = toks.select(
+        F.col("doc_id").alias("doc_a"), F.col("tokset").alias("_ta"),
+        F.col("nset").alias("_na"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("tokset").alias("_tb"),
+        F.col("nset").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    scored = (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.size(F.array_intersect("ta", "tb")).cast("double")
-                / F.size(F.array_union("ta", "tb"))
-            ).alias("jaccard"),
+            (inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)).alias(
+                "jaccard"
+            ),
         )
-        .filter(F.col("jaccard") >= MINHASH_JACCARD)
     )
-    return verified
+    # Barrier: without it the jaccard filter inlines into the verify join
+    # and each intersect evaluates up to 4x per candidate pair.
+    return filter_after_barrier(scored, "doc_a", F.col("jaccard") >= MINHASH_JACCARD)
 
 
 def _minhash_lsh_sql() -> str:
@@ -155,14 +186,17 @@ cands AS (
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
   WHERE a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b,
-       len(list_intersect(ta.tokset, tb.tokset))::DOUBLE
-         / len(list_distinct(ta.tokset || tb.tokset)) AS jaccard
-FROM cands
-JOIN nonempty ta ON ta.doc_id = doc_a
-JOIN nonempty tb ON tb.doc_id = doc_b
-WHERE len(list_intersect(ta.tokset, tb.tokset))::DOUBLE
-        / len(list_distinct(ta.tokset || tb.tokset)) >= {MINHASH_JACCARD}
+SELECT doc_a, doc_b, jaccard
+FROM (
+  SELECT doc_a, doc_b,
+         len(list_intersect(ta.tokset, tb.tokset))::DOUBLE
+           / (len(ta.tokset) + len(tb.tokset)
+              - len(list_intersect(ta.tokset, tb.tokset))) AS jaccard
+  FROM cands
+  JOIN nonempty ta ON ta.doc_id = doc_a
+  JOIN nonempty tb ON tb.doc_id = doc_b
+)
+WHERE jaccard >= {MINHASH_JACCARD}
 """
 
 
@@ -255,31 +289,67 @@ def ngram_jaccard_dedup(documents: DataFrame) -> DataFrame:
     the standard metadata-blocking pattern for pipeline dedup at scale.
     Output: (doc_a, doc_b, jaccard).
     """
-    grams = documents.select(
-        "doc_id",
-        "source",
-        F.array_distinct(
-            X.shingles(F.split(F.lower("text"), ""), w=3)
-        ).alias("g3"),
-    ).filter(F.size("g3") > 0)
+    # Hash each distinct trigram to a 56-bit int once per document (set ops
+    # over longs, not strings; identical md5 hashes on both engines), and
+    # repartition BEFORE the projection so corpus prep parallelizes off the
+    # single-partition scan.
+    # length(text) >= 3 is the cheap pushable equivalent of "has at least
+    # one trigram" — filtering on size(g3) would re-inline the whole
+    # shingle+md5 pipeline into a pushed-down predicate.
+    # coalesce(text,'') keeps g3/n3 non-nullable so inferred isnotnull join
+    # constraints fold away instead of re-running the md5 pipeline inside a
+    # pre-repartition scan filter (see _token_sets).
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    nn_text = F.coalesce(F.col("text"), F.lit(""))
+    grams = (
+        documents.filter(F.length("text") >= 3)
+        .repartition(nparts)
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(
+                F.transform(
+                    X.shingles(F.split(F.lower(nn_text), ""), w=3),
+                    lambda s: X.h56(s),
+                )
+            ).alias("g3"),
+        )
+        .withColumn("n3", F.size("g3"))
+    )
+    # The per-pair intersect is CPU-heavy while the input is small in bytes:
+    # a broadcast join would inherit the scan's single partition and
+    # serialize the whole O(pairs) compute.  So: round-robin the probe side
+    # across the full parallelism (explicit numPartitions — AQE never
+    # coalesces it) and broadcast the build side.  At cluster scale the
+    # broadcast swaps for a co-partitioned join on the block key; pair
+    # semantics are unchanged.  |union| is derived from set sizes so one
+    # intersect per pair is the entire verify cost.
+    inter = F.size(F.array_intersect("a.g3", "b.g3"))
+    jac = inter.cast("double") / (F.col("a.n3") + F.col("b.n3") - inter)
+    # Size-ratio prune: |I| <= min(|A|,|B|), so jaccard >= t requires
+    # (1+t)*min >= t*(|A|+|B|).  A pure integer predicate evaluated in the
+    # join, discarding mismatched-size pairs before any intersect runs.
+    t_num, t_den = int(TRIGRAM_JACCARD * 10), 10
+    size_prune = (t_den + t_num) * F.least(F.col("a.n3"), F.col("b.n3")) >= t_num * (
+        F.col("a.n3") + F.col("b.n3")
+    )
     pairs = (
         grams.alias("a")
         .join(
-            grams.alias("b"),
+            F.broadcast(grams).alias("b"),
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_prune,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            (
-                F.size(F.array_intersect("a.g3", "b.g3")).cast("double")
-                / F.size(F.array_union("a.g3", "b.g3"))
-            ).alias("jaccard"),
+            jac.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= TRIGRAM_JACCARD)
     )
-    return pairs
+    # Barrier: keeps the intersect out of the join condition (one evaluation
+    # per pair instead of up to four).
+    return filter_after_barrier(pairs, "doc_a", F.col("jaccard") >= TRIGRAM_JACCARD)
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -287,15 +357,20 @@ WITH chars AS (
   SELECT doc_id, source, string_split(lower(text), '') AS cs FROM documents
 ),
 grams AS (
-  SELECT doc_id, source, list_distinct({X.shingles_sql('cs', w=3)}) AS g3
+  SELECT doc_id, source,
+         list_distinct(list_transform({X.shingles_sql('cs', w=3)},
+                                      s -> {X.h56_sql('s')})) AS g3
   FROM chars
 ),
 nonempty AS (SELECT * FROM grams WHERE len(g3) > 0)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       len(list_intersect(a.g3, b.g3))::DOUBLE / len(list_distinct(a.g3 || b.g3)) AS jaccard
-FROM nonempty a JOIN nonempty b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_intersect(a.g3, b.g3))::DOUBLE / len(list_distinct(a.g3 || b.g3))
-      >= {TRIGRAM_JACCARD}
+SELECT doc_a, doc_b, jaccard
+FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.g3, b.g3))::DOUBLE
+           / (len(a.g3) + len(b.g3) - len(list_intersect(a.g3, b.g3))) AS jaccard
+  FROM nonempty a JOIN nonempty b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+WHERE jaccard >= {TRIGRAM_JACCARD}
 """
 
 
@@ -311,7 +386,11 @@ def embedding_cosine_dedup(embeddings: DataFrame) -> DataFrame:
     (verified in tests/test_functions.py).
     Output: (vec_a, vec_b, cos).
     """
-    e = embeddings.select(
+    # CPU-heavy pair compute on byte-small input: repartition before the
+    # projection so prep and probe both use full parallelism (see
+    # ngram_jaccard_dedup for the rationale).
+    nparts = embeddings.sparkSession.sparkContext.defaultParallelism
+    e = embeddings.repartition(nparts).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
@@ -321,16 +400,17 @@ def embedding_cosine_dedup(embeddings: DataFrame) -> DataFrame:
     norms = e.select(
         "vec_id", "emb", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm")
     )
-    return (
+    scored = (
         norms.alias("a")
-        .join(norms.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .join(F.broadcast(norms).alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             (dot(F.col("a.emb"), F.col("b.emb")) / (F.col("a.nrm") * F.col("b.nrm"))).alias("cos"),
         )
-        .filter(F.col("cos") > COSINE_DUP)
     )
+    # Barrier: keeps the 64-dim dot product out of the join condition.
+    return filter_after_barrier(scored, "vec_a", F.col("cos") > COSINE_DUP)
 
 
 EMBEDDING_COSINE_SQL = f"""
