@@ -1,0 +1,108 @@
+"""Command-line entry points mirroring the reference's three jobs.
+
+A user of the reference runs::
+
+    flink run -c master.VehicleTelematics  app.jar --input cars.csv --output outdir
+    flink run -c ...CongestionArea         app.jar --input taxi.csv --output out.csv
+    flink run -c ...SaturatedVendor        app.jar --input taxi.csv --output out.csv
+
+The equivalents here::
+
+    python -m cloudcomputing_flink_application_spark.cli vehicle-telematics --input cars.csv --output outdir
+    python -m cloudcomputing_flink_application_spark.cli congestion-area    --input taxi.csv --output out.csv
+    python -m cloudcomputing_flink_application_spark.cli saturated-vendor   --input taxi.csv --output out.csv
+
+Batch mode (default) computes exact results; ``--streaming`` runs the
+Structured Streaming variants over the input directory (file-arrival
+micro-batches).  ``--show`` adds the reference's stdout print sink.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from cloudcomputing_flink_application_spark.operators.taxi import (
+    congestion_daily,
+    saturated_vendors,
+)
+from cloudcomputing_flink_application_spark.operators.telematics import (
+    accident_reports,
+    average_speed_fines,
+    speed_radar,
+)
+from cloudcomputing_flink_application_spark.session import get_spark
+from cloudcomputing_flink_application_spark.sources import sinks
+from cloudcomputing_flink_application_spark.sources.readers import (
+    read_car_reports,
+    read_taxi_trips,
+)
+
+
+def _vehicle_telematics(args: argparse.Namespace) -> None:
+    spark = get_spark(app_name="vehicle-telematics")
+    if args.streaming:
+        from cloudcomputing_flink_application_spark.streaming.jobs import run_telematics_job
+
+        queries = run_telematics_job(spark, args.input, args.output)
+        for q in queries:
+            q.processAllAvailable()
+        for q in queries:
+            q.stop()
+        return
+    cars = read_car_reports(spark, args.input)
+    # one pass over the input feeding three sinks (reference O3,
+    # VehicleTelematics.java:179-189): persist the parsed frame so the three
+    # actions share the scan instead of re-reading
+    cars.persist()
+    try:
+        for name, out in (
+            ("speedfines.csv", speed_radar(cars)),
+            ("avgspeedfines.csv", average_speed_fines(cars)),
+            ("accidents.csv", accident_reports(cars)),
+        ):
+            sinks.write_single_csv(out, f"{args.output}/{name}")
+            if args.show:
+                sinks.show(out)
+    finally:
+        cars.unpersist()
+
+
+def _congestion_area(args: argparse.Namespace) -> None:
+    spark = get_spark(app_name="congestion-area")
+    out = congestion_daily(read_taxi_trips(spark, args.input))
+    sinks.write_single_csv(out, args.output)
+    if args.show:
+        sinks.show(out)
+
+
+def _saturated_vendor(args: argparse.Namespace) -> None:
+    spark = get_spark(app_name="saturated-vendor")
+    out = saturated_vendors(read_taxi_trips(spark, args.input))
+    sinks.write_single_csv(out, args.output)
+    if args.show:
+        sinks.show(out)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="cloudcomputing_flink_application_spark")
+    sub = p.add_subparsers(dest="job", required=True)
+    for name, fn, out_help in (
+        ("vehicle-telematics", _vehicle_telematics, "output folder (3 CSVs)"),
+        ("congestion-area", _congestion_area, "output CSV file"),
+        ("saturated-vendor", _saturated_vendor, "output CSV file"),
+    ):
+        sp = sub.add_parser(name)
+        sp.add_argument("--input", required=True, help="input CSV file/dir")
+        sp.add_argument("--output", required=True, help=out_help)
+        sp.add_argument("--show", action="store_true", help="also print to stdout")
+        sp.add_argument(
+            "--streaming", action="store_true",
+            help="run the Structured Streaming variant (vehicle-telematics only)",
+        )
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

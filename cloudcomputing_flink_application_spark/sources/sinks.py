@@ -1,0 +1,46 @@
+"""Sinks: single-file CSV (reference O1 parity) and console (O2).
+
+The reference forces single-file CSV output with
+``writeAsCsv(...).setParallelism(1)`` (VehicleTelematics.java:179-181,
+CongestionArea.java:64, SaturatedVendor.java:95) in Flink's tuple encoding:
+comma-delimited, no header, no quoting.  ``write_single_csv`` reproduces
+that: coalesce(1) -> write -> promote the part file to the requested path.
+
+Scale note: coalesce(1) is correct here because every query's OUTPUT is
+small (fines/aggregates), matching the reference's own choice; bulk data
+paths write partitioned parquet instead (``write_parquet``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+def write_single_csv(df: DataFrame, path: str) -> None:
+    """Write ``df`` as ONE headerless CSV file at ``path`` (not a dir)."""
+    tmp = tempfile.mkdtemp(prefix="spark_graft_csv_")
+    try:
+        df.coalesce(1).write.mode("overwrite").option("header", "false").csv(tmp)
+        [part] = glob.glob(os.path.join(tmp, "part-*.csv"))
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        shutil.move(part, path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Partitioned parquet for bulk outputs (the at-scale default)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def show(df: DataFrame, n: int = 20) -> None:
+    """Console sink (reference ``print()``, O2)."""
+    df.show(n, truncate=False)

@@ -1,0 +1,39 @@
+"""End-to-end CLI tests: the reference user's journey (CSV in, CSV out)."""
+
+from __future__ import annotations
+
+import os
+
+from cloudcomputing_flink_application_spark import cli
+
+REF_VT = "/root/reference/VehicleTelematics/input/data_small.csv"
+REF_TAXI = "/root/reference/YellowTaxi/input/q2testData.csv"
+
+
+def test_vehicle_telematics_cli(spark, tmp_path):
+    out = str(tmp_path / "vt")
+    cli.main(["vehicle-telematics", "--input", REF_VT, "--output", out])
+    assert sorted(os.listdir(out)) == [
+        "accidents.csv",
+        "avgspeedfines.csv",
+        "speedfines.csv",
+    ]
+    with open(f"{out}/avgspeedfines.csv") as f:
+        assert f.read().strip() == "32,36,72,0,0,225"
+    with open(f"{out}/speedfines.csv") as f:
+        assert f.read().strip() == ""  # no speeders in data_small
+
+
+def test_congestion_area_cli(spark, tmp_path):
+    out = str(tmp_path / "cong.csv")
+    cli.main(["congestion-area", "--input", REF_TAXI, "--output", out])
+    with open(out) as f:
+        assert f.read().strip() == "2022/03/01,8,20.06"
+
+
+def test_saturated_vendor_cli(spark, tmp_path):
+    out = str(tmp_path / "sat.csv")
+    cli.main(["saturated-vendor", "--input", REF_TAXI, "--output", out])
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 10  # 10 back-to-back pairs in q2testData
+    assert all(line.endswith(",2") for line in lines)

@@ -1,0 +1,77 @@
+"""Plan-shape regression tests: pin the physical properties each operator
+was designed for.  These encode real pathologies found while profiling
+(see git log: single-partition prep, inferred-constraint recompute, filter
+inlining) so they cannot silently return."""
+
+from __future__ import annotations
+
+import pytest
+
+from cloudcomputing_flink_application_spark.plans.inspect import (
+    count_in_plan,
+    optimized_plan,
+    physical_plan,
+    scan_filters_containing,
+)
+from cloudcomputing_flink_application_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q_speed_filter_and_pruning_reach_scan(spark):
+    df = REGISTRY["q_speed"].fn(spark, SF)
+    plan = physical_plan(df)
+    # column pruning: the events scan must read only the derivation inputs
+    read_schemas = [l for l in plan.split("\n") if "ReadSchema" in l]
+    assert read_schemas and all(
+        "props" not in l and "event_type" not in l and "value" not in l
+        for l in read_schemas
+    ), read_schemas
+
+
+def test_q_cong_single_aggregate_no_extra_shuffle(spark):
+    df = REGISTRY["q_cong"].fn(spark, SF)
+    # one hash-partitioning exchange for the day-window aggregate; partial
+    # aggregation handles the rest map-side (the reference needed a
+    # parallelism-1 windowAll here)
+    assert count_in_plan(df, "hashpartitioning", physical=True) == 1
+
+
+def test_heavy_exprs_never_in_scan_filters(spark):
+    # the InferFiltersFromConstraints pathology: md5/array pipelines dragged
+    # into scan-side isnotnull filters
+    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "text_fingerprint"):
+        df = REGISTRY[name].fn(spark, SF)
+        assert scan_filters_containing(df, "md5") == 0, name
+
+
+def test_pair_ops_have_pushdown_barrier(spark):
+    # jaccard/cosine predicates must stay above the Window barrier, not
+    # inline into join conditions (4x per-pair recompute)
+    for name, heavy in (
+        ("dedup_ngram_jaccard", "array_intersect"),
+        ("dedup_minhash_lsh", "array_intersect"),
+    ):
+        df = REGISTRY[name].fn(spark, SF)
+        plan = optimized_plan(df)
+        join_lines = [l for l in plan.split("\n") if "Join" in l and heavy in l]
+        assert not join_lines, f"{name}: {heavy} leaked into a join condition"
+
+
+def test_topk_broadcasts_queries(spark):
+    df = REGISTRY["ann_cosine_topk"].fn(spark, SF)
+    assert count_in_plan(df, "BroadcastExchange", physical=True) >= 1
+
+
+def test_pair_ops_repartition_before_projection(spark):
+    # per-doc array prep must not run on the single-partition scan
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine"):
+        df = REGISTRY[name].fn(spark, SF)
+        assert count_in_plan(df, "REPARTITION_BY_NUM", physical=True) >= 1, name
+
+
+def test_all_queries_compile(spark):
+    # every registry entry must at least produce an executable plan
+    for name, q in REGISTRY.items():
+        df = q.fn(spark, SF)
+        assert physical_plan(df), name
