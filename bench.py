@@ -4,10 +4,10 @@
     {"metric": "wall_sec_total", "value": N, "unit": "sec",
      "queries": {"q_speed": sec, ...}, "sf": 0.1}
 
-Per-query time = median of 3 runs after 1 warm-up (BASELINE.md protocol).
-Results are materialized with collect(); outputs are aggregates/filters whose
-result sets are small relative to input, so driver-side materialization is
-not the bottleneck being measured.
+Per-query time = median of 3 runs after 1 warm-up; heavy queries (warm-up
+over SPARK_GRAFT_BENCH_HEAVY_SEC) are timed once (BASELINE.md protocol).
+Results are materialized with the noop sink — full execution of every
+operator, no driver-side row transfer in the measurement.
 """
 
 from __future__ import annotations
@@ -30,16 +30,19 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(app_name="cloudcomputing-flink-application-bench")
 
+    def materialize(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
     per_query: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).collect()  # warm-up (JIT, code cache, FS cache)
+        materialize(q.fn(spark, sf_dir))  # warm-up (JIT, code cache, FS cache)
         warm = time.perf_counter() - t0
         runs = 1 if warm > HEAVY_SEC else RUNS  # heavy queries: single timed run
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            q.fn(spark, sf_dir).collect()
+            materialize(q.fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
         per_query[name] = round(statistics.median(samples), 3)
         print(f"# {name}: {per_query[name]}s (runs: {[round(s, 3) for s in samples]})",

@@ -216,7 +216,10 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     FINGERPRINT_K smallest distinct shingle hashes — a compact sketch whose
     equality is a strong near-dup signal (winnowing-lite).
     """
-    sh = documents.select(
+    # md5-per-shingle is the dominant cost; spread it off the (possibly
+    # single-partition) scan before projecting.
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    sh = documents.repartition(nparts).select(
         "doc_id", X.shingles(X.tokens("text")).alias("sh")
     )
     hashes = sh.select(

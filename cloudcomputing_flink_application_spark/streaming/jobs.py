@@ -246,6 +246,24 @@ def average_speed_fines_stream(
     )
 
 
+# --- streaming dedup ---------------------------------------------------------
+
+
+def exact_dedup_stream(documents: DataFrame) -> DataFrame:
+    """Streaming exact dedup: emit only the first occurrence of each text.
+
+    Built on Structured Streaming's stateful ``dropDuplicates`` keyed by the
+    text's md5 — the streaming counterpart of ``operators.dedup.exact_dedup``.
+    State is one 128-bit key per distinct document, kept forever (global
+    dedup).  At production scale, bound state with
+    ``dropDuplicatesWithinWatermark`` when an event-time column exists and
+    the dedup horizon is finite.
+    """
+    return documents.select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    ).dropDuplicates(["text_md5"])
+
+
 # --- O3: one input, three sinks ---------------------------------------------
 
 

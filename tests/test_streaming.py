@@ -161,3 +161,24 @@ def test_run_telematics_job_three_sinks(spark, tmp_path):
     assert speed.count() == 0  # all speeds < 90 in this fixture
     assert rows_set(avg) == {(32, 36, 72, 0, 0, 225)}
     assert acc.count() == 5
+
+
+def test_exact_dedup_stream(spark, tmp_path):
+    # same text arriving in a later micro-batch is suppressed
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    import pandas as pd
+    f1 = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta", "gamma"]})
+    f2 = pd.DataFrame({"doc_id": [3, 4], "text": ["alpha beta", "delta"]})
+    f1.to_parquet(f"{d}/f1.parquet")
+    f2.to_parquet(f"{d}/f2.parquet")
+    os.utime(f"{d}/f1.parquet", (1_700_000_000, 1_700_000_000))
+    os.utime(f"{d}/f2.parquet", (1_700_000_001, 1_700_000_001))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = run_stream(spark, jobs.exact_dedup_stream(stream), "dedup_s")
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert ids == {1, 2, 4}  # doc 3 is a dup of doc 1's text
