@@ -36,8 +36,30 @@ class Query:
     description: str = ""
 
 
+#: Session confs every query needs regardless of who built the session —
+#: the driver's verify harness constructs its own SparkSession, so these are
+#: (re)applied at query time.  All are runtime-settable SQL confs.
+_REQUIRED_CONFS = {
+    # the testdata's TIMESTAMP(NANOS) parquet needs the nanos-as-long read
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # reference semantics pin UTC (SURVEY.md §2.9 X4)
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow path for the mapInPandas operators
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static on some builds
+            pass
+    return spark
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_events(spark, sf_dir)
+    return read_events(ensure_session_confs(spark), sf_dir)
 
 
 def _car_reports(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,11 +182,11 @@ WHERE pd IS NOT NULL AND epoch_ms(p) - epoch_ms(pd) < 600000
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ensure_session_confs(spark).read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ensure_session_confs(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _on_docs(op):
