@@ -213,6 +213,10 @@ REGISTRY: dict[str, Query] = {
         _on_docs(dedup.minhash_lsh_dedup), dedup.MINHASH_LSH_SQL,
         "MinHash 16-perm 4x4-band LSH candidates, jaccard-verified",
     ),
+    "dedup_minhash_clusters": Query(
+        _on_docs(dedup.minhash_cluster_dedup), dedup.MINHASH_CLUSTER_SQL,
+        "scale-shaped MinHash dedup: per-doc cluster assignment via star linking",
+    ),
     "dedup_simhash": Query(
         _on_docs(dedup.simhash_dedup), dedup.SIMHASH_SQL,
         "SimHash 32-bit, 8-bit-band blocking, hamming-verified",
