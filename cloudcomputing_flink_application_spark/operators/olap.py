@@ -1,0 +1,156 @@
+"""Analytical queries over the TPC-H-ish driver tables.
+
+The reference has no joins at all (SURVEY.md §2.10); these queries exist to
+exercise the engine surface an analytics user expects — multi-way joins,
+semi-joins, top-k per group — on the driver's star schema, with the same
+oracle rigor as everything else.
+
+Money arithmetic is integer-exact: 2-decimal dollars become cents and
+2-decimal discount rates become hundredths, so revenue =
+sum(ext_cents * (100 - disc_100)) is an exact int64 under any partial-agg
+order, and both engines produce identical doubles after the final /1e4.
+
+Scale notes:
+- dimension joins (nation, region, customer at these ratios) broadcast —
+  zero shuffle on the fact table for the dim side;
+- the fact-side aggregate shuffles once on the group keys;
+- top-k per group is a window over the aggregated (small) frame, not the
+  fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TOP_SUPPLIERS_K = 3
+
+
+def _revenue_cents() -> F.Column:
+    ext_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_100 = F.round(F.col("l_discount") * 100).cast("long")
+    return ext_cents * (F.lit(100) - disc_100)
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per customer nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
+
+    Output: (n_name, orders, revenue) — revenue in dollars (exact cents*100
+    arithmetic, 4 implied decimals collapsed to a double at the end).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("orders"),
+            F.sum(_revenue_cents()).alias("_rev"),
+        )
+        .select(
+            "n_name",
+            "orders",
+            (F.col("_rev").cast("double") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS orders,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def top_suppliers_by_nation(spark: SparkSession, sf_dir: str, k: int = TOP_SUPPLIERS_K) -> DataFrame:
+    """Top-k suppliers by revenue within each nation (rank over agg).
+
+    Output: (n_name, s_name, rank, revenue).  The window runs over the
+    aggregated per-supplier frame (|suppliers| rows), never the fact table.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    per_supp = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_name")
+        .agg(F.sum(_revenue_cents()).alias("_rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("_rev"), F.asc("s_name"))
+    return (
+        per_supp.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "n_name",
+            "s_name",
+            "rank",
+            (F.col("_rev").cast("double") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+TOP_SUPPLIERS_SQL = f"""
+WITH per_supp AS (
+  SELECT n_name, s_name,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name, s_name
+),
+ranked AS (
+  SELECT n_name, s_name, rev,
+         row_number() OVER (PARTITION BY n_name ORDER BY rev DESC, s_name ASC) AS rank
+  FROM per_supp
+)
+SELECT n_name, s_name, rank, rev / 10000.0 AS revenue
+FROM ranked WHERE rank <= {TOP_SUPPLIERS_K}
+"""
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per priority that have at least one late-shipped lineitem
+    (semi-join, TPC-H Q4 shape).
+
+    'Late' = l_shipdate after the order date plus 60 days.  Semi-join keeps
+    the fact scan single-pass and never duplicates orders.
+    Output: (o_orderpriority, n_orders).
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+"""

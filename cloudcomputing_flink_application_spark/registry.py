@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from cloudcomputing_flink_application_spark.operators import (
     dedup,
     multimodal,
+    olap,
     similarity,
     taxi,
     telematics,
@@ -181,6 +182,11 @@ WHERE pd IS NOT NULL AND epoch_ms(p) - epoch_ms(pd) < 600000
 """
 
 
+def olap_confs(spark: SparkSession) -> SparkSession:
+    """UTC session for the timestamp comparisons in the OLAP queries."""
+    return ensure_session_confs(spark)
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensure_session_confs(spark).read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -254,6 +260,19 @@ REGISTRY: dict[str, Query] = {
     "text_fingerprint": Query(
         _on_docs(textstats.fingerprint), textstats.FINGERPRINT_SQL,
         "bottom-k shingle-hash document fingerprint",
+    ),
+    # --- analytical joins over the star schema (beyond the join-free reference) ---
+    "olap_revenue_by_nation": Query(
+        lambda s, d: olap.revenue_by_nation(olap_confs(s), d), olap.REVENUE_BY_NATION_SQL,
+        "4-way join + exact-cents revenue per customer nation",
+    ),
+    "olap_top_suppliers": Query(
+        lambda s, d: olap.top_suppliers_by_nation(olap_confs(s), d), olap.TOP_SUPPLIERS_SQL,
+        "top-k suppliers per nation (rank over aggregated revenue)",
+    ),
+    "olap_order_priority": Query(
+        lambda s, d: olap.order_priority_counts(olap_confs(s), d), olap.ORDER_PRIORITY_SQL,
+        "semi-join order-priority counts (TPC-H Q4 shape)",
     ),
     # --- multimodal columns (mapInPandas plumbing, deterministic fake decode) ---
     "mm_image_meta": Query(
