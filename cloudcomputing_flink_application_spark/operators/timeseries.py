@@ -1,0 +1,165 @@
+"""Time-series operators over the ``events`` table: as-of join and
+gap-based sessionization.
+
+Spark has no native AS-OF join (DuckDB does); the union-window composition
+below expresses it with one shuffle and no UDFs, which is also the plan
+that scales: both sides co-partition by the join key, and the "most recent
+right row" is a running ``last_value`` over the merged, time-ordered
+stream — O(1) state per key, no per-row probe joins.
+
+Sessionization is the standard lag + gap-flag + running-sum composition.
+Both operators carry full DuckDB oracles (ASOF JOIN / window functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+#: Session gap threshold (minutes) — a new session starts after this silence.
+SESSION_GAP_MIN = 30
+
+
+def purchases_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each 'purchase' event gets the most recent prior-or-equal
+    'signup' event of the same user.
+
+    Composition: tag both sides, union, sort per user by (ts, side) with
+    signups first on ties, and carry the latest signup ts/id forward with
+    ``last_value(ignoreNulls)``; keep the purchase rows.  Matches DuckDB's
+    ``ASOF JOIN ... ON p.ts >= s.ts`` semantics (ties match).
+
+    Output: (event_id, user_id, ts, signup_event_id, signup_ts) —
+    purchases with no prior signup keep nulls (left as-of join).
+    """
+    from cloudcomputing_flink_application_spark.registry import ensure_session_confs
+    from cloudcomputing_flink_application_spark.sources.readers import read_events
+
+    ev = read_events(ensure_session_confs(spark), sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("_side"),  # signups sort first on ts ties
+        F.col("event_id").alias("_sig_id"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_sig_id"),
+        "event_id",
+    )
+    merged = signups.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last("_sig_id", ignorenulls=True).over(w).alias("signup_event_id"),
+    )
+    out = carried.filter(F.col("event_id").isNotNull())
+    sig_ts = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"), F.col("ts").alias("signup_ts")
+    )
+    return out.join(F.broadcast(sig_ts), "signup_event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "signup_event_id",
+        F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts_s"),
+    )
+
+
+ASOF_SIGNUP_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT event_id AS signup_event_id, user_id, ts AS signup_ts
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       s.signup_event_id,
+       strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts_s
+FROM p ASOF LEFT JOIN s
+  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization: per-user session ids and session stats.
+
+    A new session starts when the gap since the user's previous event
+    exceeds ``gap_min`` minutes.  Composition: lag -> boolean gap flag ->
+    running sum (session index) -> per-session aggregate.  One shuffle by
+    user; the windows and the aggregate share it.
+
+    Output: (user_id, session_seq, n_events, start_s, end_s).
+    """
+    from cloudcomputing_flink_application_spark.registry import ensure_session_confs
+    from cloudcomputing_flink_application_spark.sources.readers import read_events
+
+    ev = read_events(ensure_session_confs(spark), sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > gap_min * 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("_new"),
+    )
+    sessioned = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_seq"),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+        )
+    )
+
+
+#: Oracle notes: epoch_us // 1000000 mirrors Spark's truncating
+#: timestamp->long cast (epoch() alone returns fractional-second doubles);
+#: session_seq is cast from DuckDB's hugeint sum to BIGINT; both windows
+#: order by (ts, event_id) so ties sequence identically in both engines.
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000) OVER w
+                   > {SESSION_GAP_MIN * 60}
+              THEN 1 ELSE 0 END AS new_flag
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT user_id, ts,
+         CAST(sum(new_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s
+FROM sessioned
+GROUP BY user_id, session_seq
+"""

@@ -23,6 +23,7 @@ from cloudcomputing_flink_application_spark.operators import (
     taxi,
     telematics,
     textstats,
+    timeseries,
 )
 from cloudcomputing_flink_application_spark.sources import derived
 from cloudcomputing_flink_application_spark.sources.readers import read_events
@@ -273,6 +274,15 @@ REGISTRY: dict[str, Query] = {
     "olap_order_priority": Query(
         lambda s, d: olap.order_priority_counts(olap_confs(s), d), olap.ORDER_PRIORITY_SQL,
         "semi-join order-priority counts (TPC-H Q4 shape)",
+    ),
+    # --- time-series compositions over events ---
+    "ts_asof_join": Query(
+        timeseries.purchases_asof_signup, timeseries.ASOF_SIGNUP_SQL,
+        "as-of join: purchase -> most recent prior signup (union-window composition)",
+    ),
+    "ts_sessionize": Query(
+        timeseries.sessionize, timeseries.SESSIONIZE_SQL,
+        "gap-based sessionization (lag + flag + running sum)",
     ),
     # --- multimodal columns (mapInPandas plumbing, deterministic fake decode) ---
     "mm_image_meta": Query(
