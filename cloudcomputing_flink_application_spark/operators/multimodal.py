@@ -48,8 +48,15 @@ def decode_image_real(payload: bytes) -> tuple[int, int]:
 
 def with_binary_payload(documents: DataFrame) -> DataFrame:
     """Attach the opaque binary column (utf-8 payload stands in for media
-    bytes; at production scale this is the parquet binary column itself)."""
-    return documents.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    bytes; at production scale this is the parquet binary column itself).
+
+    Repartitioned to full parallelism: decode UDFs are CPU-bound and a
+    single-file scan would otherwise feed mapInPandas one partition.
+    """
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    return documents.repartition(nparts).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
 
 
 def image_meta(documents: DataFrame) -> DataFrame:

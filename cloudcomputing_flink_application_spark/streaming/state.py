@@ -46,8 +46,10 @@ def sliding_count_window(
     tuple of ``buffer_cols`` values) and must return output tuples matching
     ``output_schema``.
 
-    Works on batch DataFrames too (applyInPandas path is exercised in
-    tests); the streaming path keeps the buffer in GroupState.
+    Streaming-only (applyInPandasWithState requires a streaming frame); the
+    batch equivalents are the window-frame/lag formulations in
+    ``operators.telematics`` / ``operators.taxi``, proven equal to these in
+    tests/test_streaming.py.
     """
     state_schema = T.StructType(
         [
