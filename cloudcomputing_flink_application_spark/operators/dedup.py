@@ -399,13 +399,21 @@ SIMHASH_SQL = _simhash_sql()
 # --- character n-gram jaccard ------------------------------------------------
 
 
-def ngram_jaccard_dedup(documents: DataFrame) -> DataFrame:
+def ngram_jaccard_dedup(documents: DataFrame, salt: int = 1) -> DataFrame:
     """Near-dup pairs by char-trigram jaccard, blocked by ``source``.
 
     Character trigrams are order-robust (catch shuffled/re-ordered text);
     the ``source`` column is the blocking key bounding the pair count —
     the standard metadata-blocking pattern for pipeline dedup at scale.
     Output: (doc_a, doc_b, jaccard).
+
+    ``salt > 1`` enables skew handling for a hot blocking key: the probe
+    side gets a deterministic salt (doc_id % salt) and the build side is
+    replicated across all salt values, splitting one hot block across
+    ``salt`` tasks with identical pair semantics (verified in
+    tests/test_dedup_salting.py).  Locally the build side is broadcast so
+    replication is free; on a co-partitioned cluster join the same salt
+    columns go into the shuffle key.
     """
     # Hash each distinct trigram to a 56-bit int once per document (set ops
     # over longs, not strings; identical md5 hashes on both engines), and
@@ -451,14 +459,21 @@ def ngram_jaccard_dedup(documents: DataFrame) -> DataFrame:
     size_prune = (t_den + t_num) * F.least(F.col("a.n3"), F.col("b.n3")) >= t_num * (
         F.col("a.n3") + F.col("b.n3")
     )
-    pairs = (
-        grams.alias("a")
-        .join(
-            F.broadcast(grams).alias("b"),
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & size_prune,
+    probe, build = grams, grams
+    join_cond = (
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & size_prune
+    )
+    if salt > 1:
+        probe = grams.withColumn("_salt", (F.col("doc_id") % salt).cast("int"))
+        build = grams.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )
+        join_cond = join_cond & (F.col("a._salt") == F.col("b._salt"))
+    pairs = (
+        probe.alias("a")
+        .join(F.broadcast(build).alias("b"), join_cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

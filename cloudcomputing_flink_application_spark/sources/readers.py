@@ -44,6 +44,29 @@ def read_taxi_trips(spark: SparkSession, path: str, streaming: bool = False) -> 
     )
 
 
+def read_kafka_csv_stream(
+    spark: SparkSession, bootstrap: str, topic: str, schema
+) -> DataFrame:
+    """Kafka source for CSV-encoded records.
+
+    The reference declares the Flink Kafka connector but never uses it
+    (YellowTaxi/pom.xml:81-83, VehicleTelematics/pom.xml:81-83 — SURVEY.md
+    §2.1); this is the working Spark equivalent.  Requires the
+    spark-sql-kafka package on the classpath (not in this environment —
+    DataSource resolution raises at call time, so the function is gated by
+    construction rather than an import guard).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .load()
+    )
+    return raw.select(
+        F.from_csv(F.col("value").cast("string"), schema.simpleString()).alias("r")
+    ).select("r.*")
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver ``events`` table with ``ts`` normalized to a microsecond
     timestamp.

@@ -5,7 +5,6 @@ inlining) so they cannot silently return."""
 
 from __future__ import annotations
 
-import pytest
 
 from cloudcomputing_flink_application_spark.plans.inspect import (
     count_in_plan,

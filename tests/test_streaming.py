@@ -107,7 +107,6 @@ def test_avgspd_stream_matches_batch(spark, car_stream):
 def taxi_stream(spark, tmp_path):
     d = str(tmp_path / "taxi")
     write_files(d, [TAXI_CSV_1, TAXI_CSV_2])
-    from cloudcomputing_flink_application_spark.sources.readers import read_taxi_trips
 
     return (
         spark.readStream.schema(schemas.TAXI_TRIPS)
