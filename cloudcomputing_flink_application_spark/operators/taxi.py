@@ -12,8 +12,13 @@ Scale notes (100 TB stance):
   shuffle whose cardinality is the number of days — fully parallel, no
   single-subtask bottleneck to carry to a cluster.
 - Q-SAT is one window shuffle keyed by vendor with a lag-1 frame; state per
-  key is one row.  Vendor skew (a huge vendor) is bounded: lag frames stream
-  through sorted partitions without buffering the key's history.
+  key is one row while scanning.  Honest skew caveat: vendor_id is
+  inherently low-cardinality (real TLC data has ~2 vendors), so each
+  vendor's full history sorts inside one task.  At true 100 TB scale the
+  fix is range-partitioning by (vendor, pickup-time bucket) and exchanging
+  one boundary row per bucket — same lag semantics, bounded task size; the
+  streaming variant (streaming.jobs.saturated_vendors_stream) already has
+  this property naturally (O(1) state per key, arrival-ordered).
 """
 
 from __future__ import annotations

@@ -140,6 +140,59 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_GAP_MIN)
 #: timestamp->long cast (epoch() alone returns fractional-second doubles);
 #: session_seq is cast from DuckDB's hugeint sum to BIGINT; both windows
 #: order by (ts, event_id) so ties sequence identically in both engines.
+def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass, two time grains.
+
+    GROUPING SETS ((user, hour), (user, day)) computes hourly and daily
+    rollups in a single scan + aggregate — the batch shape of a
+    TimescaleDB-style continuous aggregate, and the pattern a 100 TB events
+    table uses to maintain downsampled views.  Value sums are exact integer
+    cents, so the multi-set aggregation is order-independent.
+
+    Output: (user_id, grain, bucket_s, n_events, total).
+    Expressed through the SQL API (the engine's other declarative surface).
+    """
+    from cloudcomputing_flink_application_spark.registry import ensure_session_confs
+    from cloudcomputing_flink_application_spark.sources.readers import read_events
+
+    ev = read_events(ensure_session_confs(spark), sf_dir)
+    ev.createOrReplaceTempView("_events_rollup_in")
+    return spark.sql(
+        """
+        SELECT user_id,
+               CASE WHEN hour_b IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
+               date_format(coalesce(hour_b, day_b), 'yyyy-MM-dd HH:mm:ss') AS bucket_s,
+               CAST(count(*) AS BIGINT) AS n_events,
+               -- cast: Spark's bigint/decimal-literal division yields a
+               -- DECIMAL; the oracle (and the schema contract) is DOUBLE
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+        FROM (
+          SELECT user_id, value,
+                 date_trunc('hour', ts) AS hour_b,
+                 date_trunc('day', ts) AS day_b
+          FROM _events_rollup_in
+        )
+        GROUP BY GROUPING SETS ((user_id, hour_b), (user_id, day_b))
+        """
+    )
+
+
+ROLLUP_EVENTS_SQL = """
+SELECT user_id,
+       CASE WHEN hour_b IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
+       strftime(coalesce(hour_b, day_b), '%Y-%m-%d %H:%M:%S') AS bucket_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total
+FROM (
+  SELECT user_id, value,
+         date_trunc('hour', ts) AS hour_b,
+         date_trunc('day', ts) AS day_b
+  FROM events
+)
+GROUP BY GROUPING SETS ((user_id, hour_b), (user_id, day_b))
+"""
+
+
 SESSIONIZE_SQL = f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id,

@@ -284,6 +284,10 @@ REGISTRY: dict[str, Query] = {
         timeseries.sessionize, timeseries.SESSIONIZE_SQL,
         "gap-based sessionization (lag + flag + running sum)",
     ),
+    "ts_rollup": Query(
+        timeseries.rollup_events, timeseries.ROLLUP_EVENTS_SQL,
+        "hypertable-style hour+day rollup in one pass (GROUPING SETS)",
+    ),
     # --- multimodal columns (mapInPandas plumbing, deterministic fake decode) ---
     "mm_image_meta": Query(
         _on_docs(multimodal.image_meta), multimodal.IMAGE_META_SQL,
