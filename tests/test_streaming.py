@@ -181,3 +181,31 @@ def test_exact_dedup_stream(spark, tmp_path):
     out = run_stream(spark, jobs.exact_dedup_stream(stream), "dedup_s")
     ids = {r.doc_id for r in out.select("doc_id").collect()}
     assert ids == {1, 2, 4}  # doc 3 is a dup of doc 1's text
+
+
+@pytest.mark.slow
+def test_streaming_matches_batch_at_sf0001(spark, tmp_path):
+    # all three telematics queries, 1000-row derived corpus, 5 micro-batches
+    from cloudcomputing_flink_application_spark.sources.derived import car_reports_from_events
+    from cloudcomputing_flink_application_spark.sources.readers import read_events
+    from tests.conftest import TESTDATA
+
+    cars = car_reports_from_events(read_events(spark, f"{TESTDATA}/sf0.001")).orderBy("time", "vid")
+    rows = [tuple(r) for r in cars.collect()]
+    chunks = [rows[j * 200:(j + 1) * 200] for j in range(5)]
+    d = str(tmp_path / "cars_sf")
+    write_files(d, ["".join(",".join(map(str, r)) + "\n" for r in c) for c in chunks])
+    stream = (
+        spark.readStream.schema(schemas.CAR_REPORTS)
+        .option("maxFilesPerTrigger", 1)
+        .csv(d)
+    )
+    batch_df = spark.createDataFrame(rows, schema=schemas.CAR_REPORTS)
+    for sname, sfn, bfn in (
+        ("speed_sf", jobs.speed_radar_stream, speed_radar),
+        ("acc_sf", jobs.accident_reports_stream, accident_reports),
+        ("avg_sf", jobs.average_speed_fines_stream, average_speed_fines),
+    ):
+        out = run_stream(spark, sfn(stream), sname)
+        assert rows_set(out) == rows_set(bfn(batch_df)), sname
+        assert out.count() > 0, f"{sname}: degenerate"
