@@ -91,3 +91,57 @@ def test_accidents_n_minus_3_rule(spark, stopped):
     got = {r.vid: r["count"] for r in out}
     for vid, n in stopped.items():
         assert got.get(vid, 0) == max(0, n - 3), (vid, n)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 400_000)),  # (user, ts offset s)
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_sessionize_matches_python_model(spark, events):
+    # property: per-user session count == python model with the same gap rule
+    from datetime import datetime, timedelta
+
+    from cloudcomputing_flink_application_spark.operators.timeseries import (
+        SESSION_GAP_MIN,
+        sessionize,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(seconds=off), uid, "click", 1.0, None)
+        for i, (uid, off) in enumerate(sorted(events, key=lambda e: (e[0], e[1])))
+    ]
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    # sessionize reads events parquet via read_events (nanos normalization),
+    # so materialize the generated rows the same way the driver data is laid out
+    d = tempfile.mkdtemp()
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf.to_parquet(os.path.join(d, "events.parquet"))
+    out = sessionize(spark, d)
+    got = {(r.user_id, r.session_seq): r.n_events for r in out.collect()}
+
+    # python model
+    gap = SESSION_GAP_MIN * 60
+    model: dict[tuple[int, int], int] = {}
+    by_user: dict[int, list[int]] = {}
+    for uid, off in sorted(events, key=lambda e: (e[0], e[1])):
+        by_user.setdefault(uid, []).append(off)
+    for uid, offs in by_user.items():
+        seq, prev = 0, None
+        for off in offs:
+            if prev is not None and off - prev > gap:
+                seq += 1
+            model[(uid, seq)] = model.get((uid, seq), 0) + 1
+            prev = off
+    assert got == model
