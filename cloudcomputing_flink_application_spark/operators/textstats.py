@@ -9,7 +9,7 @@ no aggregation-order nondeterminism anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cloudcomputing_flink_application_spark.functions import text as X
@@ -236,6 +236,100 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         ).alias("fp"),
         F.size("hs").cast("long").alias("n_shingles"),
     )
+
+
+TOKEN_FREQ_K = 50
+
+
+def token_freq(documents: DataFrame, k: int = TOKEN_FREQ_K) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by document-weighted frequency.
+
+    The one corpus-level text op (everything else is per-row): explode
+    tokens -> count.  At 100 TB this is the canonical vocab-building
+    shuffle — partial aggregation collapses each partition's counts before
+    the exchange, so shuffle volume is O(distinct tokens x partitions),
+    not O(total tokens).  Deterministic top-k tie-break by token.
+
+    Output: (token, n, rank).
+    """
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    toks = documents.repartition(nparts).select(
+        F.explode(X.tokens("text")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    # orderBy+limit compiles to TakeOrderedAndProject — distributed partial
+    # top-k per partition, then a k-row merge; a global row_number window
+    # here would instead drag the whole vocabulary to one partition.
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))  # over <= k rows only
+    return top.withColumn("rank", F.row_number().over(w)).select("token", "n", "rank")
+
+
+TOKEN_FREQ_SQL = f"""
+WITH toks AS (
+  SELECT unnest({X.tokens_sql('text')}) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token
+),
+ranked AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+  FROM counts
+)
+SELECT token, n, rank FROM ranked WHERE rank <= {TOKEN_FREQ_K}
+"""
+
+
+def redact(documents: DataFrame) -> DataFrame:
+    """PII-style redaction: replace digit runs with a placeholder.
+
+    Per-row regexp_replace (scan-fused, no shuffle); emits the redacted
+    text's md5 rather than the text itself so the output stays narrow.
+    Output: (doc_id, n_redactions, redacted_md5).
+    """
+    redacted = F.regexp_replace(F.col("text"), "[0-9]+", "<num>")
+    return documents.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[0-9]+")).cast("long").alias("n_redactions"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+REDACT_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions,
+       md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+def split_assign(documents: DataFrame) -> DataFrame:
+    """Deterministic content-addressed train/valid/test split.
+
+    Bucket = md5-derived 56-bit hash of the TEXT (not the id) modulo 100 —
+    stable across re-ingestion and id reassignment, the property a training
+    pipeline needs for leak-free splits.  90/5/5.
+    Output: (doc_id, bucket, split).
+    """
+    bucket = (X.h56(F.col("text")) % 100).cast("int")
+    return documents.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id,
+       CAST(({X.h56_sql('text')}) % 100 AS INT) AS bucket,
+       CASE WHEN ({X.h56_sql('text')}) % 100 < 90 THEN 'train'
+            WHEN ({X.h56_sql('text')}) % 100 < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
 
 
 FINGERPRINT_SQL = f"""

@@ -262,6 +262,18 @@ REGISTRY: dict[str, Query] = {
         _on_docs(textstats.fingerprint), textstats.FINGERPRINT_SQL,
         "bottom-k shingle-hash document fingerprint",
     ),
+    "text_token_freq": Query(
+        _on_docs(textstats.token_freq), textstats.TOKEN_FREQ_SQL,
+        "corpus vocabulary: top-k tokens (explode + partial-agg count)",
+    ),
+    "text_redact": Query(
+        _on_docs(textstats.redact), textstats.REDACT_SQL,
+        "PII-style digit-run redaction (per-row regexp, scan-fused)",
+    ),
+    "text_split_assign": Query(
+        _on_docs(textstats.split_assign), textstats.SPLIT_ASSIGN_SQL,
+        "content-addressed 90/5/5 train/valid/test split",
+    ),
     # --- analytical joins over the star schema (beyond the join-free reference) ---
     "olap_revenue_by_nation": Query(
         lambda s, d: olap.revenue_by_nation(olap_confs(s), d), olap.REVENUE_BY_NATION_SQL,
