@@ -41,9 +41,20 @@ from cloudcomputing_flink_application_spark.sources.readers import (
 def _vehicle_telematics(args: argparse.Namespace) -> None:
     spark = get_spark(app_name="vehicle-telematics")
     if args.streaming:
+        import os
+        import shutil
+        import tempfile
+
         from cloudcomputing_flink_application_spark.streaming.jobs import run_telematics_job
 
-        queries = run_telematics_job(spark, args.input, args.output)
+        input_path = args.input
+        if os.path.isfile(input_path):
+            # Structured Streaming's file source watches a DIRECTORY; stage a
+            # single-file input so the reference's file-path contract works.
+            staged = tempfile.mkdtemp(prefix="spark_graft_stream_in_")
+            shutil.copy(input_path, staged)
+            input_path = staged
+        queries = run_telematics_job(spark, input_path, args.output)
         for q in queries:
             q.processAllAvailable()
         for q in queries:

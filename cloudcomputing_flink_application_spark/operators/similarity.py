@@ -99,6 +99,49 @@ SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (storage path).
+
+    Per-vector max-abs scaling: q_i = trunc(x_i / scale * 127) with
+    scale = max(|x|).  Pure per-row array math (scan-fused, no shuffle) —
+    the compression step a 100 TB embedding store runs before writing
+    int8 parquet.  Output keeps the quantized vector as a compact
+    comma-joined string plus the scale needed to dequantize.
+
+    Output: (vec_id, dim, scale, q_csv).
+    """
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    q = F.transform(
+        emb,
+        lambda x: (F.signum(x / scale * 127) * F.floor(F.abs(x / scale * 127))).cast("int"),
+    )
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        scale.alias("scale"),
+        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("q_csv"),
+    )
+
+
+QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) AS scale
+  FROM e
+)
+SELECT vec_id,
+       CAST(len(emb) AS INT) AS dim,
+       scale,
+       array_to_string(list_transform(emb,
+         x -> CAST(CAST(trunc(x / scale * 127) AS INT) AS VARCHAR)), ',') AS q_csv
+FROM scaled
+"""
+
+
 def cosine_topk_ivf(embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE) -> DataFrame:
     """IVF-pruned top-k: probe only the nprobe clusters nearest each query.
 

@@ -245,6 +245,10 @@ REGISTRY: dict[str, Query] = {
         _on_embs(similarity.cosine_topk_ivf), similarity.COSINE_TOPK_IVF_SQL,
         "IVF-pruned cosine top-k (nprobe nearest clusters)",
     ),
+    "emb_quantize": Query(
+        _on_embs(similarity.quantize_embeddings), similarity.QUANTIZE_SQL,
+        "symmetric int8 embedding quantization (storage path)",
+    ),
     # --- text analysis ---
     "text_lang_id": Query(
         _on_docs(textstats.lang_id), textstats.LANG_ID_SQL,

@@ -37,3 +37,12 @@ def test_saturated_vendor_cli(spark, tmp_path):
     lines = open(out).read().strip().split("\n")
     assert len(lines) == 10  # 10 back-to-back pairs in q2testData
     assert all(line.endswith(",2") for line in lines)
+
+
+def test_vehicle_telematics_cli_streaming(spark, tmp_path):
+    out = str(tmp_path / "vts")
+    cli.main(["vehicle-telematics", "--input", REF_VT, "--output", out, "--streaming"])
+    avg = spark.read.schema(
+        "time1 INT, time2 INT, vid INT, xway INT, dir INT, avgspd INT"
+    ).csv(f"{out}/avgspeedfines")
+    assert [tuple(r) for r in avg.collect()] == [(32, 36, 72, 0, 0, 225)]
