@@ -55,10 +55,14 @@ def _vehicle_telematics(args: argparse.Namespace) -> None:
             shutil.copy(input_path, staged)
             input_path = staged
         queries = run_telematics_job(spark, input_path, args.output)
-        for q in queries:
-            q.processAllAvailable()
-        for q in queries:
-            q.stop()
+        try:
+            for q in queries:
+                q.processAllAvailable()
+        finally:
+            for q in queries:
+                q.stop()
+            if input_path != args.input:
+                shutil.rmtree(input_path, ignore_errors=True)
         return
     cars = read_car_reports(spark, args.input)
     # one pass over the input feeding three sinks (reference O3,

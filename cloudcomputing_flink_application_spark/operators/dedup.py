@@ -40,17 +40,16 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     Output: (doc_id, canonical_id, is_dup).  Scale: one shuffle keyed by
     md5(text) — uniform 128-bit keys, no skew beyond true duplicate mass.
     """
-    by_hash = documents.select(
-        "doc_id", F.md5(F.col("text")).alias("_h")
-    )
-    canon = by_hash.groupBy("_h").agg(F.min("doc_id").alias("canonical_id"))
-    return (
-        by_hash.join(canon, "_h")
-        .select(
-            "doc_id",
-            "canonical_id",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
-        )
+    # Single shuffle: min-per-group via a window on the hash key (an
+    # aggregate + self-join would shuffle twice for the same answer).
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return documents.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+    ).select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
     )
 
 

@@ -46,3 +46,21 @@ def test_vehicle_telematics_cli_streaming(spark, tmp_path):
         "time1 INT, time2 INT, vid INT, xway INT, dir INT, avgspd INT"
     ).csv(f"{out}/avgspeedfines")
     assert [tuple(r) for r in avg.collect()] == [(32, 36, 72, 0, 0, 225)]
+
+
+def test_congestion_area_cli_show(tmp_path, capfd):
+    out = str(tmp_path / "cong_show.csv")
+    cli.main(["congestion-area", "--input", REF_TAXI, "--output", out, "--show"])
+    captured = capfd.readouterr()
+    assert "2022/03/01" in captured.out  # O2 print sink
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    from cloudcomputing_flink_application_spark.sources import sinks
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], ["id", "part"])
+    out = str(tmp_path / "pq")
+    sinks.write_parquet(df, out, partition_by=["part"])
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert {r.part for r in back.select("part").distinct().collect()} == {"a", "b"}
