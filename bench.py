@@ -41,6 +41,10 @@ def main() -> None:
         runs = 1 if warm > HEAVY_SEC else RUNS  # heavy queries: single timed run
         samples = []
         for _ in range(runs):
+            # Cold-cache timing: operators that persist() intermediate prep
+            # (the MinHash family) must pay their own materialization inside
+            # the measured run, not inherit the warm-up's cache entries.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             materialize(q.fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)

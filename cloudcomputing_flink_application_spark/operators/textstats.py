@@ -261,7 +261,11 @@ def token_freq(documents: DataFrame, k: int = TOKEN_FREQ_K) -> DataFrame:
     # top-k per partition, then a k-row merge; a global row_number window
     # here would instead drag the whole vocabulary to one partition.
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
-    w = Window.orderBy(F.desc("n"), F.asc("token"))  # over <= k rows only
+    # Constant partition key: the rank window runs over <= k rows (post-
+    # limit, already a single partition), and the explicit key keeps
+    # WindowExec from logging its global-sort warning — which elsewhere in
+    # this engine flags a REAL scale problem and must stay meaningful.
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("token"))
     return top.withColumn("rank", F.row_number().over(w)).select("token", "n", "rank")
 
 

@@ -95,22 +95,29 @@ def q_avgspd(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_AVGSPD_SQL = f"""
 WITH {derived.CAR_REPORTS_CTE.strip()},
 measured AS (
-  SELECT * FROM car_reports WHERE dir = 0 AND seg IN (52, 56)
+  SELECT time, vid, xway, seg, pos
+  FROM car_reports WHERE dir = 0 AND seg IN (52, 56)
 ),
-pairs AS (
-  SELECT vid, xway,
-         max_by(time, pos) FILTER (WHERE seg = 52) AS t1,
-         max(pos)          FILTER (WHERE seg = 52) AS p1,
-         min_by(time, pos) FILTER (WHERE seg = 56) AS t2,
-         min(pos)          FILTER (WHERE seg = 56) AS p2
+staged AS (
+  SELECT time, vid, xway, seg,
+         max(CASE WHEN seg = 52 THEN pos END) OVER run AS p1,
+         arg_max(CASE WHEN seg = 52 THEN time END,
+                 CASE WHEN seg = 52
+                      THEN CAST(pos AS BIGINT) * 2147483648 - time END) OVER run AS t1,
+         min(CASE WHEN seg = 56 THEN pos END) OVER run AS p2,
+         arg_min(CASE WHEN seg = 56 THEN time END,
+                 CASE WHEN seg = 56
+                      THEN CAST(pos AS BIGINT) * 2147483648 + time END) OVER run AS t2,
+         lag(seg) OVER (PARTITION BY vid ORDER BY time) AS prev_seg
   FROM measured
-  GROUP BY vid, xway
+  WINDOW run AS (PARTITION BY vid ORDER BY time
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 fines AS (
   SELECT t1 AS time1, t2 AS time2, vid, xway, CAST(0 AS INT) AS dir,
          CAST(trunc((((p2 - p1) // (t2 - t1)) * 3600 // 1000) * 0.621371) AS INT) AS avgspd
-  FROM pairs
-  WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t1 < t2
+  FROM staged
+  WHERE prev_seg = 52 AND seg = 56 AND t1 IS NOT NULL AND t2 > t1
 )
 SELECT * FROM fines WHERE avgspd > 60
 """
@@ -150,8 +157,9 @@ Q_CONG_SQL = f"""
 WITH {derived.TAXI_TRIPS_CTE.strip()}
 SELECT strftime(date_trunc('day', tpep_pickup_datetime), '%Y/%m/%d') AS day,
        CAST(count(*) AS INT) AS trips,
-       ((2 * sum(CAST(round(total_amount * 100) AS BIGINT)) + count(*))
-         // (2 * count(*))) / 100.0 AS avg_total
+       (CASE WHEN sum(CAST(round(total_amount * 100) AS BIGINT)) < 0 THEN -1 ELSE 1 END)
+         * ((2 * abs(sum(CAST(round(total_amount * 100) AS BIGINT))) + count(*))
+            // (2 * count(*))) / 100.0 AS avg_total
 FROM taxi_trips
 WHERE congestion_surcharge > 0
 GROUP BY 1

@@ -154,7 +154,9 @@ def saturated_vendors_stream(trips: DataFrame, gap_minutes: int = SATURATION_GAP
     return sliding_count_window(
         trips.select("vendor_id", "tpep_pickup_datetime", "tpep_dropoff_datetime"),
         keys=["vendor_id"],
-        order_col="tpep_pickup_datetime",
+        # (pickup, dropoff): same tiebreak as the batch window's ORDER BY, so
+        # simultaneous pickups pair identically on both surfaces (ADVICE r1).
+        order_col=["tpep_pickup_datetime", "tpep_dropoff_datetime"],
         buffer_cols=["vendor_id", "tpep_pickup_datetime", "tpep_dropoff_datetime"],
         n=2,
         emit=emit,

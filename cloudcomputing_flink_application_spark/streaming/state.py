@@ -33,7 +33,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 def sliding_count_window(
     df: DataFrame,
     keys: Sequence[str],
-    order_col: str,
+    order_col: str | Sequence[str],
     buffer_cols: Sequence[str],
     n: int,
     emit: Callable[[list[tuple], tuple], list[tuple]],
@@ -44,7 +44,9 @@ def sliding_count_window(
     ``emit(window, row)`` is called once per arriving row with ``window`` =
     the up-to-``n`` most recent rows (oldest first, new row included, each a
     tuple of ``buffer_cols`` values) and must return output tuples matching
-    ``output_schema``.
+    ``output_schema``.  ``order_col`` may be a list of columns — pass the
+    batch window's full ORDER BY key (including tiebreaks) so rows with
+    equal primary order pair identically on both surfaces.
 
     Streaming-only (applyInPandasWithState requires a streaming frame); the
     batch equivalents are the window-frame/lag formulations in
@@ -63,6 +65,7 @@ def sliding_count_window(
     )
 
     cols = list(buffer_cols)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def process(
         key: tuple,
@@ -76,7 +79,7 @@ def sliding_count_window(
             buffer = []
         out: list[tuple] = []
         for pdf in pdfs:
-            pdf = pdf.sort_values(order_col, kind="mergesort")
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
             for row in pdf[cols].itertuples(index=False, name=None):
                 buffer.append(row)
                 if len(buffer) > n:

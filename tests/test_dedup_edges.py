@@ -1,0 +1,107 @@
+"""Edge-case contracts from the round-1 advice: NULL text, zero-norm
+vectors, the exact-baseline row guard, and the ngram broadcast/shuffle join
+paths.  Engine parity is checked against inline DuckDB views so the cases
+exist even though the driver testdata never produces them."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cloudcomputing_flink_application_spark.operators import dedup, similarity
+from tests.conftest import rows_set
+from tests.oracle_harness import canon_frame
+
+DOC_COLS = ["doc_id", "text"]
+EMB_COLS = ["vec_id", "label", "embedding"]
+
+
+def test_exact_dedup_null_text_groups_with_empty(spark):
+    # NULL text must behave exactly like '' on BOTH engines: Spark's window
+    # would group NULL md5 keys while the oracle's equi-join would drop them
+    # — the coalesce pins one convention everywhere.
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x"), (4, None)], DOC_COLS
+    )
+    out = rows_set(dedup.exact_dedup(docs))
+    assert out == {
+        (1, 1, False),
+        (2, 1, True),   # '' and NULL share the canonical id
+        (4, 1, True),
+        (3, 3, False),
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, CAST(NULL AS VARCHAR)), (2, ''), (3, 'x'), (4, CAST(NULL AS VARCHAR))"
+        ") t(doc_id, text)"
+    )
+    oracle = con.execute(dedup.EXACT_DEDUP_SQL).df()
+    spark_pdf = dedup.exact_dedup(docs).toPandas()
+    assert canon_frame(spark_pdf) == canon_frame(oracle)
+
+
+def test_zero_norm_vectors_excluded_identically(spark):
+    # An all-zero embedding divides by zero: Spark (non-ANSI) yields NULL,
+    # DuckDB yields NaN/inf — both paths now filter nrm > 0 instead.
+    embs = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.0, 0.0]),  # zero vector: excluded, never NULL-dropped
+            (3, 0, [1.0, 0.0]),
+        ],
+        EMB_COLS,
+    )
+    pairs = rows_set(dedup.embedding_cosine_dedup(embs))
+    assert pairs == {(1, 3, 1.0)}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        "(1, 0, [1.0, 0.0]), (2, 0, [0.0, 0.0]), (3, 0, [1.0, 0.0])"
+        ") t(vec_id, label, embedding)"
+    )
+    oracle = con.execute(dedup.EMBEDDING_COSINE_SQL).df()
+    spark_pdf = dedup.embedding_cosine_dedup(embs).toPandas()
+    assert canon_frame(spark_pdf) == canon_frame(oracle)
+
+
+def test_quantize_zero_scale_excluded_identically(spark):
+    embs = spark.createDataFrame(
+        [(1, 0, [0.5, -1.0]), (2, 0, [0.0, 0.0])], EMB_COLS
+    )
+    out = similarity.quantize_embeddings(embs)
+    assert [r.vec_id for r in out.collect()] == [1]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        "(1, 0, [0.5, -1.0]), (2, 0, [0.0, 0.0])) t(vec_id, label, embedding)"
+    )
+    oracle = con.execute(similarity.QUANTIZE_SQL).df()
+    assert canon_frame(out.toPandas()) == canon_frame(oracle)
+
+
+def test_exact_cosine_row_guard_trips(spark):
+    embs = spark.createDataFrame(
+        [(i, 0, [1.0, float(i)]) for i in range(5)], EMB_COLS
+    )
+    with pytest.raises(ValueError, match="O\\(n²\\) exact baseline"):
+        dedup.embedding_cosine_dedup(embs, max_rows=4)
+    # explicit opt-out still runs
+    assert dedup.embedding_cosine_dedup(embs, max_rows=None).count() >= 0
+
+
+def test_ngram_shuffle_path_matches_broadcast(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    via_broadcast = rows_set(dedup.ngram_jaccard_dedup(docs))
+    via_shuffle = rows_set(dedup.ngram_jaccard_dedup(docs, broadcast_max_rows=0))
+    assert via_broadcast == via_shuffle and len(via_broadcast) > 0
+
+
+def test_ngram_salted_shuffle_path_matches(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = rows_set(dedup.ngram_jaccard_dedup(docs))
+    salted = rows_set(
+        dedup.ngram_jaccard_dedup(docs, salt=4, broadcast_max_rows=0)
+    )
+    assert base == salted

@@ -74,3 +74,21 @@ def test_all_queries_compile(spark):
     for name, q in REGISTRY.items():
         df = q.fn(spark, SF)
         assert physical_plan(df), name
+
+
+def test_ngram_big_corpus_path_is_shuffle_join(spark):
+    # Above the broadcast row gate the join must become a shuffle equi-join
+    # on the block key — broadcasting a 100 TB corpus is an OOM, not a plan.
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        ngram_jaccard_dedup,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = ngram_jaccard_dedup(docs, broadcast_max_rows=0)
+        plan = physical_plan(df)
+        assert "SortMergeJoin" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

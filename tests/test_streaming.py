@@ -209,3 +209,53 @@ def test_streaming_matches_batch_at_sf0001(spark, tmp_path):
         out = run_stream(spark, sfn(stream), sname)
         assert rows_set(out) == rows_set(bfn(batch_df)), sname
         assert out.count() > 0, f"{sname}: degenerate"
+
+
+MULTI_TRAVERSAL = [
+    # (time, vid, spd, xway, lane, dir, seg, pos) — car 11 crosses 52->56
+    # twice; fires must match the batch per-transition contract exactly,
+    # with state split across micro-batches mid-traversal.
+    (0, 11, 90, 0, 0, 0, 52, 1000),
+    (10, 11, 90, 0, 0, 0, 52, 5000),
+    (20, 11, 90, 0, 0, 0, 56, 9000),
+    (30, 11, 90, 0, 0, 0, 52, 6000),
+    (40, 11, 90, 0, 0, 0, 56, 8000),
+]
+
+
+def test_avgspd_stream_matches_batch_multi_traversal(spark, car_stream):
+    # Split mid-second-traversal: the running reduce state (max-pos 52 /
+    # min-pos 56 / last seg) must survive the batch boundary.
+    stream = car_stream([MULTI_TRAVERSAL[:4], MULTI_TRAVERSAL[4:]])
+    out = run_stream(spark, jobs.average_speed_fines_stream(stream), "avg_mt")
+    batch = average_speed_fines(
+        spark.createDataFrame(MULTI_TRAVERSAL, schema=schemas.CAR_REPORTS)
+    )
+    expected = {(10, 20, 11, 0, 0, 894), (30, 40, 11, 0, 0, 447)}
+    assert rows_set(out) == rows_set(batch) == expected
+
+
+TAXI_CSV_TIE = """7,2022-03-05 10:00:00,2022-03-05 10:20:00,1.0,1.0,1.0,N,1,1,1,5.0,0.5,0.5,0.0,0.0,0.3,5.0,0.0,0.0
+7,2022-03-05 10:00:00,2022-03-05 10:05:00,1.0,1.0,1.0,N,1,1,1,5.0,0.5,0.5,0.0,0.0,0.3,5.0,0.0,0.0
+7,2022-03-05 10:12:00,2022-03-05 10:25:00,1.0,1.0,1.0,N,1,1,1,5.0,0.5,0.5,0.0,0.0,0.3,5.0,0.0,0.0
+"""
+
+
+def test_saturated_stream_tiebreak_matches_batch(spark, tmp_path):
+    # ADVICE r1: two trips with IDENTICAL pickups arrive in reverse dropoff
+    # order inside one micro-batch; the stream must sort by (pickup, dropoff)
+    # like the batch window, or the pairs (and their emitted dropoffs) differ.
+    d = str(tmp_path / "taxi_tie")
+    write_files(d, [TAXI_CSV_TIE])
+    stream = (
+        spark.readStream.schema(schemas.TAXI_TRIPS)
+        .option("maxFilesPerTrigger", 1)
+        .csv(d)
+    )
+    out = run_stream(spark, jobs.saturated_vendors_stream(stream), "sat_tie")
+    batch = saturated_vendors(spark.read.schema(schemas.TAXI_TRIPS).csv(d))
+    expected = {
+        (7, "2022-03-05 10:00:00", "2022-03-05 10:20:00", 2),
+        (7, "2022-03-05 10:00:00", "2022-03-05 10:25:00", 2),
+    }
+    assert rows_set(out) == rows_set(batch) == expected

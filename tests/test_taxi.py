@@ -77,3 +77,15 @@ def test_saturated_vendors_empty_single_trip(spark):
     rows = [(9, ts("2022-03-01 00:00:00"), ts("2022-03-01 00:10:00"), 1.0, 0.0)]
     df = spark.createDataFrame(rows, schema=TRIP_COLS)
     assert saturated_vendors(df).count() == 0
+
+
+def test_congestion_negative_avg_rounds_away_from_zero(spark):
+    # ADVICE r1: refund-heavy windows can sum negative; HALF_UP must round
+    # half AWAY FROM ZERO (Java BigDecimal), not toward +inf.
+    # Day total: -10.01 + 0.00 = -10.01 over 2 trips -> avg -5.005 -> -5.01.
+    rows = [
+        (1, ts("2022-04-01 10:00:00"), ts("2022-04-01 10:10:00"), -10.01, 2.5),
+        (1, ts("2022-04-01 11:00:00"), ts("2022-04-01 11:10:00"), 0.00, 2.5),
+    ]
+    df = spark.createDataFrame(rows, schema=TRIP_COLS)
+    assert rows_set(congestion_daily(df)) == {("2022/04/01", 2, -5.01)}

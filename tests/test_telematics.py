@@ -132,3 +132,46 @@ def test_accidents_run_broken_by_move(spark):
     ]
     df = spark.createDataFrame(rows, schema=schemas.CAR_REPORTS)
     assert accident_reports(df).count() == 0
+
+
+def test_avgspd_fires_per_transition(spark):
+    # ADVICE r1: the reference dataflow fires once per 52->56 update
+    # transition, each fire reading the RUNNING reduce state — not once per
+    # (vid, xway).  Car 11 traverses twice; the second fire sees the updated
+    # running max-pos-52 / min-pos-56 records.
+    rows = [
+        (0, 11, 90, 0, 0, 0, 52, 1000),
+        (10, 11, 90, 0, 0, 0, 52, 5000),   # b52 = (10, 5000)
+        (20, 11, 90, 0, 0, 0, 56, 9000),   # fire 1: dpos=4000 dt=10 -> 894
+        (30, 11, 90, 0, 0, 0, 52, 6000),   # b52 -> (30, 6000)
+        (40, 11, 90, 0, 0, 0, 56, 8000),   # b56 -> (40, 8000); fire 2:
+                                           # dpos=2000 dt=10 -> 447
+    ]
+    df = spark.createDataFrame(rows, schema=schemas.CAR_REPORTS)
+    out = average_speed_fines(df)
+    assert rows_set(out) == {
+        (10, 20, 11, 0, 0, 894),
+        (30, 40, 11, 0, 0, 447),
+    }
+
+
+def test_avgspd_pos_tie_keeps_first_report(spark):
+    # The reference reduce replaces state only on STRICT pos inequality, so
+    # the first report wins a pos tie — time1 is the earlier timestamp.
+    rows = [
+        (0, 12, 90, 0, 0, 0, 52, 5000),
+        (5, 12, 90, 0, 0, 0, 52, 5000),   # tie: state keeps (0, 5000)
+        (10, 12, 90, 0, 0, 0, 56, 9000),  # dpos=4000 dt=10 -> 894
+    ]
+    df = spark.createDataFrame(rows, schema=schemas.CAR_REPORTS)
+    assert rows_set(average_speed_fines(df)) == {(0, 10, 12, 0, 0, 894)}
+
+
+def test_avgspd_no_fire_without_transition(spark):
+    # 56-only history (or 56 before any 52) never fires.
+    rows = [
+        (0, 13, 90, 0, 0, 0, 56, 9000),
+        (10, 13, 90, 0, 0, 0, 56, 9100),
+    ]
+    df = spark.createDataFrame(rows, schema=schemas.CAR_REPORTS)
+    assert average_speed_fines(df).count() == 0
