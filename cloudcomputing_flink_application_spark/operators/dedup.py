@@ -95,6 +95,90 @@ def _token_sets(documents: DataFrame) -> DataFrame:
     )
 
 
+def band_rows(documents: DataFrame) -> DataFrame:
+    """LSH band bucket rows (doc_id, band, key) for a document frame.
+
+    Shared by the candidate-level flag operator below and the streaming
+    incremental banding (streaming.jobs.run_minhash_dedup_stream), which
+    calls it per micro-batch and joins against the accumulated bucket set.
+    """
+    toks = _token_sets(documents)
+    sigs = toks.select("doc_id", *[c for c in X.minhash_sig(F.col("tokset"))])
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), X.band_key(j).alias("key"))
+                    for j in range(X.LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+
+
+def minhash_band_flags(documents: DataFrame) -> DataFrame:
+    """Candidate-level MinHash dedup flags: ``is_dup`` iff the doc shares
+    any LSH band bucket with a smaller doc_id.
+
+    This is ``minhash_cluster_dedup`` WITHOUT the jaccard verify — the
+    high-recall first-pass filter a streaming deduper applies at ingest
+    (verification of the flagged survivors runs as a later batch pass).
+    It is the exact batch contract of the incremental streaming variant:
+    tests/test_streaming.py pins streaming == batch on doc_id-ordered
+    arrival.  Output: (doc_id, is_dup).
+    """
+    bands = band_rows(documents)
+    w = Window.partitionBy("band", "key")
+    dup_ids = (
+        bands.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("rep") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        documents.select("doc_id")
+        .join(dup_ids, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"))
+    )
+
+
+def _minhash_band_flags_sql() -> str:
+    mh_exprs = ",\n         ".join(X.minhash_sig_sql("tokset"))
+    band_rows_sql = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {j} AS band, {X.band_key_sql(j)} AS key FROM sigs"
+        for j in range(X.LSH_BANDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({X.tokens_sql('text')}) AS tokset
+  FROM documents
+),
+nonempty AS (SELECT * FROM toks WHERE len(tokset) > 0),
+sigs AS (
+  SELECT doc_id,
+         {mh_exprs}
+  FROM nonempty
+),
+bands AS (
+{band_rows_sql}
+),
+dup_ids AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY band, key) AS rep
+    FROM bands
+  ) WHERE rep < doc_id
+)
+SELECT d.doc_id, dup_ids.doc_id IS NOT NULL AS is_dup
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN dup_ids USING (doc_id)
+"""
+
+
+MINHASH_BAND_FLAGS_SQL = _minhash_band_flags_sql()
+
+
 def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact jaccard.
 

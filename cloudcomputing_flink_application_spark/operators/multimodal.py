@@ -28,6 +28,7 @@ try:  # real decoders are not in this container — gate behind import-try
 
     HAVE_PIL = True
 except ImportError:
+    Image = None  # patchable seam: tests install a fake here
     HAVE_PIL = False
 
 #: PCM parameters for the audio stub (16-bit mono @ 16 kHz, 10 ms frames).
@@ -37,13 +38,54 @@ FRAME_SAMPLES = 160
 
 
 def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real image decode (width, height). Plug PIL in here when available."""
+    """Real image decode -> (width, height), PIL-backed when available.
+
+    The seam tests (tests/test_multimodal_seam.py) install a fake PIL here
+    and assert the decode contract without the library; ``image_meta_real``
+    is the operator that runs this per payload behind the same output
+    schema as the fake path.
+    """
     if not HAVE_PIL:
         raise NotImplementedError(
             "image decode requires PIL; this environment ships none — "
             "use the deterministic fake path (image_meta)"
         )
-    raise NotImplementedError("real decode intentionally unwired in v1")
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height
+
+
+def image_meta_real(documents: DataFrame, decoder=None) -> DataFrame:
+    """``image_meta`` with a REAL decoder behind the identical output schema.
+
+    ``decoder(payload) -> (width, height)`` defaults to ``decode_image_real``.
+    Tests inject a deterministic decoder (pickled by value into the UDF
+    closure) to exercise the full mapInPandas plumbing — batch shape, Arrow
+    types, schema — without PIL on the workers.  Swapping the fake path for
+    this one is a one-line change for a user with media libs installed.
+
+    Output: (doc_id, width, height, n_bytes, format) — same as image_meta.
+    """
+    dec = decoder or decode_image_real
+    payloads = with_binary_payload(documents)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["payload"].map(lambda b: dec(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": dims.map(lambda wh: wh[0]).astype("int32"),
+                    "height": dims.map(lambda wh: wh[1]).astype("int32"),
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "format": "real/decoded",
+                }
+            )
+
+    return payloads.mapInPandas(
+        decode, schema="doc_id long, width int, height int, n_bytes long, format string"
+    )
 
 
 def with_binary_payload(documents: DataFrame) -> DataFrame:

@@ -11,14 +11,15 @@ Scale notes (100 TB stance):
   aggregate keyed by the day window: partial aggregation map-side, then a
   shuffle whose cardinality is the number of days — fully parallel, no
   single-subtask bottleneck to carry to a cluster.
-- Q-SAT is one window shuffle keyed by vendor with a lag-1 frame; state per
-  key is one row while scanning.  Honest skew caveat: vendor_id is
-  inherently low-cardinality (real TLC data has ~2 vendors), so each
-  vendor's full history sorts inside one task.  At true 100 TB scale the
-  fix is range-partitioning by (vendor, pickup-time bucket) and exchanging
-  one boundary row per bucket — same lag semantics, bounded task size; the
-  streaming variant (streaming.jobs.saturated_vendors_stream) already has
-  this property naturally (O(1) state per key, arrival-ordered).
+- Q-SAT's key (vendor_id) is inherently low-cardinality (real TLC data has
+  ~2 vendors), so a plain vendor-keyed window would sort each vendor's FULL
+  history inside one task.  The default plan therefore windows over
+  (vendor, pickup-time bucket) and exchanges exactly one boundary row per
+  bucket (the previous non-empty bucket's last trip, injected as a phantom
+  predecessor): identical lag-1 semantics, task size bounded by the bucket,
+  hot vendors spread across as many tasks as they have buckets.  The
+  streaming variant (streaming.jobs.saturated_vendors_stream) has the
+  bounded-state property naturally (O(1) state per key, arrival-ordered).
 """
 
 from __future__ import annotations
@@ -33,6 +34,11 @@ from cloudcomputing_flink_application_spark.functions.scalar import (
 
 #: Back-to-back gap threshold, ms — SaturatedVendor.java:85-86 (strictly <).
 SATURATION_GAP_MIN = 10
+
+#: Q-SAT skew-bounding bucket width.  Each (vendor, bucket) sorts in its own
+#: task; one boundary row is exchanged per bucket.  A day keeps local-test
+#: bucket counts sane; at 100 TB pick hours so tasks stay executor-sized.
+SATURATION_BUCKET_MINUTES = 1440
 
 
 def congestion_daily(trips: DataFrame) -> DataFrame:
@@ -67,7 +73,11 @@ def congestion_daily(trips: DataFrame) -> DataFrame:
     return daily
 
 
-def saturated_vendors(trips: DataFrame, gap_minutes: int = SATURATION_GAP_MIN) -> DataFrame:
+def saturated_vendors(
+    trips: DataFrame,
+    gap_minutes: int = SATURATION_GAP_MIN,
+    bucket_minutes: int = SATURATION_BUCKET_MINUTES,
+) -> DataFrame:
     """Q-SAT: per-vendor back-to-back trip pairs.
 
     Reference: per vendor, order trips by pickup; for each consecutive pair
@@ -78,20 +88,64 @@ def saturated_vendors(trips: DataFrame, gap_minutes: int = SATURATION_GAP_MIN) -
     ``yyyy-MM-dd HH:mm:ss`` — deliberate normalization of the reference's
     12-hour ``hh`` bug (SaturatedVendor.java:82, SURVEY.md §2.9 X6).
 
-    Spark-first plan: ``lag`` over a vendor-keyed, pickup-ordered window.
-    The order key includes dropoff as a tiebreak so simultaneous pickups
-    pair deterministically.
+    Spark-first plan, skew-bounded: vendor_id alone is a handful of keys, so
+    a vendor-keyed window would sort each vendor's full history in ONE task.
+    Instead the window runs per (vendor, pickup-time bucket) with exactly one
+    boundary row exchanged per bucket:
+
+    1. per (vendor, bucket), find the last trip by (pickup, dropoff) —
+       map-side partial agg, tiny result;
+    2. lag that last trip forward one non-empty bucket (a window over the
+       per-bucket aggregates, O(buckets) rows) and inject it into the next
+       bucket as a phantom predecessor — it sorts strictly first there, its
+       pickup belonging to an earlier bucket;
+    3. lag-1 inside each (vendor, bucket); phantom rows feed the lag and are
+       then dropped, so the first real row of every bucket sees exactly the
+       row a global per-vendor window would have given it.
+
+    The pair semantics are bit-identical to the global window (the oracle
+    Q_SAT_SQL still uses the global form; hash parity is the proof); the
+    order key includes dropoff as a tiebreak so simultaneous pickups pair
+    deterministically on every surface.
     """
-    w = Window.partitionBy("vendor_id").orderBy(
+    bucket_ms = bucket_minutes * 60 * 1000
+    base = trips.select(
+        "vendor_id", "tpep_pickup_datetime", "tpep_dropoff_datetime"
+    ).withColumn(
+        "_b",
+        F.floor(
+            F.unix_millis(F.col("tpep_pickup_datetime")) / F.lit(bucket_ms)
+        ).cast("long"),
+    )
+    okey = F.struct(
+        F.col("tpep_pickup_datetime").alias("p"),
+        F.col("tpep_dropoff_datetime").alias("d"),
+    )
+    lasts = base.groupBy("vendor_id", "_b").agg(F.max(okey).alias("_last"))
+    wv = Window.partitionBy("vendor_id").orderBy("_b")
+    phantoms = (
+        lasts.select("vendor_id", "_b", F.lag("_last").over(wv).alias("_prev"))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "vendor_id",
+            "_b",
+            F.col("_prev.p").alias("tpep_pickup_datetime"),
+            F.col("_prev.d").alias("tpep_dropoff_datetime"),
+            F.lit(True).alias("_phantom"),
+        )
+    )
+    unioned = base.withColumn("_phantom", F.lit(False)).unionByName(phantoms)
+    w = Window.partitionBy("vendor_id", "_b").orderBy(
         "tpep_pickup_datetime", "tpep_dropoff_datetime"
     )
-    paired = trips.select(
+    paired = unioned.select(
         "vendor_id",
         "tpep_pickup_datetime",
         "tpep_dropoff_datetime",
+        "_phantom",
         F.lag("tpep_pickup_datetime").over(w).alias("_prev_pickup"),
         F.lag("tpep_dropoff_datetime").over(w).alias("_prev_dropoff"),
-    )
+    ).filter(~F.col("_phantom"))
     gap_ok = (
         F.unix_millis(F.col("tpep_pickup_datetime"))
         - F.unix_millis(F.col("_prev_dropoff"))

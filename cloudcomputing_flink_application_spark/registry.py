@@ -232,6 +232,10 @@ REGISTRY: dict[str, Query] = {
         _on_docs(dedup.minhash_cluster_dedup), dedup.MINHASH_CLUSTER_SQL,
         "scale-shaped MinHash dedup: per-doc cluster assignment via star linking",
     ),
+    "dedup_band_flags": Query(
+        _on_docs(dedup.minhash_band_flags), dedup.MINHASH_BAND_FLAGS_SQL,
+        "candidate-level MinHash band flags (streaming-ingest dedup contract)",
+    ),
     "dedup_simhash": Query(
         _on_docs(dedup.simhash_dedup), dedup.SIMHASH_SQL,
         "SimHash 32-bit, 8-bit-band blocking, hamming-verified",

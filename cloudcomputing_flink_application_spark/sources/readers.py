@@ -44,6 +44,21 @@ def read_taxi_trips(spark: SparkSession, path: str, streaming: bool = False) -> 
     )
 
 
+def parse_kafka_csv(raw: DataFrame, schema) -> DataFrame:
+    """Decode Kafka records carrying CSV payloads into a typed frame.
+
+    Takes any frame with Kafka's wire shape (binary ``value`` plus key/
+    topic/partition/offset/... metadata) and applies the CSV-decode DAG:
+    ``value`` bytes -> string -> ``from_csv`` against the target schema.
+    Split from the source so the parse contract is testable without the
+    spark-sql-kafka package on the classpath (tests/test_cli.py drives it
+    on a static Kafka-shaped frame).
+    """
+    return raw.select(
+        F.from_csv(F.col("value").cast("string"), schema.simpleString()).alias("r")
+    ).select("r.*")
+
+
 def read_kafka_csv_stream(
     spark: SparkSession, bootstrap: str, topic: str, schema
 ) -> DataFrame:
@@ -54,7 +69,8 @@ def read_kafka_csv_stream(
     §2.1); this is the working Spark equivalent.  Requires the
     spark-sql-kafka package on the classpath (not in this environment —
     DataSource resolution raises at call time, so the function is gated by
-    construction rather than an import guard).
+    construction rather than an import guard).  The record-decode DAG is
+    ``parse_kafka_csv``, contract-tested offline.
     """
     raw = (
         spark.readStream.format("kafka")
@@ -62,9 +78,7 @@ def read_kafka_csv_stream(
         .option("subscribe", topic)
         .load()
     )
-    return raw.select(
-        F.from_csv(F.col("value").cast("string"), schema.simpleString()).alias("r")
-    ).select("r.*")
+    return parse_kafka_csv(raw, schema)
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,6 +28,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as SparkWindow
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -264,6 +265,71 @@ def exact_dedup_stream(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.md5(F.col("text")).alias("text_md5")
     ).dropDuplicates(["text_md5"])
+
+
+def run_minhash_dedup_stream(
+    spark,
+    documents: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    bands_dir: str,
+):
+    """Incremental MinHash-band near-dup detection over a document stream.
+
+    ``foreachBatch`` pattern: per micro-batch, compute each doc's LSH band
+    buckets (operators.dedup.band_rows — the same 16-perm/4-band pipeline as
+    the batch family), flag docs whose buckets were already seen (in a prior
+    batch, or by a smaller doc_id within this batch), then append this
+    batch's buckets to the accumulated bucket store.  Emits
+    (doc_id, is_dup) parquet to ``output_dir``.
+
+    Contract: on doc_id-ordered arrival this equals the batch
+    ``minhash_band_flags`` exactly (tests/test_streaming.py).  Scale: state
+    is the bucket store — O(docs x bands) small rows, partitioned parquet;
+    the per-batch probe is a leftsemi equi-join on (band, key), the same
+    shape a cluster-size run keeps; candidate flags are high-recall by
+    construction, with jaccard verification deferred to a batch pass
+    (minhash_lsh_dedup / minhash_cluster_dedup) exactly as a production
+    ingest dedup splits the work.
+    """
+    from cloudcomputing_flink_application_spark.operators.dedup import band_rows
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        b = band_rows(batch_df).persist()
+        try:
+            w = SparkWindow.partitionBy("band", "key")
+            within = (
+                b.withColumn("rep", F.min("doc_id").over(w))
+                .filter(F.col("rep") < F.col("doc_id"))
+                .select("doc_id")
+            )
+            try:
+                seen = spark.read.parquet(bands_dir).select("band", "key")
+                prior = b.join(seen, ["band", "key"], "leftsemi").select("doc_id")
+                dup_ids = within.union(prior)
+            except Exception:  # first batch: no bucket store yet
+                dup_ids = within
+            flags = (
+                batch_df.select("doc_id")
+                .join(
+                    dup_ids.distinct().withColumn("_d", F.lit(True)),
+                    "doc_id",
+                    "left",
+                )
+                .select(
+                    "doc_id", F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup")
+                )
+            )
+            flags.write.mode("append").parquet(output_dir)
+            b.select("band", "key").distinct().write.mode("append").parquet(bands_dir)
+        finally:
+            b.unpersist()
+
+    return (
+        documents.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
 
 
 # --- O3: one input, three sinks ---------------------------------------------

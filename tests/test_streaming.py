@@ -19,7 +19,7 @@ from cloudcomputing_flink_application_spark.operators.telematics import (
     speed_radar,
 )
 from cloudcomputing_flink_application_spark.streaming import jobs
-from tests.conftest import rows_set
+from tests.conftest import TESTDATA, rows_set
 from tests.test_telematics import ACCIDENT_8, DATA_SMALL
 
 TAXI_CSV_1 = """1,2022-03-01 00:00:03,2022-03-01 00:09:02,1.0,1.0,1.0,N,1,1,1,5.0,0.5,0.5,0.0,0.0,0.3,10.56,2.5,0.0
@@ -259,3 +259,42 @@ def test_saturated_stream_tiebreak_matches_batch(spark, tmp_path):
         (7, "2022-03-05 10:00:00", "2022-03-05 10:25:00", 2),
     }
     assert rows_set(out) == rows_set(batch) == expected
+
+
+def test_minhash_dedup_stream_matches_batch(spark, tmp_path):
+    # Incremental LSH banding: stream sf0.001 documents in two doc_id-ordered
+    # micro-batches; flags must equal the batch candidate-level operator,
+    # with the bucket store carrying state across batches.
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_band_flags,
+    )
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    cut = 250
+    d_in = str(tmp_path / "docs_in")
+    base = 1_700_000_000
+    for i, pred in enumerate([docs.doc_id < cut, docs.doc_id >= cut]):
+        p = f"{d_in}/f{i}"
+        docs.filter(pred).coalesce(1).write.parquet(p)
+        for root, _, files in __import__("os").walk(p):
+            for f in files:
+                __import__("os").utime(f"{root}/{f}", (base + i, base + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out_dir = str(tmp_path / "flags_out")
+    q = jobs.run_minhash_dedup_stream(
+        spark, stream, out_dir,
+        str(tmp_path / "chk"), str(tmp_path / "bands"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = rows_set(spark.read.parquet(out_dir))
+    batch = rows_set(minhash_band_flags(docs))
+    assert streamed == batch
+    assert len(streamed) == docs.count()
+    assert any(d for _, d in streamed)  # corpus has real near-dups

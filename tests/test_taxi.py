@@ -89,3 +89,39 @@ def test_congestion_negative_avg_rounds_away_from_zero(spark):
     ]
     df = spark.createDataFrame(rows, schema=TRIP_COLS)
     assert rows_set(congestion_daily(df)) == {("2022/04/01", 2, -5.01)}
+
+
+def test_saturated_bucket_boundary_pairs_exchange(spark):
+    # Pairs that straddle a bucket boundary must still fire: the previous
+    # bucket's last row travels as the phantom predecessor — including
+    # across EMPTY buckets.
+    rows = [
+        (8, ts("2022-05-01 10:00:00"), ts("2022-05-01 10:25:00"), 5.0, 0.0),
+        # next bucket (30-min buckets): gap 6 min -> fires via the phantom
+        (8, ts("2022-05-01 10:31:00"), ts("2022-05-01 10:40:00"), 5.0, 0.0),
+        # two buckets later (11:30 bucket; 11:00 bucket empty): gap 65m -> no
+        (8, ts("2022-05-01 11:45:00"), ts("2022-05-01 11:50:00"), 5.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, schema=TRIP_COLS)
+    out = saturated_vendors(df, bucket_minutes=30)
+    assert rows_set(out) == {
+        (8, "2022-05-01 10:00:00", "2022-05-01 10:40:00", 2),
+    }
+
+
+def test_saturated_hot_vendor_spreads_over_buckets(spark):
+    # One hot vendor, many buckets: the window shuffle must key on
+    # (vendor, bucket), not vendor alone — that is the whole skew story.
+    from pyspark.sql import functions as F
+
+    rows = [
+        (9, ts(f"2022-05-{d:02d} 10:00:00"), ts(f"2022-05-{d:02d} 10:05:00"), 5.0, 0.0)
+        for d in range(1, 9)
+    ]
+    df = spark.createDataFrame(rows, schema=TRIP_COLS)
+    plan = saturated_vendors(df)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(vendor_id" in plan and "_b" in plan.split(
+        "hashpartitioning(vendor_id", 1
+    )[1].split(")")[0], plan
+    # and the semantics are unchanged: no pairs (gaps are a day)
+    assert saturated_vendors(df).count() == 0
