@@ -353,3 +353,64 @@ SELECT doc_id,
        CAST(len(hs) AS BIGINT) AS n_shingles
 FROM hashes
 """
+
+
+TOP_TERMS_K = 3
+
+
+def top_terms(documents: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
+    """Per-document distinctive terms: top-k tokens by tf/df ratio.
+
+    The TF-IDF shape with an exact-rational score (term frequency over
+    document frequency — no logarithm, so both engines compute the
+    identical double from identical integers).  Corpus-level plan: explode
+    -> (doc, token) counts -> token document-frequency -> shuffle equi-join
+    on token -> per-doc top-k window.  All aggregates partial map-side;
+    the rank window partitions by the high-cardinality doc_id.  Ties break
+    by token, so output is deterministic at any parallelism.
+
+    Output: (doc_id, token, tf, df, score, rank).
+    """
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    toks = documents.repartition(nparts).select(
+        "doc_id", F.explode(X.tokens("text")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(dfreq, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )
+
+
+TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({X.tokens_sql('text')}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+),
+dfreq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, token, tf, df, tf::DOUBLE / df AS score
+  FROM tf JOIN dfreq USING (token)
+),
+ranked AS (
+  SELECT doc_id, token, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= {TOP_TERMS_K}
+"""

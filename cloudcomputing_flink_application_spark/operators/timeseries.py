@@ -216,3 +216,62 @@ SELECT user_id, session_seq,
 FROM sessioned
 GROUP BY user_id, session_seq
 """
+
+
+#: ± window for the bucketed interval self-join (seconds).
+RANGE_WINDOW_SEC = 300
+
+
+def concurrent_events(
+    spark: SparkSession, sf_dir: str, window_sec: int = RANGE_WINDOW_SEC
+) -> DataFrame:
+    """Bucketed range self-join: per event, how many OTHER events (any user)
+    fall within ±``window_sec``.
+
+    Spark has no inequality-join optimization (DuckDB plans this as an
+    IEJoin; the oracle uses exactly that), so a naive ``|a.ts - b.ts| <= w``
+    join is an O(n²) nested loop.  The scale-correct decomposition is band
+    blocking on time buckets of width w: a neighbor within ±w must sit in
+    the probe row's bucket or an adjacent one, so exploding 3 candidate
+    buckets per probe row turns the range predicate into an EQUI-join on
+    the bucket id plus a residual band filter — shuffle keyed by bucket,
+    per-task work bounded by local event density, never all-pairs.  Each
+    true neighbor (and self) matches in exactly one candidate bucket, so
+    ``count(*) - 1`` needs no distinct.
+
+    The same shape handles any interval/tolerance join (sensor alignment,
+    co-occurrence windows); skewed hot buckets take the salt treatment of
+    ngram_jaccard_dedup.  Output: (event_id, n_near) — one row per event.
+    """
+    from cloudcomputing_flink_application_spark.registry import ensure_session_confs
+    from cloudcomputing_flink_application_spark.sources.readers import read_events
+
+    w_us = window_sec * 1_000_000
+    ev = read_events(ensure_session_confs(spark), sf_dir).select(
+        "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    e = ev.withColumn("_b", F.expr(f"us div {w_us}"))
+    probe = e.withColumn(
+        "_cb",
+        F.explode(F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)),
+    )
+    pairs = probe.alias("a").join(
+        e.alias("b"),
+        (F.col("a._cb") == F.col("b._b"))
+        & (F.abs(F.col("a.us") - F.col("b.us")) <= w_us),
+    )
+    return pairs.groupBy(F.col("a.event_id").alias("event_id")).agg(
+        (F.count("*") - 1).cast("long").alias("n_near")
+    )
+
+
+CONCURRENT_EVENTS_SQL = f"""
+WITH e AS (
+  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+)
+SELECT a.event_id, CAST(count(*) - 1 AS BIGINT) AS n_near
+FROM e a JOIN e b
+  ON b.us BETWEEN a.us - {RANGE_WINDOW_SEC * 1_000_000}
+              AND a.us + {RANGE_WINDOW_SEC * 1_000_000}
+GROUP BY a.event_id
+"""

@@ -282,6 +282,10 @@ REGISTRY: dict[str, Query] = {
         _on_docs(textstats.token_freq), textstats.TOKEN_FREQ_SQL,
         "corpus vocabulary: top-k tokens (explode + partial-agg count)",
     ),
+    "text_top_terms": Query(
+        _on_docs(textstats.top_terms), textstats.TOP_TERMS_SQL,
+        "per-doc distinctive terms: top-k tokens by exact tf/df ratio",
+    ),
     "text_redact": Query(
         _on_docs(textstats.redact), textstats.REDACT_SQL,
         "PII-style digit-run redaction (per-row regexp, scan-fused)",
@@ -307,6 +311,10 @@ REGISTRY: dict[str, Query] = {
     "ts_asof_join": Query(
         timeseries.purchases_asof_signup, timeseries.ASOF_SIGNUP_SQL,
         "as-of join: purchase -> most recent prior signup (union-window composition)",
+    ),
+    "ts_range_count": Query(
+        timeseries.concurrent_events, timeseries.CONCURRENT_EVENTS_SQL,
+        "bucketed range self-join: events within ±5 min (band-blocked equi-join)",
     ),
     "ts_sessionize": Query(
         timeseries.sessionize, timeseries.SESSIONIZE_SQL,

@@ -92,3 +92,12 @@ def test_ngram_big_corpus_path_is_shuffle_join(spark):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_range_count_is_banded_equi_join_not_nested_loop(spark):
+    # The ±window self-join must decompose into a bucket equi-join; a
+    # BroadcastNestedLoopJoin here means the band blocking regressed to
+    # an all-pairs range predicate.
+    df = REGISTRY["ts_range_count"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan

@@ -1,0 +1,30 @@
+"""Hand-computed fixtures for the corpus-level text operators."""
+
+from __future__ import annotations
+
+from cloudcomputing_flink_application_spark.operators.textstats import top_terms
+from tests.conftest import rows_set
+
+
+def test_top_terms_tf_df_ranking(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry")], ["doc_id", "text"]
+    )
+    out = top_terms(docs)
+    assert out.columns == ["doc_id", "token", "tf", "df", "score", "rank"]
+    assert rows_set(out) == {
+        (1, "apple", 2, 1, 2.0, 1),
+        (1, "banana", 1, 2, 0.5, 2),
+        (2, "cherry", 1, 1, 1.0, 1),
+        (2, "banana", 1, 2, 0.5, 2),
+    }
+
+
+def test_top_terms_k_limits_and_tiebreak(spark):
+    # four tokens with equal score -> alphabetical tiebreak, k cuts at 2
+    docs = spark.createDataFrame([(1, "d c b a")], ["doc_id", "text"])
+    out = top_terms(docs, k=2)
+    assert rows_set(out) == {
+        (1, "a", 1, 1, 1.0, 1),
+        (1, "b", 1, 1, 1.0, 2),
+    }
