@@ -64,10 +64,15 @@ def avg_half_up_cents(sum_cents: Column, cnt: Column) -> Column:
     return (avg_cents.cast("double") / F.lit(100.0)).cast("double")
 
 
-def ts_fmt(ts: Column) -> Column:
+def ts_fmt(ts: Column, twelve_hour: bool = False) -> Column:
     """Canonical 24-hour timestamp string, ``yyyy-MM-dd HH:mm:ss`` (UTC).
 
-    Deliberate normalization of the reference's ``hh`` 12-hour-without-AM/PM
-    format bug (SaturatedVendor.java:82; SURVEY.md §2.9 X6).
+    The default deliberately normalizes the reference's ``hh``
+    12-hour-without-AM/PM format bug (SaturatedVendor.java:82; SURVEY.md
+    §2.9 X6).  ``twelve_hour=True`` replicates the reference byte-for-byte:
+    ``hh`` is clock-hour-of-AM/PM in both Java's SimpleDateFormat and
+    Spark's formatter, so hours 00 and 12 render as ``12`` and 13-23 as
+    ``01``-``11``, with no AM/PM marker to disambiguate — a round-trip-
+    breaking output, offered only for bit-parity with the reference binary.
     """
-    return F.date_format(ts, "yyyy-MM-dd HH:mm:ss")
+    return F.date_format(ts, "yyyy-MM-dd hh:mm:ss" if twelve_hour else "yyyy-MM-dd HH:mm:ss")

@@ -77,6 +77,7 @@ def saturated_vendors(
     trips: DataFrame,
     gap_minutes: int = SATURATION_GAP_MIN,
     bucket_minutes: int = SATURATION_BUCKET_MINUTES,
+    twelve_hour: bool = False,
 ) -> DataFrame:
     """Q-SAT: per-vendor back-to-back trip pairs.
 
@@ -86,7 +87,8 @@ def saturated_vendors(
     GlobalWindows+trigger+evictor at :56-71 is exactly a sliding count window
     (2,1), SURVEY.md §2.6 N4).  Timestamps are formatted 24-hour
     ``yyyy-MM-dd HH:mm:ss`` — deliberate normalization of the reference's
-    12-hour ``hh`` bug (SaturatedVendor.java:82, SURVEY.md §2.9 X6).
+    12-hour ``hh`` bug (SaturatedVendor.java:82, SURVEY.md §2.9 X6);
+    ``twelve_hour=True`` reproduces the reference's output byte-for-byte.
 
     Spark-first plan, skew-bounded: vendor_id alone is a handful of keys, so
     a vendor-keyed window would sort each vendor's full history in ONE task.
@@ -152,7 +154,7 @@ def saturated_vendors(
     ) < (gap_minutes * 60 * 1000)
     return paired.filter(F.col("_prev_dropoff").isNotNull() & gap_ok).select(
         "vendor_id",
-        ts_fmt(F.col("_prev_pickup")).alias("first_pickup"),
-        ts_fmt(F.col("tpep_dropoff_datetime")).alias("last_dropoff"),
+        ts_fmt(F.col("_prev_pickup"), twelve_hour).alias("first_pickup"),
+        ts_fmt(F.col("tpep_dropoff_datetime"), twelve_hour).alias("last_dropoff"),
         F.lit(2).alias("trips"),
     )

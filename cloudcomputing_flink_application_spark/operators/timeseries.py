@@ -275,3 +275,54 @@ FROM e a JOIN e b
               AND a.us + {RANGE_WINDOW_SEC * 1_000_000}
 GROUP BY a.event_id
 """
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: aggregate a JSON property per event_type.
+
+    ``props`` is a JSON string column (the common "metadata blob" shape in
+    event logs and crawl records).  ``get_json_object`` is a JVM-side
+    scan-fused expression — parse + path extraction never leave codegen and
+    the shuffle carries only (event_type, partial agg) — so this is the
+    scale-correct way to aggregate semi-structured columns: no Python, no
+    pre-materialized struct, one partial-agg exchange on a low-cardinality
+    key.  All aggregates are exact integers (avg reported as exact sum+cnt
+    plus a double quotient of those ints) — order-independent under any
+    partial-agg schedule.
+
+    Output: (event_type, n, k_sum, k_min, k_max, k_avg).
+    """
+    from cloudcomputing_flink_application_spark.registry import ensure_session_confs
+    from cloudcomputing_flink_application_spark.sources.readers import read_events
+
+    ev = read_events(ensure_session_confs(spark), sf_dir).select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+        .withColumn("k_avg", F.col("k_sum").cast("double") / F.col("n"))
+    )
+
+
+EVENTS_JSON_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max,
+       CAST(sum(k) AS BIGINT)::DOUBLE / count(*) AS k_avg
+FROM ev
+GROUP BY event_type
+"""

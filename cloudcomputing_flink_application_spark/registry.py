@@ -19,6 +19,7 @@ from cloudcomputing_flink_application_spark.operators import (
     dedup,
     multimodal,
     olap,
+    pipeline,
     similarity,
     taxi,
     telematics,
@@ -294,6 +295,23 @@ REGISTRY: dict[str, Query] = {
         _on_docs(textstats.split_assign), textstats.SPLIT_ASSIGN_SQL,
         "content-addressed 90/5/5 train/valid/test split",
     ),
+    # --- training-data pipeline (corpus preparation) ---
+    "pipe_decontam": Query(
+        _on_docs(pipeline.decontaminate), pipeline.DECONTAMINATE_SQL,
+        "benchmark decontamination: 5-gram shingle overlap vs broadcast eval set",
+    ),
+    "pipe_repetition": Query(
+        _on_docs(pipeline.repetition_stats), pipeline.REPETITION_SQL,
+        "Gopher-style repetition metrics (top-2gram / dup-3gram fractions)",
+    ),
+    "pipe_pack_chunks": Query(
+        _on_docs(pipeline.pack_chunks), pipeline.PACK_CHUNKS_SQL,
+        "sequence packing: concat-and-chunk offsets via bounded windows",
+    ),
+    "pipe_sample": Query(
+        _on_docs(pipeline.sample_stratified), pipeline.SAMPLE_STRATIFIED_SQL,
+        "deterministic per-language stratified sampling (stable hash predicate)",
+    ),
     # --- analytical joins over the star schema (beyond the join-free reference) ---
     "olap_revenue_by_nation": Query(
         lambda s, d: olap.revenue_by_nation(olap_confs(s), d), olap.REVENUE_BY_NATION_SQL,
@@ -323,6 +341,10 @@ REGISTRY: dict[str, Query] = {
     "ts_rollup": Query(
         timeseries.rollup_events, timeseries.ROLLUP_EVENTS_SQL,
         "hypertable-style hour+day rollup in one pass (GROUPING SETS)",
+    ),
+    "ts_json_stats": Query(
+        timeseries.events_json_stats, timeseries.EVENTS_JSON_SQL,
+        "semi-structured extraction: JSON props aggregated per event_type",
     ),
     # --- multimodal columns (mapInPandas plumbing, deterministic fake decode) ---
     "mm_image_meta": Query(

@@ -104,3 +104,27 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     }
     out["events"] = read_events(spark, sf_dir)
     return out
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema, streaming: bool = False
+) -> DataFrame:
+    """JSON-lines source with an enforced schema (no sampling inference).
+
+    Schema-on-read matters doubly for JSON: without it Spark runs an extra
+    full-data inference pass, and at 100 TB that pass IS a second job.  An
+    explicit schema also keeps the scan prunable — reading two fields of a
+    wide JSONL corpus parses only those paths.  Missing fields are null,
+    malformed lines follow PERMISSIVE mode — same tolerant-parse contract as
+    the CSV readers above.
+    """
+    reader = spark.readStream if streaming else spark.read
+    return reader.schema(schema).json(path)
+
+
+def read_documents_jsonl(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    """``documents``-shaped JSONL (the interchange format of text-corpus
+    pipelines); columns match ``schemas.DOCUMENTS`` exactly."""
+    return read_jsonl(spark, path, schemas.DOCUMENTS, streaming)

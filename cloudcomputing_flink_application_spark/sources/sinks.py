@@ -44,3 +44,16 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
 def show(df: DataFrame, n: int = 20) -> None:
     """Console sink (reference ``print()``, O2)."""
     df.show(n, truncate=False)
+
+
+def write_jsonl(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """JSON-lines sink (one object per line, newline-delimited).
+
+    The interchange format for text-corpus pipelines; partitioned like the
+    parquet sink so downstream consumers can prune.  Nulls are omitted per
+    JSON-lines convention (Spark's writer default).
+    """
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

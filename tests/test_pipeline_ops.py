@@ -1,0 +1,106 @@
+"""Hand-computed fixtures for the training-data pipeline operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from cloudcomputing_flink_application_spark.operators.pipeline import (
+    PACK_BUDGET,
+    SAMPLE_BP,
+    SAMPLE_DEFAULT_BP,
+    SAMPLE_SALT,
+    decontaminate,
+    pack_chunks,
+    repetition_stats,
+    sample_stratified,
+)
+from tests.conftest import rows_set
+
+
+def _doc(doc_id, text, lang="en", source="s0"):
+    return (doc_id, text, lang, source, len(text))
+
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def test_decontaminate_overlap_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            _doc(0, "a b c d e f"),      # benchmark (0 % 29 == 0)
+            _doc(1, "a b c d e f"),      # full overlap -> contaminated
+            _doc(2, "u v w x y z"),      # no overlap
+            _doc(3, "hi"),               # < w tokens: 0 shingles, kept, clean
+            _doc(4, "a b c d e q r s t u v"),  # 1 of 7 shingles -> below 1/2
+        ],
+        DOC_COLS,
+    )
+    out = decontaminate(docs)
+    assert rows_set(out) == {
+        (1, 2, 2, True),
+        (2, 2, 0, False),
+        (3, 0, 0, False),
+        (4, 7, 1, False),
+    }
+
+
+def test_repetition_stats_exact_fractions(spark):
+    docs = spark.createDataFrame(
+        [_doc(1, "a a a a"), _doc(2, "hi")], DOC_COLS
+    )
+    out = repetition_stats(docs)
+    # doc 1: 2-grams 'a a' x3 (top2=3/3), 3-grams 'a a a' x2 (dup3=2/2)
+    # doc 2: one token -> no grams, zero fractions, unflagged
+    assert rows_set(out) == {
+        (1, 4, 1.0, 1.0, True),
+        (2, 1, 0.0, 0.0, False),
+    }
+
+
+def test_pack_chunks_running_offsets(spark):
+    texts = [("w " * n).strip() for n in (30, 40, 30, 10)]
+    docs = spark.createDataFrame(
+        [_doc(i, t) for i, t in enumerate(texts)], DOC_COLS
+    )
+    out = pack_chunks(docs)
+    got = {
+        (r.doc_id, r.n_tok, r.begin_tok, r.chunk_id) for r in out.collect()
+    }
+    assert PACK_BUDGET == 64
+    assert got == {
+        (0, 30, 0, 0),
+        (1, 40, 30, 0),
+        (2, 30, 70, 1),
+        (3, 10, 100, 1),
+    }
+
+
+def _expected_u(doc_id: int) -> int:
+    h = hashlib.md5(f"{SAMPLE_SALT}{doc_id}".encode()).hexdigest()[:14]
+    return int(h, 16) % 10_000
+
+
+def test_sample_stratified_matches_reference_hash(spark):
+    docs = spark.createDataFrame(
+        [_doc(i, "t", lang=l) for i, l in enumerate(["en", "de", "xx"] * 40)],
+        DOC_COLS,
+    )
+    out = {(r.doc_id, r.lang, r.u) for r in sample_stratified(docs).collect()}
+    expected = set()
+    for i, l in enumerate(["en", "de", "xx"] * 40):
+        u = _expected_u(i)
+        if u < SAMPLE_BP.get(l, SAMPLE_DEFAULT_BP):
+            expected.add((i, l, u))
+    assert out == expected
+    assert expected  # the fixture must actually keep something
+
+
+def test_sample_stratified_stable_under_repartition(spark):
+    docs = spark.createDataFrame(
+        [_doc(i, "t") for i in range(100)], DOC_COLS
+    )
+    a = {r.doc_id for r in sample_stratified(docs).collect()}
+    b = {r.doc_id for r in sample_stratified(docs.repartition(7)).collect()}
+    assert a == b

@@ -125,3 +125,25 @@ def test_saturated_hot_vendor_spreads_over_buckets(spark):
     )[1].split(")")[0], plan
     # and the semantics are unchanged: no pairs (gaps are a day)
     assert saturated_vendors(df).count() == 0
+
+
+def test_saturated_vendors_twelve_hour_bit_parity(spark):
+    # twelve_hour=True reproduces SaturatedVendor.java:82's "yyyy-MM-dd
+    # hh:mm:ss" byte-for-byte: hour 00 renders 12, hour 13 renders 01, and
+    # 12:xx stays 12 — the reference's round-trip-breaking quirk (X6).
+    rows = [
+        (7, ts("2022-03-04 00:01:00"), ts("2022-03-04 00:05:00"), 5.0, 0.0),
+        (7, ts("2022-03-04 00:09:00"), ts("2022-03-04 13:30:00"), 5.0, 0.0),
+        (8, ts("2022-03-04 12:00:00"), ts("2022-03-04 12:05:00"), 5.0, 0.0),
+        (8, ts("2022-03-04 12:10:00"), ts("2022-03-04 23:40:00"), 5.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, schema=TRIP_COLS)
+    assert rows_set(saturated_vendors(df, twelve_hour=True)) == {
+        (7, "2022-03-04 12:01:00", "2022-03-04 01:30:00", 2),
+        (8, "2022-03-04 12:00:00", "2022-03-04 11:40:00", 2),
+    }
+    # default stays the documented 24-hour normalization
+    assert rows_set(saturated_vendors(df)) == {
+        (7, "2022-03-04 00:01:00", "2022-03-04 13:30:00", 2),
+        (8, "2022-03-04 12:00:00", "2022-03-04 23:40:00", 2),
+    }
