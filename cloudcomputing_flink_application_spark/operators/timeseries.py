@@ -96,7 +96,11 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_GAP_MIN)
     """Gap-based sessionization: per-user session ids and session stats.
 
     A new session starts when the gap since the user's previous event
-    exceeds ``gap_min`` minutes.  Composition: lag -> boolean gap flag ->
+    exceeds ``gap_min`` minutes (strict ``>`` — verified to be Structured
+    Streaming's ``session_window`` convention too: sessions exactly
+    ``gap_min`` apart MERGE there, so batch and
+    ``streaming.jobs.sessionize_stream`` agree on boundary ties).
+    Composition: lag -> boolean gap flag ->
     running sum (session index) -> per-session aggregate.  One shuffle by
     user; the windows and the aggregate share it.
 
@@ -106,6 +110,11 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_min: int = SESSION_GAP_MIN)
     from cloudcomputing_flink_application_spark.sources.readers import read_events
 
     ev = read_events(ensure_session_confs(spark), sf_dir)
+    return sessionize_frame(ev, gap_min)
+
+
+def sessionize_frame(ev: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """``sessionize`` over any frame with (user_id, ts, event_id) columns."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
         "user_id",

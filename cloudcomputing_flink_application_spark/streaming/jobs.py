@@ -361,3 +361,46 @@ def run_telematics_job(spark, input_dir: str, output_dir: str, schema=None):
             .start()
         )
     return out
+
+
+def sessionize_stream(
+    events: DataFrame, gap_min: int | None = None, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Streaming gap-based sessionization via ``session_window``.
+
+    The built-in session window is exactly the streaming form of
+    ``operators.timeseries.sessionize_frame``: per user, windows grow while
+    events arrive closer than the gap and close (emit, clear state) once the
+    watermark passes window end — state per key is O(open sessions), the
+    shape that holds at any stream size.  Two alignment choices make
+    streaming == batch bit-exact (tests/test_streaming.py):
+
+    - timestamps truncate to whole seconds first, because the batch operator
+      compares ``cast(ts as long)`` second gaps while session_window uses
+      raw event time — a 1800.05 s microsecond gap would otherwise split
+      here and merge in batch;
+    - session_window's merge is boundary-INCLUSIVE (verified by test:
+      sessions exactly ``gap_min`` apart merge), i.e. the same strict-``>``
+      new-session rule the batch operator uses.
+
+    Output: (user_id, n_events, start_s, end_s) per CLOSED session —
+    ``session_seq`` is the one batch column with no incremental counterpart
+    (it would require total per-user history order at emit time).
+    """
+    from cloudcomputing_flink_application_spark.operators.timeseries import (
+        SESSION_GAP_MIN,
+    )
+
+    gap = SESSION_GAP_MIN if gap_min is None else gap_min
+    ev = events.select(
+        "user_id", F.date_trunc("second", F.col("ts")).alias("ts")
+    ).withWatermark("ts", watermark)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{gap} minutes"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+        )
+        .select("user_id", "n_events", "start_s", "end_s")
+    )

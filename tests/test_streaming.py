@@ -298,3 +298,54 @@ def test_minhash_dedup_stream_matches_batch(spark, tmp_path):
     assert streamed == batch
     assert len(streamed) == docs.count()
     assert any(d for _, d in streamed)  # corpus has real near-dups
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    # Three micro-batches; exercises BOTH alignment facts: a gap of exactly
+    # 30 min MERGES on both surfaces (session_window is boundary-inclusive,
+    # matching batch's strict-> rule), and a 1800.05s raw / 1800s truncated
+    # gap MERGES on both because the stream truncates to seconds first.
+    from cloudcomputing_flink_application_spark.operators.timeseries import (
+        sessionize_frame,
+    )
+
+    files = [
+        # user 1 session A; user 2 first event carries .900 fraction
+        "1,2024-01-01 10:00:00.000,101\n"
+        "1,2024-01-01 10:10:00.000,102\n"
+        "2,2024-01-01 10:00:00.900,201\n",
+        # u1: 10:40 is exactly 1800s after 10:10 -> merges; 11:15 is 2100s
+        # after 10:40 -> new session.
+        # u2: raw gap 1800.05s (would split), truncated gap 1800s -> merges
+        "1,2024-01-01 10:40:00.000,103\n"
+        "1,2024-01-01 11:15:00.000,104\n"
+        "2,2024-01-01 10:30:00.950,202\n",
+        # sentinel advances the watermark far enough to close everything
+        # above; its own session stays open and must not be emitted
+        "3,2024-01-01 20:00:00.000,301\n",
+    ]
+    d = str(tmp_path / "sess_events")
+    write_files(d, files)
+    opts = {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSS"}
+    schema = "user_id long, ts timestamp, event_id long"
+    stream = (
+        spark.readStream.schema(schema)
+        .options(**opts)
+        .option("maxFilesPerTrigger", 1)
+        .csv(d)
+    )
+    out = run_stream(spark, jobs.sessionize_stream(stream), "sess_s")
+    batch = sessionize_frame(spark.read.schema(schema).options(**opts).csv(d))
+    # streaming emitted exactly the closed sessions
+    assert rows_set(out) == {
+        (1, 3, "2024-01-01 10:00:00", "2024-01-01 10:40:00"),
+        (1, 1, "2024-01-01 11:15:00", "2024-01-01 11:15:00"),
+        (2, 2, "2024-01-01 10:00:00", "2024-01-01 10:30:00"),
+    }
+    # and they equal the batch operator's sessions minus the open sentinel
+    batch_closed = {
+        (r.user_id, r.n_events, r.start_s, r.end_s)
+        for r in batch.collect()
+        if r.user_id != 3
+    }
+    assert rows_set(out) == batch_closed
