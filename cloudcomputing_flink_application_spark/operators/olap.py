@@ -122,6 +122,86 @@ FROM ranked WHERE rank <= {TOP_SUPPLIERS_K}
 """
 
 
+#: Shipdate cutoff for the pricing summary (TPC-H Q1 uses a delta off the
+#: data's max date; the testdata generator's lineitem range is 1995..2001).
+PRICING_CUTOFF = "2001-09-01 00:00:00"
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (TPC-H Q1 shape): grouped aggregates over the
+    full fact table with a shipdate cutoff.
+
+    Per (l_returnflag, l_linestatus): sum/avg of quantity, base price,
+    discounted price, charge, discount, and the row count.  All sums run on
+    exact int64 (cents ×100-scaled per discount/tax factor) so partial-agg
+    order never changes a bit; each output double is ONE division performed
+    identically by both engines.  At 100 TB the per-row factor products
+    exceed int64 — swap the cents columns to DECIMAL(38,0); the plan
+    (scan-fused projection + one partial-agg shuffle on a 6-value key) is
+    unchanged.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("long")  # generator emits integral qty
+    ext_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_100 = F.round(F.col("l_discount") * 100).cast("long")
+    tax_100 = F.round(F.col("l_tax") * 100).cast("long")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("_sq"),
+        F.sum(ext_cents).alias("_sbp"),
+        F.sum(ext_cents * (F.lit(100) - disc_100)).alias("_sdp"),
+        F.sum(ext_cents * (F.lit(100) - disc_100) * (F.lit(100) + tax_100)).alias("_sc"),
+        F.sum(disc_100).alias("_sd"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+    cnt = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").alias("sum_qty"),
+        (F.col("_sbp").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("_sdp").cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.col("_sc").cast("double") / 1000000.0).alias("sum_charge"),
+        (F.col("_sq").cast("double") / cnt).alias("avg_qty"),
+        (F.col("_sbp").cast("double") / 100.0 / cnt).alias("avg_price"),
+        (F.col("_sd").cast("double") / 100.0 / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+WITH cents AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ext,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc,
+         CAST(round(l_tax * 100) AS BIGINT) AS tax
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+),
+agg AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(qty) AS sq, sum(ext) AS sbp,
+         sum(ext * (100 - disc)) AS sdp,
+         sum(ext * (100 - disc) * (100 + tax)) AS sc,
+         sum(disc) AS sd,
+         CAST(count(*) AS BIGINT) AS count_order
+  FROM cents GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sq AS BIGINT) AS sum_qty,
+       CAST(sbp AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sdp AS DOUBLE) / 10000.0 AS sum_disc_price,
+       CAST(sc AS DOUBLE) / 1000000.0 AS sum_charge,
+       CAST(sq AS DOUBLE) / count_order AS avg_qty,
+       CAST(sbp AS DOUBLE) / 100.0 / count_order AS avg_price,
+       CAST(sd AS DOUBLE) / 100.0 / count_order AS avg_disc,
+       count_order
+FROM agg
+"""
+
+
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders per priority that have at least one late-shipped lineitem
     (semi-join, TPC-H Q4 shape).

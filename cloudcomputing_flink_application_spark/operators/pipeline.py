@@ -59,19 +59,38 @@ def decontaminate(documents: DataFrame, w: int = DECONTAM_W) -> DataFrame:
     Output: (doc_id, n_shingles, n_overlap, contaminated) — one row per
     non-benchmark document.
     """
-    shs = F.array_distinct(X.shingles(X.tokens("text"), w))
-    corpus = documents.filter(F.col("doc_id") % BENCH_MOD != 0).select(
-        "doc_id", shs.alias("shs")
+    # Plan hygiene (see operators/dedup.py::_token_sets for the full story):
+    # repartition BEFORE the shingle projection so the md5-per-shingle prep
+    # parallelizes off the single-partition scan; coalesce(text,'') keeps
+    # every derived expression non-nullable so inferred isnotnull constraints
+    # fold away; explode_outer + a cheap post-explode null filter instead of
+    # explode, because a bare explode makes Catalyst infer `size(shs) > 0`
+    # and re-inline the whole tokenize+md5 pipeline into a scan filter.
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    shs = F.array_distinct(
+        X.shingles(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))), w)
+    )
+    corpus = (
+        documents.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .repartition(nparts)
+        .select("doc_id", shs.alias("shs"))
     )
     bench = (
         documents.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .select(F.explode(shs).alias("sh"))
-        .select(X.h56(F.col("sh")).alias("h"))
+        .repartition(nparts)
+        .select(F.explode_outer(shs).alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        # coalesce: h56 of a non-null string is never null, but Catalyst
+        # can't prove that, and the join would otherwise push an inferred
+        # isnotnull(md5-pipeline) filter below this projection.
+        .select(F.coalesce(X.h56(F.col("sh")), F.lit(0)).alias("h"))
         .distinct()
         .withColumn("_hit", F.lit(True))
     )
-    ex = corpus.select("doc_id", F.explode("shs").alias("sh")).select(
-        "doc_id", X.h56(F.col("sh")).alias("h")
+    ex = (
+        corpus.select("doc_id", F.explode_outer("shs").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .select("doc_id", F.coalesce(X.h56(F.col("sh")), F.lit(0)).alias("h"))
     )
     ov = (
         ex.join(F.broadcast(bench), "h", "left")
@@ -154,9 +173,21 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
     handling is moot: only counts are aggregated, never gram identity.
     """
 
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+
     def gram_agg(w: int, top: bool) -> DataFrame:
-        ex = documents.select(
-            "doc_id", F.explode(X.shingles(X.tokens("text"), w)).alias("g")
+        # Same plan hygiene as decontaminate: parallelize the per-row gram
+        # compute off the one-file scan, keep the shingle expression
+        # non-nullable, and dodge the inferred size()>0 recompute.
+        ex = (
+            documents.repartition(nparts)
+            .select(
+                "doc_id",
+                F.explode_outer(
+                    X.shingles(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))), w)
+                ).alias("g"),
+            )
+            .filter(F.col("g").isNotNull())
         )
         per_gram = ex.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
         aggs = [F.sum("c").cast("long").alias(f"n{w}")]

@@ -325,6 +325,10 @@ REGISTRY: dict[str, Query] = {
         lambda s, d: olap.order_priority_counts(olap_confs(s), d), olap.ORDER_PRIORITY_SQL,
         "semi-join order-priority counts (TPC-H Q4 shape)",
     ),
+    "olap_pricing_summary": Query(
+        lambda s, d: olap.pricing_summary(olap_confs(s), d), olap.PRICING_SUMMARY_SQL,
+        "pricing summary report (TPC-H Q1 shape, exact-int sums)",
+    ),
     # --- time-series compositions over events ---
     "ts_asof_join": Query(
         timeseries.purchases_asof_signup, timeseries.ASOF_SIGNUP_SQL,

@@ -39,7 +39,13 @@ def test_q_cong_single_aggregate_no_extra_shuffle(spark):
 def test_heavy_exprs_never_in_scan_filters(spark):
     # the InferFiltersFromConstraints pathology: md5/array pipelines dragged
     # into scan-side isnotnull filters
-    for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "text_fingerprint"):
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "text_fingerprint",
+        "pipe_decontam",
+        "pipe_repetition",
+    ):
         df = REGISTRY[name].fn(spark, SF)
         assert scan_filters_containing(df, "md5") == 0, name
 
@@ -64,7 +70,13 @@ def test_topk_broadcasts_queries(spark):
 
 def test_pair_ops_repartition_before_projection(spark):
     # per-doc array prep must not run on the single-partition scan
-    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_cosine"):
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_embedding_cosine",
+        "pipe_decontam",
+        "pipe_repetition",
+    ):
         df = REGISTRY[name].fn(spark, SF)
         assert count_in_plan(df, "REPARTITION_BY_NUM", physical=True) >= 1, name
 
