@@ -683,6 +683,157 @@ def embedding_cosine_dedup(
     return filter_after_barrier(scored, "vec_a", F.col("cos") > COSINE_DUP)
 
 
+# --- embedding hyperplane LSH (sub-quadratic scale path) ---------------------
+
+#: Random-hyperplane signature layout: HP_PLANES sign bits split into
+#: HP_BANDS bands (HP_PLANES // HP_BANDS bits each).  Planes have ±1
+#: entries derived from md5 — deterministic, identical constants baked into
+#: both engines' plans, no RNG state to ship.
+HP_PLANES = 16
+HP_BANDS = 4
+#: Embedding dimensionality of the driver's `embeddings` table.
+HP_DIM = 64
+
+
+def _hp_plane(p: int, dim: int = HP_DIM) -> list[float]:
+    import hashlib
+
+    def sign(d: int) -> float:
+        h = int(hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()[:14], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    return [sign(d) for d in range(dim)]
+
+
+HP_PLANE_VALS: list[list[float]] = [_hp_plane(p) for p in range(HP_PLANES)]
+
+
+def embedding_lsh_dedup(embeddings: DataFrame, dim: int = HP_DIM) -> DataFrame:
+    """Near-dup pairs by cosine, blocked by random-hyperplane LSH.
+
+    The sub-quadratic scale path next to ``embedding_cosine_dedup``'s
+    guarded exact baseline: each vector gets a HP_PLANES-bit signature
+    (bit p = sign of ``emb · plane_p``, SimHash-for-embeddings), split into
+    HP_BANDS bands; only pairs sharing at least one band value are cosine-
+    verified.  Candidate generation is an equi-join on (band, key) over rows
+    of three ints — O(n · bands) band rows, never all pairs — and the
+    verify joins the (id-only, distinct) candidates back to the vectors.
+    Recall is probabilistic by construction (~angle-dependent); every pair
+    it does emit carries the exact cosine, a subset of the exact baseline's
+    output (pinned in tests/test_dedup.py).
+
+    The dot products fold sequentially per row, bit-identical to DuckDB's
+    ``list_dot_product`` (tests/test_functions.py), so the LSH bits — sign
+    comparisons on those doubles — match exactly across engines.
+    Output: (vec_a, vec_b, cos).
+    """
+    nparts = embeddings.sparkSession.sparkContext.defaultParallelism
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    e = embeddings.repartition(nparts).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    norms = e.select(
+        "vec_id", "emb", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+    rows_per_band = HP_PLANES // HP_BANDS
+    bits = [
+        F.when(dot(F.col("emb"), F.array(*[F.lit(v) for v in _hp_plane(p, dim)])) >= 0,
+               F.lit(1)).otherwise(F.lit(0))
+        for p in range(HP_PLANES)
+    ]
+    band_keys = [
+        sum(
+            (bits[b * rows_per_band + i] * (1 << (rows_per_band - 1 - i))
+             for i in range(rows_per_band)),
+            start=F.lit(0),
+        )
+        for b in range(HP_BANDS)
+    ]
+    bands = norms.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_keys[b].alias("key"))
+                    for b in range(HP_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    cands = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = norms.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("_ea"), F.col("nrm").alias("_na"))
+    eb = norms.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("_eb"), F.col("nrm").alias("_nb"))
+    scored = cands.join(ea, "vec_a").join(eb, "vec_b").select(
+        "vec_a",
+        "vec_b",
+        (dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
+    )
+    # Barrier: one cosine per candidate, never inlined into a join condition.
+    return filter_after_barrier(scored, "vec_a", F.col("cos") > COSINE_DUP)
+
+
+def _embedding_lsh_sql() -> str:
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(str(v) for v in HP_PLANE_VALS[p]) + "]"
+
+    rows_per_band = HP_PLANES // HP_BANDS
+    band_exprs = []
+    for b in range(HP_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {plane_lit(b * rows_per_band + i)}) >= 0 "
+            f"THEN {1 << (rows_per_band - 1 - i)} ELSE 0 END)"
+            for i in range(rows_per_band)
+        )
+        band_exprs.append(f"{terms} AS k{b}")
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT vec_id, {b} AS band, k{b} AS key FROM sig"
+        for b in range(HP_BANDS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+),
+sig AS (
+  SELECT vec_id, {', '.join(band_exprs)} FROM e
+),
+bands AS (
+{band_rows}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM (
+  SELECT c.vec_a, c.vec_b,
+         list_dot_product(ea.emb, eb.emb) / (ea.nrm * eb.nrm) AS cos
+  FROM cands c
+  JOIN e ea ON ea.vec_id = c.vec_a
+  JOIN e eb ON eb.vec_id = c.vec_b
+)
+WHERE cos > {COSINE_DUP}
+"""
+
+
+EMBEDDING_LSH_SQL = _embedding_lsh_sql()
+
+
 EMBEDDING_COSINE_SQL = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,

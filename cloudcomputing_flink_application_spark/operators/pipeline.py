@@ -365,3 +365,117 @@ WITH hashed AS (
 SELECT doc_id, lang, source, u FROM hashed
 WHERE u < {_sample_rate_sql()}
 """
+
+
+# --- end-to-end corpus cleaning ----------------------------------------------
+
+#: Composite quality-score threshold for the cleaning pipeline.
+CLEAN_QUALITY_MIN = 0.5
+
+
+def clean_corpus(documents: DataFrame) -> DataFrame:
+    """The full corpus-preparation pipeline as ONE composed dataflow:
+    quality filter -> repetition filter -> benchmark decontamination ->
+    exact dedup (keep lowest id among survivors) -> content-addressed split.
+
+    This is the "a user could run their whole preprocessing job on this
+    engine" query: each stage is the already-verified operator, composed by
+    per-doc joins, and the whole thing stays one declarative plan — Catalyst
+    shares the documents scan and the per-doc stages pipeline into the same
+    tasks where possible.  Dedup runs on SURVIVORS only (the realistic
+    order: no wasting hash-shuffle on docs that quality-fail anyway).
+
+    Output, one row per non-benchmark doc: (doc_id, q_ok, rep_ok, con_ok,
+    uniq, kept, split) — ``uniq`` is false for docs that fail an earlier
+    stage (dedup never saw them), ``split`` is '' unless kept.
+
+    Scale: per-doc stages are scan-fused or one-shuffle aggs keyed by
+    doc_id / gram (high-cardinality, skew-free); the survivor dedup is one
+    window shuffle on the text hash; the stage joins co-shuffle on doc_id.
+    """
+    from cloudcomputing_flink_application_spark.operators import textstats
+
+    q = textstats.quality_score(documents).select("doc_id", "quality")
+    rep = repetition_stats(documents).select("doc_id", "flagged")
+    con = decontaminate(documents).select("doc_id", "contaminated")
+    base = documents.filter(F.col("doc_id") % BENCH_MOD != 0).select("doc_id", "text")
+    flags = (
+        base.join(q, "doc_id")
+        .join(rep, "doc_id")
+        .join(con, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            (F.col("quality") >= CLEAN_QUALITY_MIN).alias("q_ok"),
+            (~F.col("flagged")).alias("rep_ok"),
+            (~F.col("contaminated")).alias("con_ok"),
+        )
+    )
+    w = Window.partitionBy(F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    canon = (
+        flags.filter(F.col("q_ok") & F.col("rep_ok") & F.col("con_ok"))
+        .select("doc_id", F.min("doc_id").over(w).alias("_c"))
+    )
+    bucket = (X.h56(F.col("text")) % 100).cast("int")
+    uniq = F.coalesce(F.col("doc_id") == F.col("_c"), F.lit(False))
+    kept = F.col("q_ok") & F.col("rep_ok") & F.col("con_ok") & uniq
+    return (
+        flags.join(canon, "doc_id", "left")
+        .select(
+            "doc_id",
+            "q_ok",
+            "rep_ok",
+            "con_ok",
+            uniq.alias("uniq"),
+            kept.alias("kept"),
+            F.when(
+                kept,
+                F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test"),
+            )
+            .otherwise("")
+            .alias("split"),
+        )
+    )
+
+
+CLEAN_CORPUS_SQL = f"""
+WITH q AS ({{QUALITY_SQL}}),
+rep AS ({{REPETITION_SQL}}),
+con AS ({{DECONTAMINATE_SQL}}),
+base AS (SELECT doc_id, text FROM documents WHERE doc_id % {BENCH_MOD} <> 0),
+flags AS (
+  SELECT base.doc_id, base.text,
+         (q.quality >= {CLEAN_QUALITY_MIN}) AS q_ok,
+         NOT rep.flagged AS rep_ok,
+         NOT con.contaminated AS con_ok
+  FROM base JOIN q USING (doc_id) JOIN rep USING (doc_id) JOIN con USING (doc_id)
+),
+canon AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS c
+  FROM flags WHERE q_ok AND rep_ok AND con_ok
+)
+SELECT f.doc_id, f.q_ok, f.rep_ok, f.con_ok,
+       coalesce(f.doc_id = c.c, FALSE) AS uniq,
+       (f.q_ok AND f.rep_ok AND f.con_ok AND coalesce(f.doc_id = c.c, FALSE)) AS kept,
+       CASE WHEN f.q_ok AND f.rep_ok AND f.con_ok AND coalesce(f.doc_id = c.c, FALSE)
+            THEN CASE WHEN CAST({X.h56_sql('f.text')} % 100 AS INT) < 90 THEN 'train'
+                      WHEN CAST({X.h56_sql('f.text')} % 100 AS INT) < 95 THEN 'valid'
+                      ELSE 'test' END
+            ELSE '' END AS split
+FROM flags f LEFT JOIN canon c USING (doc_id)
+"""
+
+# Resolve the stage placeholders with the SAME verified per-stage oracle
+# strings (the composed oracle provably reuses them; a drift in one stage's
+# SQL shows up in both that stage's query and this one).
+def _clean_corpus_sql() -> str:
+    from cloudcomputing_flink_application_spark.operators.textstats import QUALITY_SQL
+
+    return CLEAN_CORPUS_SQL.format(
+        QUALITY_SQL=QUALITY_SQL,
+        REPETITION_SQL=REPETITION_SQL,
+        DECONTAMINATE_SQL=DECONTAMINATE_SQL,
+    )
+
+
+CLEAN_CORPUS_SQL = _clean_corpus_sql()

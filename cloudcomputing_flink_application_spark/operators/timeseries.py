@@ -335,3 +335,137 @@ SELECT event_type,
 FROM ev
 GROUP BY event_type
 """
+
+
+# --- rolling active users ----------------------------------------------------
+
+#: Trailing window width (days) for the rolling-actives metric.
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day distinct active users (DAU / WAU).
+
+    COUNT(DISTINCT) over a sliding date range has no direct window form in
+    either engine; the scalable composition is contribution explode: each
+    (user, active-day) row contributes to the ``ROLLING_WINDOW_DAYS``
+    target days it falls inside, so WAU(day) = distinct contributors.
+    O(7n) intermediate rows, two distinct-agg shuffles on high-cardinality
+    keys, no range self-join, no per-day rescan — the shape that holds on
+    a 100 TB events table (contrast a correlated ``[d-6, d]`` subquery:
+    7 full scans or an interval join).
+
+    Output: (day_s, dau, wau7) for each calendar day with >= 1 event.
+    """
+    from cloudcomputing_flink_application_spark.registry import ensure_session_confs
+    from cloudcomputing_flink_application_spark.sources.readers import read_events
+
+    ev = read_events(ensure_session_confs(spark), sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            "day",
+            F.explode(F.sequence(F.lit(0), F.lit(ROLLING_WINDOW_DAYS - 1))).alias("i"),
+        )
+        .select("user_id", F.date_add(F.col("day"), F.col("i")).alias("day"))
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(F.count("*").cast("long").alias("wau7"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day_s"), "dau", "wau7"
+        )
+    )
+
+
+ROLLING_ACTIVE_SQL = f"""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+contrib AS (
+  SELECT DISTINCT user_id, day + CAST(t.i AS INTEGER) AS day
+  FROM ud, range({ROLLING_WINDOW_DAYS}) t(i)
+),
+wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau7 FROM contrib GROUP BY day)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day_s, dau.dau, wau.wau7
+FROM dau JOIN wau ON dau.day = wau.day
+"""
+
+
+# --- signup -> purchase funnel -----------------------------------------------
+
+#: Conversion window (days after first signup).
+FUNNEL_DAYS = 7
+
+
+def signup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort conversion funnel: per first-signup day, the number of users
+    who purchased within ``FUNNEL_DAYS`` days of their FIRST signup.
+
+    Two aggregates and one equi-join, all keyed by user_id (high
+    cardinality, no skew): first-signup per user, left-join purchases,
+    per-user converted flag via max(), cohort rollup by signup day.  The
+    window predicate ``[sig_ts, sig_ts + 7d)`` is exact microsecond
+    timestamp arithmetic on both engines; the only double in the output is
+    one final division.
+
+    Output: (cohort_s, signups, conversions, conv_rate).
+    """
+    from cloudcomputing_flink_application_spark.registry import ensure_session_confs
+    from cloudcomputing_flink_application_spark.sources.readers import read_events
+
+    ev = read_events(ensure_session_confs(spark), sf_dir)
+    first_sig = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("sig_ts"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    hit = (F.col("p_ts") >= F.col("sig_ts")) & (
+        F.col("p_ts") < F.col("sig_ts") + F.expr(f"INTERVAL {FUNNEL_DAYS} DAYS")
+    )
+    per_user = (
+        first_sig.join(pur, "user_id", "left")
+        .groupBy("user_id", "sig_ts")
+        .agg(F.max(F.coalesce(hit, F.lit(False))).alias("converted"))
+    )
+    return (
+        per_user.groupBy(F.date_format(F.to_date("sig_ts"), "yyyy-MM-dd").alias("cohort_s"))
+        .agg(
+            F.count("*").cast("long").alias("signups"),
+            F.sum(F.col("converted").cast("long")).cast("long").alias("conversions"),
+        )
+        .select(
+            "cohort_s",
+            "signups",
+            "conversions",
+            (F.col("conversions").cast("double") / F.col("signups")).alias("conv_rate"),
+        )
+    )
+
+
+SIGNUP_FUNNEL_SQL = f"""
+WITH first_sig AS (
+  SELECT user_id, min(ts) AS sig_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+per_user AS (
+  SELECT f.user_id, f.sig_ts,
+         coalesce(max(p.ts >= f.sig_ts AND p.ts < f.sig_ts + INTERVAL {FUNNEL_DAYS} DAY),
+                  FALSE) AS converted
+  FROM first_sig f
+  LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    ON f.user_id = p.user_id
+  GROUP BY f.user_id, f.sig_ts
+)
+SELECT strftime(CAST(sig_ts AS DATE), '%Y-%m-%d') AS cohort_s,
+       CAST(count(*) AS BIGINT) AS signups,
+       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS conversions,
+       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS conv_rate
+FROM per_user
+GROUP BY CAST(sig_ts AS DATE)
+"""

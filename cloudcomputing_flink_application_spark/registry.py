@@ -249,6 +249,10 @@ REGISTRY: dict[str, Query] = {
         _on_embs(dedup.embedding_cosine_dedup), dedup.EMBEDDING_COSINE_SQL,
         "exact cosine near-dup pairs (baseline for ANN variants)",
     ),
+    "dedup_embedding_lsh": Query(
+        _on_embs(dedup.embedding_lsh_dedup), dedup.EMBEDDING_LSH_SQL,
+        "hyperplane-LSH cosine near-dup pairs (sub-quadratic scale path)",
+    ),
     # --- similarity search ---
     "ann_cosine_topk": Query(
         _on_embs(similarity.cosine_topk), similarity.COSINE_TOPK_SQL,
@@ -312,6 +316,10 @@ REGISTRY: dict[str, Query] = {
         _on_docs(pipeline.sample_stratified), pipeline.SAMPLE_STRATIFIED_SQL,
         "deterministic per-language stratified sampling (stable hash predicate)",
     ),
+    "pipe_clean_corpus": Query(
+        _on_docs(pipeline.clean_corpus), pipeline.CLEAN_CORPUS_SQL,
+        "composed cleaning pipeline: quality -> repetition -> decontam -> dedup -> split",
+    ),
     # --- analytical joins over the star schema (beyond the join-free reference) ---
     "olap_revenue_by_nation": Query(
         lambda s, d: olap.revenue_by_nation(olap_confs(s), d), olap.REVENUE_BY_NATION_SQL,
@@ -349,6 +357,14 @@ REGISTRY: dict[str, Query] = {
     "ts_json_stats": Query(
         timeseries.events_json_stats, timeseries.EVENTS_JSON_SQL,
         "semi-structured extraction: JSON props aggregated per event_type",
+    ),
+    "ts_rolling_active": Query(
+        timeseries.rolling_active_users, timeseries.ROLLING_ACTIVE_SQL,
+        "DAU + trailing-7-day distinct actives via contribution explode",
+    ),
+    "ts_funnel": Query(
+        timeseries.signup_funnel, timeseries.SIGNUP_FUNNEL_SQL,
+        "signup->purchase cohort conversion funnel (7-day window)",
     ),
     # --- multimodal columns (mapInPandas plumbing, deterministic fake decode) ---
     "mm_image_meta": Query(

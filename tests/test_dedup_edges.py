@@ -105,3 +105,29 @@ def test_ngram_salted_shuffle_path_matches(spark, sf_dir):
         dedup.ngram_jaccard_dedup(docs, salt=4, broadcast_max_rows=0)
     )
     assert base == salted
+
+
+def test_embedding_lsh_is_subset_of_exact_with_identical_cosines(spark, sf_dir):
+    # The LSH path may miss pairs (probabilistic recall) but must never
+    # invent one: every emitted (pair, cos) appears verbatim in the exact
+    # baseline's output, and identical vectors (cos == 1) always collide on
+    # every band, so true duplicates are never missed.
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = rows_set(dedup.embedding_cosine_dedup(embs))
+    lsh = rows_set(dedup.embedding_lsh_dedup(embs))
+    assert len(lsh) > 0 and lsh <= exact
+    dup_pairs = {(a, b) for a, b, c in exact if c >= 0.999999}
+    found = {(a, b) for a, b, _ in lsh}
+    assert dup_pairs <= found
+
+
+def test_embedding_lsh_low_dim_parity(spark):
+    # dim != 64 must slice the hyperplanes consistently on the Spark side
+    # (the SQL oracle is fixed to the driver table's 64-dim layout).
+    embs = spark.createDataFrame(
+        [(1, 0, [1.0, 0.5]), (2, 0, [1.0, 0.5]), (3, 0, [-1.0, 2.0])],
+        EMB_COLS,
+    )
+    out = rows_set(dedup.embedding_lsh_dedup(embs, dim=2))
+    assert {(a, b) for a, b, _ in out} == {(1, 2)}
+    assert all(c == pytest.approx(1.0) for _, _, c in out)

@@ -104,3 +104,26 @@ def test_sample_stratified_stable_under_repartition(spark):
     a = {r.doc_id for r in sample_stratified(docs).collect()}
     b = {r.doc_id for r in sample_stratified(docs.repartition(7)).collect()}
     assert a == b
+
+
+def test_clean_corpus_stage_invariants(spark, sf_dir):
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        BENCH_MOD,
+        clean_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = clean_corpus(docs).collect()
+    # one row per non-benchmark doc
+    assert len(out) == docs.filter(F.col("doc_id") % BENCH_MOD != 0).count()
+    for r in out:
+        # kept == conjunction of all stage gates
+        assert r.kept == (r.q_ok and r.rep_ok and r.con_ok and r.uniq)
+        # split assigned iff kept
+        assert (r.split != "") == r.kept
+        # uniq never true for docs dedup didn't see
+        if not (r.q_ok and r.rep_ok and r.con_ok):
+            assert not r.uniq
+    # the pipeline actually filters something and keeps something
+    kept = [r for r in out if r.kept]
+    assert 0 < len(kept) < len(out)
