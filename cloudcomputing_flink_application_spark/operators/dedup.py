@@ -293,23 +293,13 @@ WHERE jaccard >= {MINHASH_JACCARD}
 MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 
-def minhash_cluster_dedup(documents: DataFrame) -> DataFrame:
-    """Scale-shaped MinHash dedup: cluster ASSIGNMENT, not pairs.
+def _verified_star_edges(documents: DataFrame) -> DataFrame:
+    """Jaccard-verified star edges ``(doc_id, rep)`` with ``rep < doc_id``.
 
-    ``minhash_lsh_dedup`` emits all verified near-dup PAIRS — semantically
-    the reference oracle, but O(k²) output for a k-document duplicate
-    cluster (measured: 4x corpus -> 16x rows, 15M pairs).  At 100 TB the
-    correct output shape is one row per document with its cluster
-    representative:
-
-    1. band buckets as in LSH, but each doc links only to the bucket's
-       MIN doc_id (star candidates: O(n x bands), never O(bucket²));
-    2. verify jaccard >= threshold on those star edges only;
-    3. assignment = min verified representative across bands (one
-       min-propagation round; full transitive closure would iterate this
-       to a fixed point — the per-round plan is identical).
-
-    Output: (doc_id, cluster_id, is_dup).
+    The O(n x bands) candidate generation both cluster operators share: each
+    document links only to the MIN doc_id of every band bucket it lands in
+    (never O(bucket²) pairs), and only those star edges pay the set-intersect
+    verify cost.
     """
     # Same persist rationale as minhash_lsh_dedup: tokset feeds the band
     # pipeline once and the ta/tb verify sides twice; the cached plan is
@@ -349,7 +339,28 @@ def minhash_cluster_dedup(documents: DataFrame) -> DataFrame:
             (inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)).alias("_j"),
         )
     )
-    verified = filter_after_barrier(scored, "rep", F.col("_j") >= MINHASH_JACCARD)
+    return filter_after_barrier(scored, "rep", F.col("_j") >= MINHASH_JACCARD)
+
+
+def minhash_cluster_dedup(documents: DataFrame) -> DataFrame:
+    """Scale-shaped MinHash dedup: cluster ASSIGNMENT, not pairs.
+
+    ``minhash_lsh_dedup`` emits all verified near-dup PAIRS — semantically
+    the reference oracle, but O(k²) output for a k-document duplicate
+    cluster (measured: 4x corpus -> 16x rows, 15M pairs).  At 100 TB the
+    correct output shape is one row per document with its cluster
+    representative:
+
+    1. band buckets as in LSH, but each doc links only to the bucket's
+       MIN doc_id (star candidates: O(n x bands), never O(bucket²));
+    2. verify jaccard >= threshold on those star edges only;
+    3. assignment = min verified representative across bands (one
+       min-propagation round; full transitive closure would iterate this
+       to a fixed point — the per-round plan is identical).
+
+    Output: (doc_id, cluster_id, is_dup).
+    """
+    verified = _verified_star_edges(documents)
     assignment = verified.groupBy("doc_id").agg(F.min("rep").alias("_minrep"))
     return (
         documents.select("doc_id")
@@ -362,14 +373,15 @@ def minhash_cluster_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_cluster_sql() -> str:
+def _star_ctes_sql() -> str:
+    """The CTE chain both cluster oracles share: tokens -> MinHash sigs ->
+    band rows -> star edges -> jaccard-verified (doc_id, rep) edges."""
     mh_exprs = ",\n         ".join(X.minhash_sig_sql("tokset"))
     band_rows = "\n    UNION ALL\n".join(
         f"    SELECT doc_id, {j} AS band, {X.band_key_sql(j)} AS key FROM sigs"
         for j in range(X.LSH_BANDS)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id, list_distinct({X.tokens_sql('text')}) AS tokset
   FROM documents
 ),
@@ -398,7 +410,12 @@ verified AS (
     JOIN nonempty ta ON ta.doc_id = s.doc_id
     JOIN nonempty tb ON tb.doc_id = s.rep
   ) WHERE j >= {MINHASH_JACCARD}
-),
+)"""
+
+
+def _minhash_cluster_sql() -> str:
+    return f"""
+WITH {_star_ctes_sql()},
 assignment AS (
   SELECT doc_id, min(rep) AS minrep FROM verified GROUP BY doc_id
 )
@@ -411,6 +428,134 @@ LEFT JOIN assignment a USING (doc_id)
 
 
 MINHASH_CLUSTER_SQL = _minhash_cluster_sql()
+
+
+# --- connected components (full transitive closure of the dup graph) --------
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
+    """Min-label connected components over an undirected edge list.
+
+    ``edges`` must have two equal-typed columns ``(u, v)``; self-loops are
+    dropped.  Returns ``(node, root)`` with one row per NON-root node of
+    every component, ``root`` = the component's minimum node id — the star
+    form the alternating large-star/small-star algorithm converges to
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014).  Round complexity is O(log n) — at 100 TB the edge list
+    shuffles on node id each round and no step ever materializes a
+    neighborhood larger than the star's, unlike naive label propagation
+    whose round count is the graph DIAMETER (pathological on chains).
+
+    Each round is two shuffles over the (narrow, 2-column) edge frame;
+    ``localCheckpoint`` truncates the lineage so round N's plan does not
+    embed rounds 1..N-1 (iterative plans otherwise grow exponentially in
+    Catalyst).  Deterministic: every operation is a min.
+    """
+    u, v = edges.columns[0], edges.columns[1]
+    cur = (
+        edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # large-star: every neighbor LARGER than u links to min(N(u) + {u}).
+        nbrs = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("_mn")).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star: orient (larger, smaller); relink every smaller
+        # neighbor (and u itself) to the minimum of the oriented
+        # neighborhood.
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        omins = oriented.groupBy("u").agg(F.min("v").alias("_mn"))
+        small = (
+            oriented.join(omins, "u")
+            .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
+            .union(omins.select("u", F.col("_mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # Converged when the edge set is stable (both frames are distinct,
+        # so equal counts + empty one-sided difference == set equality).
+        if small.count() == cur.count() and small.exceptAll(cur).isEmpty():
+            cur = small
+            break
+        cur = small
+    else:  # pragma: no cover - O(log n) bound makes this unreachable
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    return cur.select(F.col("u").alias("node"), F.col("v").alias("root"))
+
+
+def minhash_cc_dedup(documents: DataFrame) -> DataFrame:
+    """MinHash dedup clusters under FULL transitive closure.
+
+    ``minhash_cluster_dedup`` stops after one min-propagation round, so a
+    chain A~B~C (A, C near-dups of B but not of each other) can leave C
+    assigned to B while B is assigned to A.  This variant iterates the same
+    verified star-edge graph (O(n x bands) candidates — the pair blowup
+    never happens) to a fixed point with large-star/small-star, so every
+    document's cluster_id is the true minimum of its connected component.
+
+    Output: (doc_id, cluster_id, is_dup) — is_dup == (cluster_id != doc_id).
+    Oracle: identical edge set closed with a recursive CTE in DuckDB.
+    """
+    edges = _verified_star_edges(documents)  # (doc_id, rep), rep < doc_id
+    comp = connected_components(edges)
+    # At the fixpoint every non-root node carries exactly one (node, root)
+    # edge; the groupBy-min is a no-op guard that also makes the plan's
+    # output provably one row per doc_id.
+    assignment = comp.groupBy(F.col("node").alias("doc_id")).agg(
+        F.min("root").alias("_root")
+    )
+    return (
+        documents.select("doc_id")
+        .join(assignment, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id"),
+            F.col("_root").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+def _minhash_cc_sql() -> str:
+    return f"""
+WITH RECURSIVE {_star_ctes_sql()},
+edges AS (
+  SELECT doc_id AS u, rep AS v FROM verified
+  UNION
+  SELECT rep AS u, doc_id AS v FROM verified
+),
+walk(node, lbl) AS (
+  SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS node, w.lbl AS lbl FROM walk w JOIN edges e ON e.u = w.node
+),
+roots AS (
+  SELECT node AS doc_id, min(lbl) AS root FROM walk GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(r.root, d.doc_id) AS cluster_id,
+       coalesce(r.root, d.doc_id) <> d.doc_id AS is_dup
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN roots r USING (doc_id)
+"""
+
+
+MINHASH_CC_SQL = _minhash_cc_sql()
 
 
 # --- SimHash -----------------------------------------------------------------

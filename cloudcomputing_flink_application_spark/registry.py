@@ -233,6 +233,11 @@ REGISTRY: dict[str, Query] = {
         _on_docs(dedup.minhash_cluster_dedup), dedup.MINHASH_CLUSTER_SQL,
         "scale-shaped MinHash dedup: per-doc cluster assignment via star linking",
     ),
+    "dedup_cc_clusters": Query(
+        _on_docs(dedup.minhash_cc_dedup), dedup.MINHASH_CC_SQL,
+        "full transitive-closure dedup clusters: large-star/small-star "
+        "connected components over the verified star-edge graph",
+    ),
     "dedup_band_flags": Query(
         _on_docs(dedup.minhash_band_flags), dedup.MINHASH_BAND_FLAGS_SQL,
         "candidate-level MinHash band flags (streaming-ingest dedup contract)",

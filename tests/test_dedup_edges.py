@@ -131,3 +131,43 @@ def test_embedding_lsh_low_dim_parity(spark):
     out = rows_set(dedup.embedding_lsh_dedup(embs, dim=2))
     assert {(a, b) for a, b, _ in out} == {(1, 2)}
     assert all(c == pytest.approx(1.0) for _, _, c in out)
+
+
+def test_connected_components_closes_chains(spark):
+    # A chain 1-2-3-4 must collapse to root 1 even though 1 and 4 share no
+    # edge — the semantic gap between one-round star assignment and full
+    # closure.  Island 10-11 stays its own component.
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (11, 10)], "u: long, v: long"
+    )
+    out = rows_set(dedup.connected_components(edges))
+    assert out == {(2, 1), (3, 1), (4, 1), (11, 10)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # A 40-node chain needs ~log2(40) large/small-star rounds — well inside
+    # the default budget; naive diameter-bound propagation would need 40.
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(1, 40)], "u: long, v: long"
+    )
+    out = rows_set(dedup.connected_components(edges))
+    assert out == {(i, 1) for i in range(2, 41)}
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "u: long, v: long")
+    assert dedup.connected_components(edges).count() == 0
+
+
+def test_cc_dedup_refines_one_round_assignment(spark, sf_dir):
+    # Full closure can only merge clusters, never split them: the CC
+    # cluster_id is <= the one-round assignment's for every document, and
+    # every one-round dup stays a dup.
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cc = dedup.minhash_cc_dedup(docs).alias("cc")
+    one = dedup.minhash_cluster_dedup(docs).alias("one")
+    j = cc.join(one, "doc_id")
+    assert j.filter(F.col("cc.cluster_id") > F.col("one.cluster_id")).count() == 0
+    assert j.filter(F.col("one.is_dup") & ~F.col("cc.is_dup")).count() == 0
