@@ -41,6 +41,31 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed parquet table (hash-bucketed by ``bucket_cols``).
+
+    The co-located-join layout for 100 TB fact/fact joins: two tables
+    bucketed by the same key with the same bucket count join with ZERO
+    exchange — the shuffle is paid once at write time instead of on every
+    query (pinned in tests/test_scale_layout.py).  ``sort_cols`` presorts
+    within buckets so sort-merge joins skip the per-task sort too.
+    Bucketing requires the table catalog (``saveAsTable``); point ``table``
+    at a database created with an explicit LOCATION to control the path.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def show(df: DataFrame, n: int = 20) -> None:
     """Console sink (reference ``print()``, O2)."""
     df.show(n, truncate=False)

@@ -332,6 +332,45 @@ def run_minhash_dedup_stream(
     )
 
 
+def run_decontam_stream(
+    spark,
+    documents: DataFrame,
+    bench_docs: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming benchmark decontamination: corpus docs stream in, the
+    benchmark set is static.
+
+    ``foreachBatch`` applies the exact batch operator
+    (operators.pipeline.decontaminate) to ``static bench ∪ micro-batch``:
+    each document's (n_shingles, n_overlap, contaminated) row depends only
+    on itself and the broadcast benchmark shingle set, so the accumulated
+    streaming output equals one batch run over the union of all batches —
+    no cross-batch state at all.  ``bench_docs`` must be the benchmark
+    slice (``doc_id % BENCH_MOD == 0``); benchmark docs arriving on the
+    stream are ignored by the operator's own corpus filter, exactly as in
+    batch.
+
+    Scale: the per-batch plan is the batch plan — the bench side stays
+    KB..MB broadcast at any corpus size; the stream side shuffles only the
+    micro-batch.  Emits parquet rows to ``output_dir``.
+    """
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        decontaminate,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = decontaminate(bench_docs.unionByName(batch_df))
+        out.write.mode("append").parquet(output_dir)
+
+    return (
+        documents.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 # --- O3: one input, three sinks ---------------------------------------------
 
 

@@ -1,0 +1,74 @@
+"""Storage-layout scale proofs: the two layout levers SCALING.md leans on —
+bucketed co-located joins and partition pruning — demonstrated on real
+testdata with the resulting physical plans pinned."""
+
+from __future__ import annotations
+
+import pytest
+
+from cloudcomputing_flink_application_spark.plans.inspect import physical_plan
+from cloudcomputing_flink_application_spark.sources.sinks import (
+    write_bucketed,
+    write_parquet,
+)
+from tests.conftest import TESTDATA
+
+SF = f"{TESTDATA}/sf0.001"
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_zero_exchange(spark, tmp_path, no_broadcast):
+    # Both sides hash-bucketed by the join key with equal bucket counts:
+    # the join must be exchange-free — the shuffle was paid at write time.
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/bktdb'")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        write_bucketed(orders, "bktdb.orders_b", ["o_orderkey"], 4,
+                       sort_cols=["o_orderkey"])
+        write_bucketed(lineitem, "bktdb.lineitem_b", ["l_orderkey"], 4,
+                       sort_cols=["l_orderkey"])
+        joined = spark.table("bktdb.lineitem_b").join(
+            spark.table("bktdb.orders_b"),
+            spark.table("bktdb.lineitem_b").l_orderkey
+            == spark.table("bktdb.orders_b").o_orderkey,
+        )
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # and it still computes the same join as the unbucketed plan
+        expected = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bktdb.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bktdb.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS bktdb")
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    # Directory-partitioned parquet + a partition-column predicate must
+    # prune at planning time (PartitionFilters), not filter after the scan.
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    out = str(tmp_path / "events_by_type")
+    write_parquet(events, out, partition_by=["event_type"])
+    got = spark.read.parquet(out).filter("event_type = 'click'")
+    plan = physical_plan(got)
+    [scan_line] = [
+        l for l in plan.split("\n") if "FileScan" in l and "PartitionFilters" in l
+    ]
+    assert "event_type" in scan_line.split("PartitionFilters:")[1].split("]")[0]
+    # pruning is observable in the files actually read: only one
+    # event_type=... directory survives planning
+    files = got.inputFiles()
+    assert files and all("event_type=click" in f for f in files)
+    assert got.count() == events.filter("event_type = 'click'").count()

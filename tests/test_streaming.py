@@ -349,3 +349,43 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         if r.user_id != 3
     }
     assert rows_set(out) == batch_closed
+
+
+def test_decontam_stream_matches_batch(spark, tmp_path):
+    # Stateless streaming twin: corpus docs stream in two micro-batches
+    # against the STATIC benchmark slice; accumulated output must equal one
+    # batch decontaminate() over all documents (per-doc decisions depend
+    # only on the broadcast bench set, so micro-batching is exact).
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        BENCH_MOD,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    bench = docs.filter(docs.doc_id % BENCH_MOD == 0)
+    cut = 250
+    d_in = str(tmp_path / "docs_in")
+    base = 1_700_000_000
+    for i, pred in enumerate([docs.doc_id < cut, docs.doc_id >= cut]):
+        p = f"{d_in}/f{i}"
+        docs.filter(pred).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(f"{root}/{f}", (base + i, base + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out_dir = str(tmp_path / "decontam_out")
+    q = jobs.run_decontam_stream(
+        spark, stream, bench, out_dir, str(tmp_path / "chk")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = rows_set(spark.read.parquet(out_dir))
+    batch = rows_set(decontaminate(docs))
+    assert streamed == batch
+    assert any(r[-1] for r in streamed)  # corpus has real contamination
