@@ -67,8 +67,23 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
         l for l in plan.split("\n") if "FileScan" in l and "PartitionFilters" in l
     ]
     assert "event_type" in scan_line.split("PartitionFilters:")[1].split("]")[0]
-    # pruning is observable in the files actually read: only one
-    # event_type=... directory survives planning
-    files = got.inputFiles()
-    assert files and all("event_type=click" in f for f in files)
+    # Pruning is observable in the executed scan's driver-side metrics: the
+    # FileSourceScanExec's "numPartitions" is the number of partition
+    # directories that survived planning.  (DataFrame.inputFiles() is NOT
+    # pruning-aware — it lists the unfiltered base relation — so it must not
+    # be used here.)
+    n_dirs = len(
+        [p for p in (tmp_path / "events_by_type").iterdir()
+         if p.name.startswith("event_type=")]
+    )
+    assert n_dirs > 1, "fixture must write multiple partition directories"
+    got.collect()
+    leaves = got._jdf.queryExecution().executedPlan().collectLeaves()
+    scans = [
+        leaves.apply(i)
+        for i in range(leaves.size())
+        if leaves.apply(i).getClass().getSimpleName() == "FileSourceScanExec"
+    ]
+    assert scans, "expected a FileSourceScanExec leaf in the executed plan"
+    assert scans[0].metrics().apply("numPartitions").value() == 1
     assert got.count() == events.filter("event_type = 'click'").count()
