@@ -40,7 +40,7 @@ FRAME_SAMPLES = 160
 def decode_image_real(payload: bytes) -> tuple[int, int]:
     """Real image decode -> (width, height), PIL-backed when available.
 
-    The seam tests (tests/test_multimodal_seam.py) install a fake PIL here
+    The seam tests (tests/test_source_seams.py) install a fake PIL here
     and assert the decode contract without the library; ``image_meta_real``
     is the operator that runs this per payload behind the same output
     schema as the fake path.

@@ -132,11 +132,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     full fact table with a shipdate cutoff.
 
     Per (l_returnflag, l_linestatus): sum/avg of quantity, base price,
-    discounted price, charge, discount, and the row count.  All sums run on
-    exact int64 (cents ×100-scaled per discount/tax factor) so partial-agg
-    order never changes a bit; each output double is ONE division performed
-    identically by both engines.  At 100 TB the per-row factor products
-    exceed int64 — swap the cents columns to DECIMAL(38,0); the plan
+    discounted price, charge, discount, and the row count.  All arithmetic
+    is exact integers so partial-agg order never changes a bit; each output
+    double is ONE division performed identically by both engines.  Per-row
+    products stay well inside int64, but the price/charge SUMS are
+    accumulated as DECIMAL(38,0): sum(ext*(100-disc)*(100+tax)) passes
+    int64 at roughly 5e7 rows (~SF 8) where Spark's non-ANSI sum would
+    wrap silently while DuckDB promotes to HUGEINT — DECIMAL keeps both
+    engines exact to 1e38 (far past 100 TB row counts).  The plan
     (scan-fused projection + one partial-agg shuffle on a 6-value key) is
     unchanged.
     """
@@ -147,11 +150,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc_100 = F.round(F.col("l_discount") * 100).cast("long")
     tax_100 = F.round(F.col("l_tax") * 100).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # overflow-proof accumulator
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(qty).alias("_sq"),
-        F.sum(ext_cents).alias("_sbp"),
-        F.sum(ext_cents * (F.lit(100) - disc_100)).alias("_sdp"),
-        F.sum(ext_cents * (F.lit(100) - disc_100) * (F.lit(100) + tax_100)).alias("_sc"),
+        F.sum(dec(ext_cents)).alias("_sbp"),
+        F.sum(dec(ext_cents * (F.lit(100) - disc_100))).alias("_sdp"),
+        F.sum(
+            dec(ext_cents * (F.lit(100) - disc_100) * (F.lit(100) + tax_100))
+        ).alias("_sc"),
         F.sum(disc_100).alias("_sd"),
         F.count("*").cast("long").alias("count_order"),
     )

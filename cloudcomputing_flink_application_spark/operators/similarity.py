@@ -36,10 +36,25 @@ def _dot(u: Column, v: Column) -> Column:
     )
 
 
-def _normed(embeddings: DataFrame) -> DataFrame:
+def _normed(embeddings: DataFrame, spread: bool = True) -> DataFrame:
     # nrm > 0 excludes zero vectors: cosine is undefined for them, and the
     # engines disagree on 0/0 (Spark non-ANSI NULL vs DuckDB NaN) — the
     # filter is the portable convention, mirrored in every oracle's e CTE.
+    # Repartition BEFORE the fold projection (spread=True, the corpus
+    # side): a one-file parquet scan is a single partition, and the norm
+    # folds plus the downstream broadcast-join dot products would
+    # otherwise run in ONE task (the same single-partition-prep pathology
+    # _token_sets dodges).  Explicit numPartitions — AQE never coalesces a
+    # user repartition.  Query branches pass spread=False: they are
+    # stride-filtered to a handful of rows, where a 32-way shuffle is pure
+    # scheduling overhead.
+    if spread:
+        # Hash on vec_id (not round-robin): downstream per-vector windows /
+        # aggregations require ClusteredDistribution(vec_id), which this
+        # partitioning already satisfies — broadcast joins preserve it, so
+        # e.g. the IVF assignment ranking needs NO further exchange.
+        nparts = embeddings.sparkSession.sparkContext.defaultParallelism
+        embeddings = embeddings.repartition(nparts, F.col("vec_id"))
     e = embeddings.select(
         "vec_id",
         "label",
@@ -57,7 +72,13 @@ def cosine_topk(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
     (cos desc, neighbor_id asc), self excluded.
     """
     base = _normed(embeddings)
-    queries = base.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    # Stride-filter BEFORE the norm pipeline: the query branch is a second
+    # scan of the corpus, and filtering first means it folds 1/STRIDE of
+    # the rows instead of all of them (the % predicate is cheap per row;
+    # the 64-element dot fold is not).  Same row set either order.
+    queries = _normed(
+        embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
@@ -172,14 +193,25 @@ def cosine_topk_ivf(embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE) 
     operator's contract, and its oracle mirrors it).
     """
     base = _normed(embeddings)
-    min_ids = base.groupBy("label").agg(F.min("vec_id").alias("cvec"))
+    # Codebook in ONE aggregation pass: min_by pulls the minimum-vec_id
+    # row's vector directly, replacing r2's groupBy-min + join-back (two
+    # corpus passes).  It is consumed twice (vector assignment + query
+    # probing) but NOT persisted: AQE stage reuse already shares the
+    # identical aggregation stage between the two consumers, and a persist
+    # here measurably costs more in cache-write overhead and block races
+    # than it saves (r3 measured +0.4 s at sf0.1).
     centroids = (
-        min_ids.join(base.select(F.col("vec_id").alias("cvec"),
-                                 F.col("emb").alias("cemb"),
-                                 F.col("nrm").alias("cnrm")), "cvec")
-        .select(F.col("label").alias("cluster"), "cemb", "cnrm")
+        base.groupBy("label")
+        .agg(F.min_by(F.struct("emb", "nrm"), "vec_id").alias("c"))
+        .select(
+            F.col("label").alias("cluster"),
+            F.col("c.emb").alias("cemb"),
+            F.col("c.nrm").alias("cnrm"),
+        )
     )
-    # assignment: every vector -> nearest centroid (cos desc, cluster asc)
+    # assignment: every vector -> nearest centroid (cos desc, cluster asc).
+    # At production scale ``assigned`` is the one-time IVF index artifact
+    # written to storage; here it is consumed once, so no persist.
     asg_scored = F.broadcast(centroids).join(base, how="cross").select(
         "vec_id", "emb", "nrm", "cluster",
         (_dot(F.col("cemb"), F.col("emb")) / (F.col("cnrm") * F.col("nrm"))).alias("ccos"),
@@ -190,8 +222,12 @@ def cosine_topk_ivf(embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE) 
         .filter(F.col("arank") == 1)
         .select("vec_id", "emb", "nrm", "cluster")
     )
-    # probing: every query -> its nprobe nearest clusters
-    queries = base.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+    # probing: every query -> its nprobe nearest clusters.  Stride-filter
+    # before the norm pipeline (see cosine_topk): this branch folds only
+    # 1/STRIDE of the corpus.
+    queries = _normed(
+        embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
@@ -206,8 +242,10 @@ def cosine_topk_ivf(embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE) 
         .filter(F.col("prank") <= nprobe)
         .select("query_id", "qemb", "qnrm", "cluster")
     )
-    # search only the probed inverted lists
-    scored = probes.join(assigned, "cluster").filter(
+    # search only the probed inverted lists; the probe side is tiny
+    # (|queries| x nprobe rows) — broadcast it so the inverted lists never
+    # shuffle.
+    scored = F.broadcast(probes).join(assigned, "cluster").filter(
         F.col("vec_id") != F.col("query_id")
     ).select(
         "query_id",

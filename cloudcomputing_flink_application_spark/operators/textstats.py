@@ -261,12 +261,21 @@ def token_freq(documents: DataFrame, k: int = TOKEN_FREQ_K) -> DataFrame:
     # top-k per partition, then a k-row merge; a global row_number window
     # here would instead drag the whole vocabulary to one partition.
     top = counts.orderBy(F.desc("n"), F.asc("token")).limit(k)
-    # Constant partition key: the rank window runs over <= k rows (post-
-    # limit, already a single partition), and the explicit key keeps
-    # WindowExec from logging its global-sort warning — which elsewhere in
-    # this engine flags a REAL scale problem and must stay meaningful.
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("n"), F.asc("token"))
-    return top.withColumn("rank", F.row_number().over(w)).select("token", "n", "rank")
+    # Rank WITHOUT a Window node: a global row_number would plan a
+    # WindowExec whose "No Partition Defined" warning elsewhere in this
+    # engine flags a REAL scale problem and must stay meaningful (a foldable
+    # partition key like lit(0) does NOT dodge it — FoldablePropagation
+    # strips it and the physical node still has an empty partition spec).
+    # The top-k frame is <= k rows in one partition (GlobalLimit output;
+    # coalesce(1) pins the invariant), so after an in-partition sort the
+    # row position IS the rank: monotonically_increasing_id() on partition 0
+    # is the contiguous row index 0..k-1.
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.desc("n"), F.asc("token"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+        .select("token", "n", "rank")
+    )
 
 
 TOKEN_FREQ_SQL = f"""

@@ -267,6 +267,28 @@ def exact_dedup_stream(documents: DataFrame) -> DataFrame:
     ).dropDuplicates(["text_md5"])
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """Explicit FS existence probe (works for local paths and cluster FS)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
+    """Idempotent micro-batch sink: rows land under ``batch_id=<N>/`` and a
+    replay of the same batch OVERWRITES only that partition (dynamic
+    partition overwrite), so at-least-once ``foreachBatch`` delivery never
+    duplicates output rows."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def run_minhash_dedup_stream(
     spark,
     documents: DataFrame,
@@ -291,6 +313,17 @@ def run_minhash_dedup_stream(
     construction, with jaccard verification deferred to a batch pass
     (minhash_lsh_dedup / minhash_cluster_dedup) exactly as a production
     ingest dedup splits the work.
+
+    Fault tolerance: ``foreachBatch`` is at-least-once, so both sinks are
+    keyed by ``batch_id`` (partition column) and written with DYNAMIC
+    partition overwrite — a replayed batch replaces its own partitions
+    instead of appending duplicates, and the bucket-store probe reads only
+    ``batch_id < current``, so a replay sees exactly the pre-batch state
+    even if the failed attempt half-wrote its partition.  A missing bucket
+    store is detected with an explicit filesystem probe; any OTHER read
+    failure (corruption, permissions, schema drift) propagates instead of
+    being silently treated as "first batch" (which would drop all
+    cross-batch state and emit wrong is_dup=false flags).
     """
     from cloudcomputing_flink_application_spark.operators.dedup import band_rows
 
@@ -303,11 +336,15 @@ def run_minhash_dedup_stream(
                 .filter(F.col("rep") < F.col("doc_id"))
                 .select("doc_id")
             )
-            try:
-                seen = spark.read.parquet(bands_dir).select("band", "key")
+            if _hadoop_path_exists(spark, bands_dir):
+                seen = (
+                    spark.read.parquet(bands_dir)
+                    .filter(F.col("batch_id") < F.lit(batch_id))
+                    .select("band", "key")
+                )
                 prior = b.join(seen, ["band", "key"], "leftsemi").select("doc_id")
                 dup_ids = within.union(prior)
-            except Exception:  # first batch: no bucket store yet
+            else:  # first batch: no bucket store yet
                 dup_ids = within
             flags = (
                 batch_df.select("doc_id")
@@ -320,8 +357,10 @@ def run_minhash_dedup_stream(
                     "doc_id", F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup")
                 )
             )
-            flags.write.mode("append").parquet(output_dir)
-            b.select("band", "key").distinct().write.mode("append").parquet(bands_dir)
+            _write_batch_partition(flags, batch_id, output_dir)
+            _write_batch_partition(
+                b.select("band", "key").distinct(), batch_id, bands_dir
+            )
         finally:
             b.unpersist()
 
@@ -354,7 +393,9 @@ def run_decontam_stream(
 
     Scale: the per-batch plan is the batch plan — the bench side stays
     KB..MB broadcast at any corpus size; the stream side shuffles only the
-    micro-batch.  Emits parquet rows to ``output_dir``.
+    micro-batch.  Emits parquet rows to ``output_dir``, batch_id-partitioned
+    with dynamic overwrite so at-least-once replays never duplicate rows
+    (see run_minhash_dedup_stream).
     """
     from cloudcomputing_flink_application_spark.operators.pipeline import (
         decontaminate,
@@ -362,7 +403,7 @@ def run_decontam_stream(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = decontaminate(bench_docs.unionByName(batch_df))
-        out.write.mode("append").parquet(output_dir)
+        _write_batch_partition(out, batch_id, output_dir)
 
     return (
         documents.writeStream.foreachBatch(process)

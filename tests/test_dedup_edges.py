@@ -94,7 +94,7 @@ def test_exact_cosine_row_guard_trips(spark):
 def test_ngram_shuffle_path_matches_broadcast(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     via_broadcast = rows_set(dedup.ngram_jaccard_dedup(docs))
-    via_shuffle = rows_set(dedup.ngram_jaccard_dedup(docs, broadcast_max_rows=0))
+    via_shuffle = rows_set(dedup.ngram_jaccard_dedup(docs, broadcast_max_bytes=0))
     assert via_broadcast == via_shuffle and len(via_broadcast) > 0
 
 
@@ -102,7 +102,7 @@ def test_ngram_salted_shuffle_path_matches(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = rows_set(dedup.ngram_jaccard_dedup(docs))
     salted = rows_set(
-        dedup.ngram_jaccard_dedup(docs, salt=4, broadcast_max_rows=0)
+        dedup.ngram_jaccard_dedup(docs, salt=4, broadcast_max_bytes=0)
     )
     assert base == salted
 
@@ -157,6 +157,32 @@ def test_connected_components_long_chain_converges(spark):
 def test_connected_components_empty_edges(spark):
     edges = spark.createDataFrame([], "u: long, v: long")
     assert dedup.connected_components(edges).count() == 0
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    # With a checkpoint dir configured (cluster FS in production), rounds
+    # must use RELIABLE checkpoint() — snapshot files land in the dir and
+    # the result is unchanged.  Without one, localCheckpoint is the
+    # (executor-local) fallback.
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        edges = spark.createDataFrame(
+            [(2, 1), (3, 2), (4, 3), (11, 10)], "u: long, v: long"
+        )
+        out = rows_set(dedup.connected_components(edges))
+        assert out == {(2, 1), (3, 1), (4, 1), (11, 10)}
+        ckpt_files = [
+            p for p in (tmp_path / "ckpt").rglob("*") if p.is_file()
+        ]
+        assert ckpt_files, "reliable checkpoint wrote no snapshot files"
+    finally:
+        # reset for other tests ($-mangled Scala setter needs getattr)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
 
 
 def test_cc_dedup_refines_one_round_assignment(spark, sf_dir):

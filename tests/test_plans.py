@@ -98,7 +98,7 @@ def test_ngram_big_corpus_path_is_shuffle_join(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = ngram_jaccard_dedup(docs, broadcast_max_rows=0)
+        df = ngram_jaccard_dedup(docs, broadcast_max_bytes=0)
         plan = physical_plan(df)
         assert "SortMergeJoin" in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan

@@ -293,11 +293,31 @@ def test_minhash_dedup_stream_matches_batch(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    streamed = rows_set(spark.read.parquet(out_dir))
+    streamed = rows_set(spark.read.parquet(out_dir).select("doc_id", "is_dup"))
     batch = rows_set(minhash_band_flags(docs))
     assert streamed == batch
     assert len(streamed) == docs.count()
     assert any(d for _, d in streamed)  # corpus has real near-dups
+
+    # At-least-once replay idempotence: wipe the CHECKPOINT (not the sinks)
+    # and re-run the whole stream — every batch replays against the
+    # populated stores.  batch_id-scoped dynamic overwrite + the
+    # batch_id < current bucket-store probe must leave the output
+    # bit-identical, not doubled / poisoned by the first run's buckets.
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "chk"))
+    q2 = jobs.run_minhash_dedup_stream(
+        spark, stream, out_dir,
+        str(tmp_path / "chk"), str(tmp_path / "bands"),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    replayed = rows_set(spark.read.parquet(out_dir).select("doc_id", "is_dup"))
+    assert replayed == batch
+    assert spark.read.parquet(out_dir).count() == docs.count()
 
 
 def test_sessionize_stream_matches_batch(spark, tmp_path):
@@ -385,7 +405,8 @@ def test_decontam_stream_matches_batch(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    streamed = rows_set(spark.read.parquet(out_dir))
-    batch = rows_set(decontaminate(docs))
+    batch_df = decontaminate(docs)
+    streamed = rows_set(spark.read.parquet(out_dir).select(*batch_df.columns))
+    batch = rows_set(batch_df)
     assert streamed == batch
     assert any(r[-1] for r in streamed)  # corpus has real contamination
