@@ -31,6 +31,35 @@ TRIGRAM_JACCARD = 0.5
 COSINE_DUP = 0.4
 
 
+# --- persisted-frame registry ------------------------------------------------
+
+#: Frames persisted by the operators below.  The operators return LAZY
+#: DataFrames, so they cannot unpersist after "the" action themselves — the
+#: action happens after they return, and the CacheManager dedups repeated
+#: plans.  Long-lived sessions processing many DIFFERENT corpora should call
+#: :func:`release_cached` (or ``spark.catalog.clearCache()``, which bench.py
+#: does between queries) so executor storage does not grow without bound.
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every frame the dedup operators have cached.
+
+    The explicit release handle for long-lived sessions: calling this after
+    consuming an operator's output frees executor storage without nuking
+    unrelated cache entries the way ``spark.catalog.clearCache()`` does.
+    Unpersisting a frame that clearCache already dropped is a no-op.
+    """
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
+
 # --- exact -------------------------------------------------------------------
 
 
@@ -197,7 +226,8 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     function exits, and the CacheManager dedups repeat calls on the same
     input by canonical plan.  Long-lived sessions running many DIFFERENT
     corpora should release entries between corpora with
-    ``spark.catalog.clearCache()`` (what bench.py does per run).
+    :func:`release_cached` (targeted) or ``spark.catalog.clearCache()``
+    (what bench.py does per run).
     """
     # Materialize the expensive prep ONCE: tokset feeds the band self-join
     # (twice) and the ta/tb verify sides (twice more) — without persist the
@@ -206,7 +236,7 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     # 56-bit longs / 3-int band rows); MEMORY_AND_DISK spills under pressure,
     # and the CacheManager dedups by canonical plan so repeated calls (or the
     # cluster variant below) share entries instead of stacking copies.
-    toks = _token_sets(documents).persist()
+    toks = _persist(_token_sets(documents))
     sigs = toks.select("doc_id", *[c for c in X.minhash_sig(F.col("tokset"))])
     bands = sigs.select(
         "doc_id",
@@ -218,7 +248,8 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key").persist()
+    ).select("doc_id", "bk.band", "bk.key")
+    bands = _persist(bands)
     cands = (
         bands.alias("a")
         .join(
@@ -308,13 +339,14 @@ def _verified_star_edges(documents: DataFrame) -> DataFrame:
     document links only to the MIN doc_id of every band bucket it lands in
     (never O(bucket²) pairs), and only those star edges pay the set-intersect
     verify cost.  Caching contract: same as minhash_lsh_dedup — entries are
-    released by ``spark.catalog.clearCache()``, not by this function.
+    released by :func:`release_cached` / ``spark.catalog.clearCache()``,
+    not by this function.
     """
     # Same persist rationale as minhash_lsh_dedup: tokset feeds the band
     # pipeline once and the ta/tb verify sides twice; the cached plan is
     # identical to the LSH variant's, so a session running both shares ONE
     # cache entry.
-    toks = _token_sets(documents).persist()
+    toks = _persist(_token_sets(documents))
     sigs = toks.select("doc_id", *[c for c in X.minhash_sig(F.col("tokset"))])
     bands = sigs.select(
         "doc_id",
@@ -591,9 +623,10 @@ def simhash_dedup(documents: DataFrame) -> DataFrame:
 
     Caching contract: the band frame is ``persist()``-ed (it feeds both
     self-join sides; without it the tokenize->hash->simhash fold recomputes
-    twice).  Entries are released by ``spark.catalog.clearCache()`` or a
-    session stop; long-lived sessions calling this on many distinct inputs
-    should clear between corpora.
+    twice).  Entries are released by :func:`release_cached` (the targeted
+    handle), ``spark.catalog.clearCache()``, or a session stop; long-lived
+    sessions calling this on many distinct inputs should release between
+    corpora.
     """
     # Repartition BEFORE the per-row hash/fold projection (a one-file scan
     # is one partition — see _token_sets) and persist the band frame so the
@@ -619,7 +652,8 @@ def simhash_dedup(documents: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sh", "bk.band", "bk.key").persist()
+    ).select("doc_id", "sh", "bk.band", "bk.key")
+    bands = _persist(bands)
     pairs = (
         bands.alias("a")
         .join(

@@ -197,3 +197,26 @@ def test_cc_dedup_refines_one_round_assignment(spark, sf_dir):
     j = cc.join(one, "doc_id")
     assert j.filter(F.col("cc.cluster_id") > F.col("one.cluster_id")).count() == 0
     assert j.filter(F.col("one.is_dup") & ~F.col("cc.is_dup")).count() == 0
+
+
+def test_release_cached_unpersists_registry(spark):
+    # The operators persist prep frames and return lazy results, so release
+    # is the caller's job: release_cached() must drop every registered
+    # frame's storage without touching unrelated cache entries.
+    dedup.release_cached()  # start clean
+    other = spark.createDataFrame([(1,)], "x: long").persist()
+    other.count()
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i % 3}") for i in range(20)], DOC_COLS
+    )
+    dedup.minhash_lsh_dedup(docs).count()
+    dedup.simhash_dedup(docs).count()
+    assert dedup._CACHED, "operators registered no persisted frames"
+    assert any(f.storageLevel.useMemory for f in dedup._CACHED)
+    cached = list(dedup._CACHED)
+    dedup.release_cached()
+    assert not dedup._CACHED
+    assert all(not f.storageLevel.useMemory for f in cached)
+    # targeted release: the unrelated frame is still cached
+    assert other.storageLevel.useMemory
+    other.unpersist()
