@@ -99,6 +99,111 @@ FROM by_hash b JOIN canon c USING (h)
 # --- MinHash + LSH -----------------------------------------------------------
 
 
+def _exact_groups(
+    documents: DataFrame, null_distinct: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact-duplicate texts before LSH banding.
+
+    Returns ``(reps, members)``: ``reps`` keeps ONE row per distinct text
+    (the min doc_id of its md5 group) and ``members`` maps every doc_id to
+    its group's canonical id.  Banding then sees each text once, so the
+    degenerate corpus — the same boilerplate text x 100k copies, common in
+    real crawls — contributes a single row per band bucket instead of
+    turning the bucket self-join into O(k²) candidate pairs inside one
+    task.  Duplicate mass re-enters only as the final pair expansion,
+    which is plain join fan-out with no per-pair verify cost.
+
+    ``null_distinct=True`` keeps NULL text in its own group instead of
+    folding it into ``''``: simhash distinguishes them (NULL text yields a
+    NULL signature that never equi-joins; ``''`` yields a defined
+    signature that does), while the minhash path drops both before
+    banding, so there the fold is harmless.
+
+    One shuffle: hash-repartition by the group key, then the window's
+    partitioning requirement is already satisfied (same canonical
+    expression), so min-per-group adds no second exchange.  The md5 key is
+    non-nullable by construction, keeping inferred isnotnull constraints
+    foldable (the InferFiltersFromConstraints pathology — see
+    _token_sets).
+    """
+    if null_distinct:
+        key = F.coalesce(F.md5(F.col("text")), F.lit("<null-text>"))
+    else:
+        key = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    # ONE persisted frame feeds both branches: members (expansion joins,
+    # read 2-3x) and reps (the banding pipeline) — without it the
+    # repartition+window recomputes per consumer.  gsize rides the same
+    # window partition for free and lets the expansion touch ONLY
+    # multi-member groups (singletons expand to themselves).
+    w = Window.partitionBy(key)
+    tagged = _persist(
+        documents.repartition(nparts, key).select(
+            "doc_id",
+            "text",
+            F.min("doc_id").over(w).alias("canon"),
+            F.count(F.lit(1)).over(w).alias("gsize"),
+        )
+    )
+    members = tagged.select("doc_id", "canon", "gsize")
+    reps = tagged.filter(F.col("doc_id") == F.col("canon")).select(
+        "doc_id", "text"
+    )
+    return reps, members
+
+
+def _expand_pairs(
+    rep_pairs: DataFrame, members: DataFrame, score_col: str
+) -> DataFrame:
+    """Expand canonical-rep pairs back to all member pairs.
+
+    Every member of group A pairs with every member of group B at the
+    reps' score (identical texts have identical signatures and token
+    sets, so the score is exactly the one the uncollapsed pipeline would
+    compute).  Only multi-member groups join (a singleton's sole member IS
+    its rep — coalesce keeps the rep id), so the join's build side is the
+    duplicate mass only, not one row per document: small enough for a
+    runtime broadcast on realistic corpora, and the big pair frame is
+    never shuffled just to map singletons to themselves.  Output keeps
+    doc_a < doc_b; cross-group pairs can order either way once expanded,
+    hence least/greatest.
+    """
+    dup = members.filter(F.col("gsize") > 1)
+    ma = dup.select(F.col("canon").alias("doc_a"), F.col("doc_id").alias("_ia"))
+    mb = dup.select(F.col("canon").alias("doc_b"), F.col("doc_id").alias("_ib"))
+    a = F.coalesce("_ia", F.col("doc_a"))
+    b = F.coalesce("_ib", F.col("doc_b"))
+    return (
+        rep_pairs.join(ma, "doc_a", "left")
+        .join(mb, "doc_b", "left")
+        .select(
+            F.least(a, b).alias("doc_a"),
+            F.greatest(a, b).alias("doc_b"),
+            score_col,
+        )
+    )
+
+
+def _intra_group_pairs(members: DataFrame, live_canon: DataFrame) -> DataFrame:
+    """All within-group pairs ``(doc_a, doc_b)`` for groups whose canonical
+    rep appears in ``live_canon`` (a one-column ``canon`` frame naming the
+    groups that would actually emit pairs — nonempty token sets for
+    minhash, non-NULL signatures for simhash).  Singleton groups have no
+    within-group pairs, so only the duplicate mass enters the self-join."""
+    ne = members.filter(F.col("gsize") > 1).join(
+        live_canon, "canon", "left_semi"
+    )
+    return (
+        ne.alias("x")
+        .join(ne.alias("y"), "canon")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+    )
+
+
 def _token_sets(documents: DataFrame) -> DataFrame:
     # Repartition BEFORE the tokenize/hash projection: a single-file parquet
     # scan is one partition, and computing per-doc arrays there would
@@ -211,14 +316,19 @@ MINHASH_BAND_FLAGS_SQL = _minhash_band_flags_sql()
 def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact jaccard.
 
-    Pipeline: token sets -> 16-perm MinHash signature (per-row array math,
-    fuses into the scan) -> 4 bands of 4 -> self-join per band bucket ->
-    exact jaccard >= 0.9 on the candidate set.  Scale: the only joins are
-    equi-joins on band keys; bucket sizes bound the pair blowup, and the
-    verify join touches candidates only — never all pairs.
+    Pipeline: exact-duplicate collapse (one rep per distinct text) ->
+    token sets -> 16-perm MinHash signature (per-row array math, fuses
+    into the scan) -> 4 bands of 4 -> self-join per band bucket -> exact
+    jaccard >= 0.9 on the candidate set -> expand rep pairs back to all
+    member pairs.  Scale: the only joins are equi-joins on band keys over
+    UNIQUE texts, so bucket width is bounded by genuinely-distinct
+    near-dup texts — identical-text mass (the degenerate crawl corpus)
+    never enters a bucket and re-appears only as join fan-out in the
+    final expansion.  The verify join touches rep candidates only.
 
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b, de-duplicated across
-    bands.
+    bands.  Identical-text pairs carry jaccard 1.0 — exactly what the
+    uncollapsed pipeline computes for them (same token sets).
 
     Caching contract: the token-set and band frames are ``persist()``-ed
     (see below) and deliberately NOT unpersisted here — the operator
@@ -236,7 +346,8 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     # 56-bit longs / 3-int band rows); MEMORY_AND_DISK spills under pressure,
     # and the CacheManager dedups by canonical plan so repeated calls (or the
     # cluster variant below) share entries instead of stacking copies.
-    toks = _persist(_token_sets(documents))
+    reps, members = _exact_groups(documents)
+    toks = _persist(_token_sets(reps))
     sigs = toks.select("doc_id", *[c for c in X.minhash_sig(F.col("tokset"))])
     bands = sigs.select(
         "doc_id",
@@ -287,7 +398,21 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     )
     # Barrier: without it the jaccard filter inlines into the verify join
     # and each intersect evaluates up to 4x per candidate pair.
-    return filter_after_barrier(scored, "doc_a", F.col("jaccard") >= MINHASH_JACCARD)
+    rep_pairs = filter_after_barrier(
+        scored, "doc_a", F.col("jaccard") >= MINHASH_JACCARD
+    )
+    cross = _expand_pairs(rep_pairs, members, "jaccard")
+    # Within a group every pair is an exact dup at jaccard 1.0 — but only
+    # for groups the uncollapsed pipeline would band at all (nonempty
+    # tokset; an empty set yields NULL band keys and a NULL 0/0 jaccard,
+    # emitting nothing).
+    live = toks.filter(F.col("nset") > 0).select(
+        F.col("doc_id").alias("canon")
+    )
+    intra = _intra_group_pairs(members, live).withColumn(
+        "jaccard", F.lit(1.0)
+    )
+    return cross.unionByName(intra)
 
 
 def _minhash_lsh_sql() -> str:
@@ -619,6 +744,12 @@ def simhash_dedup(documents: DataFrame) -> DataFrame:
 
     Candidates share at least one of 4 8-bit bands (pigeonhole: hamming <=
     3 guarantees a shared band; we verify at <= SIMHASH_MAX_HAMMING).
+    Exact duplicates are collapsed to one rep per distinct text BEFORE
+    banding (see _exact_groups: identical-text mass would otherwise make a
+    band-bucket self-join O(k²) in one task) and expanded back afterward —
+    within-group pairs are hamming 0 by construction, cross-group pairs
+    inherit the reps' hamming.  NULL text stays its own group: its NULL
+    signature never equi-joins, matching the uncollapsed pipeline.
     Output: (doc_a, doc_b, hamming).
 
     Caching contract: the band frame is ``persist()``-ed (it feeds both
@@ -632,9 +763,10 @@ def simhash_dedup(documents: DataFrame) -> DataFrame:
     # is one partition — see _token_sets) and persist the band frame so the
     # signature pipeline runs ONCE, not once per self-join side.  Mirrors
     # minhash_lsh_dedup's prep persist; same measured pathology.
+    reps, members = _exact_groups(documents, null_distinct=True)
     nparts = documents.sparkSession.sparkContext.defaultParallelism
     sigs = (
-        documents.repartition(nparts)
+        reps.repartition(nparts)
         .select("doc_id", X.token_hashes(X.tokens("text")).alias("_th"))
         .select("doc_id", X.simhash_from_hashes(F.col("_th")).alias("sh"))
     )
@@ -670,7 +802,18 @@ def simhash_dedup(documents: DataFrame) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
-    return pairs
+    cross = _expand_pairs(pairs, members, "hamming")
+    # Groups with a defined signature emit all within-group pairs at
+    # hamming 0 (identical sig); a NULL-sig group (NULL text) emits none,
+    # exactly as its NULL band keys would never have equi-joined.
+    live = (
+        bands.filter(F.col("sh").isNotNull())
+        .select(F.col("doc_id").alias("canon"))
+    )
+    intra = _intra_group_pairs(members, live).withColumn(
+        "hamming", F.lit(0)
+    )
+    return cross.unionByName(intra)
 
 
 def _simhash_sql() -> str:

@@ -220,3 +220,81 @@ def test_release_cached_unpersists_registry(spark):
     # targeted release: the unrelated frame is still cached
     assert other.storageLevel.useMemory
     other.unpersist()
+
+
+def test_exact_groups_collapse_identical_mass(spark):
+    # 1000 identical docs must band as ONE row per band: the candidate
+    # self-join input is O(unique texts), never O(k) per bucket.
+    from cloudcomputing_flink_application_spark.functions import text as X
+
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere") for i in range(1000)],
+        DOC_COLS,
+    )
+    reps, members = dedup._exact_groups(docs)
+    assert reps.count() == 1
+    assert members.count() == 1000
+    # the exact band pipeline the operator runs over reps
+    assert dedup.band_rows(reps).count() == X.LSH_BANDS  # one row per band
+
+
+def test_minhash_lsh_degenerate_corpus_emits_all_pairs(spark):
+    # End-to-end on the degenerate corpus: every pair, jaccard exactly 1.0,
+    # via expansion — not via a quadratic band bucket.
+    k = 1000
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text everywhere") for i in range(k)], DOC_COLS
+    )
+    out = dedup.minhash_lsh_dedup(docs)
+    from pyspark.sql import functions as F
+
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.min("jaccard").alias("lo"),
+        F.max("jaccard").alias("hi"),
+        F.sum(F.when(F.col("doc_a") < F.col("doc_b"), 0).otherwise(1)).alias(
+            "bad_order"
+        ),
+    ).first()
+    assert agg.n == k * (k - 1) // 2
+    assert agg.lo == 1.0 and agg.hi == 1.0
+    assert agg.bad_order == 0
+    dedup.release_cached()
+
+
+def test_simhash_null_vs_empty_text_parity(spark):
+    # NULL text never pairs (NULL signature never equi-joins); '' pairs with
+    # '' at hamming 0.  The exact-group collapse must keep NULL and ''
+    # in SEPARATE groups or it would invent NULL-'' pairs.
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, ""),
+            (4, ""),
+            (5, "completely different text body"),
+        ],
+        DOC_COLS,
+    )
+    out = rows_set(dedup.simhash_dedup(docs))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, CAST(NULL AS VARCHAR)), (2, CAST(NULL AS VARCHAR)), "
+        "(3, ''), (4, ''), (5, 'completely different text body')"
+        ") t(doc_id, text)"
+    )
+    oracle = {tuple(r) for r in con.execute(dedup.SIMHASH_SQL).fetchall()}
+    assert out == oracle, f"spark={out} oracle={oracle}"
+    dedup.release_cached()
+
+
+def test_minhash_lsh_whitespace_only_group_emits_nothing(spark):
+    # Identical whitespace-only texts form an exact group but have empty
+    # token sets — the uncollapsed pipeline never bands them, so the
+    # expansion must not invent jaccard-1.0 pairs for them.
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "   "), (3, "real text here")], DOC_COLS
+    )
+    assert rows_set(dedup.minhash_lsh_dedup(docs)) == set()
+    dedup.release_cached()
