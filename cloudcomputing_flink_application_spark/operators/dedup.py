@@ -857,6 +857,25 @@ SIMHASH_SQL = _simhash_sql()
 NGRAM_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst-estimated size of ``df`` in bytes, or ``None`` when the
+    statistics are unreachable.
+
+    The estimate comes from the optimized plan's statistics (parquet
+    footers / catalog stats) — a metadata read, never a scan job.  The
+    only route to it from Python is the ``_jdf`` py4j handle, which is
+    NOT public PySpark surface and is absent under Spark Connect; any
+    failure therefore means "no statistics" and the caller must take its
+    safe non-broadcast path rather than crash.
+    """
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
 def ngram_jaccard_dedup(
     documents: DataFrame,
     salt: int = 1,
@@ -879,7 +898,9 @@ def ngram_jaccard_dedup(
     while it fits in one executor's memory, so it is gated on the input's
     ESTIMATED size from Catalyst plan statistics — a metadata read, never a
     count() scan job (``broadcast_max_bytes``; ``None``/0 forces the
-    shuffle path, the safe default when statistics are unavailable).
+    shuffle path, as does unavailable statistics — see _plan_size_bytes).
+    The budget is scaled down by ``salt`` because the build side is
+    replicated ``salt``× by the explode.
     Above the threshold the join is a shuffle equi-join on
     ``(source [, _salt])`` — the same keys a co-partitioned cluster join
     would bucket on, with per-block (and per-salt-split) parallelism.  Both
@@ -943,17 +964,16 @@ def ngram_jaccard_dedup(
         )
         join_cond = join_cond & (F.col("a._salt") == F.col("b._salt"))
     # Broadcast only under the statistics gate (plan-estimated bytes; zero
-    # jobs spent deciding).  Oversized corpora take the shuffle equi-join —
-    # Catalyst extracts (source [, _salt]) as the join keys and evaluates
-    # the inequality + size-prune as the join residual.
-    est_bytes = int(
-        documents._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
-    small_enough = (
-        broadcast_max_bytes is not None
-        and broadcast_max_bytes > 0
-        and est_bytes <= broadcast_max_bytes
-    )
+    # jobs spent deciding; est None — stats unreachable, e.g. Spark
+    # Connect — takes the shuffle path).  The budget is divided by salt:
+    # the build side is replicated salt× by the explode, so a corpus just
+    # under the raw threshold would otherwise broadcast salt× the budgeted
+    # bytes.  Oversized corpora take the shuffle equi-join — Catalyst
+    # extracts (source [, _salt]) as the join keys and evaluates the
+    # inequality + size-prune as the join residual.
+    budget = (broadcast_max_bytes or 0) // max(salt, 1)
+    est_bytes = _plan_size_bytes(documents)
+    small_enough = est_bytes is not None and 0 < est_bytes <= budget
     build_side = F.broadcast(build) if small_enough else build
     pairs = (
         probe.alias("a")

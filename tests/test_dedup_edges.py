@@ -298,3 +298,53 @@ def test_minhash_lsh_whitespace_only_group_emits_nothing(spark):
     )
     assert rows_set(dedup.minhash_lsh_dedup(docs)) == set()
     dedup.release_cached()
+
+
+def test_plan_size_bytes_survives_broken_private_api(spark):
+    # _jdf is not public surface (absent under Spark Connect): any failure
+    # must read as "no statistics", never crash the operator.
+    class Boom:
+        @property
+        def _jdf(self):
+            raise RuntimeError("no py4j bridge in this deployment")
+
+    assert dedup._plan_size_bytes(Boom()) is None
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert dedup._plan_size_bytes(docs) > 0
+
+
+def test_ngram_falls_back_to_shuffle_without_stats(spark, monkeypatch):
+    # Stats unreachable -> the gate must pick the shuffle equi-join and
+    # still produce the exact same pairs as the broadcast path.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = rows_set(dedup.ngram_jaccard_dedup(docs))
+    monkeypatch.setattr(dedup, "_plan_size_bytes", lambda df: None)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup.ngram_jaccard_dedup(docs)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert rows_set(df) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ngram_broadcast_budget_scales_with_salt(spark):
+    # The build side is replicated salt x by the explode: a corpus whose
+    # raw estimate fits the budget must still take the shuffle path when
+    # budget // salt no longer covers it.
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    est = dedup._plan_size_bytes(docs)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # budget covers the raw estimate, salt=1 -> broadcast
+        df1 = dedup.ngram_jaccard_dedup(docs, broadcast_max_bytes=est + 1)
+        assert "BroadcastExchange" in df1._jdf.queryExecution().executedPlan().toString()
+        # same budget, salt=4 -> replicated build no longer fits -> shuffle
+        df4 = dedup.ngram_jaccard_dedup(docs, salt=4, broadcast_max_bytes=est + 1)
+        assert "SortMergeJoin" in df4._jdf.queryExecution().executedPlan().toString()
+        assert rows_set(df1) == rows_set(df4)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
