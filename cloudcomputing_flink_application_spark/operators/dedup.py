@@ -599,6 +599,50 @@ MINHASH_CLUSTER_SQL = _minhash_cluster_sql()
 # --- connected components (full transitive closure of the dup graph) --------
 
 
+def _ckpt_fs(spark):
+    """(Path, FileSystem) for the session's checkpoint dir, or None."""
+    ckpt = spark.sparkContext.getCheckpointDir()
+    if ckpt is None:
+        return None
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(ckpt)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return p, fs
+
+
+def _ckpt_entries(spark) -> set[str]:
+    """Current snapshot dirs (rdd-N) under the session's checkpoint dir.
+
+    getCheckpointDir() already includes the per-SparkContext UUID, so the
+    listing never sees another application's snapshots.  Hadoop FS via the
+    py4j gateway — the same explicit-probe pattern as
+    streaming.jobs._hadoop_path_exists, and it works for cluster
+    filesystems, not just local paths.
+    """
+    handle = _ckpt_fs(spark)
+    if handle is None:
+        return set()
+    p, fs = handle
+    if not fs.exists(p):
+        return set()
+    return {st.getPath().toString() for st in fs.listStatus(p)}
+
+
+def _delete_ckpt_entries(spark, paths: set[str]) -> None:
+    """Recursively delete dead checkpoint snapshots (best effort: a failed
+    delete costs disk, never correctness — nothing replays through them)."""
+    handle = _ckpt_fs(spark)
+    if handle is None:
+        return
+    _, fs = handle
+    jvm = spark._jvm
+    for s in paths:
+        try:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(s), True)
+        except Exception:
+            pass
+
+
 def connected_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
     """Min-label connected components over an undirected edge list.
 
@@ -621,26 +665,53 @@ def connected_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
     so a lost executor replays from the FS snapshot instead of killing the
     job; without one it falls back to ``localCheckpoint`` (executor-local
     blocks — fine on local[n], fragile on a 1000-executor cluster).
+
+    Checkpoint hygiene on the reliable path: each frame is ``persist()``-ed
+    before ``checkpoint()`` (the write runs as a SECOND job over the RDD,
+    which would otherwise recompute the whole round's lineage), and the
+    snapshots of rounds that no longer back any live frame are deleted
+    eagerly at the end of each round — without that, Spark only removes
+    them under ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+    and GC pressure, and a long CC run grows the checkpoint dir by two
+    snapshots per round.  Only the RETURNED frame's snapshot outlives the
+    call (the caller's actions replay from it); that last one is subject
+    to the cleaner conf / session teardown.
+
     Convergence costs ONE action per round: the symmetric difference of two
     distinct frames is empty iff the edge set is stable.  Deterministic:
     every operation is a min.
     """
+    spark = edges.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
 
     def _truncate(df: DataFrame) -> DataFrame:
-        if df.sparkSession.sparkContext.getCheckpointDir() is not None:
-            return df.checkpoint()
+        if reliable:
+            # Cache first: checkpoint() materializes with one job, then
+            # writes the snapshot with a second — persisted blocks make the
+            # second job a cache read instead of a full recompute.
+            df.persist()
+            try:
+                return df.checkpoint()
+            finally:
+                df.unpersist()
         return df.localCheckpoint()
 
+    def _snapshots() -> set[str]:
+        return _ckpt_entries(spark) if reliable else set()
+
     u, v = edges.columns[0], edges.columns[1]
+    pre0 = _snapshots()
     cur = _truncate(
         edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    cur_snaps = _snapshots() - pre0
     for _ in range(max_rounds):
         # large-star: every neighbor LARGER than u links to min(N(u) + {u}).
         nbrs = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
+        pre = _snapshots()
         large = _truncate(
             nbrs.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
@@ -651,6 +722,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
+        mid = _snapshots()
         # small-star: orient (larger, smaller); relink every smaller
         # neighbor (and u itself) to the minimum of the oriented
         # neighborhood.
@@ -665,13 +737,21 @@ def connected_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
+        post = _snapshots()
         # Converged when the edge set is stable.  Both frames are distinct,
         # so set equality == empty SYMMETRIC difference — one action per
         # round (the old count()+exceptAll().isEmpty() pair ran two jobs).
-        if small.exceptAll(cur).union(cur.exceptAll(small)).isEmpty():
-            cur = small
-            break
+        # The action still reads cur, so dead snapshots are deleted AFTER.
+        converged = small.exceptAll(cur).union(cur.exceptAll(small)).isEmpty()
+        if reliable:
+            # Dead after this round: the previous cur's snapshot and the
+            # intermediate large-star's (small is checkpointed, so nothing
+            # replays through them anymore).
+            _delete_ckpt_entries(spark, cur_snaps | (mid - pre))
+            cur_snaps = post - mid
         cur = small
+        if converged:
+            break
     else:  # pragma: no cover - O(log n) bound makes this unreachable
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
     return cur.select(F.col("u").alias("node"), F.col("v").alias("root"))

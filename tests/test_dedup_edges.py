@@ -172,12 +172,21 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         edges = spark.createDataFrame(
             [(2, 1), (3, 2), (4, 3), (11, 10)], "u: long, v: long"
         )
-        out = rows_set(dedup.connected_components(edges))
+        res = dedup.connected_components(edges)
+        out = rows_set(res)
         assert out == {(2, 1), (3, 1), (4, 1), (11, 10)}
         ckpt_files = [
             p for p in (tmp_path / "ckpt").rglob("*") if p.is_file()
         ]
         assert ckpt_files, "reliable checkpoint wrote no snapshot files"
+        # Hygiene: dead rounds' snapshots are deleted eagerly — only the
+        # RETURNED frame's snapshot may remain (one rdd-N dir), and the
+        # frame must still be consumable after the cleanup.
+        snap_dirs = [
+            p for p in (tmp_path / "ckpt").rglob("rdd-*") if p.is_dir()
+        ]
+        assert len(snap_dirs) == 1, f"leaked snapshots: {snap_dirs}"
+        assert rows_set(res) == out
     finally:
         # reset for other tests ($-mangled Scala setter needs getattr)
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
