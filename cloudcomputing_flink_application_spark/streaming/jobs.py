@@ -275,6 +275,45 @@ def _hadoop_path_exists(spark, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def _committed_batch_data_exists(spark, path: str) -> bool:
+    """True iff ``path`` holds at least one COMMITTED batch-partition data
+    file (``batch_id=*/part-*``).
+
+    A bare directory-exists probe permanently wedges the stream when a
+    crash during the FIRST batch's write leaves the directory with only
+    uncommitted content (``_temporary``): every replay would see the dir,
+    attempt parquet schema inference over zero committed files, and fail
+    again.  Globbing for committed task output makes that case read as
+    "first batch" and recover; any real committed state still matches.
+    """
+    jvm = spark._jvm
+    pattern = jvm.org.apache.hadoop.fs.Path(
+        path.rstrip("/") + "/batch_id=*/part-*"
+    )
+    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+    matches = fs.globStatus(pattern)
+    return matches is not None and len(matches) > 0
+
+
+def _prune_stale_batch_partitions(spark, path: str) -> None:
+    """Delete every ``batch_id=*`` partition under ``path``.
+
+    Called on batch 0 only: dynamic partition overwrite replaces a
+    replayed batch's OWN partition but never removes partitions a prior
+    run wrote under a different checkpoint (fresh-checkpoint reruns
+    renumber batches from 0, so a previous run's higher batch_ids would
+    linger as stale state and duplicate rows).  On a same-checkpoint
+    replay of batch 0 no later partitions exist yet, so the prune is a
+    no-op beyond the partition the overwrite would replace anyway.
+    """
+    jvm = spark._jvm
+    pattern = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/batch_id=*")
+    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+    matches = fs.globStatus(pattern)
+    for st in matches or []:
+        fs.delete(st.getPath(), True)
+
+
 def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
     """Idempotent micro-batch sink: rows land under ``batch_id=<N>/`` and a
     replay of the same batch OVERWRITES only that partition (dynamic
@@ -320,14 +359,23 @@ def run_minhash_dedup_stream(
     instead of appending duplicates, and the bucket-store probe reads only
     ``batch_id < current``, so a replay sees exactly the pre-batch state
     even if the failed attempt half-wrote its partition.  A missing bucket
-    store is detected with an explicit filesystem probe; any OTHER read
-    failure (corruption, permissions, schema drift) propagates instead of
-    being silently treated as "first batch" (which would drop all
-    cross-batch state and emit wrong is_dup=false flags).
+    store is detected with an explicit filesystem glob for COMMITTED
+    batch-partition data files (a bare dir-exists probe would wedge the
+    stream forever if a first-batch crash left only ``_temporary``
+    content); any OTHER read failure (corruption, permissions, schema
+    drift) propagates instead of being silently treated as "first batch"
+    (which would drop all cross-batch state and emit wrong is_dup=false
+    flags).  On batch 0 both sinks prune stale ``batch_id=*`` partitions
+    left by a prior run under a different checkpoint.
     """
     from cloudcomputing_flink_application_spark.operators.dedup import band_rows
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            # Fresh-checkpoint rerun over a dirty sink: batches renumber
+            # from 0, so partitions a previous run wrote would linger.
+            _prune_stale_batch_partitions(spark, output_dir)
+            _prune_stale_batch_partitions(spark, bands_dir)
         b = band_rows(batch_df).persist()
         try:
             w = SparkWindow.partitionBy("band", "key")
@@ -336,7 +384,7 @@ def run_minhash_dedup_stream(
                 .filter(F.col("rep") < F.col("doc_id"))
                 .select("doc_id")
             )
-            if _hadoop_path_exists(spark, bands_dir):
+            if _committed_batch_data_exists(spark, bands_dir):
                 seen = (
                     spark.read.parquet(bands_dir)
                     .filter(F.col("batch_id") < F.lit(batch_id))
@@ -402,6 +450,8 @@ def run_decontam_stream(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            _prune_stale_batch_partitions(spark, output_dir)
         out = decontaminate(bench_docs.unionByName(batch_df))
         _write_batch_partition(out, batch_id, output_dir)
 

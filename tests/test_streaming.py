@@ -410,3 +410,42 @@ def test_decontam_stream_matches_batch(spark, tmp_path):
     batch = rows_set(batch_df)
     assert streamed == batch
     assert any(r[-1] for r in streamed)  # corpus has real contamination
+
+
+def test_minhash_stream_recovers_from_crashed_first_write(spark, tmp_path):
+    # A crash during the first batch's bands write can leave bands_dir
+    # holding only uncommitted _temporary content.  The committed-data glob
+    # must read that as "first batch" (a bare dir-exists probe would try
+    # schema inference over zero files and wedge every replay), and stale
+    # batch partitions from a prior run must be pruned on batch 0.
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    bands_dir = tmp_path / "bands"
+    (bands_dir / "_temporary" / "0").mkdir(parents=True)
+    (bands_dir / "_temporary" / "0" / "task_000").write_text("junk")
+    assert jobs._hadoop_path_exists(spark, str(bands_dir))
+    assert not jobs._committed_batch_data_exists(spark, str(bands_dir))
+
+    out_dir = tmp_path / "flags_out"
+    # stale partition from a hypothetical earlier run under another
+    # checkpoint: must be gone after the fresh run's batch 0
+    stale = docs.limit(3).select("doc_id").withColumn(
+        "is_dup", F.lit(True)
+    )
+    stale.write.parquet(str(out_dir / "batch_id=99"))
+
+    d_in = str(tmp_path / "docs_in")
+    docs.coalesce(1).write.parquet(d_in)
+    stream = spark.readStream.schema(docs.schema).parquet(d_in)
+    q = jobs.run_minhash_dedup_stream(
+        spark, stream, str(out_dir), str(tmp_path / "chk"), str(bands_dir)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert not os.path.exists(out_dir / "batch_id=99")
+    assert jobs._committed_batch_data_exists(spark, str(bands_dir))
+    out = spark.read.parquet(str(out_dir))
+    assert out.count() == docs.count()  # stale rows pruned, not unioned
