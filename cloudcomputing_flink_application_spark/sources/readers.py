@@ -83,16 +83,28 @@ def read_kafka_csv_stream(
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver ``events`` table with ``ts`` normalized to a microsecond
-    timestamp.
+    TIMESTAMP, whatever physical type the parquet carries.
 
-    The testdata stores ``ts`` as parquet TIMESTAMP(NANOS); Spark reads it as
-    epoch-nanos long (``spark.sql.legacy.parquet.nanosAsLong``).  Integer
-    ``div 1000`` (never float division — epoch nanos exceed 2^53) truncates
-    to microseconds exactly as DuckDB's TIMESTAMP_NS -> TIMESTAMP cast does,
-    keeping oracle comparisons bit-identical.
+    The driver has shipped two layouts across rounds: TIMESTAMP(NANOS)
+    (which Spark reads as epoch-nanos long under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and plain TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ).  Normalizing on the ts column's OBSERVED type
+    keeps the engine working across regenerations instead of pinning one
+    vintage:
+
+    - long: integer ``div 1000`` (never float division — epoch nanos exceed
+      2^53) truncates to microseconds exactly as DuckDB's
+      TIMESTAMP_NS -> TIMESTAMP cast does;
+    - TIMESTAMP_NTZ: cast to session-zoned TIMESTAMP — the session is pinned
+      UTC (registry._REQUIRED_CONFS), so wall-clock values match DuckDB's
+      naive TIMESTAMP bit-for-bit.
     """
+    from pyspark.sql import types as T
+
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
