@@ -462,6 +462,132 @@ def run_decontam_stream(
     )
 
 
+def run_clean_corpus_stream(
+    spark,
+    documents: DataFrame,
+    bench_docs: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    hashes_dir: str,
+):
+    """The COMPOSED corpus-cleaning pipeline (operators.pipeline.clean_corpus)
+    as one incremental ``foreachBatch`` job: quality filter -> repetition
+    filter -> benchmark decontamination -> survivor exact-dedup -> split.
+
+    Per micro-batch the three per-doc stages are the exact batch operators
+    (their decisions depend only on the row itself plus the STATIC benchmark
+    set, so micro-batching them is trivially exact).  The one cross-batch
+    stage is survivor dedup: a text hash is ``uniq`` iff no PRIOR batch's
+    survivor produced it (the accumulated hash store) and no smaller doc_id
+    within this batch does (a min-over-hash window).  On doc_id-ordered
+    arrival that reproduces the batch operator's min-doc_id-canonical rule
+    exactly, so accumulated streaming output == one batch ``clean_corpus``
+    over the union of all batches (tests/test_streaming.py).
+
+    State & scale: the hash store is one 32-hex row per DISTINCT kept text —
+    the smallest state that makes global dedup possible at all — stored as
+    batch_id-partitioned parquet; the per-batch probe is a left-anti
+    equi-join on the hash, the same shape at any corpus size.  Per-batch
+    plans are the batch plans: broadcast bench set, per-doc partial-agg
+    shuffles, one window shuffle over the batch's survivors.
+
+    Fault tolerance: identical contract to ``run_minhash_dedup_stream`` —
+    both sinks batch_id-partitioned with dynamic overwrite (at-least-once
+    replays replace, never duplicate), the hash-store probe reads only
+    ``batch_id < current``, first-batch detection via the committed-data
+    glob, and batch 0 prunes partitions left by a prior run under a
+    different checkpoint.
+
+    ``bench_docs`` must be the static benchmark slice
+    (``doc_id % BENCH_MOD == 0``); benchmark rows arriving on the stream are
+    dropped by the corpus filter, exactly as in batch.
+    """
+    from cloudcomputing_flink_application_spark.functions import text as X
+    from cloudcomputing_flink_application_spark.operators import textstats
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        BENCH_MOD,
+        CLEAN_QUALITY_MIN,
+        decontaminate,
+        repetition_stats,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            _prune_stale_batch_partitions(spark, output_dir)
+            _prune_stale_batch_partitions(spark, hashes_dir)
+        corpus = batch_df.filter(F.col("doc_id") % BENCH_MOD != 0).persist()
+        flags = None
+        try:
+            q = textstats.quality_score(corpus).select("doc_id", "quality")
+            rep = repetition_stats(corpus).select("doc_id", "flagged")
+            con = decontaminate(bench_docs.unionByName(corpus)).select(
+                "doc_id", "contaminated"
+            )
+            flags = (
+                corpus.select("doc_id", "text")
+                .join(q, "doc_id")
+                .join(rep, "doc_id")
+                .join(con, "doc_id")
+                .select(
+                    "doc_id",
+                    "text",
+                    F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"),
+                    (F.col("quality") >= CLEAN_QUALITY_MIN).alias("q_ok"),
+                    (~F.col("flagged")).alias("rep_ok"),
+                    (~F.col("contaminated")).alias("con_ok"),
+                )
+                .persist()
+            )
+            surv = flags.filter(
+                F.col("q_ok") & F.col("rep_ok") & F.col("con_ok")
+            ).select("doc_id", "h")
+            w = SparkWindow.partitionBy("h")
+            local_canon = surv.select(
+                "doc_id", "h", F.min("doc_id").over(w).alias("_c")
+            ).filter(F.col("doc_id") == F.col("_c"))
+            if _committed_batch_data_exists(spark, hashes_dir):
+                seen = (
+                    spark.read.parquet(hashes_dir)
+                    .filter(F.col("batch_id") < F.lit(batch_id))
+                    .select("h")
+                )
+                canon = local_canon.join(seen, "h", "left_anti")
+            else:  # first batch: no hash store yet
+                canon = local_canon
+            uniq_ids = canon.select("doc_id").withColumn("_u", F.lit(True))
+            bucket = (X.h56(F.col("text")) % 100).cast("int")
+            uniq = F.coalesce(F.col("_u"), F.lit(False))
+            kept = F.col("q_ok") & F.col("rep_ok") & F.col("con_ok") & uniq
+            out = flags.join(uniq_ids, "doc_id", "left").select(
+                "doc_id",
+                "q_ok",
+                "rep_ok",
+                "con_ok",
+                uniq.alias("uniq"),
+                kept.alias("kept"),
+                F.when(
+                    kept,
+                    F.when(bucket < 90, "train")
+                    .when(bucket < 95, "valid")
+                    .otherwise("test"),
+                )
+                .otherwise("")
+                .alias("split"),
+            )
+            _write_batch_partition(out, batch_id, output_dir)
+            _write_batch_partition(surv.select("h").distinct(), batch_id, hashes_dir)
+        finally:
+            corpus.unpersist()
+            if flags is not None:
+                flags.unpersist()
+
+    return (
+        documents.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 # --- O3: one input, three sinks ---------------------------------------------
 
 

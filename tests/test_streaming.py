@@ -412,6 +412,65 @@ def test_decontam_stream_matches_batch(spark, tmp_path):
     assert any(r[-1] for r in streamed)  # corpus has real contamination
 
 
+def test_clean_corpus_stream_matches_batch(spark, tmp_path):
+    # The COMPOSED cleaning pipeline runs incrementally: quality ->
+    # repetition -> decontam -> survivor dedup -> split over three
+    # doc_id-ordered micro-batches, with the survivor-hash store carrying
+    # dedup state across batches.  Accumulated output must equal one batch
+    # clean_corpus() over the full corpus — including `uniq` (cross-batch
+    # canonical) and `split` (only kept docs get one).
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        BENCH_MOD,
+        clean_corpus,
+    )
+
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    # Synthetic exact duplicates of early docs, arriving in the LAST
+    # micro-batch under fresh non-benchmark ids — the corpus itself has no
+    # duplicate texts, so without these the cross-batch dedup state would
+    # never be exercised.
+    dups = (
+        raw.filter(raw.doc_id < 60)
+        .withColumn("doc_id", raw.doc_id + 100_000)
+        .filter(F.col("doc_id") % BENCH_MOD != 0)
+    )
+    docs = raw.unionByName(dups)
+    bench = docs.filter(docs.doc_id % BENCH_MOD == 0)
+    d_in = str(tmp_path / "docs_in")
+    base = 1_700_000_000
+    cuts = [docs.doc_id < 150, (docs.doc_id >= 150) & (docs.doc_id < 400), docs.doc_id >= 400]
+    for i, pred in enumerate(cuts):
+        p = f"{d_in}/f{i}"
+        docs.filter(pred).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(f"{root}/{f}", (base + i, base + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out_dir = str(tmp_path / "clean_out")
+    q = jobs.run_clean_corpus_stream(
+        spark, stream, bench, out_dir,
+        str(tmp_path / "chk"), str(tmp_path / "hashes"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch_df = clean_corpus(docs)
+    streamed = rows_set(spark.read.parquet(out_dir).select(*batch_df.columns))
+    batch = rows_set(batch_df)
+    assert streamed == batch
+    # the corpus must actually exercise the cross-batch dedup path:
+    # at least one non-uniq survivor, at least one kept doc per split
+    assert any(r[1] and r[2] and r[3] and not r[4] for r in streamed)
+    assert {r[-1] for r in streamed} >= {"train", "valid", "test", ""}
+
+
 def test_minhash_stream_recovers_from_crashed_first_write(spark, tmp_path):
     # A crash during the first batch's bands write can leave bands_dir
     # holding only uncommitted _temporary content.  The committed-data glob
