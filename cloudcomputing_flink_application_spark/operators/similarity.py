@@ -29,6 +29,25 @@ TOPK = 5
 NPROBE = 3
 QUERY_STRIDE = 100  # vec_id % STRIDE == 0 -> query vector
 
+#: Frames persisted by the operators below — same caching contract as
+#: ``operators.dedup._CACHED``: operators return lazy frames, so release
+#: happens via :func:`release_cached` (targeted) or
+#: ``spark.catalog.clearCache()`` (what bench.py does per run), never inside
+#: the operator itself.
+_CACHED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df.persist()
+    _CACHED.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every frame the similarity operators have cached."""
+    while _CACHED:
+        _CACHED.pop().unpersist()
+
 
 def _dot(u: Column, v: Column) -> Column:
     return F.aggregate(
@@ -196,11 +215,16 @@ def cosine_topk_ivf(embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE) 
     # Codebook in ONE aggregation pass: min_by pulls the minimum-vec_id
     # row's vector directly, replacing r2's groupBy-min + join-back (two
     # corpus passes).  It is consumed twice (vector assignment + query
-    # probing) but NOT persisted: AQE stage reuse already shares the
-    # identical aggregation stage between the two consumers, and a persist
-    # here measurably costs more in cache-write overhead and block races
-    # than it saves (r3 measured +0.4 s at sf0.1).
-    centroids = (
+    # probing) and PERSISTED: the executed plan shows NO exchange reuse
+    # between the two broadcast consumers (0 ReusedExchange — the r3 note
+    # claiming AQE stage reuse was wrong; pinned by
+    # tests/test_plans.py::test_ivf_codebook_aggregates_once), so without
+    # the persist the full-corpus aggregation runs twice.  The cache is
+    # <= |labels| rows — negligible storage at any corpus size, against a
+    # whole corpus scan+fold saved.  ``base`` stays UNpersisted by the same
+    # scale logic: caching it is O(corpus) memory, and its recompute is the
+    # scan itself.
+    centroids = _persist(
         base.groupBy("label")
         .agg(F.min_by(F.struct("emb", "nrm"), "vec_id").alias("c"))
         .select(

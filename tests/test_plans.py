@@ -106,6 +106,24 @@ def test_ngram_big_corpus_path_is_shuffle_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_ivf_codebook_aggregates_once(spark):
+    # The IVF codebook (full-corpus min_by aggregation) feeds BOTH the
+    # vector-assignment and the query-probe broadcasts, and Spark gives the
+    # two consumers NO exchange reuse (measured: 0 ReusedExchange in the
+    # unpersisted executed plan).  The persist() makes the second consumer
+    # an InMemoryTableScan; without it the whole-corpus aggregation runs
+    # twice — this test pins the cache, i.e. that both broadcast sides read
+    # the cached codebook instead of re-aggregating.
+    from cloudcomputing_flink_application_spark.operators import similarity
+
+    try:
+        df = REGISTRY["ann_cosine_topk_ivf"].fn(spark, SF)
+        plan = physical_plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        similarity.release_cached()
+
+
 def test_range_count_is_banded_equi_join_not_nested_loop(spark):
     # The ±window self-join must decompose into a bucket equi-join; a
     # BroadcastNestedLoopJoin here means the band blocking regressed to
