@@ -67,8 +67,17 @@ def image_meta_real(documents: DataFrame, decoder=None) -> DataFrame:
 
     Output: (doc_id, width, height, n_bytes, format) — same as image_meta.
     """
+    return image_meta_from_payloads(with_binary_payload(documents), decoder)
+
+
+def image_meta_from_payloads(payloads: DataFrame, decoder=None) -> DataFrame:
+    """Real-decoder image metadata over an EXISTING (doc_id, payload
+    binary) frame — the entry point when the payload column is genuine
+    media bytes (a parquet binary column) rather than the utf-8 stand-in
+    ``with_binary_payload`` attaches.  The PIL integration test
+    (tests/test_optional_integrations.py, ``pytest.mark.pil``) drives this
+    with real encoded PNGs."""
     dec = decoder or decode_image_real
-    payloads = with_binary_payload(documents)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

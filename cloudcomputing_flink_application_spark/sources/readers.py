@@ -60,7 +60,7 @@ def parse_kafka_csv(raw: DataFrame, schema) -> DataFrame:
 
 
 def read_kafka_csv_stream(
-    spark: SparkSession, bootstrap: str, topic: str, schema
+    spark: SparkSession, bootstrap: str, topic: str, schema, **options: str
 ) -> DataFrame:
     """Kafka source for CSV-encoded records.
 
@@ -70,12 +70,17 @@ def read_kafka_csv_stream(
     spark-sql-kafka package on the classpath (not in this environment —
     DataSource resolution raises at call time, so the function is gated by
     construction rather than an import guard).  The record-decode DAG is
-    ``parse_kafka_csv``, contract-tested offline.
+    ``parse_kafka_csv``, contract-tested offline; the broker-backed
+    roundtrip is tests/test_optional_integrations.py (``pytest.mark.kafka``).
+
+    Extra ``options`` pass through to the source verbatim (e.g.
+    ``startingOffsets="earliest"``, ``maxOffsetsPerTrigger``).
     """
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)
+        .options(**options)
         .load()
     )
     return parse_kafka_csv(raw, schema)
