@@ -816,6 +816,83 @@ LEFT JOIN roots r USING (doc_id)
 MINHASH_CC_SQL = _minhash_cc_sql()
 
 
+def minhash_purge_dedup(documents: DataFrame) -> DataFrame:
+    """The PURGED corpus: one row per kept (canonical) document with the
+    per-cluster accounting a dedup run reports.
+
+    Completes the dedup family's output shapes: pairs (verification),
+    per-doc assignment (flags), and — this operator — the corpus a
+    downstream training job actually consumes.  Built on the FULL
+    transitive closure (``minhash_cc_dedup``): single-round assignment can
+    point members at non-canonical docs on chains, which would purge a doc
+    whose "keeper" was itself purged.
+
+    Output: (doc_id, n_members, chars_saved) — doc_id is the cluster's
+    canonical (minimum) id, n_members the cluster size including the
+    keeper, chars_saved the summed ``n_chars`` of the purged members.
+
+    Scale: cluster stats are one count/sum aggregation keyed by cluster_id
+    (map-side partial aggregation absorbs even a degenerate giant cluster);
+    the keeper join is a doc_id equi-join.  All-integer output — full
+    value-hash oracle.
+    """
+    clusters = minhash_cc_dedup(documents)
+    stats = (
+        clusters.join(documents.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("n_chars").cast("long").alias("_chars"),
+        )
+    )
+    return (
+        documents.select("doc_id", "n_chars")
+        .join(stats, F.col("doc_id") == F.col("cluster_id"))
+        .select(
+            "doc_id",
+            "n_members",
+            (F.col("_chars") - F.col("n_chars")).cast("long").alias("chars_saved"),
+        )
+    )
+
+
+def _minhash_purge_sql() -> str:
+    return f"""
+WITH RECURSIVE {_star_ctes_sql()},
+edges AS (
+  SELECT doc_id AS u, rep AS v FROM verified
+  UNION
+  SELECT rep AS u, doc_id AS v FROM verified
+),
+walk(node, lbl) AS (
+  SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v AS node, w.lbl AS lbl FROM walk w JOIN edges e ON e.u = w.node
+),
+roots AS (
+  SELECT node AS doc_id, min(lbl) AS root FROM walk GROUP BY node
+),
+clusters AS (
+  SELECT d.doc_id, coalesce(r.root, d.doc_id) AS cluster_id
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN roots r USING (doc_id)
+),
+stats AS (
+  SELECT cluster_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(doc.n_chars) AS BIGINT) AS chars
+  FROM clusters JOIN documents doc USING (doc_id)
+  GROUP BY cluster_id
+)
+SELECT d.doc_id, s.n_members,
+       CAST(s.chars - d.n_chars AS BIGINT) AS chars_saved
+FROM documents d JOIN stats s ON d.doc_id = s.cluster_id
+"""
+
+
+MINHASH_PURGE_SQL = _minhash_purge_sql()
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -148,6 +148,100 @@ FROM corpus c LEFT JOIN ov ON c.doc_id = ov.doc_id
 """
 
 
+def contamination_report(documents: DataFrame, w: int = DECONTAM_W) -> DataFrame:
+    """Per-BENCHMARK-doc leak report: the attribution ``decontaminate``
+    aggregates away.
+
+    ``decontaminate`` answers "is this corpus doc contaminated?"; an eval
+    owner asks the reverse — "which of MY benchmark documents leaked into
+    the corpus, and how widely?".  One row per benchmark doc:
+
+    - ``n_shingles``: its distinct w-gram shingles;
+    - ``n_hit_docs``: corpus docs sharing at least one shingle with it;
+    - ``n_shared_shingles``: its shingles found in at least one corpus doc.
+
+    Scale: the same broadcast shape as ``decontaminate`` — the benchmark
+    side (exploded to (bench_id, shingle-hash)) stays KB..MB at any corpus
+    size and broadcasts; the corpus side explodes scan-fused and never
+    shuffles before the join.  The two exact distinct counts shuffle on
+    high-cardinality bench_id with map-side partial aggregation.
+    All-integer output — full value-hash oracle.
+    """
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    shs = F.array_distinct(
+        X.shingles(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))), w)
+    )
+    bench = (
+        documents.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .repartition(nparts)
+        .select(F.col("doc_id").alias("bench_id"), shs.alias("shs"))
+    )
+    bex = (
+        bench.select("bench_id", F.explode_outer("shs").alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        # coalesce: see decontaminate — keeps the inferred isnotnull
+        # constraint from re-inlining the md5 pipeline below the join.
+        .select("bench_id", F.coalesce(X.h56(F.col("sh")), F.lit(0)).alias("h"))
+    )
+    cex = (
+        documents.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .repartition(nparts)
+        .select("doc_id", F.explode_outer(shs).alias("sh"))
+        .filter(F.col("sh").isNotNull())
+        .select("doc_id", F.coalesce(X.h56(F.col("sh")), F.lit(0)).alias("h"))
+    )
+    hits = (
+        cex.join(F.broadcast(bex), "h")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_hit_docs"),
+            F.countDistinct("h").cast("long").alias("n_shared_shingles"),
+        )
+    )
+    return (
+        bench.select("bench_id", F.size("shs").cast("long").alias("n_shingles"))
+        .join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            "n_shingles",
+            F.coalesce("n_hit_docs", F.lit(0)).cast("long").alias("n_hit_docs"),
+            F.coalesce("n_shared_shingles", F.lit(0))
+            .cast("long")
+            .alias("n_shared_shingles"),
+        )
+    )
+
+
+CONTAM_REPORT_SQL = f"""
+WITH shingled AS (
+  SELECT doc_id,
+         list_distinct({X.shingles_sql(X.tokens_sql('text'), DECONTAM_W)}) AS shs
+  FROM documents
+),
+bench AS (SELECT doc_id AS bench_id, shs FROM shingled WHERE doc_id % {BENCH_MOD} = 0),
+bex AS (
+  SELECT bench_id, {X.h56_sql('u.sh')} AS h
+  FROM (SELECT bench_id, unnest(shs) AS sh FROM bench) u
+),
+cex AS (
+  SELECT doc_id, {X.h56_sql('u.sh')} AS h
+  FROM (SELECT doc_id, unnest(shs) AS sh FROM shingled WHERE doc_id % {BENCH_MOD} <> 0) u
+),
+hits AS (
+  SELECT bench_id,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_hit_docs,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_shared_shingles
+  FROM cex JOIN bex USING (h)
+  GROUP BY bench_id
+)
+SELECT b.bench_id,
+       CAST(len(b.shs) AS BIGINT) AS n_shingles,
+       coalesce(h.n_hit_docs, 0) AS n_hit_docs,
+       coalesce(h.n_shared_shingles, 0) AS n_shared_shingles
+FROM bench b LEFT JOIN hits h USING (bench_id)
+"""
+
+
 # --- repetition stats --------------------------------------------------------
 
 #: Flag thresholds (exact rationals, compared cross-multiplied so the flag

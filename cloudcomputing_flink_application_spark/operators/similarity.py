@@ -197,6 +197,37 @@ FROM scaled
 """
 
 
+def _seed_codebook(base: DataFrame) -> DataFrame:
+    """Deterministic seed codebook: centroid of cluster L = the embedding
+    with the minimum vec_id among label L, in one min_by aggregation pass.
+    Output: (cluster, cemb, cnrm)."""
+    return (
+        base.groupBy("label")
+        .agg(F.min_by(F.struct("emb", "nrm"), "vec_id").alias("c"))
+        .select(
+            F.col("label").alias("cluster"),
+            F.col("c.emb").alias("cemb"),
+            F.col("c.nrm").alias("cnrm"),
+        )
+    )
+
+
+def _assign_to_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (cos desc, cluster asc
+    tiebreak).  Broadcast codebook x corpus, per-vector rank-1 window.
+    Output: (vec_id, emb, nrm, cluster)."""
+    asg_scored = F.broadcast(centroids).join(base, how="cross").select(
+        "vec_id", "emb", "nrm", "cluster",
+        (_dot(F.col("cemb"), F.col("emb")) / (F.col("cnrm") * F.col("nrm"))).alias("ccos"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cluster"))
+    return (
+        asg_scored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") == 1)
+        .select("vec_id", "emb", "nrm", "cluster")
+    )
+
+
 def cosine_topk_ivf(embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE) -> DataFrame:
     """IVF-pruned top-k: probe only the nprobe clusters nearest each query.
 
@@ -224,28 +255,11 @@ def cosine_topk_ivf(embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE) 
     # whole corpus scan+fold saved.  ``base`` stays UNpersisted by the same
     # scale logic: caching it is O(corpus) memory, and its recompute is the
     # scan itself.
-    centroids = _persist(
-        base.groupBy("label")
-        .agg(F.min_by(F.struct("emb", "nrm"), "vec_id").alias("c"))
-        .select(
-            F.col("label").alias("cluster"),
-            F.col("c.emb").alias("cemb"),
-            F.col("c.nrm").alias("cnrm"),
-        )
-    )
+    centroids = _persist(_seed_codebook(base))
     # assignment: every vector -> nearest centroid (cos desc, cluster asc).
     # At production scale ``assigned`` is the one-time IVF index artifact
     # written to storage; here it is consumed once, so no persist.
-    asg_scored = F.broadcast(centroids).join(base, how="cross").select(
-        "vec_id", "emb", "nrm", "cluster",
-        (_dot(F.col("cemb"), F.col("emb")) / (F.col("cnrm") * F.col("nrm"))).alias("ccos"),
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cluster"))
-    assigned = (
-        asg_scored.withColumn("arank", F.row_number().over(wa))
-        .filter(F.col("arank") == 1)
-        .select("vec_id", "emb", "nrm", "cluster")
-    )
+    assigned = _assign_to_centroids(base, centroids)
     # probing: every query -> its nprobe nearest clusters.  Stride-filter
     # before the norm pipeline (see cosine_topk): this branch folds only
     # 1/STRIDE of the corpus.
@@ -282,6 +296,117 @@ def cosine_topk_ivf(embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE) 
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+#: Fixed-point scale for the k-means update: element values are quantized
+#: to floor(val * 2^20) BEFORE summing, so the per-cluster sums are exact
+#: integers — order-independent across partitions AND engines.  A float
+#: mean here would hash-diverge: Spark's partial-agg sum order is
+#: nondeterministic, DuckDB's is sequential.
+KMEANS_SCALE = 1 << 20
+
+
+def ivf_kmeans_codebook(embeddings: DataFrame, iters: int = 1) -> DataFrame:
+    """Lloyd k-means refinement of the deterministic seed codebook — the
+    IVF INDEX-BUILD step ``cosine_topk_ivf``'s docstring defers to ("at
+    real scale this would be a k-means artifact").
+
+    Each iteration: assign every vector to its nearest current centroid
+    (cosine, the shared ``_assign_to_centroids`` plan), then recompute each
+    centroid as the element-wise mean of its members.  The mean is kept
+    EXACT: elements quantize to ``floor(val * 2^20)`` longs and the
+    operator emits per-(cluster, pos) integer sums + member counts rather
+    than a float array — the consumer (or the next iteration) divides.
+
+    Output: (cluster, pos, n_members, sum_q) — the final iteration's
+    update statistics; one row per centroid element.  All-integer, full
+    value-hash oracle (oracle mirrors iters=1, the registry default).
+
+    Scale: the update is posexplode -> groupBy (cluster, pos) — n x dim
+    rows into a |clusters| x dim-group aggregation, where map-side partial
+    aggregation reduces each task's output to at most |clusters| x dim
+    rows regardless of corpus size; the assignment is the broadcast-
+    codebook scan shared with the search operator.  Iterations chain
+    lazily (iters is small); at production scale each round's codebook
+    would be written out as the versioned index artifact.
+    """
+    base = _normed(embeddings)
+    centroids = _seed_codebook(base)
+    sums = None
+    for it in range(iters):
+        assigned = _assign_to_centroids(base, centroids)
+        sums = (
+            assigned.select("cluster", F.posexplode("emb").alias("pos", "val"))
+            .select(
+                "cluster",
+                F.col("pos").cast("int").alias("pos"),
+                F.floor(F.col("val") * KMEANS_SCALE).cast("long").alias("q"),
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.count("*").cast("long").alias("n_members"),
+                F.sum("q").cast("long").alias("sum_q"),
+            )
+        )
+        if it + 1 < iters:
+            # Rebuild the next codebook from the quantized means — both
+            # engines would see the SAME dequantized doubles, so chained
+            # iterations stay deterministic.  collect_list order is
+            # nondeterministic; array_sort on (pos, val) structs restores
+            # positional order.
+            cent = (
+                sums.select(
+                    "cluster",
+                    "pos",
+                    (
+                        (F.col("sum_q").cast("double") / F.col("n_members"))
+                        / F.lit(float(KMEANS_SCALE))
+                    ).alias("val"),
+                )
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+                .select(
+                    "cluster",
+                    F.transform("pv", lambda s: s["val"]).alias("cemb"),
+                )
+            )
+            centroids = cent.withColumn(
+                "cnrm", F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+            ).filter(F.col("cnrm") > 0)
+    return sums
+
+
+KMEANS_CODEBOOK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+),
+centroids AS (
+  SELECT label AS cluster, emb AS cemb, nrm AS cnrm
+  FROM e
+  WHERE vec_id IN (SELECT min(vec_id) FROM e GROUP BY label)
+),
+asg AS (
+  SELECT vec_id, emb, cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_dot_product(cemb, emb) / (cnrm * nrm) DESC,
+                                     cluster ASC) AS arank
+  FROM e CROSS JOIN centroids
+),
+assigned AS (SELECT vec_id, emb, cluster FROM asg WHERE arank = 1),
+ex AS (
+  SELECT cluster, u.i - 1 AS pos,
+         CAST(floor(emb[u.i] * {KMEANS_SCALE}) AS BIGINT) AS q
+  FROM assigned, LATERAL unnest(generate_series(1, len(emb))) AS u(i)
+)
+SELECT cluster, CAST(pos AS INT) AS pos,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(q) AS BIGINT) AS sum_q
+FROM ex
+GROUP BY cluster, pos
+"""
 
 
 COSINE_TOPK_IVF_SQL = f"""

@@ -209,6 +209,49 @@ FROM documents
 """
 
 
+def length_histogram(documents: DataFrame) -> DataFrame:
+    """Per-language token-length histogram over power-of-two buckets — the
+    corpus-shape report every dataset card carries (and the input to
+    sequence-length-aware packing/batching decisions).
+
+    Bucket = the BINARY DIGIT COUNT of the whitespace token count (0 and 1
+    -> bucket 1, 2-3 -> 2, 4-7 -> 3, ...), computed with pure integer/
+    string ops on both engines (``conv`` base-2 here, ``bin`` in DuckDB) —
+    no floating log2 whose boundary rounding could diverge.
+
+    Output: (lang, bucket, n_docs, total_tokens).
+
+    Scale: one partial-agg shuffle keyed by (lang, bucket) — a few hundred
+    groups, map-side combine reduces each task to that bound regardless of
+    corpus size.  Scan reads only (lang, text).
+    """
+    n = F.size(X.tokens("text")).cast("long")
+    bucket = F.length(F.conv(n.cast("string"), 10, 2)).cast("int")
+    return (
+        documents.select("lang", bucket.alias("bucket"), n.alias("n"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+WITH counted AS (
+  SELECT lang,
+         CAST(length(bin(CAST(len({X.tokens_sql('text')}) AS BIGINT))) AS INT) AS bucket,
+         CAST(len({X.tokens_sql('text')}) AS BIGINT) AS n
+  FROM documents
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM counted
+GROUP BY lang, bucket
+"""
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Bottom-k document fingerprint over word-shingle hashes.
 

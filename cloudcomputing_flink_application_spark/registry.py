@@ -238,6 +238,10 @@ REGISTRY: dict[str, Query] = {
         "full transitive-closure dedup clusters: large-star/small-star "
         "connected components over the verified star-edge graph",
     ),
+    "dedup_purge": Query(
+        _on_docs(dedup.minhash_purge_dedup), dedup.MINHASH_PURGE_SQL,
+        "purged corpus: one row per kept doc with cluster size + chars saved",
+    ),
     "dedup_band_flags": Query(
         _on_docs(dedup.minhash_band_flags), dedup.MINHASH_BAND_FLAGS_SQL,
         "candidate-level MinHash band flags (streaming-ingest dedup contract)",
@@ -266,6 +270,10 @@ REGISTRY: dict[str, Query] = {
     "ann_cosine_topk_ivf": Query(
         _on_embs(similarity.cosine_topk_ivf), similarity.COSINE_TOPK_IVF_SQL,
         "IVF-pruned cosine top-k (nprobe nearest clusters)",
+    ),
+    "emb_kmeans_codebook": Query(
+        _on_embs(similarity.ivf_kmeans_codebook), similarity.KMEANS_CODEBOOK_SQL,
+        "IVF index build: one Lloyd k-means update with exact quantized sums",
     ),
     "emb_quantize": Query(
         _on_embs(similarity.quantize_embeddings), similarity.QUANTIZE_SQL,
@@ -296,6 +304,10 @@ REGISTRY: dict[str, Query] = {
         _on_docs(textstats.top_terms), textstats.TOP_TERMS_SQL,
         "per-doc distinctive terms: top-k tokens by exact tf/df ratio",
     ),
+    "text_len_histogram": Query(
+        _on_docs(textstats.length_histogram), textstats.LENGTH_HISTOGRAM_SQL,
+        "per-language token-length histogram (power-of-two buckets)",
+    ),
     "text_redact": Query(
         _on_docs(textstats.redact), textstats.REDACT_SQL,
         "PII-style digit-run redaction (per-row regexp, scan-fused)",
@@ -308,6 +320,10 @@ REGISTRY: dict[str, Query] = {
     "pipe_decontam": Query(
         _on_docs(pipeline.decontaminate), pipeline.DECONTAMINATE_SQL,
         "benchmark decontamination: 5-gram shingle overlap vs broadcast eval set",
+    ),
+    "pipe_contam_report": Query(
+        _on_docs(pipeline.contamination_report), pipeline.CONTAM_REPORT_SQL,
+        "per-benchmark-doc leak report (reverse attribution of decontaminate)",
     ),
     "pipe_repetition": Query(
         _on_docs(pipeline.repetition_stats), pipeline.REPETITION_SQL,

@@ -357,3 +357,22 @@ def test_ngram_broadcast_budget_scales_with_salt(spark):
         assert rows_set(df1) == rows_set(df4)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_purge_conserves_corpus(spark, sf_dir):
+    # Every doc lands in exactly one cluster, so the purged corpus must
+    # account for the whole input: sum of cluster sizes == corpus rows,
+    # keepers are exactly the cc roots, and chars_saved sums to the chars
+    # of everything purged.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    purged = dedup.minhash_purge_dedup(docs).collect()
+    clusters = {
+        r.doc_id: r.cluster_id for r in dedup.minhash_cc_dedup(docs).collect()
+    }
+    chars = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    assert sum(r.n_members for r in purged) == docs.count()
+    assert {r.doc_id for r in purged} == set(clusters.values())
+    purged_chars = sum(chars[d] for d, c in clusters.items() if d != c)
+    assert sum(r.chars_saved for r in purged) == purged_chars
+    # real dedup happened on this corpus
+    assert any(r.n_members > 1 for r in purged)

@@ -127,3 +127,59 @@ def test_clean_corpus_stage_invariants(spark, sf_dir):
     # the pipeline actually filters something and keeps something
     kept = [r for r in out if r.kept]
     assert 0 < len(kept) < len(out)
+
+
+def test_contamination_report_attribution(spark):
+    # Three bench docs (ids 0, 29, 58 under BENCH_MOD=29): one fully copied
+    # into a corpus doc, one partially shared, one untouched.  The report
+    # must attribute per bench doc, counting corpus docs and shared
+    # distinct shingles exactly.
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        contamination_report,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> 2 5-gram shingles
+    part = "one two three four five six seven"    # 7 tokens -> 3 shingles
+    docs = spark.createDataFrame(
+        [
+            _doc(0, leak),                       # bench: fully leaked
+            _doc(29, part),                      # bench: partially leaked
+            _doc(58, "quiet words never copied anywhere else"),  # bench: clean
+            _doc(1, leak),                       # corpus copy of bench 0
+            _doc(2, leak + " extra"),            # corpus superset of bench 0
+            _doc(3, "one two three four five intruder"),  # shares 1 shingle w/ 29
+            _doc(4, "unrelated corpus text entirely"),
+        ],
+        DOC_COLS,
+    )
+    got = {r.bench_id: (r.n_shingles, r.n_hit_docs, r.n_shared_shingles)
+           for r in contamination_report(docs).collect()}
+    assert got == {
+        0: (2, 2, 2),   # both shingles found, in corpus docs 1 and 2
+        29: (3, 1, 1),  # only 'one two three four five' leaked, via doc 3
+        58: (2, 0, 0),  # untouched
+    }
+
+
+def test_kmeans_codebook_iterations_deterministic(spark, sf_dir):
+    # iters=2 chains the update through quantized means: the plan must
+    # stay deterministic (two executions, identical rows) and differ from
+    # the iters=1 statistics (the refinement moved at least one centroid).
+    from cloudcomputing_flink_application_spark.operators.similarity import (
+        ivf_kmeans_codebook,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = rows_set(ivf_kmeans_codebook(emb, iters=1))
+    two_a = rows_set(ivf_kmeans_codebook(emb, iters=2))
+    two_b = rows_set(ivf_kmeans_codebook(emb, iters=2))
+    assert two_a == two_b
+    assert two_a != one
+    # every (cluster, pos) keeps a full member accounting
+    n_vecs = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    by_pos = {}
+    for cluster, pos, n, _ in two_a:
+        by_pos.setdefault(pos, 0)
+        by_pos[pos] += n
+    assert all(v == n_vecs for v in by_pos.values()) and len(by_pos) == dim

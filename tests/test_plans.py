@@ -44,6 +44,7 @@ def test_heavy_exprs_never_in_scan_filters(spark):
         "dedup_ngram_jaccard",
         "text_fingerprint",
         "pipe_decontam",
+        "pipe_contam_report",
         "pipe_repetition",
     ):
         df = REGISTRY[name].fn(spark, SF)
@@ -75,6 +76,7 @@ def test_pair_ops_repartition_before_projection(spark):
         "dedup_minhash_lsh",
         "dedup_embedding_cosine",
         "pipe_decontam",
+        "pipe_contam_report",
         "pipe_repetition",
     ):
         df = REGISTRY[name].fn(spark, SF)
