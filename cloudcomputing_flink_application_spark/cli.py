@@ -98,6 +98,55 @@ def _saturated_vendor(args: argparse.Namespace) -> None:
         sinks.show(out)
 
 
+def _corpus_clean(args: argparse.Namespace) -> None:
+    """The LLM-data-pipeline job surface: run the composed cleaning pipeline
+    (quality -> repetition -> decontam -> survivor dedup -> split) over a
+    ``documents``-shaped parquet input, batch or incremental.
+
+    Batch writes the per-doc flag frame as (distributed) parquet.
+    ``--streaming`` runs ``run_clean_corpus_stream`` over the input
+    directory: file-arrival micro-batches, survivor-hash dedup state under
+    ``<output>/_state``, checkpoints under ``<output>/_chk`` — rerunnable
+    and idempotent per that job's fault contract.
+    """
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        BENCH_MOD,
+        clean_corpus,
+    )
+
+    spark = get_spark(app_name="corpus-clean")
+    if args.streaming:
+        from pyspark.sql import functions as F
+
+        from cloudcomputing_flink_application_spark import schemas
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            run_clean_corpus_stream,
+        )
+
+        bench = (
+            spark.read.schema(schemas.DOCUMENTS)
+            .parquet(args.input)
+            .filter(F.col("doc_id") % BENCH_MOD == 0)
+        )
+        q = run_clean_corpus_stream(
+            spark,
+            spark.readStream.schema(schemas.DOCUMENTS).parquet(args.input),
+            bench,
+            f"{args.output}/flags",
+            f"{args.output}/_chk",
+            f"{args.output}/_state/hashes",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return
+    out = clean_corpus(spark.read.parquet(args.input))
+    out.write.mode("overwrite").parquet(args.output)
+    if args.show:
+        sinks.show(out)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="cloudcomputing_flink_application_spark")
     sub = p.add_subparsers(dest="job", required=True)
@@ -105,6 +154,7 @@ def main(argv: list[str] | None = None) -> None:
         ("vehicle-telematics", _vehicle_telematics, "output folder (3 CSVs)"),
         ("congestion-area", _congestion_area, "output CSV file"),
         ("saturated-vendor", _saturated_vendor, "output CSV file"),
+        ("corpus-clean", _corpus_clean, "output folder (parquet flags)"),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("--input", required=True, help="input CSV file/dir")
@@ -112,7 +162,8 @@ def main(argv: list[str] | None = None) -> None:
         sp.add_argument("--show", action="store_true", help="also print to stdout")
         sp.add_argument(
             "--streaming", action="store_true",
-            help="run the Structured Streaming variant (vehicle-telematics only)",
+            help="run the Structured Streaming variant "
+            "(vehicle-telematics / corpus-clean)",
         )
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)

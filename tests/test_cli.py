@@ -102,3 +102,29 @@ def test_jsonl_missing_fields_null(spark, tmp_path):
     assert (r.doc_id, r.text, r.lang, r.source, r.n_chars) == (
         5, "only two fields", None, None, None,
     )
+
+
+def test_corpus_clean_cli_batch_and_streaming(spark, tmp_path):
+    # The LLM-pipeline job surface: batch output must equal a direct
+    # clean_corpus() run; the --streaming variant over the same input must
+    # produce the same flag rows (single micro-batch here; the multi-batch
+    # contract is pinned in tests/test_streaming.py).
+    from cloudcomputing_flink_application_spark.operators.pipeline import clean_corpus
+    from tests.conftest import TESTDATA, rows_set
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(200)
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+
+    out_b = str(tmp_path / "out_batch")
+    cli.main(["corpus-clean", "--input", d_in, "--output", out_b])
+    expected = rows_set(clean_corpus(spark.read.parquet(d_in)))
+    got = rows_set(spark.read.parquet(out_b).select(
+        "doc_id", "q_ok", "rep_ok", "con_ok", "uniq", "kept", "split"))
+    assert got == expected
+
+    out_s = str(tmp_path / "out_stream")
+    cli.main(["corpus-clean", "--input", d_in, "--output", out_s, "--streaming"])
+    streamed = rows_set(spark.read.parquet(f"{out_s}/flags").select(
+        "doc_id", "q_ok", "rep_ok", "con_ok", "uniq", "kept", "split"))
+    assert streamed == expected
