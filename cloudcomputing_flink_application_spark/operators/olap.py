@@ -208,6 +208,90 @@ FROM agg
 """
 
 
+#: Q3 parameters: segment + date pivot inside the generator's 1995..2001
+#: range so both sides of each cutoff are populated.
+SHIPPING_SEGMENT = "BUILDING"
+SHIPPING_PIVOT = "1998-06-01 00:00:00"
+SHIPPING_K = 10
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str, k: int = SHIPPING_K) -> DataFrame:
+    """Top-k unshipped-revenue orders (TPC-H Q3 shape): segment-filtered
+    customer ⋈ orders ⋈ lineitem, revenue per order, deterministic top-k.
+
+    The driver schema carries ``o_orderpriority`` (no shippriority column);
+    it serves the same reporting role.  Revenue is the exact-cents integer
+    sum; the k cut orders by (revenue desc, l_orderkey asc) — fully
+    deterministic, unlike a bare LIMIT over ties.
+
+    Scale: the segment filter prunes the broadcast customer dim BEFORE the
+    join; the orders/lineitem equi-join shuffles on orderkey; the top-k is
+    TakeOrderedAndProject over the per-order aggregate — partial top-k per
+    partition then a k-row merge, never a global sort or single-partition
+    window.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit(SHIPPING_PIVOT).cast("timestamp")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit(SHIPPING_PIVOT).cast("timestamp")
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == SHIPPING_SEGMENT)
+        .select("c_custkey")
+    )
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue_cents()).alias("_rev"))
+    )
+    # orderBy+limit -> TakeOrderedAndProject (distributed partial top-k);
+    # rank via in-partition row index on the <= k-row frame — the same
+    # no-global-WindowExec pattern as textstats.token_freq (a bare
+    # row_number window would drag every qualifying order to one task).
+    top = per_order.orderBy(F.desc("_rev"), F.asc("l_orderkey")).limit(k)
+    return (
+        top.coalesce(1)
+        .sortWithinPartitions(F.desc("_rev"), F.asc("l_orderkey"))
+        .withColumn("rank", (F.monotonically_increasing_id() + 1).cast("int"))
+        .select(
+            "l_orderkey",
+            (F.col("_rev").cast("double") / 10000.0).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "rank",
+        )
+    )
+
+
+SHIPPING_PRIORITY_SQL = f"""
+WITH per_order AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > TIMESTAMP '{SHIPPING_PIVOT}'
+    AND o_orderdate < TIMESTAMP '{SHIPPING_PIVOT}'
+    AND o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = '{SHIPPING_SEGMENT}'
+    )
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+),
+ranked AS (
+  SELECT l_orderkey, rev, o_orderdate, o_orderpriority,
+         row_number() OVER (ORDER BY rev DESC, l_orderkey ASC) AS rank
+  FROM per_order
+)
+SELECT l_orderkey, rev / 10000.0 AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority, rank
+FROM ranked WHERE rank <= {SHIPPING_K}
+"""
+
+
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders per priority that have at least one late-shipped lineitem
     (semi-join, TPC-H Q4 shape).

@@ -469,3 +469,100 @@ SELECT strftime(CAST(sig_ts AS DATE), '%Y-%m-%d') AS cohort_s,
 FROM per_user
 GROUP BY CAST(sig_ts AS DATE)
 """
+
+
+# --- cohort retention matrix -------------------------------------------------
+
+#: Retention horizon: offsets beyond this are aggregated nowhere (cut in
+#: both engines) so the matrix stays a fixed small report.
+RETENTION_MAX_WEEKS = 8
+
+
+def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: for each first-signup week, how many of the
+    cohort's users were active (ANY event) 0, 1, .. RETENTION_MAX_WEEKS
+    weeks later — the standard product-analytics retention triangle.
+
+    Shape: two aggregates keyed by user_id / (user_id, week) — both
+    high-cardinality and skew-free — then one equi-join on user_id and a
+    final rollup over the tiny (cohort, offset) key space.  Week
+    difference is exact integer day arithmetic / 7 (both engines truncate
+    the same: week-truncated dates differ by exact multiples of 7).
+
+    Output: (cohort_week, week_offset, n_active, n_cohort, rate) —
+    n_active counts distinct cohort users with any event that week;
+    week_offset 0 always has n_active == n_cohort (the signup itself).
+    """
+    from cloudcomputing_flink_application_spark.registry import ensure_session_confs
+    from cloudcomputing_flink_application_spark.sources.readers import read_events
+
+    ev = read_events(ensure_session_confs(spark), sf_dir)
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("c_week"))
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("a_week")
+    ).distinct()
+    joined = (
+        cohort.join(active, "user_id")
+        .select(
+            "user_id",
+            "c_week",
+            (F.datediff(F.to_date("a_week"), F.to_date("c_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .filter(
+            (F.col("week_offset") >= 0)
+            & (F.col("week_offset") <= RETENTION_MAX_WEEKS)
+        )
+    )
+    sizes = cohort.groupBy("c_week").agg(
+        F.countDistinct("user_id").cast("long").alias("n_cohort")
+    )
+    return (
+        joined.groupBy("c_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+        .join(sizes, "c_week")
+        .select(
+            F.date_format(F.to_date("c_week"), "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            (F.col("n_active").cast("double") / F.col("n_cohort")).alias("rate"),
+        )
+    )
+
+
+RETENTION_MATRIX_SQL = f"""
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS c_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS a_week FROM events
+),
+joined AS (
+  SELECT c.user_id, c.c_week,
+         CAST(datediff('day', CAST(c.c_week AS DATE), CAST(a.a_week AS DATE)) / 7 AS INT)
+           AS week_offset
+  FROM cohort c JOIN active a USING (user_id)
+),
+sizes AS (
+  SELECT c_week, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+  FROM cohort GROUP BY c_week
+),
+cells AS (
+  SELECT c_week, week_offset,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+  FROM joined
+  WHERE week_offset >= 0 AND week_offset <= {RETENTION_MAX_WEEKS}
+  GROUP BY c_week, week_offset
+)
+SELECT strftime(CAST(cells.c_week AS DATE), '%Y-%m-%d') AS cohort_week,
+       week_offset, n_active, n_cohort,
+       CAST(n_active AS DOUBLE) / n_cohort AS rate
+FROM cells JOIN sizes USING (c_week)
+"""

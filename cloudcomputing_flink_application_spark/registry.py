@@ -350,6 +350,10 @@ REGISTRY: dict[str, Query] = {
         lambda s, d: olap.top_suppliers_by_nation(olap_confs(s), d), olap.TOP_SUPPLIERS_SQL,
         "top-k suppliers per nation (rank over aggregated revenue)",
     ),
+    "olap_shipping_priority": Query(
+        lambda s, d: olap.shipping_priority(olap_confs(s), d), olap.SHIPPING_PRIORITY_SQL,
+        "top-k unshipped-revenue orders (TPC-H Q3 shape)",
+    ),
     "olap_order_priority": Query(
         lambda s, d: olap.order_priority_counts(olap_confs(s), d), olap.ORDER_PRIORITY_SQL,
         "semi-join order-priority counts (TPC-H Q4 shape)",
@@ -386,6 +390,10 @@ REGISTRY: dict[str, Query] = {
     "ts_funnel": Query(
         timeseries.signup_funnel, timeseries.SIGNUP_FUNNEL_SQL,
         "signup->purchase cohort conversion funnel (7-day window)",
+    ),
+    "ts_retention": Query(
+        timeseries.retention_matrix, timeseries.RETENTION_MATRIX_SQL,
+        "weekly cohort retention triangle (distinct actives per week offset)",
     ),
     # --- multimodal columns (mapInPandas plumbing, deterministic fake decode) ---
     "mm_image_meta": Query(

@@ -462,6 +462,20 @@ def run_decontam_stream(
     )
 
 
+def length_histogram_stream(documents: DataFrame) -> DataFrame:
+    """Streaming corpus-shape report: the batch ``length_histogram``
+    operator runs unchanged on a document stream — a pure streaming
+    aggregation whose state is the tiny (lang, bucket) key space, emitted
+    in COMPLETE mode (the consumer reads the whole current histogram each
+    trigger; there is no watermark because the report has no event time).
+    Streaming == batch pinned in tests/test_streaming.py."""
+    from cloudcomputing_flink_application_spark.operators.textstats import (
+        length_histogram,
+    )
+
+    return length_histogram(documents)
+
+
 def run_clean_corpus_stream(
     spark,
     documents: DataFrame,

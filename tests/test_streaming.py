@@ -508,3 +508,39 @@ def test_minhash_stream_recovers_from_crashed_first_write(spark, tmp_path):
     assert jobs._committed_batch_data_exists(spark, str(bands_dir))
     out = spark.read.parquet(str(out_dir))
     assert out.count() == docs.count()  # stale rows pruned, not unioned
+
+
+def test_length_histogram_stream_matches_batch(spark, tmp_path):
+    # Complete-mode streaming aggregation: after both micro-batches the
+    # emitted histogram must equal the batch operator over all documents.
+    from cloudcomputing_flink_application_spark.operators.textstats import (
+        length_histogram,
+    )
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    d_in = str(tmp_path / "docs_in")
+    base = 1_700_000_000
+    for i, pred in enumerate([docs.doc_id < 250, docs.doc_id >= 250]):
+        p = f"{d_in}/f{i}"
+        docs.filter(pred).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(f"{root}/{f}", (base + i, base + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    q = (
+        jobs.length_histogram_stream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("len_hist_s")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = rows_set(spark.sql("SELECT * FROM len_hist_s"))
+    assert streamed == rows_set(length_histogram(docs))
