@@ -145,3 +145,51 @@ def test_sessionize_matches_python_model(spark, events):
             model[(uid, seq)] = model.get((uid, seq), 0) + 1
             prev = off
     assert got == model
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 5), min_size=4, max_size=20)  # text-pool indexes
+)
+def test_purge_invariants_random_corpora(spark, picks):
+    # minhash_purge_dedup invariants under random duplicate structure:
+    # (1) identical texts always share a cluster (identical band keys);
+    # (2) every cluster's keeper is its minimum doc_id;
+    # (3) the purged corpus conserves the input exactly (sizes sum to the
+    #     corpus, chars_saved sums to the chars of non-keepers).
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_cc_dedup,
+        minhash_purge_dedup,
+    )
+
+    pool = [
+        "alpha beta gamma delta epsilon",
+        "zeta eta theta iota kappa",
+        "lambda mu nu xi omicron pi",
+        "rho sigma tau upsilon phi chi",
+        "psi omega alef bet gimel dalet",
+        "he vav zayin het tet yod",
+    ]
+    docs = [(i, pool[p], "en", "s0", len(pool[p])) for i, p in enumerate(picks)]
+    df = spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    clusters = {r.doc_id: r.cluster_id for r in minhash_cc_dedup(df).collect()}
+    purged = minhash_purge_dedup(df).collect()
+
+    by_text: dict[str, set[int]] = {}
+    for i, p in enumerate(picks):
+        by_text.setdefault(pool[p], set()).add(i)
+    for ids in by_text.values():  # (1)
+        assert len({clusters[i] for i in ids}) == 1, (ids, clusters)
+    members: dict[int, set[int]] = {}
+    for d, c in clusters.items():
+        members.setdefault(c, set()).add(d)
+    for c, ms in members.items():  # (2)
+        assert c == min(ms), (c, ms)
+    chars = {d[0]: d[4] for d in docs}
+    assert sum(r.n_members for r in purged) == len(docs)  # (3)
+    assert {r.doc_id for r in purged} == set(members)
+    assert sum(r.chars_saved for r in purged) == sum(
+        chars[d] for d, c in clusters.items() if d != c
+    )
