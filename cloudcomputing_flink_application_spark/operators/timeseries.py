@@ -566,3 +566,92 @@ SELECT strftime(CAST(cells.c_week AS DATE), '%Y-%m-%d') AS cohort_week,
        CAST(n_active AS DOUBLE) / n_cohort AS rate
 FROM cells JOIN sizes USING (c_week)
 """
+
+
+# --- hourly volume anomalies -------------------------------------------------
+
+#: Flag threshold: hours more than ANOMALY_SIGMA standard deviations ABOVE
+#: the event type's mean hourly volume.
+ANOMALY_SIGMA = 2
+
+
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-spike detection: hours whose event count sits more than
+    ANOMALY_SIGMA std-devs above that event type's hourly mean — the
+    monitoring query a pipeline runs over its own ingest telemetry.
+
+    The flag predicate is EXACT INTEGER arithmetic end to end: with
+    nh = hours, s = sum of counts, ss = sum of squared counts, an hour n
+    is anomalous iff   (n*nh - s) > 0  and  (n*nh - s)^2 > sigma^2 * (nh*ss - s^2)
+    — the z > sigma test cross-multiplied so no float (and no engine's
+    sum-order) ever decides a flag.  Squared-count sums accumulate as
+    DECIMAL(38,0) (the pricing_summary overflow rule: int64 would wrap at
+    ~3e9-count hours).  The reported mean/std are doubles derived from the
+    same exact integers — one division/sqrt per row, identical in both
+    engines.
+
+    Output: (event_type, hour_s, n, mean, std) for flagged hours only.
+
+    Scale: two partial-agg shuffles — (event_type, hour) then event_type —
+    with a broadcast join back onto the tiny per-type stats; hour counts
+    are the only data-sized aggregation.
+    """
+    from cloudcomputing_flink_application_spark.registry import ensure_session_confs
+    from cloudcomputing_flink_application_spark.sources.readers import read_events
+
+    ev = read_events(ensure_session_confs(spark), sf_dir)
+    hours = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    stats = hours.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("nh"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(dec(F.col("n") * F.col("n"))).alias("ss"),
+    )
+    dev = dec(F.col("n") * F.col("nh") - F.col("s"))
+    var_num = dec(F.col("nh")) * F.col("ss") - dec(F.col("s")) * dec(F.col("s"))
+    flagged = (
+        hours.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("n") * F.col("nh") - F.col("s") > 0)
+            & (dev * dev > F.lit(ANOMALY_SIGMA * ANOMALY_SIGMA) * var_num)
+        )
+    )
+    return flagged.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00").alias("hour_s"),
+        "n",
+        (F.col("s").cast("double") / F.col("nh")).alias("mean"),
+        (
+            F.sqrt(var_num.cast("double")) / F.col("nh").cast("double")
+        ).alias("std"),
+    )
+
+
+HOURLY_ANOMALIES_SQL = f"""
+WITH hours AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(n) AS BIGINT) AS s,
+         sum(CAST(n * n AS DECIMAL(38,0))) AS ss
+  FROM hours GROUP BY event_type
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:00') AS hour_s,
+       n,
+       CAST(s AS DOUBLE) / nh AS mean,
+       sqrt(CAST(CAST(nh AS DECIMAL(38,0)) * ss
+                 - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)) AS DOUBLE)) / nh AS std
+FROM hours JOIN stats USING (event_type)
+WHERE n * nh - s > 0
+  AND CAST(n * nh - s AS DECIMAL(38,0)) * CAST(n * nh - s AS DECIMAL(38,0))
+      > {ANOMALY_SIGMA * ANOMALY_SIGMA} * (CAST(nh AS DECIMAL(38,0)) * ss
+          - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+"""

@@ -391,6 +391,10 @@ REGISTRY: dict[str, Query] = {
         timeseries.signup_funnel, timeseries.SIGNUP_FUNNEL_SQL,
         "signup->purchase cohort conversion funnel (7-day window)",
     ),
+    "ts_anomalies": Query(
+        timeseries.hourly_anomalies, timeseries.HOURLY_ANOMALIES_SQL,
+        "hourly volume-spike detection (integer-exact z-test)",
+    ),
     "ts_retention": Query(
         timeseries.retention_matrix, timeseries.RETENTION_MATRIX_SQL,
         "weekly cohort retention triangle (distinct actives per week offset)",

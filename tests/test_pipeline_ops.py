@@ -183,3 +183,39 @@ def test_kmeans_codebook_iterations_deterministic(spark, sf_dir):
         by_pos.setdefault(pos, 0)
         by_pos[pos] += n
     assert all(v == n_vecs for v in by_pos.values()) and len(by_pos) == dim
+
+
+def test_hourly_anomalies_integer_flag_fixture(spark, tmp_path):
+    # Hand-built telemetry: type 'a' has nine 1-event hours and one 30-event
+    # spike hour (z^2 = 261^2/75690 ~ 9 > 4 -> flagged); type 'b' is flat
+    # (never flagged).  Verifies the cross-multiplied integer predicate and
+    # the exact mean/std derivation.
+    import math
+    import os
+
+    import pandas as pd
+
+    from cloudcomputing_flink_application_spark.operators.timeseries import (
+        hourly_anomalies,
+    )
+
+    rows, eid = [], 0
+    for h in range(10):
+        n = 30 if h == 9 else 1
+        for _ in range(n):
+            rows.append((eid, pd.Timestamp(2024, 1, 1, h, 30), 1, "a", 0.0, "{}"))
+            eid += 1
+        for _ in range(2):
+            rows.append((eid, pd.Timestamp(2024, 1, 1, h, 15), 2, "b", 0.0, "{}"))
+            eid += 1
+    d = str(tmp_path / "ev")
+    os.makedirs(d)
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(f"{d}/events.parquet")
+    got = hourly_anomalies(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.event_type, r.hour_s, r.n) == ("a", "2024-01-01 09:00", 30)
+    assert r.mean == 39 / 10
+    assert r.std == math.sqrt(10 * 909 - 39 * 39) / 10
