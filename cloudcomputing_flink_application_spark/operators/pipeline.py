@@ -573,3 +573,55 @@ def _clean_corpus_sql() -> str:
 
 
 CLEAN_CORPUS_SQL = _clean_corpus_sql()
+
+
+# --- per-source corpus report ------------------------------------------------
+
+
+def source_report(documents: DataFrame) -> DataFrame:
+    """Per-source corpus accounting: the report a crawl-ops dashboard reads
+    to decide which sources are worth recrawling and which are duplicate
+    farms.
+
+    Output per source: (source, n_docs, n_unique, dup_rate, total_chars) —
+    n_unique counts distinct text hashes (md5 of the coalesced text, the
+    exact-dedup key), dup_rate is the one derived double.
+
+    Scale: a single aggregation keyed by source with an exact distinct
+    count — Spark plans countDistinct as a two-stage partial-distinct
+    aggregation (per-partition dedup before the exchange), so shuffle
+    volume is O(distinct (source, hash) pairs), not O(rows).  Source
+    cardinality is small but the pre-exchange dedup keeps even a
+    skewed giant source bounded per task.
+    """
+    h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        documents.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct(h).cast("long").alias("n_unique"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs")
+            ).alias("dup_rate"),
+            "total_chars",
+        )
+    )
+
+
+SOURCE_REPORT_SQL = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT) AS n_unique,
+       CAST(count(*) - count(DISTINCT md5(coalesce(text, ''))) AS DOUBLE)
+         / count(*) AS dup_rate,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+"""

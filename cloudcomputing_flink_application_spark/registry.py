@@ -337,6 +337,10 @@ REGISTRY: dict[str, Query] = {
         _on_docs(pipeline.sample_stratified), pipeline.SAMPLE_STRATIFIED_SQL,
         "deterministic per-language stratified sampling (stable hash predicate)",
     ),
+    "pipe_source_report": Query(
+        _on_docs(pipeline.source_report), pipeline.SOURCE_REPORT_SQL,
+        "per-source corpus accounting: docs, distinct texts, dup rate",
+    ),
     "pipe_clean_corpus": Query(
         _on_docs(pipeline.clean_corpus), pipeline.CLEAN_CORPUS_SQL,
         "composed cleaning pipeline: quality -> repetition -> decontam -> dedup -> split",

@@ -126,6 +126,16 @@ def test_ivf_codebook_aggregates_once(spark):
         similarity.release_cached()
 
 
+def test_shipping_priority_topk_without_global_window(spark):
+    # The Q3 top-k must plan as TakeOrderedAndProject (distributed partial
+    # top-k); a global row_number window here would drag every qualifying
+    # order through one task (the token_freq pathology).
+    df = REGISTRY["olap_shipping_priority"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
 def test_range_count_is_banded_equi_join_not_nested_loop(spark):
     # The ±window self-join must decompose into a bucket equi-join; a
     # BroadcastNestedLoopJoin here means the band blocking regressed to
