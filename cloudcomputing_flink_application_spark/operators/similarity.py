@@ -459,3 +459,67 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOPK}
 """
+
+
+def ivf_recall_report(
+    embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE
+) -> DataFrame:
+    """Recall@k of the IVF scale path against the exact baseline — the
+    evaluation an ANN deployment runs before trading accuracy for speed.
+
+    Joins the two existing operators' outputs on (query, neighbor): per
+    query, how many of the exact top-k the probed search recovered.
+    Integer counts plus one final division; fully oracle-checkable because
+    both inputs are (each oracle composes as a sub-WITH).
+
+    Output: (query_id, n_exact, n_hits, recall).
+
+    Scale: at evaluation time the exact side runs over a SAMPLE of queries
+    (here the stride set is already small); the join is per-query
+    equi-join on tiny top-k frames.
+    """
+    exact = cosine_topk(embeddings, k).select("query_id", "neighbor_id")
+    approx = cosine_topk_ivf(embeddings, k, nprobe).select(
+        "query_id", "neighbor_id"
+    )
+    totals = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        totals.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+
+
+IVF_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_SQL})
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_IVF_SQL})
+),
+totals AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM exact GROUP BY query_id
+),
+hits AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact JOIN approx USING (query_id, neighbor_id)
+  GROUP BY query_id
+)
+SELECT query_id, n_exact,
+       coalesce(n_hits, 0) AS n_hits,
+       CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact AS recall
+FROM totals LEFT JOIN hits USING (query_id)
+"""

@@ -271,6 +271,10 @@ REGISTRY: dict[str, Query] = {
         _on_embs(similarity.cosine_topk_ivf), similarity.COSINE_TOPK_IVF_SQL,
         "IVF-pruned cosine top-k (nprobe nearest clusters)",
     ),
+    "ann_ivf_recall": Query(
+        _on_embs(similarity.ivf_recall_report), similarity.IVF_RECALL_SQL,
+        "recall@k of the IVF path vs the exact baseline, per query",
+    ),
     "emb_kmeans_codebook": Query(
         _on_embs(similarity.ivf_kmeans_codebook), similarity.KMEANS_CODEBOOK_SQL,
         "IVF index build: one Lloyd k-means update with exact quantized sums",
