@@ -228,7 +228,12 @@ def _assign_to_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def cosine_topk_ivf(embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE) -> DataFrame:
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    k: int = TOPK,
+    nprobe: int = NPROBE,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
     """IVF-pruned top-k: probe only the nprobe clusters nearest each query.
 
     Codebook: centroid of cluster L = the embedding with the minimum vec_id
@@ -254,8 +259,10 @@ def cosine_topk_ivf(embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE) 
     # <= |labels| rows — negligible storage at any corpus size, against a
     # whole corpus scan+fold saved.  ``base`` stays UNpersisted by the same
     # scale logic: caching it is O(corpus) memory, and its recompute is the
-    # scan itself.
-    centroids = _persist(_seed_codebook(base))
+    # scan itself.  An explicit ``codebook`` (e.g. ``refined_codebook``'s
+    # k-means artifact, or one loaded from storage) replaces the seed —
+    # the search plan is identical either way.
+    centroids = _persist(codebook if codebook is not None else _seed_codebook(base))
     # assignment: every vector -> nearest centroid (cos desc, cluster asc).
     # At production scale ``assigned`` is the one-time IVF index artifact
     # written to storage; here it is consumed once, so no persist.
@@ -349,31 +356,53 @@ def ivf_kmeans_codebook(embeddings: DataFrame, iters: int = 1) -> DataFrame:
             )
         )
         if it + 1 < iters:
-            # Rebuild the next codebook from the quantized means — both
-            # engines would see the SAME dequantized doubles, so chained
-            # iterations stay deterministic.  collect_list order is
-            # nondeterministic; array_sort on (pos, val) structs restores
-            # positional order.
-            cent = (
-                sums.select(
-                    "cluster",
-                    "pos",
-                    (
-                        (F.col("sum_q").cast("double") / F.col("n_members"))
-                        / F.lit(float(KMEANS_SCALE))
-                    ).alias("val"),
-                )
-                .groupBy("cluster")
-                .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
-                .select(
-                    "cluster",
-                    F.transform("pv", lambda s: s["val"]).alias("cemb"),
-                )
-            )
-            centroids = cent.withColumn(
-                "cnrm", F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
-            ).filter(F.col("cnrm") > 0)
+            centroids = dequantize_codebook(sums)
     return sums
+
+
+def dequantize_codebook(sums: DataFrame) -> DataFrame:
+    """(cluster, pos, n_members, sum_q) update statistics -> a usable
+    (cluster, cemb, cnrm) codebook.
+
+    Both engines see the SAME dequantized doubles (one division per
+    element from exact integers), so codebooks rebuilt this way keep
+    chained iterations — and any search over them — deterministic.
+    collect_list order is nondeterministic; array_sort on (pos, val)
+    structs restores positional order.
+    """
+    cent = (
+        sums.select(
+            "cluster",
+            "pos",
+            (
+                (F.col("sum_q").cast("double") / F.col("n_members"))
+                / F.lit(float(KMEANS_SCALE))
+            ).alias("val"),
+        )
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+        .select(
+            "cluster",
+            F.transform("pv", lambda s: s["val"]).alias("cemb"),
+        )
+    )
+    return cent.withColumn(
+        "cnrm", F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+    ).filter(F.col("cnrm") > 0)
+
+
+def refined_codebook(embeddings: DataFrame, iters: int = 1) -> DataFrame:
+    """The k-means-refined (cluster, cemb, cnrm) codebook, ready to pass as
+    ``cosine_topk_ivf(..., codebook=...)``.
+
+    Measured with ``ivf_recall_report`` on the synthetic embeddings
+    (recall@5, nprobe=3): at sf0.1 one refinement iteration lifts mean
+    recall 0.55 -> 0.61 and a second oscillates back to 0.56; at sf0.01
+    (5 queries) one iteration DROPS it 0.56 -> 0.52.  Refinement is not
+    monotone on this data — which is exactly why the recall report exists:
+    measure per corpus before shipping a codebook.  Determinism of the
+    refined search is pinned in tests/test_dedup_edges.py."""
+    return dequantize_codebook(ivf_kmeans_codebook(embeddings, iters=iters))
 
 
 KMEANS_CODEBOOK_SQL = f"""
@@ -462,7 +491,10 @@ SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOPK}
 
 
 def ivf_recall_report(
-    embeddings: DataFrame, k: int = TOPK, nprobe: int = NPROBE
+    embeddings: DataFrame,
+    k: int = TOPK,
+    nprobe: int = NPROBE,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the IVF scale path against the exact baseline — the
     evaluation an ANN deployment runs before trading accuracy for speed.
@@ -479,7 +511,7 @@ def ivf_recall_report(
     equi-join on tiny top-k frames.
     """
     exact = cosine_topk(embeddings, k).select("query_id", "neighbor_id")
-    approx = cosine_topk_ivf(embeddings, k, nprobe).select(
+    approx = cosine_topk_ivf(embeddings, k, nprobe, codebook).select(
         "query_id", "neighbor_id"
     )
     totals = exact.groupBy("query_id").agg(

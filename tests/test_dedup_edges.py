@@ -376,3 +376,26 @@ def test_purge_conserves_corpus(spark, sf_dir):
     assert sum(r.chars_saved for r in purged) == purged_chars
     # real dedup happened on this corpus
     assert any(r.n_members > 1 for r in purged)
+
+
+def test_ivf_explicit_codebook_plumbing(spark, sf_dir):
+    # An externally-supplied codebook (here the k-means artifact) slots
+    # into the same search plan: the report stays deterministic across
+    # runs, covers the same query set as the seed path, and reproduces the
+    # measured mean recall exactly (0.64 for both codebooks at sf0.001; at
+    # larger SFs refinement moves recall non-monotonically — 0.55->0.61 at
+    # sf0.1, 0.56->0.52 at sf0.01, per the refined_codebook docstring —
+    # which is what the report is for).
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    try:
+        seed = rows_set(similarity.ivf_recall_report(emb))
+        cb = similarity.refined_codebook(emb, 1)
+        r1 = rows_set(similarity.ivf_recall_report(emb, codebook=cb))
+        r2 = rows_set(similarity.ivf_recall_report(emb, codebook=cb))
+        assert r1 == r2
+        assert {r[0] for r in r1} == {r[0] for r in seed}
+        mean = lambda rows: sum(r[3] for r in rows) / len(rows)
+        assert abs(mean(seed) - 0.64) < 1e-9
+        assert abs(mean(r1) - 0.64) < 1e-9
+    finally:
+        similarity.release_cached()
