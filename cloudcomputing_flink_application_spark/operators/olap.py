@@ -324,3 +324,57 @@ WHERE EXISTS (
 )
 GROUP BY o_orderpriority
 """
+
+
+#: Q13 filter: count only non-finished orders per customer (stands in for
+#: the reference query's comment NOT LIKE filter; the driver schema has no
+#: o_comment column).
+CUSTDIST_EXCLUDE_STATUS = "F"
+
+
+def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): how many
+    customers placed exactly N qualifying orders, INCLUDING the
+    zero-order customers a plain inner join would silently drop.
+
+    Two-level aggregation: left join customer -> filtered orders, count
+    per customer (count of a NULL-able key is 0 for no-order customers),
+    then the distribution over those counts.
+
+    Scale: the first aggregate shuffles on c_custkey (high-cardinality);
+    the second on c_count — a few dozen distinct values, but its input is
+    already one row per customer and partial aggregation collapses each
+    partition to |distinct counts| rows before the exchange, so the
+    low-cardinality key never concentrates data-sized volume.
+    All-integer output — full value-hash oracle.
+    """
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") != CUSTDIST_EXCLUDE_STATUS)
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+CUSTOMER_DISTRIBUTION_SQL = f"""
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN (
+    SELECT o_custkey, o_orderkey FROM orders
+    WHERE o_orderstatus <> '{CUSTDIST_EXCLUDE_STATUS}'
+  ) o ON c_custkey = o.o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust
+GROUP BY c_count
+"""

@@ -366,6 +366,11 @@ REGISTRY: dict[str, Query] = {
         lambda s, d: olap.order_priority_counts(olap_confs(s), d), olap.ORDER_PRIORITY_SQL,
         "semi-join order-priority counts (TPC-H Q4 shape)",
     ),
+    "olap_customer_distribution": Query(
+        lambda s, d: olap.customer_distribution(olap_confs(s), d),
+        olap.CUSTOMER_DISTRIBUTION_SQL,
+        "customer order-count distribution incl. zero-order customers (TPC-H Q13 shape)",
+    ),
     "olap_pricing_summary": Query(
         lambda s, d: olap.pricing_summary(olap_confs(s), d), olap.PRICING_SUMMARY_SQL,
         "pricing summary report (TPC-H Q1 shape, exact-int sums)",
