@@ -41,6 +41,8 @@ from cloudcomputing_flink_application_spark.sources.readers import (
 def _vehicle_telematics(args: argparse.Namespace) -> None:
     spark = get_spark(app_name="vehicle-telematics")
     if args.streaming:
+        if args.show:
+            print("warning: --show is batch-only; streaming mode writes sinks only")
         import os
         import shutil
         import tempfile
@@ -116,6 +118,8 @@ def _corpus_clean(args: argparse.Namespace) -> None:
 
     spark = get_spark(app_name="corpus-clean")
     if args.streaming:
+        if args.show:
+            print("warning: --show is batch-only; streaming mode writes sinks only")
         from pyspark.sql import functions as F
 
         from cloudcomputing_flink_application_spark import schemas
@@ -150,14 +154,18 @@ def _corpus_clean(args: argparse.Namespace) -> None:
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="cloudcomputing_flink_application_spark")
     sub = p.add_subparsers(dest="job", required=True)
-    for name, fn, out_help in (
-        ("vehicle-telematics", _vehicle_telematics, "output folder (3 CSVs)"),
-        ("congestion-area", _congestion_area, "output CSV file"),
-        ("saturated-vendor", _saturated_vendor, "output CSV file"),
-        ("corpus-clean", _corpus_clean, "output folder (parquet flags)"),
+    for name, fn, in_help, out_help in (
+        ("vehicle-telematics", _vehicle_telematics,
+         "car-report CSV file/dir", "output folder (3 CSVs)"),
+        ("congestion-area", _congestion_area,
+         "taxi-trip CSV file/dir", "output CSV file"),
+        ("saturated-vendor", _saturated_vendor,
+         "taxi-trip CSV file/dir", "output CSV file"),
+        ("corpus-clean", _corpus_clean,
+         "documents-shaped parquet file/dir", "output folder (parquet flags)"),
     ):
         sp = sub.add_parser(name)
-        sp.add_argument("--input", required=True, help="input CSV file/dir")
+        sp.add_argument("--input", required=True, help=in_help)
         sp.add_argument("--output", required=True, help=out_help)
         sp.add_argument("--show", action="store_true", help="also print to stdout")
         sp.add_argument(

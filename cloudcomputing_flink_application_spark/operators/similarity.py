@@ -261,8 +261,11 @@ def cosine_topk_ivf(
     # scale logic: caching it is O(corpus) memory, and its recompute is the
     # scan itself.  An explicit ``codebook`` (e.g. ``refined_codebook``'s
     # k-means artifact, or one loaded from storage) replaces the seed —
-    # the search plan is identical either way.
-    centroids = _persist(codebook if codebook is not None else _seed_codebook(base))
+    # the search plan is identical either way.  Only the operator-built
+    # seed is persisted here: a caller-supplied codebook stays the
+    # caller's to persist/release (otherwise every library call would
+    # leak an entry into _CACHED that only release_cached() drops).
+    centroids = codebook if codebook is not None else _persist(_seed_codebook(base))
     # assignment: every vector -> nearest centroid (cos desc, cluster asc).
     # At production scale ``assigned`` is the one-time IVF index artifact
     # written to storage; here it is consumed once, so no persist.
@@ -337,6 +340,8 @@ def ivf_kmeans_codebook(embeddings: DataFrame, iters: int = 1) -> DataFrame:
     lazily (iters is small); at production scale each round's codebook
     would be written out as the versioned index artifact.
     """
+    if iters < 1:
+        raise ValueError(f"ivf_kmeans_codebook needs iters >= 1, got {iters}")
     base = _normed(embeddings)
     centroids = _seed_codebook(base)
     sums = None

@@ -225,7 +225,11 @@ def length_histogram(documents: DataFrame) -> DataFrame:
     groups, map-side combine reduces each task to that bound regardless of
     corpus size.  Scan reads only (lang, text).
     """
-    n = F.size(X.tokens("text")).cast("long")
+    # coalesce(text,'') per the repo convention (pipeline.py does the same):
+    # a NULL text row would make non-ANSI size(NULL) = -1, and conv('-1')'s
+    # two's-complement string would land in a nonsense bucket 64 while the
+    # DuckDB oracle yields NULL — coalescing pins both engines to bucket 1.
+    n = F.size(X.tokens_of(F.coalesce(F.col("text"), F.lit("")))).cast("long")
     bucket = F.length(F.conv(n.cast("string"), 10, 2)).cast("int")
     return (
         documents.select("lang", bucket.alias("bucket"), n.alias("n"))
@@ -240,8 +244,8 @@ def length_histogram(documents: DataFrame) -> DataFrame:
 LENGTH_HISTOGRAM_SQL = f"""
 WITH counted AS (
   SELECT lang,
-         CAST(length(bin(CAST(len({X.tokens_sql('text')}) AS BIGINT))) AS INT) AS bucket,
-         CAST(len({X.tokens_sql('text')}) AS BIGINT) AS n
+         CAST(length(bin(CAST(len({X.tokens_sql("coalesce(text, '')")}) AS BIGINT))) AS INT) AS bucket,
+         CAST(len({X.tokens_sql("coalesce(text, '')")}) AS BIGINT) AS n
   FROM documents
 )
 SELECT lang, bucket,

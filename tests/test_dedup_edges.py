@@ -399,3 +399,24 @@ def test_ivf_explicit_codebook_plumbing(spark, sf_dir):
         assert abs(mean(r1) - 0.64) < 1e-9
     finally:
         similarity.release_cached()
+
+
+def test_ivf_supplied_codebook_not_persisted(spark, sf_dir):
+    # A caller-supplied codebook stays the caller's to persist: the search
+    # must not register it into _CACHED (library callers that never invoke
+    # release_cached() would otherwise accumulate persisted frames).
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    try:
+        cb = similarity.refined_codebook(emb, 1)
+        before = len(similarity._CACHED)
+        similarity.cosine_topk_ivf(emb, codebook=cb).collect()
+        assert len(similarity._CACHED) == before
+        assert cb.storageLevel.useMemory is False
+    finally:
+        similarity.release_cached()
+
+
+def test_ivf_kmeans_rejects_zero_iters(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="iters >= 1"):
+        similarity.ivf_kmeans_codebook(emb, iters=0)

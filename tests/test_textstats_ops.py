@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
-from cloudcomputing_flink_application_spark.operators.textstats import top_terms
+from cloudcomputing_flink_application_spark.operators.textstats import (
+    length_histogram,
+    top_terms,
+)
 from tests.conftest import rows_set
 
 
@@ -18,6 +21,18 @@ def test_top_terms_tf_df_ranking(spark):
         (2, "cherry", 1, 1, 1.0, 1),
         (2, "banana", 1, 2, 0.5, 2),
     }
+
+
+def test_length_histogram_null_text_is_bucket_one(spark):
+    # A NULL text row must count as zero tokens (bucket 1 = bin-digit count
+    # of 0), not the size(NULL) = -1 artifact that conv() would turn into a
+    # 64-char two's-complement bucket with total_tokens decremented.
+    docs = spark.createDataFrame(
+        [(1, "en", None), (2, "en", "one two three")],
+        "doc_id: long, lang: string, text: string",
+    )
+    out = length_histogram(docs)
+    assert rows_set(out) == {("en", 1, 1, 0), ("en", 2, 1, 3)}
 
 
 def test_top_terms_k_limits_and_tiebreak(spark):
