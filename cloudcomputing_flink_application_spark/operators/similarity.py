@@ -8,12 +8,24 @@ Two paths, as a training-data pipeline needs at 100 TB:
   is the final per-query top-k window over ~|queries|*|corpus-partition|
   partial results.  At cluster scale this is the classic
   "broadcast-queries, map-side partial top-k" plan.
-- ``cosine_topk_ivf``: IVF pruning — deterministic centroids (the minimum
-  vec_id per label acts as a fixed codebook), vectors assigned to their
-  nearest centroid, queries probe the NPROBE nearest centroids only.  The
-  scan is restricted to probed clusters: sub-linear work per query, the
-  standard inverted-file ANN layout, expressed entirely in joins Catalyst
-  can plan (no UDFs).
+- ``cosine_topk_ivf``: IVF pruning — a deterministic TWO-LEVEL codebook
+  (label = coarse level, SUBK hash-sampled sub-centroids per label),
+  vectors assigned to their nearest same-label sub-centroid, queries probe
+  the NPROBE nearest clusters globally.  Assignment is an equi-join on
+  label (each vector compares against SUBK centroids, not all K), and the
+  search join is an equi-join on cluster id — each query scans only its
+  probed inverted lists.
+
+Accuracy is MEASURED, not assumed (``ivf_recall_report``): the synthetic
+embeddings are near-uniform random (intra-label mean cos 0.0008 vs 0.0
+inter-label; only 6% of exact top-5 neighbors share the query's label), so
+recall tracks the scanned fraction plus a same-cell bonus.  The sf0.1
+sweep (DuckDB prototype, r5): K=50/nprobe=40 -> recall 0.94 at ~80% pairs
+scanned; K=50/nprobe=32 -> 0.82 at 64%; the r1-r4 label-seeded K=10/
+nprobe=3 -> 0.55-0.57 at 30%.  The defaults pick the 0.94 point.  On such
+data NO partitioning prunes much below the recall target — that is a
+property of random vectors, and exactly what the recall report is for; on
+real clustered embeddings the same plan prunes hard.
 
 Cosine arithmetic is the double-cast sequential fold proven bit-identical
 to DuckDB's list_dot_product (tests/test_functions.py), so both operators
@@ -25,8 +37,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cloudcomputing_flink_application_spark.functions import text as X
+
 TOPK = 5
-NPROBE = 3
+NPROBE = 40  # of the K = 10 labels x SUBK clusters (see module docstring)
+SUBK = 5  # sub-centroids per label (coarse level = label)
+SEED_OVERSAMPLE = 8  # hash prefilter keeps ~SUBK*OVERSAMPLE candidates/label
 QUERY_STRIDE = 100  # vec_id % STRIDE == 0 -> query vector
 
 #: Frames persisted by the operators below — same caching contract as
@@ -197,26 +213,66 @@ FROM scaled
 """
 
 
-def _seed_codebook(base: DataFrame) -> DataFrame:
-    """Deterministic seed codebook: centroid of cluster L = the embedding
-    with the minimum vec_id among label L, in one min_by aggregation pass.
-    Output: (cluster, cemb, cnrm)."""
+def _twolevel_seeds(base: DataFrame, subk: int = SUBK) -> DataFrame:
+    """Deterministic two-level seed codebook: per label (the coarse level),
+    the ``subk`` vectors with the smallest md5-derived rank become
+    sub-centroids.  Output: (label, cluster, cemb, cnrm) with
+    cluster = label * 1000 + rank (rank in 1..subk < 1000, so
+    cluster // 1000 recovers the label).
+
+    Scale shape: a naive ``row_number() over (partition by label)`` would
+    shuffle the WHOLE corpus into |labels| tasks — a skew trap.  Instead a
+    per-label count (cheap partial agg) sets an integer hash threshold
+    that prefilters to ~subk*SEED_OVERSAMPLE candidate rows per label
+    (integer-exact on both engines: (h >> 28) * n_label, no float
+    boundary), and only those few rows enter the tiny ranking window.
+    P(a label yields < subk candidates) is negligible at 8x oversampling;
+    if it ever happens that label simply gets fewer cells — determinism
+    and correctness are unaffected."""
+    counts = base.groupBy("label").agg(F.count("*").alias("n_label"))
+    h = X.h56(F.col("vec_id").cast("string"))
+    cand = (
+        F.broadcast(counts)
+        .join(base, "label")
+        .withColumn("h", h)
+        .filter(
+            F.shiftright(F.col("h"), 28) * F.col("n_label")
+            < F.lit(subk * SEED_OVERSAMPLE * (1 << 28))
+        )
+    )
+    w = Window.partitionBy("label").orderBy("h", "vec_id")
     return (
-        base.groupBy("label")
-        .agg(F.min_by(F.struct("emb", "nrm"), "vec_id").alias("c"))
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= subk)
         .select(
-            F.col("label").alias("cluster"),
-            F.col("c.emb").alias("cemb"),
-            F.col("c.nrm").alias("cnrm"),
+            "label",
+            (F.col("label").cast("long") * 1000 + F.col("rk")).alias("cluster"),
+            F.col("emb").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
         )
     )
 
 
+def ivf_codebook(embeddings: DataFrame, subk: int = SUBK) -> DataFrame:
+    """The default two-level IVF codebook over raw embeddings — the
+    artifact ``cosine_topk_ivf`` builds when none is supplied."""
+    return _twolevel_seeds(_normed(embeddings), subk)
+
+
 def _assign_to_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid (cos desc, cluster asc
-    tiebreak).  Broadcast codebook x corpus, per-vector rank-1 window.
-    Output: (vec_id, emb, nrm, cluster)."""
-    asg_scored = F.broadcast(centroids).join(base, how="cross").select(
+    tiebreak).  Output: (vec_id, emb, nrm, cluster).
+
+    When the codebook carries the coarse ``label`` level the join is an
+    EQUI-join on label — each vector compares against its own label's SUBK
+    sub-centroids only, K/|labels| of the work of a flat codebook (and an
+    equi-join Catalyst can co-partition at scale).  Label-less codebooks
+    (e.g. externally-loaded flat ones) fall back to broadcast x corpus."""
+    if "label" in centroids.columns:
+        joined = F.broadcast(centroids).join(base, "label")
+    else:
+        joined = F.broadcast(centroids).join(base, how="cross")
+    asg_scored = joined.select(
         "vec_id", "emb", "nrm", "cluster",
         (_dot(F.col("cemb"), F.col("emb")) / (F.col("cnrm") * F.col("nrm"))).alias("ccos"),
     )
@@ -236,12 +292,19 @@ def cosine_topk_ivf(
 ) -> DataFrame:
     """IVF-pruned top-k: probe only the nprobe clusters nearest each query.
 
-    Codebook: centroid of cluster L = the embedding with the minimum vec_id
-    among label L (deterministic; at real scale this would be a k-means
-    artifact versioned alongside the data — the plan shape is identical).
-    Assignment and probing both broadcast the tiny codebook; the search join
-    is an equi-join on cluster id, so each query scans only its probed
-    inverted lists.
+    Codebook: the deterministic two-level seed set (``_twolevel_seeds``) —
+    label as the coarse level, SUBK hash-sampled sub-centroids within each
+    label; at real scale this would be a k-means artifact versioned
+    alongside the data (``refined_codebook`` builds exactly that) — the
+    search plan is identical either way.  Assignment equi-joins on label;
+    probing broadcasts the tiny codebook globally; the search join is an
+    equi-join on cluster id, so each query scans only its probed inverted
+    lists.
+
+    Defaults (SUBK=5, nprobe=40) put measured mean recall@5 at 0.94 at
+    sf0.1 (0.55 before r5) — see the module docstring for the sweep and
+    why ~80% of pairs must be scanned for that on near-uniform random
+    vectors.
 
     Output: (query_id, neighbor_id, rank, cos) — exact cosine within the
     probed subset (ANN semantics: may differ from exact top-k; that is the
@@ -265,7 +328,7 @@ def cosine_topk_ivf(
     # seed is persisted here: a caller-supplied codebook stays the
     # caller's to persist/release (otherwise every library call would
     # leak an entry into _CACHED that only release_cached() drops).
-    centroids = codebook if codebook is not None else _persist(_seed_codebook(base))
+    centroids = codebook if codebook is not None else _persist(_twolevel_seeds(base))
     # assignment: every vector -> nearest centroid (cos desc, cluster asc).
     # At production scale ``assigned`` is the one-time IVF index artifact
     # written to storage; here it is consumed once, so no persist.
@@ -343,7 +406,7 @@ def ivf_kmeans_codebook(embeddings: DataFrame, iters: int = 1) -> DataFrame:
     if iters < 1:
         raise ValueError(f"ivf_kmeans_codebook needs iters >= 1, got {iters}")
     base = _normed(embeddings)
-    centroids = _seed_codebook(base)
+    centroids = _twolevel_seeds(base)
     sums = None
     for it in range(iters):
         assigned = _assign_to_centroids(base, centroids)
@@ -374,6 +437,10 @@ def dequantize_codebook(sums: DataFrame) -> DataFrame:
     chained iterations — and any search over them — deterministic.
     collect_list order is nondeterministic; array_sort on (pos, val)
     structs restores positional order.
+
+    The two-level cluster ids encode their coarse level (cluster =
+    label * 1000 + rank), so the label column is recovered here — refined
+    codebooks keep the cheap label-equi-join assignment path.
     """
     cent = (
         sums.select(
@@ -388,6 +455,7 @@ def dequantize_codebook(sums: DataFrame) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
         .select(
             "cluster",
+            F.floor(F.col("cluster") / 1000).cast("long").alias("label"),
             F.transform("pv", lambda s: s["val"]).alias("cemb"),
         )
     )
@@ -397,17 +465,40 @@ def dequantize_codebook(sums: DataFrame) -> DataFrame:
 
 
 def refined_codebook(embeddings: DataFrame, iters: int = 1) -> DataFrame:
-    """The k-means-refined (cluster, cemb, cnrm) codebook, ready to pass as
-    ``cosine_topk_ivf(..., codebook=...)``.
+    """The k-means-refined (cluster, label, cemb, cnrm) codebook, ready to
+    pass as ``cosine_topk_ivf(..., codebook=...)``.
 
     Measured with ``ivf_recall_report`` on the synthetic embeddings
-    (recall@5, nprobe=3): at sf0.1 one refinement iteration lifts mean
-    recall 0.55 -> 0.61 and a second oscillates back to 0.56; at sf0.01
-    (5 queries) one iteration DROPS it 0.56 -> 0.52.  Refinement is not
-    monotone on this data — which is exactly why the recall report exists:
-    measure per corpus before shipping a codebook.  Determinism of the
-    refined search is pinned in tests/test_dedup_edges.py."""
+    (recall@5, two-level K=50 codebook, nprobe=40, r5): one refinement
+    iteration lifts mean recall 0.92 -> 1.00 at sf0.001, 0.96 -> 1.00 at
+    sf0.01, and 0.94 -> 0.96 at sf0.1 — monotone-positive at every SF,
+    unlike the r4 label-seeded K=10 codebook whose refinement oscillated
+    (0.55 -> 0.61 -> 0.56).  The report remains the instrument: measure
+    per corpus before shipping a codebook.  Determinism of the refined
+    search is pinned in tests/test_dedup_edges.py."""
     return dequantize_codebook(ivf_kmeans_codebook(embeddings, iters=iters))
+
+
+#: Shared oracle CTE: the deterministic two-level seed codebook (label x
+#: SUBK hash-sampled sub-centroids), mirroring ``_twolevel_seeds``.
+_SEEDS_CTE = f"""
+counts AS (SELECT label, count(*) AS n_label FROM e GROUP BY label),
+cand AS (
+  SELECT e.label, e.vec_id, e.emb, e.nrm, n_label,
+         {X.h56_sql('CAST(e.vec_id AS VARCHAR)')} AS h
+  FROM e JOIN counts USING (label)
+),
+ranked_seeds AS (
+  SELECT label, vec_id, emb, nrm,
+         row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rk
+  FROM cand
+  WHERE (h >> 28) * n_label < {SUBK * SEED_OVERSAMPLE * (1 << 28)}
+),
+centroids AS (
+  SELECT label, CAST(label AS BIGINT) * 1000 + rk AS cluster,
+         emb AS cemb, nrm AS cnrm
+  FROM ranked_seeds WHERE rk <= {SUBK}
+)"""
 
 
 KMEANS_CODEBOOK_SQL = f"""
@@ -417,17 +508,13 @@ WITH e AS (
   FROM embeddings
   WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
 ),
-centroids AS (
-  SELECT label AS cluster, emb AS cemb, nrm AS cnrm
-  FROM e
-  WHERE vec_id IN (SELECT min(vec_id) FROM e GROUP BY label)
-),
+{_SEEDS_CTE.strip()},
 asg AS (
-  SELECT vec_id, emb, cluster,
-         row_number() OVER (PARTITION BY vec_id
+  SELECT e.vec_id, e.emb, c.cluster,
+         row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY list_dot_product(cemb, emb) / (cnrm * nrm) DESC,
-                                     cluster ASC) AS arank
-  FROM e CROSS JOIN centroids
+                                     c.cluster ASC) AS arank
+  FROM e JOIN centroids c USING (label)
 ),
 assigned AS (SELECT vec_id, emb, cluster FROM asg WHERE arank = 1),
 ex AS (
@@ -450,17 +537,13 @@ WITH e AS (
   FROM embeddings
   WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
 ),
-centroids AS (
-  SELECT label AS cluster, emb AS cemb, nrm AS cnrm
-  FROM e
-  WHERE vec_id IN (SELECT min(vec_id) FROM e GROUP BY label)
-),
+{_SEEDS_CTE.strip()},
 asg AS (
-  SELECT vec_id, emb, nrm, cluster,
-         row_number() OVER (PARTITION BY vec_id
+  SELECT e.vec_id, e.emb, e.nrm, c.cluster,
+         row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY list_dot_product(cemb, emb) / (cnrm * nrm) DESC,
-                                     cluster ASC) AS arank
-  FROM e CROSS JOIN centroids
+                                     c.cluster ASC) AS arank
+  FROM e JOIN centroids c USING (label)
 ),
 assigned AS (
   SELECT vec_id, emb, nrm, cluster FROM asg WHERE arank = 1

