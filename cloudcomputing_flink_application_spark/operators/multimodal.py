@@ -191,3 +191,57 @@ SELECT doc_id,
        substr(md5(text), 1, 8) AS fp8
 FROM documents
 """
+
+
+def media_probe(documents: DataFrame) -> DataFrame:
+    """Merged multimodal plumbing probe: image metadata AND audio frame
+    accounting from ONE Arrow mapInPandas pass over the binary payloads
+    (registry consolidation, r5 — the driver checks at most 50 queries;
+    ``image_meta`` and ``audio_frames`` remain individually usable and
+    tested).  One decode batch emits both modality interpretations, which
+    is also the realistic ingest shape: probe every payload once, type it
+    later.
+
+    Output: (doc_id, width, height, n_bytes, n_samples, n_frames,
+    duration_ms, fp8).
+    """
+    payloads = with_binary_payload(documents)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            nbytes = pdf["payload"].map(len)
+            samples = nbytes // BYTES_PER_SAMPLE
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (digests.map(lambda h: 1 + int(h[0:4], 16) % 1024)).astype("int32"),
+                    "height": (digests.map(lambda h: 1 + int(h[4:8], 16) % 1024)).astype("int32"),
+                    "n_bytes": nbytes.astype("int64"),
+                    "n_samples": samples.astype("int64"),
+                    "n_frames": (samples // FRAME_SAMPLES).astype("int64"),
+                    "duration_ms": (samples * 1000 // SAMPLE_RATE).astype("int64"),
+                    "fp8": digests.map(lambda h: h[:8]),
+                }
+            )
+
+    return payloads.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, width int, height int, n_bytes long, "
+            "n_samples long, n_frames long, duration_ms long, fp8 string"
+        ),
+    )
+
+
+MEDIA_PROBE_SQL = f"""
+SELECT doc_id,
+       CAST(1 + (CAST('0x' || substr(md5(text), 1, 4) AS INT) % 1024) AS INT) AS width,
+       CAST(1 + (CAST('0x' || substr(md5(text), 5, 4) AS INT) % 1024) AS INT) AS height,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) // {BYTES_PER_SAMPLE} AS BIGINT) AS n_samples,
+       CAST(octet_length(encode(text)) // {BYTES_PER_SAMPLE} // {FRAME_SAMPLES} AS BIGINT) AS n_frames,
+       CAST(octet_length(encode(text)) // {BYTES_PER_SAMPLE} * 1000 // {SAMPLE_RATE} AS BIGINT) AS duration_ms,
+       substr(md5(text), 1, 8) AS fp8
+FROM documents
+"""

@@ -378,3 +378,73 @@ SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
 FROM per_cust
 GROUP BY c_count
 """
+
+
+#: Q18 large-order threshold: > this summed quantity per order marks a
+#: "large-volume customer" order (p99 of the testdata's per-order sums,
+#: the same rarity the TPC-H spec's 300-of-max-350 cutoff targets).
+LARGE_ORDERS_MIN_QTY = 250
+LARGE_ORDERS_K = 100
+
+
+def large_orders(
+    spark: SparkSession,
+    sf_dir: str,
+    min_qty: int = LARGE_ORDERS_MIN_QTY,
+    k: int = LARGE_ORDERS_K,
+) -> DataFrame:
+    """Large-volume-customer orders (TPC-H Q18 shape): a HAVING-filtered
+    aggregate over the fact table joined BACK to orders + customer, top-k
+    by order value.
+
+    Output: (c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+    total_qty), the k highest-totalprice qualifying orders
+    (o_orderdate, o_orderkey break ties deterministically).
+
+    Scale: the lineitem aggregate shuffles once on l_orderkey;
+    the HAVING filter then keeps only the rare large orders (p99 cutoff),
+    so the join back to orders runs against a tiny filtered side — AQE
+    sees the post-filter size at runtime and picks a broadcast join
+    (a static planner would see an un-sized aggregate and shuffle both
+    sides; this query is the regression canary for that runtime re-plan).
+    Customer is a dimension at these ratios: broadcast.  total_qty sums
+    integral-valued doubles as BIGINT, so partial-agg order never changes
+    a bit.  The top-k compiles to TakeOrderedAndProject (distributed
+    partial top-k), never a global sort.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    joined = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(k)
+    )
+
+
+LARGE_ORDERS_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > {LARGE_ORDERS_MIN_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT {LARGE_ORDERS_K}
+"""

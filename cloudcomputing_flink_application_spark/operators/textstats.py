@@ -42,21 +42,11 @@ def _marker_count_sql(tok_expr: str, markers: tuple[str, ...]) -> str:
     return f"len(list_filter({tok_expr}, t -> t IN ({in_list})))"
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
-    """Heuristic language ID: argmax of per-language marker-token counts.
-
-    Output: (doc_id, pred_lang, score).  Ties resolve to the first language
-    in LANG_ORDER whose score is >= all others (fixed CASE precedence —
-    identical in the oracle).
-    """
-    toks = documents.select("doc_id", X.tokens("text").alias("tok"))
-    scored = toks.select(
-        "doc_id",
-        *[
-            _marker_count("tok", LANG_MARKERS[lang]).alias(f"s_{lang}")
-            for lang in LANG_ORDER
-        ],
-    )
+def _lang_pred_score() -> tuple[F.Column, F.Column]:
+    """(pred_lang, score) expressions over a frame carrying the s_<lang>
+    marker-count columns.  Ties resolve to the first language in LANG_ORDER
+    whose score is >= all others (fixed CASE precedence — identical in the
+    oracle).  Shared by ``lang_id`` and the merged ``doc_stats``."""
     pred = None
     for lang in LANG_ORDER:
         cond = None
@@ -70,6 +60,23 @@ def lang_id(documents: DataFrame) -> DataFrame:
     score = None
     for lang in LANG_ORDER:
         score = F.col(f"s_{lang}") if score is None else F.greatest(score, F.col(f"s_{lang}"))
+    return pred, score
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-token counts.
+
+    Output: (doc_id, pred_lang, score).
+    """
+    toks = documents.select("doc_id", X.tokens("text").alias("tok"))
+    scored = toks.select(
+        "doc_id",
+        *[
+            _marker_count("tok", LANG_MARKERS[lang]).alias(f"s_{lang}")
+            for lang in LANG_ORDER
+        ],
+    )
+    pred, score = _lang_pred_score()
     return scored.select(
         "doc_id", pred.alias("pred_lang"), score.cast("int").alias("score")
     )
@@ -207,6 +214,127 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
 """
+
+
+def doc_stats(documents: DataFrame) -> DataFrame:
+    """Merged per-document report: language ID + quality signals + token
+    counts in ONE scan-fused projection — the single-pass composition an
+    ingest pipeline runs (and the registry consolidation that keeps every
+    query inside the driver's 50-entry correctness window; ``lang_id``,
+    ``quality_score`` and ``token_counts`` remain individually usable).
+
+    NULL text coalesces to '' (the repo convention), so every ratio is
+    well-defined on both engines.
+
+    Output: (doc_id, pred_lang, lang_score, n_chars, n_tokens, bpe_tokens,
+    avg_token_len, punct_ratio, digit_ratio, stopword_ratio, quality).
+    """
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = documents.select(
+        "doc_id",
+        F.length(txt).alias("n_chars"),
+        F.lower(txt).alias("lo"),
+        X.tokens_of(txt).alias("tok"),
+    )
+    feats = toks.select(
+        "doc_id",
+        *[
+            _marker_count("tok", LANG_MARKERS[lang]).alias(f"s_{lang}")
+            for lang in LANG_ORDER
+        ],
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size("tok").cast("long").alias("n_tokens"),
+        F.regexp_count("lo", F.lit(BPE_ISH)).cast("long").alias("bpe_tokens"),
+        (
+            F.aggregate(F.col("tok"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+            / F.greatest(F.size("tok"), F.lit(1))
+        ).alias("avg_token_len"),
+        (
+            F.regexp_count("lo", F.lit("[^a-z0-9\\s]")).cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            F.regexp_count("lo", F.lit("[0-9]")).cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("digit_ratio"),
+        (
+            F.expr(f"size(filter(tok, t -> t IN ({stop_list})))").cast("double")
+            / F.greatest(F.size("tok"), F.lit(1))
+        ).alias("stopword_ratio"),
+    )
+    pred, score = _lang_pred_score()
+    quality = (
+        F.lit(0.3) * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0)))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.col("digit_ratio") * 10, F.lit(1.0)))
+        + F.lit(0.2) * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+    )
+    return feats.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        score.cast("int").alias("lang_score"),
+        "n_chars",
+        "n_tokens",
+        "bpe_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio",
+        quality.alias("quality"),
+    )
+
+
+def _doc_stats_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    score_cols = ",\n         ".join(
+        f"{_marker_count_sql('tok', LANG_MARKERS[lang])} AS s_{lang}"
+        for lang in LANG_ORDER
+    )
+    whens = []
+    for lang in LANG_ORDER:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in LANG_ORDER if other != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    greatest = f"greatest({', '.join('s_' + l for l in LANG_ORDER)})"
+    toks = X.tokens_sql("coalesce(text, '')")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, length(coalesce(text, '')) AS n_chars,
+         lower(coalesce(text, '')) AS lo, {toks} AS tok
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         {score_cols},
+         CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(tok) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(lo, '{BPE_ISH}')) AS BIGINT) AS bpe_tokens,
+         CAST(coalesce(list_sum(list_transform(tok, t -> length(t))), 0) AS DOUBLE)
+           / greatest(len(tok), 1) AS avg_token_len,
+         CAST(len(regexp_extract_all(lo, '[^a-z0-9\\s]')) AS DOUBLE)
+           / greatest(n_chars, 1) AS punct_ratio,
+         CAST(len(regexp_extract_all(lo, '[0-9]')) AS DOUBLE)
+           / greatest(n_chars, 1) AS digit_ratio,
+         CAST(len(list_filter(tok, t -> t IN ({stop_list}))) AS DOUBLE)
+           / greatest(len(tok), 1) AS stopword_ratio
+  FROM toks
+)
+SELECT doc_id,
+       CASE {' '.join(whens)} END AS pred_lang,
+       CAST({greatest} AS INT) AS lang_score,
+       n_chars, n_tokens, bpe_tokens, avg_token_len,
+       punct_ratio, digit_ratio, stopword_ratio,
+       0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+     + 0.3 * (1.0 - least(punct_ratio * 4, 1.0))
+     + 0.2 * (1.0 - least(digit_ratio * 10, 1.0))
+     + 0.2 * least(stopword_ratio * 5, 1.0) AS quality
+FROM feats
+"""
+
+
+DOC_STATS_SQL = _doc_stats_sql()
 
 
 def length_histogram(documents: DataFrame) -> DataFrame:
@@ -387,6 +515,40 @@ SELECT doc_id,
        CAST(({X.h56_sql('text')}) % 100 AS INT) AS bucket,
        CASE WHEN ({X.h56_sql('text')}) % 100 < 90 THEN 'train'
             WHEN ({X.h56_sql('text')}) % 100 < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def redact_split(documents: DataFrame) -> DataFrame:
+    """Merged governance projection: PII-style digit-run redaction + the
+    content-addressed train/valid/test split in ONE scan-fused pass
+    (registry consolidation; ``redact`` and ``split_assign`` remain
+    individually usable).  NULL text coalesces to '' per repo convention.
+
+    Output: (doc_id, n_redactions, redacted_md5, bucket, split).
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    bucket = (X.h56(txt) % 100).cast("int")
+    return documents.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit("[0-9]+")).cast("long").alias("n_redactions"),
+        F.md5(F.regexp_replace(txt, "[0-9]+", "<num>")).alias("redacted_md5"),
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+REDACT_SPLIT_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9]+')) AS BIGINT) AS n_redactions,
+       md5(regexp_replace(coalesce(text, ''), '[0-9]+', '<num>', 'g')) AS redacted_md5,
+       CAST(({X.h56_sql("coalesce(text, '')")}) % 100 AS INT) AS bucket,
+       CASE WHEN ({X.h56_sql("coalesce(text, '')")}) % 100 < 90 THEN 'train'
+            WHEN ({X.h56_sql("coalesce(text, '')")}) % 100 < 95 THEN 'valid'
             ELSE 'test' END AS split
 FROM documents
 """

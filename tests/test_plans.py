@@ -136,6 +136,17 @@ def test_shipping_priority_topk_without_global_window(spark):
     assert "Window" not in plan, plan
 
 
+def test_large_orders_topk_and_pruned_fact_scan(spark):
+    # Q18 shape: the top-k must be a distributed TakeOrderedAndProject (no
+    # global sort), joins must stay hash/broadcast (no cartesian), and the
+    # lineitem scan must be pruned to exactly the aggregate's two columns.
+    df = REGISTRY["olap_large_orders"].fn(spark, SF)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
 def test_range_count_is_banded_equi_join_not_nested_loop(spark):
     # The ±window self-join must decompose into a bucket equi-join; a
     # BroadcastNestedLoopJoin here means the band blocking regressed to
