@@ -486,35 +486,41 @@ def clean_corpus(documents: DataFrame) -> DataFrame:
     Scale: per-doc stages are scan-fused or one-shuffle aggs keyed by
     doc_id / gram (high-cardinality, skew-free); the survivor dedup is one
     window shuffle on the text hash; the stage joins co-shuffle on doc_id.
+
+    r5 plan slim-down (the r4 +20% was this plan's join shape, not the
+    incremental-variant semantics): the per-row quality stage fuses into
+    the base projection via ``textstats.quality_col`` instead of a shuffle
+    join against the per-doc quality frame, and the survivor-dedup
+    canonical is an inline ``min(CASE WHEN pass THEN doc_id END)`` window
+    on the text hash instead of a filtered branch joined back on doc_id —
+    two shuffle joins and a duplicated subplan gone, byte-identical
+    output (a failing doc can never equal the min PASSING doc_id, and an
+    all-failing group yields NULL -> false, exactly as before).
     """
     from cloudcomputing_flink_application_spark.operators import textstats
 
-    q = textstats.quality_score(documents).select("doc_id", "quality")
     rep = repetition_stats(documents).select("doc_id", "flagged")
     con = decontaminate(documents).select("doc_id", "contaminated")
     base = documents.filter(F.col("doc_id") % BENCH_MOD != 0).select("doc_id", "text")
     flags = (
-        base.join(q, "doc_id")
-        .join(rep, "doc_id")
+        base.join(rep, "doc_id")
         .join(con, "doc_id")
         .select(
             "doc_id",
             "text",
-            (F.col("quality") >= CLEAN_QUALITY_MIN).alias("q_ok"),
+            (textstats.quality_col(F.col("text")) >= CLEAN_QUALITY_MIN).alias("q_ok"),
             (~F.col("flagged")).alias("rep_ok"),
             (~F.col("contaminated")).alias("con_ok"),
         )
     )
     w = Window.partitionBy(F.md5(F.coalesce(F.col("text"), F.lit(""))))
-    canon = (
-        flags.filter(F.col("q_ok") & F.col("rep_ok") & F.col("con_ok"))
-        .select("doc_id", F.min("doc_id").over(w).alias("_c"))
-    )
+    passes = F.col("q_ok") & F.col("rep_ok") & F.col("con_ok")
+    canon = F.min(F.when(passes, F.col("doc_id"))).over(w)
     bucket = (X.h56(F.col("text")) % 100).cast("int")
     uniq = F.coalesce(F.col("doc_id") == F.col("_c"), F.lit(False))
-    kept = F.col("q_ok") & F.col("rep_ok") & F.col("con_ok") & uniq
+    kept = passes & uniq
     return (
-        flags.join(canon, "doc_id", "left")
+        flags.withColumn("_c", canon)
         .select(
             "doc_id",
             "q_ok",

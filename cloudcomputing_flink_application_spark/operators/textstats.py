@@ -113,6 +113,38 @@ FROM scored
 LANG_ID_SQL = _lang_id_sql()
 
 
+def quality_col(txt: F.Column) -> F.Column:
+    """The composite quality score as ONE per-row expression over a text
+    column — identical arithmetic to ``quality_score``'s staged projection
+    (same sub-expressions, same order), exposed so composed pipelines
+    (``pipeline.clean_corpus``) can fuse the quality stage into their base
+    scan instead of paying a shuffle join against the per-doc frame."""
+    lo = F.lower(txt)
+    tok = X.tokens_of(txt)
+    n_chars = F.length(txt)
+    n_tokens = F.size(tok)
+    punct_ratio = (
+        F.regexp_count(lo, F.lit("[^a-z0-9\\s]")).cast("double")
+        / F.greatest(n_chars, F.lit(1))
+    )
+    digit_ratio = (
+        F.regexp_count(lo, F.lit("[0-9]")).cast("double")
+        / F.greatest(n_chars, F.lit(1))
+    )
+    # the stopword filter needs the tok expression inline (no column name to
+    # reference), so use the higher-order-function API directly:
+    stopword_ratio = (
+        F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS))).cast("double")
+        / F.greatest(n_tokens, F.lit(1))
+    )
+    return (
+        F.lit(0.3) * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(digit_ratio * 10, F.lit(1.0)))
+        + F.lit(0.2) * F.least(stopword_ratio * 5, F.lit(1.0))
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Per-document quality signals + a composite score.
 
