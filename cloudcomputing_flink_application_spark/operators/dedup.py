@@ -1251,25 +1251,47 @@ def _hp_plane(p: int, dim: int = HP_DIM) -> list[float]:
 HP_PLANE_VALS: list[list[float]] = [_hp_plane(p) for p in range(HP_PLANES)]
 
 
-def embedding_lsh_dedup(embeddings: DataFrame, dim: int = HP_DIM) -> DataFrame:
+def embedding_lsh_dedup(
+    embeddings: DataFrame,
+    dim: int = HP_DIM,
+    planes: int = HP_PLANES,
+    bands: int = HP_BANDS,
+) -> DataFrame:
     """Near-dup pairs by cosine, blocked by random-hyperplane LSH.
 
     The sub-quadratic scale path next to ``embedding_cosine_dedup``'s
-    guarded exact baseline: each vector gets a HP_PLANES-bit signature
+    guarded exact baseline: each vector gets a ``planes``-bit signature
     (bit p = sign of ``emb · plane_p``, SimHash-for-embeddings), split into
-    HP_BANDS bands; only pairs sharing at least one band value are cosine-
-    verified.  Candidate generation is an equi-join on (band, key) over rows
-    of three ints — O(n · bands) band rows, never all pairs — and the
-    verify joins the (id-only, distinct) candidates back to the vectors.
+    ``bands`` bands of ``planes // bands`` bits; only pairs sharing at
+    least one band value are cosine-verified.  Candidate generation is an
+    equi-join on (band, key) over rows of three ints, and the verify joins
+    the (id-only, distinct) candidates back to the vectors.
     Recall is probabilistic by construction (~angle-dependent); every pair
     it does emit carries the exact cosine, a subset of the exact baseline's
     output (pinned in tests/test_dedup_edges.py).
+
+    **Band width is the scale knob** (r5, measured — SCALING.md): with
+    b-bit bands the buckets hold ~n/2^b vectors, so candidate pairs grow
+    as bands * n^2 / 2^b.  The default 4-bit bands (16 buckets) are
+    selective enough for the tested SFs but turn quadratic past ~10x
+    sf0.1 (measured: 2.5x data -> 4.5x time).  A cluster deploy sets
+    b ~ log2(n / target_bucket_size), e.g. ``planes=64, bands=4`` for
+    16-bit bands.  The recall price is analytic: P(one-band collision)
+    = p^b with p = 1 - acos(cos)/pi, so at this registry's LOW 0.4
+    threshold (p = 0.63) wide bands forfeit most borderline pairs —
+    banding cannot be simultaneously selective and high-recall at low
+    similarity thresholds; at real near-dup thresholds (cos >= 0.95,
+    p = 0.90) 16-bit bands keep p^16 = 0.2 per band.  cos == 1 pairs
+    collide in every band at any width, so exact-duplicate recall stays
+    guaranteed.
 
     The dot products fold sequentially per row, bit-identical to DuckDB's
     ``list_dot_product`` (tests/test_functions.py), so the LSH bits — sign
     comparisons on those doubles — match exactly across engines.
     Output: (vec_a, vec_b, cos).
     """
+    if planes % bands != 0:
+        raise ValueError(f"planes ({planes}) must divide into bands ({bands})")
     nparts = embeddings.sparkSession.sparkContext.defaultParallelism
     dot = lambda u, v: F.aggregate(  # noqa: E731
         F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -1281,35 +1303,35 @@ def embedding_lsh_dedup(embeddings: DataFrame, dim: int = HP_DIM) -> DataFrame:
     norms = e.select(
         "vec_id", "emb", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm")
     ).filter(F.col("nrm") > 0)
-    rows_per_band = HP_PLANES // HP_BANDS
+    rows_per_band = planes // bands
     bits = [
         F.when(dot(F.col("emb"), F.array(*[F.lit(v) for v in _hp_plane(p, dim)])) >= 0,
                F.lit(1)).otherwise(F.lit(0))
-        for p in range(HP_PLANES)
+        for p in range(planes)
     ]
     band_keys = [
         sum(
-            (bits[b * rows_per_band + i] * (1 << (rows_per_band - 1 - i))
+            (bits[b * rows_per_band + i].cast("long") * (1 << (rows_per_band - 1 - i))
              for i in range(rows_per_band)),
-            start=F.lit(0),
+            start=F.lit(0).cast("long"),
         )
-        for b in range(HP_BANDS)
+        for b in range(bands)
     ]
-    bands = norms.select(
+    band_rows = norms.select(
         "vec_id",
         F.explode(
             F.array(
                 *[
                     F.struct(F.lit(b).alias("band"), band_keys[b].alias("key"))
-                    for b in range(HP_BANDS)
+                    for b in range(bands)
                 ]
             )
         ).alias("bk"),
     ).select("vec_id", "bk.band", "bk.key")
     cands = (
-        bands.alias("a")
+        band_rows.alias("a")
         .join(
-            bands.alias("b"),
+            band_rows.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),

@@ -1,0 +1,142 @@
+"""Empirical scaling spot-bench: measure wall-clock growth of the three
+operators whose 100 TB story SCALING.md otherwise only argues —
+``dedup_purge`` (O(log n) closure rounds), ``pipe_clean_corpus`` (composed
+plan), ``dedup_embedding_lsh`` (O(n x bands) candidates).
+
+Corpus construction (deterministic, duplicate-structure-preserving):
+replica k of the sf0.1 ``documents`` table offsets doc_id by k*10^7 and
+appends ``" r<k>"`` to the text for k > 0, so each replica carries the
+SAME intra-replica duplicate structure as the original and no cross-replica
+duplicates (scaling the number of dup clusters linearly, not their size —
+the shape a bigger crawl actually has).  n_chars is recomputed from the
+perturbed text.  Replica k of ``embeddings`` offsets vec_id and ROTATES the
+vector by k positions: norms (and thus per-replica geometry) are preserved
+while cross-replica cosines stay at random-vector levels, so the near-dup
+pair count also scales linearly.
+
+Protocol (per BASELINE.md bench-contamination notes): run on a QUIET
+machine, scales sequentially in one session, REPS runs per scale, min
+taken (min is the least-contended estimate; the JIT warm-up run is
+discarded).  Usage::
+
+    python scaling_bench.py          # writes one JSON line to stdout
+
+The fitted exponent for scale s vs 1 is log(t_s/t_1)/log(s); ~1.0 means
+linear growth, the claim under test.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import shutil
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from cloudcomputing_flink_application_spark.operators import dedup, pipeline
+from cloudcomputing_flink_application_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+WORK = Path(__file__).parent / ".scaling_data"
+SCALES = (1, 4, 10)
+REPS = 2
+ID_STRIDE = 10_000_000
+
+
+def build_corpora(spark) -> None:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(embs.select("embedding").first()[0])
+    for s in SCALES:
+        ddir, edir = WORK / f"docs_x{s}", WORK / f"embs_x{s}"
+        if ddir.exists() and edir.exists():
+            continue
+        d_parts = []
+        e_parts = []
+        for k in range(s):
+            txt = (
+                F.col("text")
+                if k == 0
+                else F.concat(F.col("text"), F.lit(f" r{k}"))
+            )
+            d_parts.append(
+                docs.select(
+                    (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
+                    txt.alias("text"),
+                    "lang",
+                    "source",
+                    F.length(txt).cast("long").alias("n_chars"),
+                )
+            )
+            rot = (
+                F.col("embedding")
+                if k == 0
+                else F.concat(
+                    F.slice("embedding", k % dim + 1, dim - k % dim),
+                    F.slice("embedding", 1, k % dim),
+                )
+            )
+            e_parts.append(
+                embs.select(
+                    (F.col("vec_id") + k * ID_STRIDE).alias("vec_id"),
+                    "label",
+                    rot.alias("embedding"),
+                )
+            )
+        d = d_parts[0]
+        for p in d_parts[1:]:
+            d = d.unionByName(p)
+        e = e_parts[0]
+        for p in e_parts[1:]:
+            e = e.unionByName(p)
+        d.write.mode("overwrite").parquet(str(ddir))
+        e.write.mode("overwrite").parquet(str(edir))
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="scaling-bench")
+    WORK.mkdir(exist_ok=True)
+    build_corpora(spark)
+    ops = {
+        "dedup_purge": lambda d, e: dedup.minhash_purge_dedup(d).count(),
+        "pipe_clean_corpus": lambda d, e: pipeline.clean_corpus(d).count(),
+        "dedup_embedding_lsh": lambda d, e: dedup.embedding_lsh_dedup(e).count(),
+        # the scale configuration the operator docstring prescribes past
+        # ~10x sf0.1: 16-bit bands keep buckets sparse (candidates
+        # ~ bands * n^2 / 65536 vs / 16 for the default)
+        "dedup_embedding_lsh_16bit": lambda d, e: dedup.embedding_lsh_dedup(
+            e, planes=64, bands=4
+        ).count(),
+    }
+    results: dict[str, dict] = {name: {} for name in ops}
+    for s in SCALES:
+        d = spark.read.parquet(str(WORK / f"docs_x{s}"))
+        e = spark.read.parquet(str(WORK / f"embs_x{s}"))
+        for name, fn in ops.items():
+            times = []
+            for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
+                spark.catalog.clearCache()
+                dedup.release_cached()
+                times.append(timed(lambda: fn(d, e)))
+            results[name][s] = round(min(times[1:]), 3)
+    out = {"scales": list(SCALES), "sf": 0.1, "reps": REPS, "ops": {}}
+    for name, by_scale in results.items():
+        t1 = by_scale[SCALES[0]]
+        exps = {
+            s: round(math.log(by_scale[s] / t1) / math.log(s), 2)
+            for s in SCALES[1:]
+        }
+        out["ops"][name] = {"sec": by_scale, "exponent_vs_1x": exps}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

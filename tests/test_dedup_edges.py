@@ -121,6 +121,20 @@ def test_embedding_lsh_is_subset_of_exact_with_identical_cosines(spark, sf_dir):
     assert dup_pairs <= found
 
 
+def test_embedding_lsh_wide_bands_keep_the_contract(spark, sf_dir):
+    # The scale configuration (16-bit bands: planes=64, bands=4 — the knob
+    # SCALING.md's spot-bench showed restores ~linear growth at 10x) must
+    # keep both contract halves: emitted (pair, cos) rows are verbatim
+    # exact-baseline rows, and cos == 1 duplicates still collide on every
+    # band regardless of width.
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = rows_set(dedup.embedding_cosine_dedup(embs))
+    wide = rows_set(dedup.embedding_lsh_dedup(embs, planes=64, bands=4))
+    assert wide <= exact
+    dup_pairs = {(a, b) for a, b, c in exact if c >= 0.999999}
+    assert dup_pairs <= {(a, b) for a, b, _ in wide}
+
+
 def test_embedding_lsh_low_dim_parity(spark):
     # dim != 64 must slice the hyperplanes consistently on the Spark side
     # (the SQL oracle is fixed to the driver table's 64-dim layout).
