@@ -469,6 +469,20 @@ def test_clean_corpus_stream_matches_batch(spark, tmp_path):
     # at least one non-uniq survivor, at least one kept doc per split
     assert any(r[1] and r[2] and r[3] and not r[4] for r in streamed)
     assert {r[-1] for r in streamed} >= {"train", "valid", "test", ""}
+    # State-store footprint (PLANS.md): the hash store holds one 32-hex row
+    # per distinct SURVIVOR text per batch — its distinct-hash count must
+    # equal the batch plan's distinct survivor texts, and total rows are
+    # bounded by passing docs (never corpus rows, never output rows).
+    store = spark.read.parquet(str(tmp_path / "hashes"))
+    passing = batch_df.filter("q_ok AND rep_ok AND con_ok")
+    distinct_surv = (
+        docs.join(batch_df.filter("q_ok AND rep_ok AND con_ok"), "doc_id")
+        .select(F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert store.select("h").distinct().count() == distinct_surv
+    assert store.count() <= passing.count()
 
 
 def test_minhash_stream_recovers_from_crashed_first_write(spark, tmp_path):
@@ -540,7 +554,14 @@ def test_length_histogram_stream_matches_batch(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
+        prog = q.lastProgress
     finally:
         q.stop()
     streamed = rows_set(spark.sql("SELECT * FROM len_hist_s"))
-    assert streamed == rows_set(length_histogram(docs))
+    batch_hist = rows_set(length_histogram(docs))
+    assert streamed == batch_hist
+    # State-store footprint (PLANS.md): complete-mode aggregation state is
+    # exactly the (lang, bucket) key space — one state row per emitted
+    # histogram row, regardless of corpus size.
+    state = prog["stateOperators"][0]
+    assert state["numRowsTotal"] == len(batch_hist)
