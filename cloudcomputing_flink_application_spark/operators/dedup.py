@@ -836,9 +836,33 @@ def minhash_purge_dedup(documents: DataFrame) -> DataFrame:
     the keeper join is a doc_id equi-join.  All-integer output — full
     value-hash oracle.
     """
-    clusters = minhash_cc_dedup(documents)
+    return purge_from_edges(
+        _verified_star_edges(documents), documents.select("doc_id", "n_chars")
+    )
+
+
+def purge_from_edges(edges: DataFrame, docstats: DataFrame) -> DataFrame:
+    """The closure + accounting tail of ``minhash_purge_dedup``, factored
+    over an EXPLICIT near-dup edge list: ``edges`` is any two-column
+    (doc, doc) frame, ``docstats`` one (doc_id, n_chars) row per corpus
+    doc.  ``minhash_purge_dedup`` feeds it the batch star edges; the
+    incremental twin (``streaming/jobs.py::run_purge_dedup_stream``) feeds
+    the ACCUMULATED edge store, so both produce the purge table from the
+    same plan.  Output: (doc_id, n_members, chars_saved)."""
+    comp = connected_components(edges)
+    assignment = comp.groupBy(F.col("node").alias("doc_id")).agg(
+        F.min("root").alias("_root")
+    )
+    clusters = (
+        docstats.select("doc_id")
+        .join(assignment, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
     stats = (
-        clusters.join(documents.select("doc_id", "n_chars"), "doc_id")
+        clusters.join(docstats, "doc_id")
         .groupBy("cluster_id")
         .agg(
             F.count("*").cast("long").alias("n_members"),
@@ -846,8 +870,7 @@ def minhash_purge_dedup(documents: DataFrame) -> DataFrame:
         )
     )
     return (
-        documents.select("doc_id", "n_chars")
-        .join(stats, F.col("doc_id") == F.col("cluster_id"))
+        docstats.join(stats, F.col("doc_id") == F.col("cluster_id"))
         .select(
             "doc_id",
             "n_members",

@@ -462,6 +462,164 @@ def run_decontam_stream(
     )
 
 
+def run_purge_dedup_stream(
+    spark,
+    documents: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+):
+    """Incremental MinHash-LSH PURGE over a document stream — the streaming
+    twin of ``operators.dedup.minhash_purge_dedup``, completing the
+    incremental dedup story (band flags -> exact dedup -> full-closure
+    purge).
+
+    Per micro-batch: signatures/band rows/token sets are computed for the
+    NEW docs only (never recomputed for old ones); star edges link each new
+    doc to the min doc_id of every band bucket it lands in, where the
+    bucket min comes from the accumulated band store restricted to the
+    touched buckets; edges are jaccard-verified against the token-set
+    store and appended; the purge table is then rebuilt from the
+    ACCUMULATED (sparse) edge store with the exact batch closure
+    (``purge_from_edges`` — large-star/small-star) and emitted complete
+    per batch, so the LAST batch's partition IS the batch operator's
+    output over the whole corpus.
+
+    Contract: on doc_id-ordered arrival a band bucket's min is fixed by
+    its FIRST member, so the accumulated edge set equals
+    ``_verified_star_edges`` over the union of all batches exactly —
+    accumulated == batch pinned in tests/test_streaming.py, including
+    cross-batch duplicate chains.
+
+    State & scale (PLANS.md): band store O(docs x bands) narrow rows,
+    token-set store one hash-array row per doc (the verify input — what
+    exactness costs; a time-horizoned deploy truncates both by age), edge
+    store one row per verified near-dup pair (sparse).  The per-batch
+    closure runs over the EDGE store only — near-dup pairs, not the
+    corpus — which is why rebuild-per-batch stays cheap at any corpus
+    size (measured sub-linear in SCALING.md for the batch closure).
+    Fault tolerance: every store and the sink are batch_id-partitioned
+    with dynamic overwrite (at-least-once replays replace), probes read
+    ``batch_id < current`` only, first-batch detection via the
+    committed-data glob, batch-0 prune of stale partitions — the same
+    contract as the other incremental jobs.
+    """
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        MINHASH_JACCARD,
+        _token_sets,
+        band_rows,
+        purge_from_edges,
+    )
+    from cloudcomputing_flink_application_spark.plans.barrier import (
+        filter_after_barrier,
+    )
+
+    bands_dir = f"{state_dir}/bands"
+    toksets_dir = f"{state_dir}/toksets"
+    edges_dir = f"{state_dir}/edges"
+    stats_dir = f"{state_dir}/docstats"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            for d in (output_dir, bands_dir, toksets_dir, edges_dir, stats_dir):
+                _prune_stale_batch_partitions(spark, d)
+        b = band_rows(batch_df).persist()
+        toks = _token_sets(batch_df).persist()
+        edges_new = None
+        try:
+            have_state = _committed_batch_data_exists(spark, bands_dir)
+            if have_state:
+                prior_bands = (
+                    spark.read.parquet(bands_dir)
+                    .filter(F.col("batch_id") < F.lit(batch_id))
+                    .select("doc_id", "band", "key")
+                )
+                touched = b.select("band", "key").distinct()
+                allb = b.select("doc_id", "band", "key").unionByName(
+                    prior_bands.join(touched, ["band", "key"], "leftsemi")
+                )
+            else:
+                allb = b.select("doc_id", "band", "key")
+            w = SparkWindow.partitionBy("band", "key")
+            star = (
+                allb.withColumn("rep", F.min("doc_id").over(w))
+                .filter(F.col("rep") < F.col("doc_id"))
+                .select("doc_id", "rep")
+                .distinct()
+                # only NEW docs gain edges this batch: old docs' reps are
+                # fixed under ordered arrival and already stored
+                .join(b.select("doc_id").distinct(), "doc_id", "leftsemi")
+            )
+            all_toks = (
+                toks.unionByName(
+                    spark.read.parquet(toksets_dir)
+                    .filter(F.col("batch_id") < F.lit(batch_id))
+                    .select(*toks.columns)
+                )
+                if _committed_batch_data_exists(spark, toksets_dir)
+                else toks
+            )
+            ta = toks.select(
+                "doc_id", F.col("tokset").alias("_ta"), F.col("nset").alias("_na")
+            )
+            tb = all_toks.select(
+                F.col("doc_id").alias("rep"),
+                F.col("tokset").alias("_tb"),
+                F.col("nset").alias("_nb"),
+            )
+            inter = F.size(F.array_intersect("_ta", "_tb"))
+            scored = (
+                star.join(ta, "doc_id")
+                .join(tb, "rep")
+                .select(
+                    "doc_id",
+                    "rep",
+                    (
+                        inter.cast("double")
+                        / (F.col("_na") + F.col("_nb") - inter)
+                    ).alias("_j"),
+                )
+            )
+            edges_new = filter_after_barrier(
+                scored, "rep", F.col("_j") >= MINHASH_JACCARD
+            ).select("doc_id", "rep").persist()
+            prior = (
+                lambda d, cols: spark.read.parquet(d)
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .select(*cols)
+            )
+            all_edges = (
+                edges_new.unionByName(prior(edges_dir, ["doc_id", "rep"]))
+                if _committed_batch_data_exists(spark, edges_dir)
+                else edges_new
+            )
+            batch_stats = batch_df.select("doc_id", "n_chars")
+            all_stats = (
+                batch_stats.unionByName(prior(stats_dir, ["doc_id", "n_chars"]))
+                if _committed_batch_data_exists(spark, stats_dir)
+                else batch_stats
+            )
+            purge = purge_from_edges(all_edges, all_stats)
+            _write_batch_partition(purge, batch_id, output_dir)
+            _write_batch_partition(
+                b.select("doc_id", "band", "key"), batch_id, bands_dir
+            )
+            _write_batch_partition(toks, batch_id, toksets_dir)
+            _write_batch_partition(edges_new, batch_id, edges_dir)
+            _write_batch_partition(batch_stats, batch_id, stats_dir)
+        finally:
+            b.unpersist()
+            toks.unpersist()
+            if edges_new is not None:
+                edges_new.unpersist()
+
+    return (
+        documents.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def length_histogram_stream(documents: DataFrame) -> DataFrame:
     """Streaming corpus-shape report: the batch ``length_histogram``
     operator runs unchanged on a document stream — a pure streaming

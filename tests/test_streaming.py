@@ -485,6 +485,67 @@ def test_clean_corpus_stream_matches_batch(spark, tmp_path):
     assert store.count() <= passing.count()
 
 
+def test_purge_dedup_stream_matches_batch(spark, tmp_path):
+    # The incremental PURGE: signatures computed once per doc, star edges
+    # accumulated per batch against the band/token-set stores, closure
+    # rebuilt from the sparse edge store, purge table emitted complete per
+    # batch.  The LAST batch's partition must equal the batch operator over
+    # the whole corpus (cross-batch duplicate clusters included), and each
+    # intermediate partition equals the batch operator over its prefix.
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+
+    from pyspark.sql import functions as F
+
+    raw = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    # duplicates of early docs arriving in the LAST batch under fresh ids —
+    # exercises the cross-batch edge path (old doc gains new members)
+    dups = raw.filter(raw.doc_id < 60).withColumn(
+        "doc_id", raw.doc_id + 100_000
+    )
+    docs = raw.unionByName(dups)
+    d_in = str(tmp_path / "docs_in")
+    base = 1_700_000_000
+    cuts = [
+        docs.doc_id < 150,
+        (docs.doc_id >= 150) & (docs.doc_id < 400),
+        docs.doc_id >= 400,
+    ]
+    for i, pred in enumerate(cuts):
+        p = f"{d_in}/f{i}"
+        docs.filter(pred).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(f"{root}/{f}", (base + i, base + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out_dir = str(tmp_path / "purge_out")
+    q = jobs.run_purge_dedup_stream(
+        spark, stream, out_dir, str(tmp_path / "chk"), str(tmp_path / "state")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir)
+    cols = ["doc_id", "n_members", "chars_saved"]
+    last = out.agg(F.max("batch_id")).first()[0]
+    assert last == 2  # three staged micro-batches
+    final = rows_set(out.filter(F.col("batch_id") == last).select(*cols))
+    assert final == rows_set(minhash_purge_dedup(docs))
+    # intermediate snapshot = batch operator over the prefix
+    first = rows_set(out.filter(F.col("batch_id") == 0).select(*cols))
+    assert first == rows_set(minhash_purge_dedup(docs.filter(cuts[0])))
+    # the cross-batch path was really exercised: an early keeper's cluster
+    # grew when its last-batch duplicate arrived
+    grown = {r[0] for r in final if r[1] > 1 and r[0] < 60}
+    assert grown
+
+
 def test_minhash_stream_recovers_from_crashed_first_write(spark, tmp_path):
     # A crash during the first batch's bands write can leave bands_dir
     # holding only uncommitted _temporary content.  The committed-data glob
