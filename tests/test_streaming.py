@@ -546,6 +546,49 @@ def test_purge_dedup_stream_matches_batch(spark, tmp_path):
     assert grown
 
 
+def test_purge_stream_recovers_from_dirty_state(spark, tmp_path):
+    # Same fault contract as the other incremental jobs, exercised on the
+    # purge twin: a crashed first write leaves only _temporary content in a
+    # state store (must read as "first batch"), and stale batch partitions
+    # from a prior run under a different checkpoint must be pruned on
+    # batch 0 — the final purge still equals the batch operator.
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    state = tmp_path / "state"
+    (state / "bands" / "_temporary" / "0").mkdir(parents=True)
+    (state / "bands" / "_temporary" / "0" / "task_000").write_text("junk")
+    out_dir = tmp_path / "purge_out"
+    stale = docs.limit(3).select("doc_id").withColumn(
+        "n_members", F.lit(9)
+    ).withColumn("chars_saved", F.lit(9))
+    stale.write.parquet(str(out_dir / "batch_id=99"))
+    stale.limit(1).select("doc_id").write.parquet(
+        str(state / "edges" / "batch_id=99")
+    )
+
+    d_in = str(tmp_path / "docs_in")
+    docs.coalesce(1).write.parquet(d_in)
+    stream = spark.readStream.schema(docs.schema).parquet(d_in)
+    q = jobs.run_purge_dedup_stream(
+        spark, stream, str(out_dir), str(tmp_path / "chk"), str(state)
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert not os.path.exists(out_dir / "batch_id=99")
+    assert not os.path.exists(state / "edges" / "batch_id=99")
+    out = spark.read.parquet(str(out_dir)).select(
+        "doc_id", "n_members", "chars_saved"
+    )
+    assert rows_set(out) == rows_set(minhash_purge_dedup(docs))
+
+
 def test_minhash_stream_recovers_from_crashed_first_write(spark, tmp_path):
     # A crash during the first batch's bands write can leave bands_dir
     # holding only uncommitted _temporary content.  The committed-data glob
