@@ -151,6 +151,48 @@ def _corpus_clean(args: argparse.Namespace) -> None:
         sinks.show(out)
 
 
+def _dedup_purge(args: argparse.Namespace) -> None:
+    """The dedup job surface: full-closure MinHash purge over a
+    ``documents``-shaped parquet input, batch or incremental.
+
+    Batch writes the purge table (doc_id, n_members, chars_saved) as
+    parquet.  ``--streaming`` runs ``run_purge_dedup_stream`` over the
+    input directory: per-batch incremental banding/verification with the
+    accumulated stores under ``<output>/_state``, checkpoints under
+    ``<output>/_chk``; the LAST batch partition of ``<output>/purge`` is
+    the full-corpus purge table (idempotent under replay).
+    """
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+
+    spark = get_spark(app_name="dedup-purge")
+    if args.streaming:
+        if args.show:
+            print("warning: --show is batch-only; streaming mode writes sinks only")
+        from cloudcomputing_flink_application_spark import schemas
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            run_purge_dedup_stream,
+        )
+
+        q = run_purge_dedup_stream(
+            spark,
+            spark.readStream.schema(schemas.DOCUMENTS).parquet(args.input),
+            f"{args.output}/purge",
+            f"{args.output}/_chk",
+            f"{args.output}/_state",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return
+    out = minhash_purge_dedup(spark.read.parquet(args.input))
+    out.write.mode("overwrite").parquet(args.output)
+    if args.show:
+        sinks.show(out)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="cloudcomputing_flink_application_spark")
     sub = p.add_subparsers(dest="job", required=True)
@@ -163,6 +205,8 @@ def main(argv: list[str] | None = None) -> None:
          "taxi-trip CSV file/dir", "output CSV file"),
         ("corpus-clean", _corpus_clean,
          "documents-shaped parquet file/dir", "output folder (parquet flags)"),
+        ("dedup-purge", _dedup_purge,
+         "documents-shaped parquet file/dir", "output folder (parquet purge table)"),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("--input", required=True, help=in_help)

@@ -128,3 +128,29 @@ def test_corpus_clean_cli_batch_and_streaming(spark, tmp_path):
     streamed = rows_set(spark.read.parquet(f"{out_s}/flags").select(
         "doc_id", "q_ok", "rep_ok", "con_ok", "uniq", "kept", "split"))
     assert streamed == expected
+
+
+def test_dedup_purge_cli_batch_and_streaming(spark, tmp_path):
+    # The dedup job surface: batch output must equal a direct
+    # minhash_purge_dedup() run; --streaming over the same input must
+    # produce the same purge table (single micro-batch here; the
+    # multi-batch contract is pinned in tests/test_streaming.py).
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+    from tests.conftest import TESTDATA, rows_set
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(200)
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+    cols = ["doc_id", "n_members", "chars_saved"]
+
+    out_b = str(tmp_path / "out_batch")
+    cli.main(["dedup-purge", "--input", d_in, "--output", out_b])
+    expected = rows_set(minhash_purge_dedup(spark.read.parquet(d_in)))
+    assert rows_set(spark.read.parquet(out_b).select(*cols)) == expected
+
+    out_s = str(tmp_path / "out_stream")
+    cli.main(["dedup-purge", "--input", d_in, "--output", out_s, "--streaming"])
+    streamed = rows_set(spark.read.parquet(f"{out_s}/purge").select(*cols))
+    assert streamed == expected
