@@ -236,7 +236,17 @@ def band_rows(documents: DataFrame) -> DataFrame:
     incremental banding (streaming.jobs.run_minhash_dedup_stream), which
     calls it per micro-batch and joins against the accumulated bucket set.
     """
-    toks = _token_sets(documents)
+    return band_rows_from_toksets(_token_sets(documents))
+
+
+def band_rows_from_toksets(toks: DataFrame) -> DataFrame:
+    """``band_rows`` over an already-tokenized frame (``_token_sets``
+    output).  Callers that need BOTH the token sets and the band rows of
+    the same frame (the purge stream: token sets feed the jaccard verify,
+    band rows feed the buckets) thread one persisted token-set frame
+    through both, tokenizing each document exactly once per micro-batch —
+    the batch twin (``_verified_star_edges``) shares its token sets the
+    same way."""
     sigs = toks.select("doc_id", *[c for c in X.minhash_sig(F.col("tokset"))])
     return sigs.select(
         "doc_id",
@@ -1314,7 +1324,14 @@ def embedding_lsh_dedup(
     Output: (vec_a, vec_b, cos).
     """
     if planes % bands != 0:
-        raise ValueError(f"planes ({planes}) must divide into bands ({bands})")
+        raise ValueError(f"bands ({bands}) must divide planes ({planes})")
+    if planes // bands > 63:
+        # a band key is a signed long; 64+ bits would build 1 << 63
+        # (overflow) in the key fold and fail at plan time confusingly
+        raise ValueError(
+            f"band width ({planes // bands} bits) must be <= 63: "
+            f"band keys are signed longs"
+        )
     nparts = embeddings.sparkSession.sparkContext.defaultParallelism
     dot = lambda u, v: F.aggregate(  # noqa: E731
         F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x

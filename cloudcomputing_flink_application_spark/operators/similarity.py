@@ -267,9 +267,30 @@ def _assign_to_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
     EQUI-join on label — each vector compares against its own label's SUBK
     sub-centroids only, K/|labels| of the work of a flat codebook (and an
     equi-join Catalyst can co-partition at scale).  Label-less codebooks
-    (e.g. externally-loaded flat ones) fall back to broadcast x corpus."""
+    (e.g. externally-loaded flat ones) fall back to broadcast x corpus.
+
+    Zero-cell guard: a label can end up with NO codebook entries (the seed
+    prefilter returning no candidates is ~e^-40 improbable, but a refined
+    codebook's ``cnrm > 0`` filter can drop every centroid of a label).
+    A bare equi-join would silently DROP those vectors from the index —
+    unreachable as neighbors forever.  Instead, vectors of uncovered
+    labels degrade to the flat cross-join path (compare against ALL
+    centroids), so the index always holds every vector.  When coverage is
+    total (the normal case) the anti side is empty and the plan/results
+    are identical to the plain equi-join."""
     if "label" in centroids.columns:
-        joined = F.broadcast(centroids).join(base, "label")
+        cb_labels = centroids.select("label").distinct()
+        covered = base.join(F.broadcast(cb_labels), "label", "left_semi")
+        orphans = base.join(F.broadcast(cb_labels), "label", "left_anti")
+        out_cols = ["vec_id", "emb", "nrm", "cluster", "cemb", "cnrm"]
+        joined = (
+            F.broadcast(centroids).join(covered, "label").select(*out_cols)
+            .unionByName(
+                F.broadcast(centroids.drop("label"))
+                .join(orphans.drop("label"), how="cross")
+                .select(*out_cols)
+            )
+        )
     else:
         joined = F.broadcast(centroids).join(base, how="cross")
     asg_scored = joined.select(

@@ -288,8 +288,9 @@ REGISTRY: dict[str, Query] = {
     # (registry consolidation, r5: the driver's correctness harness checks
     # at most 50 queries — r4 registered 53 and exactly the first 50 got
     # rows — so the per-row projections over one scan are exposed as their
-    # single-pass compositions; every underlying operator stays public and
-    # individually tested.)
+    # single-pass compositions; every underlying operator stays public, and
+    # each de-registered op/SQL pair keeps full rows+schema+values oracle
+    # parity in tests/test_offregistry_parity.py.)
     "text_doc_stats": Query(
         _on_docs(textstats.doc_stats), textstats.DOC_STATS_SQL,
         "per-doc report: marker-ngram language ID + quality signals + "

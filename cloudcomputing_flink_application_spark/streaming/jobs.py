@@ -507,7 +507,7 @@ def run_purge_dedup_stream(
     from cloudcomputing_flink_application_spark.operators.dedup import (
         MINHASH_JACCARD,
         _token_sets,
-        band_rows,
+        band_rows_from_toksets,
         purge_from_edges,
     )
     from cloudcomputing_flink_application_spark.plans.barrier import (
@@ -523,8 +523,11 @@ def run_purge_dedup_stream(
         if batch_id == 0:
             for d in (output_dir, bands_dir, toksets_dir, edges_dir, stats_dir):
                 _prune_stale_batch_partitions(spark, d)
-        b = band_rows(batch_df).persist()
+        # tokenize ONCE per micro-batch: the persisted token sets feed both
+        # the band pipeline and the jaccard verify (mirrors the batch
+        # twin's shared-tokset plan)
         toks = _token_sets(batch_df).persist()
+        b = band_rows_from_toksets(toks).persist()
         edges_new = None
         try:
             have_state = _committed_batch_data_exists(spark, bands_dir)

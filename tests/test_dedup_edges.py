@@ -135,6 +135,18 @@ def test_embedding_lsh_wide_bands_keep_the_contract(spark, sf_dir):
     assert dup_pairs <= {(a, b) for a, b, _ in wide}
 
 
+def test_embedding_lsh_rejects_bad_band_config(spark, sf_dir):
+    # bands must divide planes (the message states the relation the right
+    # way around), and 64-bit bands are rejected up front: the band key is
+    # a signed long, so 1 << 63 would overflow at plan time with a
+    # confusing Spark error instead of this one.
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match=r"bands \(3\) must divide planes \(64\)"):
+        dedup.embedding_lsh_dedup(embs, planes=64, bands=3)
+    with pytest.raises(ValueError, match="signed longs"):
+        dedup.embedding_lsh_dedup(embs, planes=64, bands=1)
+
+
 def test_embedding_lsh_low_dim_parity(spark):
     # dim != 64 must slice the hyperplanes consistently on the Spark side
     # (the SQL oracle is fixed to the driver table's 64-dim layout).
@@ -425,6 +437,41 @@ def test_ivf_supplied_codebook_not_persisted(spark, sf_dir):
         similarity.cosine_topk_ivf(emb, codebook=cb).collect()
         assert len(similarity._CACHED) == before
         assert cb.storageLevel.useMemory is False
+    finally:
+        similarity.release_cached()
+
+
+def test_ivf_zero_cell_label_not_dropped(spark, sf_dir):
+    # A label with ZERO codebook entries (possible when a refined
+    # codebook's cnrm>0 filter kills every centroid of a label) must not
+    # silently vanish from the IVF index: its vectors degrade to the flat
+    # compare-against-all-centroids path.  Build that case by stripping
+    # one label out of the seed codebook.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    try:
+        from pyspark.sql import functions as F
+
+        full_cb = similarity.ivf_codebook(emb)
+        gap_label = full_cb.select(F.min("label")).first()[0]
+        gap_cb = full_cb.filter(F.col("label") != gap_label)
+        base = similarity._normed(emb)
+        asg = similarity._assign_to_centroids(base, gap_cb)
+        # every vector of the corpus is assigned — none dropped
+        assert asg.count() == base.count()
+        # the gap label's vectors landed in OTHER labels' clusters
+        orphan_clusters = (
+            asg.join(base.select("vec_id", "label"), "vec_id")
+            .filter(F.col("label") == gap_label)
+            .select((F.floor(F.col("cluster") / 1000)).alias("cb_label"))
+            .distinct()
+            .collect()
+        )
+        assert orphan_clusters and all(r[0] != gap_label for r in orphan_clusters)
+        # full-coverage codebook: guard path is inert (same assignment as
+        # the index the registry query builds)
+        assert (
+            similarity._assign_to_centroids(base, full_cb).count() == base.count()
+        )
     finally:
         similarity.release_cached()
 

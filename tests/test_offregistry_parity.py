@@ -1,0 +1,63 @@
+"""Oracle parity for public operators NOT in the driver registry.
+
+The r5 registry consolidation (``pkg/registry.py``) merged several per-row
+projections into single-pass compositions so the registry fits the driver's
+50-query correctness window. The underlying operators stayed public API, and
+their DuckDB oracle SQL stayed with them — this module keeps each de-registered
+op/SQL pair under the same rows+schema+values parity gate as the registry
+entries, so "stays individually tested" remains literally true.
+
+Covers (operator, oracle) pairs orphaned by the consolidation:
+- textstats: lang_id, quality_score, token_counts (merged into text_doc_stats)
+- textstats: redact, split_assign (merged into text_redact_split)
+- multimodal: image_meta, audio_frames (merged into mm_media_probe)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cloudcomputing_flink_application_spark.operators import multimodal, textstats
+from tests.conftest import TESTDATA
+from tests.oracle_harness import compare_query, duck_connection
+
+SF_DIR = f"{TESTDATA}/sf0.001"
+
+OFF_REGISTRY = {
+    "off_lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
+    "off_quality_score": (textstats.quality_score, textstats.QUALITY_SQL),
+    "off_token_counts": (textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
+    "off_redact": (textstats.redact, textstats.REDACT_SQL),
+    "off_split_assign": (textstats.split_assign, textstats.SPLIT_ASSIGN_SQL),
+    "off_image_meta": (multimodal.image_meta, multimodal.IMAGE_META_SQL),
+    "off_audio_frames": (multimodal.audio_frames, multimodal.AUDIO_FRAMES_SQL),
+}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_connection(SF_DIR)
+    yield c
+    c.close()
+
+
+def _on_docs(op):
+    return lambda spark, sf_dir: op(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+@pytest.mark.parametrize("name", sorted(OFF_REGISTRY))
+def test_offregistry_oracle_parity(spark, con, name):
+    op, sql = OFF_REGISTRY[name]
+    res = compare_query(spark, con, name, _on_docs(op), sql, SF_DIR)
+    assert res.ok, f"{name}: {res.spark_rows} vs {res.oracle_rows} | {res.detail}"
+    assert res.spark_rows > 0, f"{name}: degenerate (empty) result proves nothing"
+
+
+@pytest.mark.parametrize("name", sorted(OFF_REGISTRY))
+def test_offregistry_empty_input(spark, name):
+    op, _ = OFF_REGISTRY[name]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = op(docs.limit(0))
+    assert out.count() == 0
