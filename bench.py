@@ -8,6 +8,15 @@ Per-query time = median of 3 runs after 1 warm-up; heavy queries (warm-up
 over SPARK_GRAFT_BENCH_HEAVY_SEC) are timed once (BASELINE.md protocol).
 Results are materialized with the noop sink — full execution of every
 operator, no driver-side row transfer in the measurement.
+
+Contention sentinel (r6): a fixed-cost data-independent probe job (small
+range -> shuffle -> count, constant work regardless of SF) is timed
+immediately BEFORE the first query and AFTER the last, and both times
+plus their ratio are emitted in the JSON (``sentinel`` key).  A quiet
+machine holds the ratio near 1.0 and the absolute times near the
+BASELINE.md reference value; a contended session (the r4->r5 uniform
++13% drift signature) shows up directly as an inflated sentinel instead
+of needing a by-hand diff against clean runs.
 """
 
 from __future__ import annotations
@@ -33,6 +42,25 @@ def main() -> None:
     def materialize(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
+    def sentinel_sec() -> float:
+        """Min of 3 runs of the constant probe job (min = least-contended
+        estimate; the probe is data-independent so any inflation is
+        machine state, not workload)."""
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(
+                spark.range(0, 2_000_000, 1, 16)
+                .selectExpr("id % 97 AS k")
+                .groupBy("k")
+                .count()
+            )
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 3)
+
+    sentinel_sec()  # JIT/codegen warm-up for the probe shape
+    sentinel_first = sentinel_sec()
+
     per_query: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
@@ -52,6 +80,7 @@ def main() -> None:
         print(f"# {name}: {per_query[name]}s (runs: {[round(s, 3) for s in samples]})",
               file=sys.stderr)
 
+    sentinel_last = sentinel_sec()
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
         "metric": "wall_sec_total",
@@ -59,6 +88,13 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "sf": sf,
+        "sentinel": {
+            "first_sec": sentinel_first,
+            "last_sec": sentinel_last,
+            "drift": round(sentinel_last / sentinel_first, 2)
+            if sentinel_first > 0
+            else None,
+        },
     }))
     spark.stop()
 

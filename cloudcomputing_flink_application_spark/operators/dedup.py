@@ -18,6 +18,8 @@ per-row sequential folds — every operator here has a full DuckDB oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1283,11 +1285,37 @@ def _hp_plane(p: int, dim: int = HP_DIM) -> list[float]:
 
 HP_PLANE_VALS: list[list[float]] = [_hp_plane(p) for p in range(HP_PLANES)]
 
+#: Auto band-width rule (r6).  At or below the compat threshold the
+#: 4-bit tested-SF layout applies unchanged (pins the DuckDB oracle at
+#: every driver SF, where n <= 2000); above it the width follows the
+#: b ~ log2(n / target_bucket) rule SCALING.md derives from the r5
+#: measurement, aiming buckets at ~HP_TARGET_BUCKET vectors so candidate
+#: counts stay ~bands * n * target/2 instead of bands * n^2 / 2^b.
+HP_AUTO_COMPAT_N = 4096
+HP_TARGET_BUCKET = 1
+HP_MAX_WIDTH = 24  # 16M buckets/band — beyond this, scan-time plane dots
+#: dominate; shard the corpus before widening further.
+
+
+def auto_band_width(n: int) -> int:
+    """Bits per LSH band for an ``n``-vector corpus.
+
+    <= HP_AUTO_COMPAT_N: the fixed 4-bit tested-SF layout (oracle-pinned).
+    Above: ceil(log2(n / HP_TARGET_BUCKET)) clamped to [4, HP_MAX_WIDTH] —
+    the corpus-adaptive rule the r5 scaling bench motivated (4-bit bands
+    measured super-linear at 10x sf0.1; 16-bit flat).  Monotone in n."""
+    if n <= HP_AUTO_COMPAT_N:
+        return HP_PLANES // HP_BANDS
+    return max(
+        HP_PLANES // HP_BANDS,
+        min(HP_MAX_WIDTH, math.ceil(math.log2(max(n, 2) / HP_TARGET_BUCKET))),
+    )
+
 
 def embedding_lsh_dedup(
     embeddings: DataFrame,
     dim: int = HP_DIM,
-    planes: int = HP_PLANES,
+    planes: int | None = None,
     bands: int = HP_BANDS,
 ) -> DataFrame:
     """Near-dup pairs by cosine, blocked by random-hyperplane LSH.
@@ -1303,13 +1331,18 @@ def embedding_lsh_dedup(
     it does emit carries the exact cosine, a subset of the exact baseline's
     output (pinned in tests/test_dedup_edges.py).
 
-    **Band width is the scale knob** (r5, measured — SCALING.md): with
-    b-bit bands the buckets hold ~n/2^b vectors, so candidate pairs grow
-    as bands * n^2 / 2^b.  The default 4-bit bands (16 buckets) are
-    selective enough for the tested SFs but turn quadratic past ~10x
-    sf0.1 (measured: 2.5x data -> 4.5x time).  A cluster deploy sets
-    b ~ log2(n / target_bucket_size), e.g. ``planes=64, bands=4`` for
-    16-bit bands.  The recall price is analytic: P(one-band collision)
+    **Band width is the scale knob, and it is now corpus-adaptive**
+    (r5 measured the problem, r6 closed it — SCALING.md): with b-bit
+    bands the buckets hold ~n/2^b vectors, so candidate pairs grow as
+    bands * n^2 / 2^b; fixed 4-bit bands measured super-linear past ~4x
+    sf0.1 (2.5x data -> 4.5x time).  With ``planes=None`` (the default)
+    the width comes from ``auto_band_width``: a cheap corpus count sets
+    b = ceil(log2(n / target_bucket)) above the compat threshold, while
+    every tested SF (n <= 2000 <= HP_AUTO_COMPAT_N) keeps the exact
+    4-bit layout, so the registry oracle is bit-unchanged.  On a cluster
+    the count would come from table/scan statistics; the one-column
+    count here is the local stand-in.  Explicit ``planes`` overrides the
+    rule entirely.  The recall price is analytic: P(one-band collision)
     = p^b with p = 1 - acos(cos)/pi, so at this registry's LOW 0.4
     threshold (p = 0.63) wide bands forfeit most borderline pairs —
     banding cannot be simultaneously selective and high-recall at low
@@ -1323,6 +1356,8 @@ def embedding_lsh_dedup(
     comparisons on those doubles — match exactly across engines.
     Output: (vec_a, vec_b, cos).
     """
+    if planes is None:
+        planes = auto_band_width(embeddings.count()) * bands
     if planes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide planes ({planes})")
     if planes // bands > 63:

@@ -406,7 +406,11 @@ def large_orders(
     so the join back to orders runs against a tiny filtered side — AQE
     sees the post-filter size at runtime and picks a broadcast join
     (a static planner would see an un-sized aggregate and shuffle both
-    sides; this query is the regression canary for that runtime re-plan).
+    sides; this query is the regression canary for that runtime re-plan —
+    pinned by tests/test_plans.py::
+    test_large_orders_aqe_runtime_broadcast_of_having_side, which disables
+    static broadcast and asserts the executed adaptive plan converted the
+    initial sort-merge join to broadcast-hash).
     Customer is a dimension at these ratios: broadcast.  total_qty sums
     integral-valued doubles as BIGINT, so partial-agg order never changes
     a bit.  The top-k compiles to TakeOrderedAndProject (distributed

@@ -35,7 +35,14 @@ from pathlib import Path
 
 from pyspark.sql import functions as F
 
-from cloudcomputing_flink_application_spark.operators import dedup, pipeline
+from cloudcomputing_flink_application_spark.fixtures import (
+    write_clustered_embeddings,
+)
+from cloudcomputing_flink_application_spark.operators import (
+    dedup,
+    pipeline,
+    similarity,
+)
 from cloudcomputing_flink_application_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -43,6 +50,10 @@ WORK = Path(__file__).parent / ".scaling_data"
 SCALES = (1, 4, 10)
 REPS = 2
 ID_STRIDE = 10_000_000
+# 4x the sf0.1 embeddings row count: below ~20k vectors BOTH ANN paths are
+# stage-overhead-dominated locally and the comparison measures nothing;
+# 8k/32k/80k puts the quadratic terms in charge at the upper scales
+CLUSTERED_BASE_N = 8000
 
 
 def build_corpora(spark) -> None:
@@ -95,23 +106,87 @@ def build_corpora(spark) -> None:
         e.write.mode("overwrite").parquet(str(edir))
 
 
+def build_clustered() -> None:
+    """Hash-seeded mixture corpora (fixtures.clustered_embedding_rows):
+    the similarity-structured regime where IVF pruning can actually pay,
+    vs the near-uniform driver table where it cannot (SCALING.md)."""
+    for s in SCALES:
+        p = WORK / f"embs_clustered_x{s}.parquet"
+        if not p.exists():
+            write_clustered_embeddings(str(p), CLUSTERED_BASE_N * s)
+
+
 def timed(fn) -> float:
     t0 = time.time()
     fn()
     return time.time() - t0
 
 
+def bench_clustered_ann(spark) -> dict:
+    """Brute vs IVF top-k on the clustered corpora + the recall that the
+    IVF config achieves there — the recall/latency frontier point the
+    uniform-corpus measurement cannot show."""
+    out: dict = {
+        "n_per_x": CLUSTERED_BASE_N,
+        "config": "two-level seed codebook (50 labels x SUBK=5 = 250 cells)",
+        "scales": {},
+    }
+    for s in SCALES:
+        e = spark.read.parquet(str(WORK / f"embs_clustered_x{s}.parquet"))
+        entry: dict = {}
+        for name, fn in {
+            "brute_sec": lambda: similarity.cosine_topk(e).count(),
+            # the uniform-corpus default (scans ~16% of cells)
+            "ivf40_sec": lambda: similarity.cosine_topk_ivf(e).count(),
+            # the clustered-corpus operating point: the query's own label
+            # holds its neighbors, so 8 probed cells (~3%) suffice
+            "ivf8_sec": lambda: similarity.cosine_topk_ivf(e, nprobe=8).count(),
+        }.items():
+            times = []
+            for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
+                spark.catalog.clearCache()
+                similarity.release_cached()
+                times.append(timed(fn))
+            entry[name] = round(min(times[1:]), 3)
+        for label, nprobe in (("recall@5_np40", 40), ("recall@5_np8", 8)):
+            rec = (
+                similarity.ivf_recall_report(e, nprobe=nprobe)
+                .agg(F.avg("recall"))
+                .first()[0]
+            )
+            similarity.release_cached()
+            entry[label] = round(float(rec), 3)
+        entry["ivf40_speedup"] = round(entry["brute_sec"] / entry["ivf40_sec"], 2)
+        entry["ivf8_speedup"] = round(entry["brute_sec"] / entry["ivf8_sec"], 2)
+        out["scales"][s] = entry
+    return out
+
+
 def main() -> None:
+    import sys
+
+    section = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(app_name="scaling-bench")
     WORK.mkdir(exist_ok=True)
+    if section == "clustered":
+        build_clustered()
+        print(json.dumps({"clustered_ann": bench_clustered_ann(spark)}))
+        return
     build_corpora(spark)
     ops = {
         "dedup_purge": lambda d, e: dedup.minhash_purge_dedup(d).count(),
         "pipe_clean_corpus": lambda d, e: pipeline.clean_corpus(d).count(),
+        # default = AUTO band width (r6): a cheap count picks
+        # b = ceil(log2(n/target_bucket)) past the compat threshold, so
+        # this row should stay ~flat at 4x/10x out of the box
         "dedup_embedding_lsh": lambda d, e: dedup.embedding_lsh_dedup(e).count(),
-        # the scale configuration the operator docstring prescribes past
-        # ~10x sf0.1: 16-bit bands keep buckets sparse (candidates
-        # ~ bands * n^2 / 65536 vs / 16 for the default)
+        # the fixed 4-bit tested-SF layout — the r5 scale-killer, kept as
+        # the control showing what the auto rule prevents
+        "dedup_embedding_lsh_4bit": lambda d, e: dedup.embedding_lsh_dedup(
+            e, planes=16, bands=4
+        ).count(),
+        # the hand-picked 16-bit configuration r5 measured flat — now the
+        # upper comparison point for the auto rule
         "dedup_embedding_lsh_16bit": lambda d, e: dedup.embedding_lsh_dedup(
             e, planes=64, bands=4
         ).count(),
@@ -135,6 +210,9 @@ def main() -> None:
             for s in SCALES[1:]
         }
         out["ops"][name] = {"sec": by_scale, "exponent_vs_1x": exps}
+    if section == "all":
+        build_clustered()
+        out["clustered_ann"] = bench_clustered_ann(spark)
     print(json.dumps(out))
 
 

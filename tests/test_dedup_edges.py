@@ -135,6 +135,30 @@ def test_embedding_lsh_wide_bands_keep_the_contract(spark, sf_dir):
     assert dup_pairs <= {(a, b) for a, b, _ in wide}
 
 
+def test_embedding_lsh_auto_band_width_rule():
+    # Compat zone: every tested SF (n <= 2000) keeps the 4-bit layout, so
+    # the driver oracle is bit-unchanged under the auto default.
+    for n in (1, 500, 2000, dedup.HP_AUTO_COMPAT_N):
+        assert dedup.auto_band_width(n) == 4
+    # Adaptive zone: b = ceil(log2(n / target_bucket)), clamped.
+    assert dedup.auto_band_width(8_000) == 13  # 4x sf0.1 replica corpus
+    assert dedup.auto_band_width(20_000) == 15  # 10x
+    assert dedup.auto_band_width(1_000_000) == 20
+    assert dedup.auto_band_width(10**12) == dedup.HP_MAX_WIDTH  # clamp
+    # Monotone: more data never narrows the bands.
+    widths = [dedup.auto_band_width(n) for n in range(1, 100_000, 997)]
+    assert widths == sorted(widths)
+
+
+def test_embedding_lsh_auto_matches_fixed_at_tested_sf(spark, sf_dir):
+    # At the tested SFs the auto default must produce the EXACT result of
+    # the fixed 4-bit layout (the oracle-hash-unchanged contract).
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    auto = rows_set(dedup.embedding_lsh_dedup(embs))
+    fixed = rows_set(dedup.embedding_lsh_dedup(embs, planes=16, bands=4))
+    assert auto == fixed and len(auto) > 0
+
+
 def test_embedding_lsh_rejects_bad_band_config(spark, sf_dir):
     # bands must divide planes (the message states the relation the right
     # way around), and 64-bit bands are rejected up front: the band key is

@@ -147,6 +147,35 @@ def test_large_orders_topk_and_pruned_fact_scan(spark):
     assert "struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
 
 
+def test_large_orders_aqe_runtime_broadcast_of_having_side(spark):
+    # The regression canary the Q18 docstring claims: with STATIC broadcast
+    # disabled (the 100 TB situation — no input relation fits the static
+    # threshold), AQE must still see the post-HAVING aggregate's runtime
+    # size and convert the orders join from sort-merge to broadcast-hash.
+    # Executed-plan check: the initial plan carries the SMJ, the final
+    # adaptive plan must not.
+    static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    adaptive = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+        df = REGISTRY["olap_large_orders"].fn(spark, SF)
+        df.collect()
+        plan = physical_plan(df)
+        assert "isFinalPlan=true" in plan, plan
+        final, _, initial = plan.partition("== Initial Plan ==")
+        assert "SortMergeJoin" in initial, plan  # static planner's choice
+        assert "SortMergeJoin" not in final, plan  # AQE re-planned it away
+        # both joins end broadcast: the runtime-sized HAVING side + customer
+        assert final.count("BroadcastHashJoin") == 2, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", static)
+        if adaptive is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", adaptive)
+
+
 def test_range_count_is_banded_equi_join_not_nested_loop(spark):
     # The ±window self-join must decompose into a bucket equi-join; a
     # BroadcastNestedLoopJoin here means the band blocking regressed to
