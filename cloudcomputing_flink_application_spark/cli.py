@@ -109,7 +109,8 @@ def _corpus_clean(args: argparse.Namespace) -> None:
     ``--streaming`` runs ``run_clean_corpus_stream`` over the input
     directory: file-arrival micro-batches, survivor-hash dedup state under
     ``<output>/_state``, checkpoints under ``<output>/_chk`` — rerunnable
-    and idempotent per that job's fault contract.
+    and idempotent per that job's fault contract.  ``--horizon-batches N``
+    bounds that state to the trailing N batches (dedup-within-horizon).
     """
     from cloudcomputing_flink_application_spark.operators.pipeline import (
         BENCH_MOD,
@@ -139,6 +140,7 @@ def _corpus_clean(args: argparse.Namespace) -> None:
             f"{args.output}/flags",
             f"{args.output}/_chk",
             f"{args.output}/_state/hashes",
+            horizon_batches=args.horizon_batches,
         )
         try:
             q.processAllAvailable()
@@ -217,6 +219,13 @@ def main(argv: list[str] | None = None) -> None:
             help="run the Structured Streaming variant "
             "(vehicle-telematics / corpus-clean)",
         )
+        if name == "corpus-clean":
+            sp.add_argument(
+                "--horizon-batches", type=int, default=None,
+                help="streaming only: bound the dedup hash store to the "
+                "trailing N micro-batches (dedup-within-horizon; older "
+                "state partitions are aged out)",
+            )
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
     args.fn(args)

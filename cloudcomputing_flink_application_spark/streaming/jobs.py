@@ -314,6 +314,30 @@ def _prune_stale_batch_partitions(spark, path: str) -> None:
         fs.delete(st.getPath(), True)
 
 
+def _prune_batch_partitions_before(spark, path: str, cutoff: int) -> None:
+    """Delete ``batch_id=K`` partitions with K < ``cutoff`` — the aging
+    step of a horizoned state store.  Called at the START of a batch, so
+    an at-least-once replay of the current batch still sees every
+    partition its probe window needs (the probe never reads below the
+    same cutoff)."""
+    jvm = spark._jvm
+    pattern = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/batch_id=*")
+    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.globStatus(pattern) or []:
+        name = st.getPath().getName()
+        if int(name.split("=", 1)[1]) < cutoff:
+            fs.delete(st.getPath(), True)
+
+
+def _horizon_probe(store: DataFrame, batch_id: int, horizon: int | None) -> DataFrame:
+    """The state-store read of batch ``batch_id``: all PRIOR batches, or
+    only the trailing ``horizon`` of them when a horizon is set."""
+    probe = store.filter(F.col("batch_id") < F.lit(batch_id))
+    if horizon is not None:
+        probe = probe.filter(F.col("batch_id") >= F.lit(batch_id - horizon))
+    return probe
+
+
 def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
     """Idempotent micro-batch sink: rows land under ``batch_id=<N>/`` and a
     replay of the same batch OVERWRITES only that partition (dynamic
@@ -334,6 +358,7 @@ def run_minhash_dedup_stream(
     output_dir: str,
     checkpoint_dir: str,
     bands_dir: str,
+    horizon_batches: int | None = None,
 ):
     """Incremental MinHash-band near-dup detection over a document stream.
 
@@ -367,6 +392,21 @@ def run_minhash_dedup_stream(
     (which would drop all cross-batch state and emit wrong is_dup=false
     flags).  On batch 0 both sinks prune stale ``batch_id=*`` partitions
     left by a prior run under a different checkpoint.
+
+    ``horizon_batches`` bounds the state by TIME: the bucket-store probe
+    reads only the trailing ``horizon_batches`` micro-batches, and older
+    partitions are deleted at the start of each batch — state becomes
+    O(docs-in-horizon x bands) instead of O(all docs ever).  A micro-batch
+    is the stream's time quantum (with a processing-time trigger the
+    horizon IS a wall-clock window; this is the partitioned-parquet
+    analogue of ``dropDuplicatesWithinWatermark`` aging its hash state
+    past the event-time watermark).  Semantics become
+    dedup-WITHIN-horizon: a doc is flagged iff a bucket-mate exists in
+    the horizon window — the contract production ingest dedup actually
+    wants once the corpus outlives executor state (streaming == batch-
+    over-the-window pinned in tests/test_streaming.py).  Aging at the
+    batch START keeps replays exact: the probe never reads below the
+    same cutoff the prune deletes.
     """
     from cloudcomputing_flink_application_spark.operators.dedup import band_rows
 
@@ -376,6 +416,10 @@ def run_minhash_dedup_stream(
             # from 0, so partitions a previous run wrote would linger.
             _prune_stale_batch_partitions(spark, output_dir)
             _prune_stale_batch_partitions(spark, bands_dir)
+        elif horizon_batches is not None:
+            _prune_batch_partitions_before(
+                spark, bands_dir, batch_id - horizon_batches
+            )
         b = band_rows(batch_df).persist()
         try:
             w = SparkWindow.partitionBy("band", "key")
@@ -385,11 +429,9 @@ def run_minhash_dedup_stream(
                 .select("doc_id")
             )
             if _committed_batch_data_exists(spark, bands_dir):
-                seen = (
-                    spark.read.parquet(bands_dir)
-                    .filter(F.col("batch_id") < F.lit(batch_id))
-                    .select("band", "key")
-                )
+                seen = _horizon_probe(
+                    spark.read.parquet(bands_dir), batch_id, horizon_batches
+                ).select("band", "key")
                 prior = b.join(seen, ["band", "key"], "leftsemi").select("doc_id")
                 dup_ids = within.union(prior)
             else:  # first batch: no bucket store yet
@@ -644,6 +686,7 @@ def run_clean_corpus_stream(
     output_dir: str,
     checkpoint_dir: str,
     hashes_dir: str,
+    horizon_batches: int | None = None,
 ):
     """The COMPOSED corpus-cleaning pipeline (operators.pipeline.clean_corpus)
     as one incremental ``foreachBatch`` job: quality filter -> repetition
@@ -676,6 +719,14 @@ def run_clean_corpus_stream(
     ``bench_docs`` must be the static benchmark slice
     (``doc_id % BENCH_MOD == 0``); benchmark rows arriving on the stream are
     dropped by the corpus filter, exactly as in batch.
+
+    ``horizon_batches`` bounds the hash store by time exactly as in
+    ``run_minhash_dedup_stream``: the uniq probe reads only the trailing
+    ``horizon_batches`` batches and older partitions are deleted at batch
+    start, so state is O(distinct kept texts in the horizon).  Semantics
+    become dedup-within-horizon: a survivor is uniq iff no horizon-window
+    survivor (or smaller same-batch doc_id) shares its text hash
+    (streaming == batch-over-the-window pinned in tests).
     """
     from cloudcomputing_flink_application_spark.functions import text as X
     from cloudcomputing_flink_application_spark.operators import textstats
@@ -690,6 +741,10 @@ def run_clean_corpus_stream(
         if batch_id == 0:
             _prune_stale_batch_partitions(spark, output_dir)
             _prune_stale_batch_partitions(spark, hashes_dir)
+        elif horizon_batches is not None:
+            _prune_batch_partitions_before(
+                spark, hashes_dir, batch_id - horizon_batches
+            )
         corpus = batch_df.filter(F.col("doc_id") % BENCH_MOD != 0).persist()
         flags = None
         try:
@@ -721,11 +776,9 @@ def run_clean_corpus_stream(
                 "doc_id", "h", F.min("doc_id").over(w).alias("_c")
             ).filter(F.col("doc_id") == F.col("_c"))
             if _committed_batch_data_exists(spark, hashes_dir):
-                seen = (
-                    spark.read.parquet(hashes_dir)
-                    .filter(F.col("batch_id") < F.lit(batch_id))
-                    .select("h")
-                )
+                seen = _horizon_probe(
+                    spark.read.parquet(hashes_dir), batch_id, horizon_batches
+                ).select("h")
                 canon = local_canon.join(seen, "h", "left_anti")
             else:  # first batch: no hash store yet
                 canon = local_canon

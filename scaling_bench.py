@@ -106,6 +106,81 @@ def build_corpora(spark) -> None:
         e.write.mode("overwrite").parquet(str(edir))
 
 
+def build_events(spark) -> None:
+    """Replica k of ``events`` offsets event_id/user_id by k*ID_STRIDE and
+    shifts ts by k*400 days: a LONGER event history at the same traffic
+    density (the analogue of the documents replication philosophy —
+    linear growth in time-bucket count, per-bucket concurrency
+    unchanged), so the ±window self-join's intrinsic pair count scales
+    linearly and any super-linear runtime is the operator's fault.  A
+    denser-traffic corpus (same span, s x users) would grow pairs ~s² by
+    construction — that regime is intrinsic output growth, not operator
+    regression, and is not what this bench isolates."""
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    for s in SCALES:
+        edir = WORK / f"events_x{s}"
+        if edir.exists():
+            continue
+        parts = []
+        for k in range(s):
+            parts.append(
+                base.select(
+                    (F.col("event_id") + k * ID_STRIDE).alias("event_id"),
+                    (F.col("ts") + F.expr(f"INTERVAL {k * 400} DAYS")).alias("ts"),
+                    (F.col("user_id") + k * ID_STRIDE).alias("user_id"),
+                    "event_type",
+                    "value",
+                    "props",
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(str(edir / "events.parquet"))
+
+
+def bench_extra(spark) -> dict:
+    """The r6 extension rows: the remaining argued-only scale paths —
+    MinHash pair emission vs cluster assignment, the range-join band
+    residual, and the rolling-active contribution explode."""
+    from cloudcomputing_flink_application_spark.operators import timeseries
+
+    build_corpora(spark)
+    build_events(spark)
+    ops = {
+        "dedup_minhash_lsh": lambda d, ev: dedup.minhash_lsh_dedup(d).count(),
+        "dedup_minhash_clusters": lambda d, ev: dedup.minhash_cluster_dedup(
+            d
+        ).count(),
+        "ts_range_count": lambda d, ev: timeseries.concurrent_events(
+            spark, ev
+        ).count(),
+        "ts_rolling_active": lambda d, ev: timeseries.rolling_active_users(
+            spark, ev
+        ).count(),
+    }
+    results: dict[str, dict] = {name: {} for name in ops}
+    for s in SCALES:
+        d = spark.read.parquet(str(WORK / f"docs_x{s}"))
+        ev = str(WORK / f"events_x{s}")
+        for name, fn in ops.items():
+            times = []
+            for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
+                spark.catalog.clearCache()
+                dedup.release_cached()
+                times.append(timed(lambda: fn(d, ev)))
+            results[name][s] = round(min(times[1:]), 3)
+    out: dict = {"ops": {}}
+    for name, by_scale in results.items():
+        t1 = by_scale[SCALES[0]]
+        exps = {
+            s: round(math.log(by_scale[s] / t1) / math.log(s), 2)
+            for s in SCALES[1:]
+        }
+        out["ops"][name] = {"sec": by_scale, "exponent_vs_1x": exps}
+    return out
+
+
 def build_clustered() -> None:
     """Hash-seeded mixture corpora (fixtures.clustered_embedding_rows):
     the similarity-structured regime where IVF pruning can actually pay,
@@ -171,6 +246,9 @@ def main() -> None:
     if section == "clustered":
         build_clustered()
         print(json.dumps({"clustered_ann": bench_clustered_ann(spark)}))
+        return
+    if section == "extra":
+        print(json.dumps({"extra": bench_extra(spark)}))
         return
     build_corpora(spark)
     ops = {

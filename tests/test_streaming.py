@@ -669,3 +669,171 @@ def test_length_histogram_stream_matches_batch(spark, tmp_path):
     # histogram row, regardless of corpus size.
     state = prog["stateOperators"][0]
     assert state["numRowsTotal"] == len(batch_hist)
+
+
+def test_minhash_stream_horizon_bounds_dedup_window(spark, tmp_path):
+    # horizon_batches=1: a bucket-mate TWO batches back no longer flags a
+    # doc (its band partitions aged out), an adjacent-batch mate still
+    # does, and within-batch dedup is untouched.  The oracle is the batch
+    # operator applied per batch over the horizon WINDOW's union,
+    # restricted to that batch's docs — dedup-within-horizon exactly.
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_band_flags,
+    )
+
+    TA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    TB = "many people enjoy reading long books about science and history in the evening"
+    TC = "fresh vegetables from the garden make every meal taste better than before"
+    batches = [
+        [(1, TA), (2, TB)],
+        [(3, TB)],
+        [(4, TA), (5, TC), (6, TC)],
+    ]
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    d_in = str(tmp_path / "docs_in")
+    base = 1_700_000_000
+    frames = []
+    for i, rows in enumerate(batches):
+        p = f"{d_in}/f{i}"
+        df = spark.createDataFrame(rows, schema)
+        frames.append(df)
+        df.coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(f"{root}/{f}", (base + i, base + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out_dir = str(tmp_path / "flags_out")
+    HORIZON = 1
+    q = jobs.run_minhash_dedup_stream(
+        spark, stream, out_dir,
+        str(tmp_path / "chk"), str(tmp_path / "bands"),
+        horizon_batches=HORIZON,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = rows_set(spark.read.parquet(out_dir).select("doc_id", "is_dup"))
+    # dedup-within-horizon oracle: batch op over each batch's window union
+    expected = set()
+    for b, df in enumerate(frames):
+        window = frames[max(0, b - HORIZON) : b + 1]
+        union = window[0]
+        for w in window[1:]:
+            union = union.unionByName(w)
+        ids = {r[0] for r in df.collect()}
+        expected |= {
+            r for r in rows_set(minhash_band_flags(union)) if r[0] in ids
+        }
+    assert streamed == expected
+    flags = dict(streamed)
+    assert flags[3] is True  # adjacent-batch duplicate still caught
+    assert flags[4] is False  # 2-batches-old duplicate aged out
+    assert flags[6] is True  # within-batch dedup untouched
+    # without a horizon the same corpus flags doc 4 (sanity: the horizon
+    # is what changed the answer, not the data)
+    all_docs = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    assert dict(rows_set(minhash_band_flags(all_docs)))[4] is True
+    # the band store itself is bounded: only the trailing horizon+current
+    # partitions survive the final batch's aging
+    kept_parts = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(str(tmp_path / "bands"))
+        if p.startswith("batch_id=")
+    )
+    assert kept_parts == [1, 2]
+
+
+def test_clean_corpus_stream_horizon_bounds_hash_store(spark, tmp_path):
+    # Same horizon semantics on the composed cleaner: a text whose only
+    # earlier copy aged out of the hash store becomes uniq (and kept)
+    # again; the oracle is batch clean_corpus over each horizon window.
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        clean_corpus,
+    )
+
+    T1 = ("we walked along the shore before sunrise and watched the small "
+          "boats drift slowly while the light changed over the water")
+    T2 = ("she keeps a worn notebook where every idea from the long train "
+          "rides is written down with care and patience")
+    T3 = ("the old market opens early and the sellers arrange their fruit "
+          "in bright rows while neighbors stop to talk about the week")
+    batches = [
+        [(11, T1), (12, T2)],
+        [(13, T3)],
+        [(14, T1)],
+    ]
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [(29, "benchmark questions about arithmetic and geometry go here")],
+        schema,
+    )
+    d_in = str(tmp_path / "docs_in")
+    base = 1_700_000_000
+    frames = []
+    for i, rows in enumerate(batches):
+        p = f"{d_in}/f{i}"
+        df = spark.createDataFrame(rows, schema)
+        frames.append(df)
+        df.coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(f"{root}/{f}", (base + i, base + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out_dir = str(tmp_path / "clean_out")
+    HORIZON = 1
+    q = jobs.run_clean_corpus_stream(
+        spark, stream, bench, out_dir,
+        str(tmp_path / "chk"), str(tmp_path / "hashes"),
+        horizon_batches=HORIZON,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cols = ["doc_id", "q_ok", "rep_ok", "con_ok", "uniq", "kept", "split"]
+    streamed = rows_set(spark.read.parquet(out_dir).select(*cols))
+    expected = set()
+    for b, df in enumerate(frames):
+        window = frames[max(0, b - HORIZON) : b + 1]
+        union = window[0]
+        for w in window[1:]:
+            union = union.unionByName(w)
+        ids = {r[0] for r in df.collect()}
+        expected |= {
+            r
+            for r in rows_set(clean_corpus(bench.unionByName(union)).select(*cols))
+            if r[0] in ids
+        }
+    assert streamed == expected
+    by_id = {r[0]: r for r in streamed}
+    assert by_id[11][4] is True  # first copy uniq and kept
+    assert by_id[11][5] is True
+    assert by_id[14][4] is True  # duplicate aged out of the store: uniq again
+    assert by_id[14][5] is True
+    # without a horizon the batch pipeline would have deduped doc 14
+    all_docs = bench.unionByName(frames[0]).unionByName(frames[1]).unionByName(frames[2])
+    full = {r[0]: r for r in rows_set(clean_corpus(all_docs).select(*cols))}
+    assert full[14][4] is False
