@@ -7,12 +7,24 @@ Corpus construction (deterministic, duplicate-structure-preserving):
 replica k of the sf0.1 ``documents`` table offsets doc_id by k*10^7 and
 appends ``" r<k>"`` to the text for k > 0, so each replica carries the
 SAME intra-replica duplicate structure as the original and no cross-replica
-duplicates (scaling the number of dup clusters linearly, not their size —
-the shape a bigger crawl actually has).  n_chars is recomputed from the
-perturbed text.  Replica k of ``embeddings`` offsets vec_id and ROTATES the
-vector by k positions: norms (and thus per-replica geometry) are preserved
-while cross-replica cosines stay at random-vector levels, so the near-dup
-pair count also scales linearly.
+EXACT duplicates (md5(text) differs by the suffix).  n_chars is recomputed
+from the perturbed text.  Replica k of ``embeddings`` offsets vec_id and
+ROTATES the vector by k positions: norms (and thus per-replica geometry)
+are preserved while cross-replica cosines stay at random-vector levels, so
+the embedding near-dup pair count scales linearly.
+
+Two distinct regimes for MinHash NEAR-dup, deliberately both measured:
+the one-token suffix leaves cross-replica Jaccard at n/(n+1) >= the 0.9
+threshold for any doc with >= 10 distinct tokens, so under MinHash the
+suffix corpus is the CLUSTER-GROWTH regime — dup clusters grow ~s wide
+and intrinsic pair output grows ~s² (the shape of re-crawling the same
+sites s times).  ``build_docs_tokenwise`` builds the complementary
+LINEAR regime: replica k > 0 prefixes every whitespace token with
+``r<k>x``, a token-set BIJECTION (sizes, intersections, and Jaccards
+inside a replica are bit-preserved; cross-replica token sets are
+disjoint), so dup-cluster COUNT grows ~s at constant width and pair
+output is exactly linear — any super-linear runtime there is the
+operator's fault, not the data's.
 
 Protocol (per BASELINE.md bench-contamination notes): run on a QUIET
 machine, scales sequentially in one session, REPS runs per scale, min
@@ -106,6 +118,37 @@ def build_corpora(spark) -> None:
         e.write.mode("overwrite").parquet(str(edir))
 
 
+def build_docs_tokenwise(spark) -> None:
+    """The linear-pair-output documents corpora (see module docstring):
+    replica k > 0 prefixes every whitespace token with ``r<k>x`` — a
+    token-set bijection per replica, disjoint across replicas."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for s in SCALES:
+        ddir = WORK / f"docs_tw_x{s}"
+        if ddir.exists():
+            continue
+        parts = []
+        for k in range(s):
+            txt = (
+                F.col("text")
+                if k == 0
+                else F.regexp_replace("text", r"(\S+)", f"r{k}x$1")
+            )
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
+                    txt.alias("text"),
+                    "lang",
+                    "source",
+                    F.length(txt).cast("long").alias("n_chars"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(str(ddir))
+
+
 def build_events(spark) -> None:
     """Replica k of ``events`` offsets event_id/user_id by k*ID_STRIDE and
     shifts ts by k*400 days: a LONGER event history at the same traffic
@@ -139,13 +182,48 @@ def build_events(spark) -> None:
         out.write.mode("overwrite").parquet(str(edir / "events.parquet"))
 
 
+def _bench_op_table(spark, ops: dict, frames_for) -> dict:
+    """Time each op at every scale (REPS runs after a discarded warm-up),
+    recording wall seconds, OUTPUT rows (so intrinsic output growth is
+    visible next to runtime growth), and fitted exponents."""
+    secs: dict[str, dict] = {name: {} for name in ops}
+    rows: dict[str, dict] = {name: {} for name in ops}
+    for s in SCALES:
+        frames = frames_for(s)
+        for name, fn in ops.items():
+            times = []
+            n = None
+            for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
+                spark.catalog.clearCache()
+                dedup.release_cached()
+                t0 = time.time()
+                n = fn(*frames)
+                times.append(time.time() - t0)
+            secs[name][s] = round(min(times[1:]), 3)
+            rows[name][s] = n
+    out: dict = {}
+    for name, by_scale in secs.items():
+        t1 = by_scale[SCALES[0]]
+        exps = {
+            s: round(math.log(by_scale[s] / t1) / math.log(s), 2)
+            for s in SCALES[1:]
+        }
+        out[name] = {
+            "sec": by_scale,
+            "rows": rows[name],
+            "exponent_vs_1x": exps,
+        }
+    return out
+
+
 def bench_extra(spark) -> dict:
     """The r6 extension rows: the remaining argued-only scale paths —
-    MinHash pair emission vs cluster assignment, the range-join band
-    residual, and the rolling-active contribution explode."""
+    MinHash pair emission vs cluster assignment (on the LINEAR-output
+    token-bijective corpora), the range-join band residual, and the
+    rolling-active contribution explode."""
     from cloudcomputing_flink_application_spark.operators import timeseries
 
-    build_corpora(spark)
+    build_docs_tokenwise(spark)
     build_events(spark)
     ops = {
         "dedup_minhash_lsh": lambda d, ev: dedup.minhash_lsh_dedup(d).count(),
@@ -159,26 +237,35 @@ def bench_extra(spark) -> dict:
             spark, ev
         ).count(),
     }
-    results: dict[str, dict] = {name: {} for name in ops}
-    for s in SCALES:
-        d = spark.read.parquet(str(WORK / f"docs_x{s}"))
-        ev = str(WORK / f"events_x{s}")
-        for name, fn in ops.items():
-            times = []
-            for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
-                spark.catalog.clearCache()
-                dedup.release_cached()
-                times.append(timed(lambda: fn(d, ev)))
-            results[name][s] = round(min(times[1:]), 3)
-    out: dict = {"ops": {}}
-    for name, by_scale in results.items():
-        t1 = by_scale[SCALES[0]]
-        exps = {
-            s: round(math.log(by_scale[s] / t1) / math.log(s), 2)
-            for s in SCALES[1:]
-        }
-        out["ops"][name] = {"sec": by_scale, "exponent_vs_1x": exps}
-    return out
+    return {
+        "ops": _bench_op_table(
+            spark,
+            ops,
+            lambda s: (
+                spark.read.parquet(str(WORK / f"docs_tw_x{s}")),
+                str(WORK / f"events_x{s}"),
+            ),
+        )
+    }
+
+
+def bench_extra_grow(spark) -> dict:
+    """MinHash pairs-vs-clusters on the CLUSTER-GROWTH (suffix) corpora:
+    dup clusters widen ~s, so pair output grows ~s² by construction —
+    the regime that demonstrates WHY the one-row-per-doc cluster form is
+    the scale path, not a regression probe (see module docstring)."""
+    build_corpora(spark)
+    ops = {
+        "dedup_minhash_lsh": lambda d: dedup.minhash_lsh_dedup(d).count(),
+        "dedup_minhash_clusters": lambda d: dedup.minhash_cluster_dedup(
+            d
+        ).count(),
+    }
+    return {
+        "ops": _bench_op_table(
+            spark, ops, lambda s: (spark.read.parquet(str(WORK / f"docs_x{s}")),)
+        )
+    }
 
 
 def build_clustered() -> None:
@@ -249,6 +336,9 @@ def main() -> None:
         return
     if section == "extra":
         print(json.dumps({"extra": bench_extra(spark)}))
+        return
+    if section == "extra-grow":
+        print(json.dumps({"extra_grow": bench_extra_grow(spark)}))
         return
     build_corpora(spark)
     ops = {
