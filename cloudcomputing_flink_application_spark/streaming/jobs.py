@@ -510,6 +510,7 @@ def run_purge_dedup_stream(
     output_dir: str,
     checkpoint_dir: str,
     state_dir: str,
+    horizon_batches: int | None = None,
 ):
     """Incremental MinHash-LSH PURGE over a document stream — the streaming
     twin of ``operators.dedup.minhash_purge_dedup``, completing the
@@ -545,6 +546,25 @@ def run_purge_dedup_stream(
     ``batch_id < current`` only, first-batch detection via the
     committed-data glob, batch-0 prune of stale partitions — the same
     contract as the other incremental jobs.
+
+    ``horizon_batches`` bounds the state by TIME, like the other two
+    horizoned jobs — but purge under aging is NOT incrementally
+    maintainable: a band bucket's min doc can age out while later bucket
+    members survive, which RETRACTS stored star edges and creates new
+    ones between survivors (edge maintenance under deletion is
+    non-monotone).  So horizon mode switches the edge pass to a bounded
+    WINDOW RECOMPUTE: tokenize and band-compute stay incremental (once
+    per doc, at arrival — the expensive per-doc work), while star edges,
+    jaccard verify, closure, and accounting rerun each batch over the
+    trailing ``horizon_batches``+current window read from the
+    band/token-set/stats stores, whose older partitions age out at batch
+    start.  Per-batch cost is O(window), which is exactly what a horizon
+    promises to bound; the edge store is not written or read in this
+    mode (switching ``horizon_batches`` on an existing checkpoint is not
+    supported).  Semantics become purge-WITHIN-horizon: each batch's
+    partition equals ``minhash_purge_dedup`` over the window's union —
+    pinned in tests/test_streaming.py, including a chain whose canonical
+    doc ages out so cluster leadership passes to a younger survivor.
     """
     from cloudcomputing_flink_application_spark.operators.dedup import (
         MINHASH_JACCARD,
@@ -565,6 +585,11 @@ def run_purge_dedup_stream(
         if batch_id == 0:
             for d in (output_dir, bands_dir, toksets_dir, edges_dir, stats_dir):
                 _prune_stale_batch_partitions(spark, d)
+        elif horizon_batches is not None:
+            for d in (bands_dir, toksets_dir, stats_dir):
+                _prune_batch_partitions_before(
+                    spark, d, batch_id - horizon_batches
+                )
         # tokenize ONCE per micro-batch: the persisted token sets feed both
         # the band pipeline and the jaccard verify (mirrors the batch
         # twin's shared-tokset plan)
@@ -572,6 +597,78 @@ def run_purge_dedup_stream(
         b = band_rows_from_toksets(toks).persist()
         edges_new = None
         try:
+            batch_stats = batch_df.select("doc_id", "n_chars")
+            if horizon_batches is not None:
+                # Bounded WINDOW RECOMPUTE (see docstring): per-doc prep is
+                # read back from the stores; star + verify + closure rerun
+                # over the trailing window, so aged-out bucket mins and
+                # retracted edges can never leave stale state behind.
+                wb = b.select("doc_id", "band", "key")
+                wtoks = toks.select(*toks.columns)
+                all_stats = batch_stats
+                if _committed_batch_data_exists(spark, bands_dir):
+                    wb = wb.unionByName(
+                        _horizon_probe(
+                            spark.read.parquet(bands_dir),
+                            batch_id,
+                            horizon_batches,
+                        ).select("doc_id", "band", "key")
+                    )
+                    wtoks = wtoks.unionByName(
+                        _horizon_probe(
+                            spark.read.parquet(toksets_dir),
+                            batch_id,
+                            horizon_batches,
+                        ).select(*toks.columns)
+                    )
+                    all_stats = all_stats.unionByName(
+                        _horizon_probe(
+                            spark.read.parquet(stats_dir),
+                            batch_id,
+                            horizon_batches,
+                        ).select("doc_id", "n_chars")
+                    )
+                w = SparkWindow.partitionBy("band", "key")
+                star = (
+                    wb.withColumn("rep", F.min("doc_id").over(w))
+                    .filter(F.col("rep") < F.col("doc_id"))
+                    .select("doc_id", "rep")
+                    .distinct()
+                )
+                ta = wtoks.select(
+                    "doc_id",
+                    F.col("tokset").alias("_ta"),
+                    F.col("nset").alias("_na"),
+                )
+                tb = wtoks.select(
+                    F.col("doc_id").alias("rep"),
+                    F.col("tokset").alias("_tb"),
+                    F.col("nset").alias("_nb"),
+                )
+                inter = F.size(F.array_intersect("_ta", "_tb"))
+                scored = (
+                    star.join(ta, "doc_id")
+                    .join(tb, "rep")
+                    .select(
+                        "doc_id",
+                        "rep",
+                        (
+                            inter.cast("double")
+                            / (F.col("_na") + F.col("_nb") - inter)
+                        ).alias("_j"),
+                    )
+                )
+                window_edges = filter_after_barrier(
+                    scored, "rep", F.col("_j") >= MINHASH_JACCARD
+                ).select("doc_id", "rep")
+                purge = purge_from_edges(window_edges, all_stats)
+                _write_batch_partition(purge, batch_id, output_dir)
+                _write_batch_partition(
+                    b.select("doc_id", "band", "key"), batch_id, bands_dir
+                )
+                _write_batch_partition(toks, batch_id, toksets_dir)
+                _write_batch_partition(batch_stats, batch_id, stats_dir)
+                return
             have_state = _committed_batch_data_exists(spark, bands_dir)
             if have_state:
                 prior_bands = (
@@ -638,7 +735,6 @@ def run_purge_dedup_stream(
                 if _committed_batch_data_exists(spark, edges_dir)
                 else edges_new
             )
-            batch_stats = batch_df.select("doc_id", "n_chars")
             all_stats = (
                 batch_stats.unionByName(prior(stats_dir, ["doc_id", "n_chars"]))
                 if _committed_batch_data_exists(spark, stats_dir)

@@ -837,3 +837,99 @@ def test_clean_corpus_stream_horizon_bounds_hash_store(spark, tmp_path):
     all_docs = bench.unionByName(frames[0]).unionByName(frames[1]).unionByName(frames[2])
     full = {r[0]: r for r in rows_set(clean_corpus(all_docs).select(*cols))}
     assert full[14][4] is False
+
+
+def test_purge_stream_horizon_window_recompute(spark, tmp_path):
+    # Horizon mode on the purge twin is a bounded WINDOW RECOMPUTE (edge
+    # maintenance under aging is non-monotone — a bucket min aging out
+    # RETRACTS stored star edges), so each batch's partition must equal
+    # the batch operator over the trailing window's union — including the
+    # chain below, whose canonical doc ages out so cluster leadership
+    # passes to a younger survivor.
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+
+    from pyspark.sql import functions as F
+
+    BASE = (
+        "the river cuts through the old valley where tall pines lean over "
+        "granite ledges and cold water folds around mossy stones while "
+        "swallows trace wide arcs under a pale morning sky before rain"
+    )
+    batches = [
+        [(1, BASE), (2, "a short unrelated note about city schedules and maps")],
+        [(3, BASE + " alpha")],
+        [(4, BASE + " beta")],
+    ]
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    d_in = str(tmp_path / "docs_in")
+    base_ts = 1_700_000_000
+    frames = []
+    for i, rows in enumerate(batches):
+        p = f"{d_in}/f{i}"
+        df = spark.createDataFrame(
+            [(i_, t, len(t)) for i_, t in rows], schema
+        )
+        frames.append(df)
+        df.coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(f"{root}/{f}", (base_ts + i, base_ts + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out_dir = str(tmp_path / "purge_out")
+    state = tmp_path / "state"
+    HORIZON = 1
+    q = jobs.run_purge_dedup_stream(
+        spark, stream, out_dir,
+        str(tmp_path / "chk"), str(state),
+        horizon_batches=HORIZON,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir)
+    cols = ["doc_id", "n_members", "chars_saved"]
+    # purge-within-horizon oracle: every batch partition == batch operator
+    # over that batch's window union
+    for b, df in enumerate(frames):
+        window = frames[max(0, b - HORIZON) : b + 1]
+        union = window[0]
+        for w in window[1:]:
+            union = union.unionByName(w)
+        got = rows_set(out.filter(F.col("batch_id") == b).select(*cols))
+        assert got == rows_set(minhash_purge_dedup(union)), f"batch {b}"
+    # the narrative assertions: batch 1's window keeps canonical doc 1
+    # with doc 3 purged into it; batch 2's window no longer contains doc 1,
+    # so doc 3 INHERITS leadership and doc 4 purges into it
+    got1 = {r[0]: r for r in rows_set(out.filter("batch_id = 1").select(*cols))}
+    assert got1[1][1] == 2 and 3 not in got1
+    got2 = {r[0]: r for r in rows_set(out.filter("batch_id = 2").select(*cols))}
+    assert got2[3][1] == 2 and 4 not in got2 and 1 not in got2
+    # without a horizon doc 3 and 4 would both purge into doc 1 (sanity:
+    # the horizon changed the answer, not the data)
+    all_docs = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    full = {r[0]: r for r in rows_set(minhash_purge_dedup(all_docs))}
+    assert full[1][1] == 3 and 3 not in full and 4 not in full
+    # state stores are bounded: only trailing horizon+current partitions
+    # survive the final batch's aging, for every horizoned store
+    for store in ("bands", "toksets", "docstats"):
+        kept = sorted(
+            int(p.split("=")[1])
+            for p in os.listdir(str(state / store))
+            if p.startswith("batch_id=")
+        )
+        assert kept == [1, 2], store
