@@ -1049,23 +1049,70 @@ SIMHASH_SQL = _simhash_sql()
 NGRAM_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
 
 
+#: Spark's Utils.bytesToString units, as printed by EXPLAIN COST.
+_SIZE_UNITS = {
+    "B": 1,
+    "KiB": 1024,
+    "MiB": 1024**2,
+    "GiB": 1024**3,
+    "TiB": 1024**4,
+    "PiB": 1024**5,
+    "EiB": 1024**6,
+}
+
+
+def _plan_size_bytes_sql(df: DataFrame) -> int | None:
+    """PUBLIC-API statistics probe: ``EXPLAIN COST`` over a temp view.
+
+    ``spark.sql`` + temp views exist under Spark Connect too, so this
+    route survives where the py4j handle does not.  The optimizer prints
+    ``Statistics(sizeInBytes=<v> <unit>)`` per node; the TOP line is the
+    plan root — still a metadata read (analysis + optimization only,
+    no scan job).  The display rounds to one decimal in the printed
+    unit, which is immaterial for a join-strategy gate.  Returns None
+    when the text doesn't parse (format drift degrades to the safe
+    non-broadcast path, never a crash).
+    """
+    import re
+    import uuid
+
+    name = f"_plan_size_probe_{uuid.uuid4().hex}"
+    try:
+        spark = df.sparkSession
+        df.createOrReplaceTempView(name)
+        try:
+            text = spark.sql(f"EXPLAIN COST SELECT * FROM {name}").first()[0]
+        finally:
+            spark.catalog.dropTempView(name)
+        m = re.search(
+            r"sizeInBytes=([\d.]+)\s*(B|KiB|MiB|GiB|TiB|PiB|EiB)", text
+        )
+        if m is None:
+            return None
+        return int(float(m.group(1)) * _SIZE_UNITS[m.group(2)])
+    except Exception:
+        return None
+
+
 def _plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst-estimated size of ``df`` in bytes, or ``None`` when the
     statistics are unreachable.
 
     The estimate comes from the optimized plan's statistics (parquet
     footers / catalog stats) — a metadata read, never a scan job.  The
-    only route to it from Python is the ``_jdf`` py4j handle, which is
-    NOT public PySpark surface and is absent under Spark Connect; any
-    failure therefore means "no statistics" and the caller must take its
-    safe non-broadcast path rather than crash.
+    direct route is the ``_jdf`` py4j handle (not public PySpark
+    surface, absent under Spark Connect); when that fails, the
+    ``EXPLAIN COST`` fallback reads the same optimizer statistics
+    through public SQL surface (``_plan_size_bytes_sql`` — parity with
+    the direct route pinned in tests/test_dedup_edges.py).  Only when
+    BOTH fail does the caller take its safe non-broadcast path.
     """
     try:
         return int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:
-        return None
+        return _plan_size_bytes_sql(df)
 
 
 def ngram_jaccard_dedup(
@@ -1156,8 +1203,10 @@ def ngram_jaccard_dedup(
         )
         join_cond = join_cond & (F.col("a._salt") == F.col("b._salt"))
     # Broadcast only under the statistics gate (plan-estimated bytes; zero
-    # jobs spent deciding; est None — stats unreachable, e.g. Spark
-    # Connect — takes the shuffle path).  The budget is divided by salt:
+    # jobs spent deciding; the probe reads py4j stats or falls back to
+    # EXPLAIN COST under Spark Connect, and only when BOTH are
+    # unreachable does est None force the shuffle path).  The budget is
+    # divided by salt:
     # the build side is replicated salt× by the explode, so a corpus just
     # under the raw threshold would otherwise broadcast salt× the budgeted
     # bytes.  Oversized corpora take the shuffle equi-join — Catalyst

@@ -504,3 +504,26 @@ def test_ivf_kmeans_rejects_zero_iters(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="iters >= 1"):
         similarity.ivf_kmeans_codebook(emb, iters=0)
+
+
+def test_plan_size_probe_sql_matches_jdf(spark, sf_dir):
+    # The EXPLAIN COST fallback (public SQL surface, Connect-safe) must
+    # read the same optimizer statistics as the _jdf route — display
+    # rounding (one decimal in the printed unit) is the only allowed
+    # difference.  Both are metadata reads; neither may run a scan job.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    direct = int(
+        docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    via_sql = dedup._plan_size_bytes_sql(docs)
+    assert via_sql is not None and via_sql > 0
+    assert abs(via_sql - direct) <= max(0.02 * direct, 64)
+    # the combined probe prefers the direct route but never returns None
+    # while either works
+    assert dedup._plan_size_bytes(docs) == direct
+    # no leftover temp view
+    assert not [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("_plan_size_probe_")
+    ]
