@@ -163,6 +163,9 @@ def _dedup_purge(args: argparse.Namespace) -> None:
     accumulated stores under ``<output>/_state``, checkpoints under
     ``<output>/_chk``; the LAST batch partition of ``<output>/purge`` is
     the full-corpus purge table (idempotent under replay).
+    ``--horizon-batches N`` bounds the stores to the trailing N batches
+    (purge-within-horizon: each batch partition covers its window's
+    union, via the bounded window recompute — see streaming/jobs.py).
     """
     from cloudcomputing_flink_application_spark.operators.dedup import (
         minhash_purge_dedup,
@@ -183,6 +186,7 @@ def _dedup_purge(args: argparse.Namespace) -> None:
             f"{args.output}/purge",
             f"{args.output}/_chk",
             f"{args.output}/_state",
+            horizon_batches=args.horizon_batches,
         )
         try:
             q.processAllAvailable()
@@ -219,10 +223,10 @@ def main(argv: list[str] | None = None) -> None:
             help="run the Structured Streaming variant "
             "(vehicle-telematics / corpus-clean)",
         )
-        if name == "corpus-clean":
+        if name in ("corpus-clean", "dedup-purge"):
             sp.add_argument(
                 "--horizon-batches", type=int, default=None,
-                help="streaming only: bound the dedup hash store to the "
+                help="streaming only: bound the dedup state stores to the "
                 "trailing N micro-batches (dedup-within-horizon; older "
                 "state partitions are aged out)",
             )

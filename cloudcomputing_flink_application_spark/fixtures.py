@@ -53,11 +53,20 @@ def clustered_embedding_rows(
     aligns with the true structure (exactly what a trained coarse
     quantizer converges to on clustered data).
 
+    The mixture component is HASHED from the relative index, not
+    ``i % clusters``: the ANN operators' query set is a vec_id stride
+    (``similarity.QUERY_STRIDE`` = 100), and any modular assignment whose
+    cluster count shares a factor with the stride concentrates every
+    query in a few components (50 | 100 put ALL of them in component 0 —
+    an r6 review catch), silently narrowing recall/speedup measurements
+    to one cluster.  Hashing decorrelates component from any id stride,
+    so strided query sets cover all components.
+
     ``id_offset`` shifts vec_ids for replica corpora; the mixture
-    component of a vector depends only on (vec_id - id_offset) % clusters
-    while its noise depends on the absolute vec_id, so replicas share the
-    SAME cluster geometry with fresh members (a bigger corpus of the same
-    distribution, not duplicated points).
+    component of a vector depends only on the relative index
+    (vec_id - id_offset) while its noise depends on the absolute vec_id,
+    so replicas share the SAME cluster geometry with fresh members (a
+    bigger corpus of the same distribution, not duplicated points).
     """
     cents = [
         _hash_unit(f"mixcent:{c}", dim) for c in range(clusters)
@@ -65,7 +74,7 @@ def clustered_embedding_rows(
     rows = []
     for i in range(n):
         vid = id_offset + i
-        c = i % clusters
+        c = int(hashlib.md5(f"mixcomp:{i}".encode()).hexdigest()[:8], 16) % clusters
         nz = _hash_unit(f"mixnoise:{vid}", dim)
         emb = [cents[c][d] + noise * nz[d] for d in range(dim)]
         rows.append((vid, c, emb))

@@ -469,43 +469,41 @@ WHERE jaccard >= {MINHASH_JACCARD}
 MINHASH_LSH_SQL = _minhash_lsh_sql()
 
 
-def _verified_star_edges(documents: DataFrame) -> DataFrame:
-    """Jaccard-verified star edges ``(doc_id, rep)`` with ``rep < doc_id``.
-
-    The O(n x bands) candidate generation both cluster operators share: each
-    document links only to the MIN doc_id of every band bucket it lands in
-    (never O(bucket²) pairs), and only those star edges pay the set-intersect
-    verify cost.  Caching contract: same as minhash_lsh_dedup — entries are
-    released by :func:`release_cached` / ``spark.catalog.clearCache()``,
-    not by this function.
-    """
-    # Same persist rationale as minhash_lsh_dedup: tokset feeds the band
-    # pipeline once and the ta/tb verify sides twice; the cached plan is
-    # identical to the LSH variant's, so a session running both shares ONE
-    # cache entry.
-    toks = _persist(_token_sets(documents))
-    sigs = toks.select("doc_id", *[c for c in X.minhash_sig(F.col("tokset"))])
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), X.band_key(j).alias("key"))
-                    for j in range(X.LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+def star_edges_from_bands(bands: DataFrame) -> DataFrame:
+    """Star candidates ``(doc_id, rep)`` with ``rep < doc_id`` from band
+    bucket rows ``(doc_id, band, key)``: each doc links only to the MIN
+    doc_id of every bucket it lands in — O(n x bands) candidates, never
+    O(bucket²) pairs.  Shared by the batch cluster family and both purge
+    stream modes (the ONE definition of the star shape: a change here is
+    a change everywhere, which is what keeps streaming == batch)."""
     w = Window.partitionBy("band", "key")
-    star = (
+    return (
         bands.withColumn("rep", F.min("doc_id").over(w))
         .filter(F.col("rep") < F.col("doc_id"))
         .select("doc_id", "rep")
         .distinct()
     )
-    ta = toks.select(F.col("doc_id"), F.col("tokset").alias("_ta"), F.col("nset").alias("_na"))
-    tb = toks.select(
-        F.col("doc_id").alias("rep"), F.col("tokset").alias("_tb"), F.col("nset").alias("_nb")
+
+
+def jaccard_verified_edges(
+    star: DataFrame, toks: DataFrame, rep_toks: DataFrame | None = None
+) -> DataFrame:
+    """Jaccard-verify ``(doc_id, rep)`` candidates against token sets and
+    keep edges at or above ``MINHASH_JACCARD`` (output keeps the ``_j``
+    column).  ``toks``/``rep_toks`` are ``_token_sets`` frames for the
+    doc_id and rep sides (``rep_toks`` defaults to ``toks``; the
+    incremental purge stream passes its batch-only frame on the left and
+    the accumulated store on the right).  The single definition of the
+    verify formula for the batch operators and both stream modes."""
+    if rep_toks is None:
+        rep_toks = toks
+    ta = toks.select(
+        F.col("doc_id"), F.col("tokset").alias("_ta"), F.col("nset").alias("_na")
+    )
+    tb = rep_toks.select(
+        F.col("doc_id").alias("rep"),
+        F.col("tokset").alias("_tb"),
+        F.col("nset").alias("_nb"),
     )
     inter = F.size(F.array_intersect("_ta", "_tb"))
     scored = (
@@ -518,6 +516,24 @@ def _verified_star_edges(documents: DataFrame) -> DataFrame:
         )
     )
     return filter_after_barrier(scored, "rep", F.col("_j") >= MINHASH_JACCARD)
+
+
+def _verified_star_edges(documents: DataFrame) -> DataFrame:
+    """Jaccard-verified star edges ``(doc_id, rep)`` with ``rep < doc_id``.
+
+    The O(n x bands) candidate generation both cluster operators share,
+    composed from the shared star/verify helpers above.  Caching contract:
+    same as minhash_lsh_dedup — entries are released by
+    :func:`release_cached` / ``spark.catalog.clearCache()``, not by this
+    function.
+    """
+    # Same persist rationale as minhash_lsh_dedup: tokset feeds the band
+    # pipeline once and the ta/tb verify sides twice; the cached plan is
+    # identical to the LSH variant's, so a session running both shares ONE
+    # cache entry.
+    toks = _persist(_token_sets(documents))
+    star = star_edges_from_bands(band_rows_from_toksets(toks))
+    return jaccard_verified_edges(star, toks)
 
 
 def minhash_cluster_dedup(documents: DataFrame) -> DataFrame:

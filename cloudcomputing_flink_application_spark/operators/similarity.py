@@ -427,7 +427,15 @@ def ivf_kmeans_codebook(embeddings: DataFrame, iters: int = 1) -> DataFrame:
     if iters < 1:
         raise ValueError(f"ivf_kmeans_codebook needs iters >= 1, got {iters}")
     base = _normed(embeddings)
-    centroids = _twolevel_seeds(base)
+    # Persist every OPERATOR-BUILT codebook (seed and per-iteration
+    # refinements): _assign_to_centroids references its codebook three
+    # times (label list + equi side + zero-cell cross side), so an
+    # unpersisted codebook would recompute its pipeline 3x per iteration
+    # and compound ~3^iters across chained iterations.  Each entry is
+    # <= K rows; release_cached() drops them.  Caller-supplied codebooks
+    # (cosine_topk_ivf(codebook=...)) remain the CALLER's to persist —
+    # see that operator's no-leak note.
+    centroids = _persist(_twolevel_seeds(base))
     sums = None
     for it in range(iters):
         assigned = _assign_to_centroids(base, centroids)
@@ -445,7 +453,7 @@ def ivf_kmeans_codebook(embeddings: DataFrame, iters: int = 1) -> DataFrame:
             )
         )
         if it + 1 < iters:
-            centroids = dequantize_codebook(sums)
+            centroids = _persist(dequantize_codebook(sums))
     return sums
 
 
@@ -496,7 +504,13 @@ def refined_codebook(embeddings: DataFrame, iters: int = 1) -> DataFrame:
     unlike the r4 label-seeded K=10 codebook whose refinement oscillated
     (0.55 -> 0.61 -> 0.56).  The report remains the instrument: measure
     per corpus before shipping a codebook.  Determinism of the refined
-    search is pinned in tests/test_dedup_edges.py."""
+    search is pinned in tests/test_dedup_edges.py.
+
+    The returned frame is UNpersisted (caller-supplied codebooks stay the
+    caller's to cache — see cosine_topk_ivf's no-leak note): persist it
+    before passing to ``cosine_topk_ivf``, which references its codebook
+    four times (assignment x3 + query probing); at real scale this is
+    the artifact written to storage anyway."""
     return dequantize_codebook(ivf_kmeans_codebook(embeddings, iters=iters))
 
 

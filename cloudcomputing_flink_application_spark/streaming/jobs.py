@@ -329,6 +329,18 @@ def _prune_batch_partitions_before(spark, path: str, cutoff: int) -> None:
             fs.delete(st.getPath(), True)
 
 
+def _check_horizon(horizon_batches: int | None) -> None:
+    """Fail fast on a meaningless horizon: 0 or negative would silently
+    disable every cross-batch probe (empty window) while pruning state at
+    or ahead of the current batch — a job that 'succeeds' with globally
+    undeduped output."""
+    if horizon_batches is not None and horizon_batches < 1:
+        raise ValueError(
+            f"horizon_batches must be >= 1 (got {horizon_batches}); "
+            "omit it for unbounded state"
+        )
+
+
 def _horizon_probe(store: DataFrame, batch_id: int, horizon: int | None) -> DataFrame:
     """The state-store read of batch ``batch_id``: all PRIOR batches, or
     only the trailing ``horizon`` of them when a horizon is set."""
@@ -409,6 +421,8 @@ def run_minhash_dedup_stream(
     same cutoff the prune deletes.
     """
     from cloudcomputing_flink_application_spark.operators.dedup import band_rows
+
+    _check_horizon(horizon_batches)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id == 0:
@@ -567,15 +581,14 @@ def run_purge_dedup_stream(
     doc ages out so cluster leadership passes to a younger survivor.
     """
     from cloudcomputing_flink_application_spark.operators.dedup import (
-        MINHASH_JACCARD,
         _token_sets,
         band_rows_from_toksets,
+        jaccard_verified_edges,
         purge_from_edges,
-    )
-    from cloudcomputing_flink_application_spark.plans.barrier import (
-        filter_after_barrier,
+        star_edges_from_bands,
     )
 
+    _check_horizon(horizon_batches)
     bands_dir = f"{state_dir}/bands"
     toksets_dir = f"{state_dir}/toksets"
     edges_dir = f"{state_dir}/edges"
@@ -603,63 +616,34 @@ def run_purge_dedup_stream(
                 # read back from the stores; star + verify + closure rerun
                 # over the trailing window, so aged-out bucket mins and
                 # retracted edges can never leave stale state behind.
-                wb = b.select("doc_id", "band", "key")
-                wtoks = toks.select(*toks.columns)
-                all_stats = batch_stats
-                if _committed_batch_data_exists(spark, bands_dir):
-                    wb = wb.unionByName(
+                # Each store carries its OWN committed-data guard: the
+                # writes below are sequential, so a first-batch crash
+                # between them leaves the stores unevenly initialized and
+                # a single bands-only check would wedge every replay on
+                # the missing ones (the exact failure the glob exists
+                # to prevent).
+                def windowed(store_dir, base, cols):
+                    if not _committed_batch_data_exists(spark, store_dir):
+                        return base
+                    return base.unionByName(
                         _horizon_probe(
-                            spark.read.parquet(bands_dir),
+                            spark.read.parquet(store_dir),
                             batch_id,
                             horizon_batches,
-                        ).select("doc_id", "band", "key")
+                        ).select(*cols)
                     )
-                    wtoks = wtoks.unionByName(
-                        _horizon_probe(
-                            spark.read.parquet(toksets_dir),
-                            batch_id,
-                            horizon_batches,
-                        ).select(*toks.columns)
-                    )
-                    all_stats = all_stats.unionByName(
-                        _horizon_probe(
-                            spark.read.parquet(stats_dir),
-                            batch_id,
-                            horizon_batches,
-                        ).select("doc_id", "n_chars")
-                    )
-                w = SparkWindow.partitionBy("band", "key")
-                star = (
-                    wb.withColumn("rep", F.min("doc_id").over(w))
-                    .filter(F.col("rep") < F.col("doc_id"))
-                    .select("doc_id", "rep")
-                    .distinct()
+
+                wb = windowed(
+                    bands_dir,
+                    b.select("doc_id", "band", "key"),
+                    ["doc_id", "band", "key"],
                 )
-                ta = wtoks.select(
-                    "doc_id",
-                    F.col("tokset").alias("_ta"),
-                    F.col("nset").alias("_na"),
+                wtoks = windowed(toksets_dir, toks, toks.columns)
+                all_stats = windowed(
+                    stats_dir, batch_stats, ["doc_id", "n_chars"]
                 )
-                tb = wtoks.select(
-                    F.col("doc_id").alias("rep"),
-                    F.col("tokset").alias("_tb"),
-                    F.col("nset").alias("_nb"),
-                )
-                inter = F.size(F.array_intersect("_ta", "_tb"))
-                scored = (
-                    star.join(ta, "doc_id")
-                    .join(tb, "rep")
-                    .select(
-                        "doc_id",
-                        "rep",
-                        (
-                            inter.cast("double")
-                            / (F.col("_na") + F.col("_nb") - inter)
-                        ).alias("_j"),
-                    )
-                )
-                window_edges = filter_after_barrier(
-                    scored, "rep", F.col("_j") >= MINHASH_JACCARD
+                window_edges = jaccard_verified_edges(
+                    star_edges_from_bands(wb), wtoks
                 ).select("doc_id", "rep")
                 purge = purge_from_edges(window_edges, all_stats)
                 _write_batch_partition(purge, batch_id, output_dir)
@@ -682,15 +666,12 @@ def run_purge_dedup_stream(
                 )
             else:
                 allb = b.select("doc_id", "band", "key")
-            w = SparkWindow.partitionBy("band", "key")
-            star = (
-                allb.withColumn("rep", F.min("doc_id").over(w))
-                .filter(F.col("rep") < F.col("doc_id"))
-                .select("doc_id", "rep")
-                .distinct()
+            star = star_edges_from_bands(allb).join(
                 # only NEW docs gain edges this batch: old docs' reps are
                 # fixed under ordered arrival and already stored
-                .join(b.select("doc_id").distinct(), "doc_id", "leftsemi")
+                b.select("doc_id").distinct(),
+                "doc_id",
+                "leftsemi",
             )
             all_toks = (
                 toks.unionByName(
@@ -701,30 +682,11 @@ def run_purge_dedup_stream(
                 if _committed_batch_data_exists(spark, toksets_dir)
                 else toks
             )
-            ta = toks.select(
-                "doc_id", F.col("tokset").alias("_ta"), F.col("nset").alias("_na")
+            edges_new = (
+                jaccard_verified_edges(star, toks, all_toks)
+                .select("doc_id", "rep")
+                .persist()
             )
-            tb = all_toks.select(
-                F.col("doc_id").alias("rep"),
-                F.col("tokset").alias("_tb"),
-                F.col("nset").alias("_nb"),
-            )
-            inter = F.size(F.array_intersect("_ta", "_tb"))
-            scored = (
-                star.join(ta, "doc_id")
-                .join(tb, "rep")
-                .select(
-                    "doc_id",
-                    "rep",
-                    (
-                        inter.cast("double")
-                        / (F.col("_na") + F.col("_nb") - inter)
-                    ).alias("_j"),
-                )
-            )
-            edges_new = filter_after_barrier(
-                scored, "rep", F.col("_j") >= MINHASH_JACCARD
-            ).select("doc_id", "rep").persist()
             prior = (
                 lambda d, cols: spark.read.parquet(d)
                 .filter(F.col("batch_id") < F.lit(batch_id))
@@ -832,6 +794,8 @@ def run_clean_corpus_stream(
         decontaminate,
         repetition_stats,
     )
+
+    _check_horizon(horizon_batches)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id == 0:

@@ -159,7 +159,12 @@ def build_events(spark) -> None:
     denser-traffic corpus (same span, s x users) would grow pairs ~s² by
     construction — that regime is intrinsic output growth, not operator
     regression, and is not what this bench isolates."""
-    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from cloudcomputing_flink_application_spark.sources.readers import read_events
+
+    # read_events, not a raw parquet read: ts must be a TIMESTAMP for the
+    # INTERVAL shift below, and the driver has shipped a TIMESTAMP(NANOS)
+    # vintage that reads as a long without the reader's normalization
+    base = read_events(spark, SF_DIR)
     for s in SCALES:
         edir = WORK / f"events_x{s}"
         if edir.exists():

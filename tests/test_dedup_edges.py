@@ -517,7 +517,9 @@ def test_plan_size_probe_sql_matches_jdf(spark, sf_dir):
     )
     via_sql = dedup._plan_size_bytes_sql(docs)
     assert via_sql is not None and via_sql > 0
-    assert abs(via_sql - direct) <= max(0.02 * direct, 64)
+    # one-decimal display rounding is worst (~5%) when the printed
+    # mantissa lands near 1.0 (e.g. 1.04 MiB prints as "1.0 MiB")
+    assert abs(via_sql - direct) <= max(0.05 * direct, 64)
     # the combined probe prefers the direct route but never returns None
     # while either works
     assert dedup._plan_size_bytes(docs) == direct
