@@ -933,3 +933,29 @@ def test_purge_stream_horizon_window_recompute(spark, tmp_path):
             if p.startswith("batch_id=")
         )
         assert kept == [1, 2], store
+
+
+def test_horizon_batches_validated_on_all_jobs(spark, tmp_path):
+    # horizon_batches=0 (or negative) would silently disable every
+    # cross-batch probe while pruning state at/ahead of the current
+    # batch; all three horizoned jobs must reject it at job start,
+    # before any stream is wired.
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    (tmp_path / "in").mkdir()
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "in"))
+    bench = spark.createDataFrame([], schema)
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="horizon_batches"):
+            jobs.run_minhash_dedup_stream(
+                spark, stream, "o", "c", "b", horizon_batches=bad
+            )
+        with pytest.raises(ValueError, match="horizon_batches"):
+            jobs.run_clean_corpus_stream(
+                spark, stream, bench, "o", "c", "h", horizon_batches=bad
+            )
+        with pytest.raises(ValueError, match="horizon_batches"):
+            jobs.run_purge_dedup_stream(
+                spark, stream, "o", "c", "s", horizon_batches=bad
+            )
