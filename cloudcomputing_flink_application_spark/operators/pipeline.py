@@ -631,3 +631,245 @@ SELECT source,
 FROM documents
 GROUP BY source
 """
+
+
+# --- exact-substring (duplicated-span) dedup ---------------------------------
+
+#: Span window width in tokens for exact-substring duplication.  Published
+#: web-scale pipelines use 50-token windows (Lee et al. 2021, "Deduplicating
+#: Training Data Makes Language Models Better"); 8 keeps the synthetic
+#: ~30-token documents producing enough windows for the duplication
+#: structure to register.  The width is a parameter everywhere.
+DUP_SPAN_W = 8
+
+
+def _span_window_rows(documents: DataFrame, w: int) -> DataFrame:
+    """One row per token-window start: ``(doc_id, p, h)`` where ``p`` is the
+    1-based start position and ``h`` the md5 of the space-joined w-gram.
+
+    Window strings are computed per-row with the shared shingle primitive
+    (sequence+transform, no explode until here), so the projection fuses
+    into the scan; the explode emits ~n_tokens rows per doc — the same
+    fan-out every shingle-level operator in this family pays.  Same plan
+    hygiene as ``repetition_stats``: repartition off the single-file scan,
+    explode_outer + isNotNull filter so the inferred ``size() > 0``
+    constraint cannot re-inline the tokenize pipeline into the scan.
+    """
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    return (
+        documents.repartition(nparts)
+        .select(
+            "doc_id",
+            F.posexplode_outer(
+                X.shingles(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))), w)
+            ).alias("p0", "win"),
+        )
+        .filter(F.col("win").isNotNull())
+        .select("doc_id", (F.col("p0") + 1).alias("p"), F.md5("win").alias("h"))
+    )
+
+
+def _dup_span_starts(documents: DataFrame, w: int) -> DataFrame:
+    """Start positions ``(doc_id, p)`` of windows whose exact token w-gram
+    occurs at >= 2 positions corpus-wide (other docs OR elsewhere in the
+    same doc — self-repetition is duplication too, per the exact-substring
+    dedup definition).
+
+    Scale: ONE shuffle keyed by the 128-bit window hash (high-cardinality,
+    uniform; skew only under true boilerplate mass, which is exactly the
+    signal) — the occurrence count is a window aggregate on that key, so
+    no separate count+join pass over the exploded frame.
+    """
+    cw = Window.partitionBy("h")
+    return (
+        _span_window_rows(documents, w)
+        .withColumn("_c", F.count("*").over(cw))
+        .filter(F.col("_c") >= 2)
+        .select("doc_id", "p")
+    )
+
+
+def dup_span_stats(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """Exact-substring duplication stats, the Lee-et-al-style span pass.
+
+    For every document: how many of its token windows (width ``w``,
+    stride 1) occur at least twice in the corpus, and how many of its
+    tokens are covered by the union of those duplicated windows.
+
+    Output, one row per document (including empty/short docs):
+    ``(doc_id, n_tokens, n_windows, dup_windows, dup_tokens)`` — all exact
+    BIGINTs, no floats, so the result is bit-stable at any parallelism.
+
+    Coverage is computed WITHOUT exploding windows into their w covered
+    positions: duplicated starts are sorted per doc and each start
+    contributes ``min(p - prev_max_p, w)`` new covered tokens — an exact
+    union size from one ordered window pass, O(dup windows) rows instead
+    of O(w x dup windows).  Scale: the hash-keyed count (one shuffle), a
+    doc_id window whose sort feeds the same-keyed groupBy without a second
+    exchange, and a doc_id equi-join back to the corpus spine.
+    """
+    dw = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max("p").over(
+        dw.rowsBetween(Window.unboundedPreceding, -1)
+    ) + (w - 1)
+    gain = (
+        F.col("p") + (w - 1)
+        - F.greatest(F.coalesce(prev_end, F.col("p") - 1), F.col("p") - 1)
+    )
+    per_doc = (
+        _dup_span_starts(documents, w)
+        .select("doc_id", gain.alias("_gain"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("dup_windows"),
+            F.sum("_gain").cast("long").alias("dup_tokens"),
+        )
+    )
+    n_tokens = F.size(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))))
+    base = documents.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.greatest(F.lit(0), n_tokens - (w - 1)).cast("long").alias("n_windows"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+    )
+
+
+def _span_sql_prefix(w: int) -> str:
+    """Shared oracle CTEs: token arrays, window rows, duplicated starts,
+    covered positions.  The oracle takes the simple road (explode covered
+    positions + DISTINCT) — same answer as the Spark ordered-union pass,
+    stated independently."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {X.tokens_sql("coalesce(text, '')")} AS tok FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(tok) - {w - 1})) AS p,
+         unnest(list_transform({X.shingles_sql("tok", w)}, s -> md5(s))) AS h
+  FROM toks
+  WHERE len(tok) >= {w}
+),
+cnt AS (SELECT h, count(*) AS c FROM wins GROUP BY h),
+dup AS (SELECT wi.doc_id, wi.p FROM wins wi JOIN cnt USING (h) WHERE c >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, t
+  FROM (SELECT doc_id, unnest(generate_series(p, p + {w - 1})) AS t FROM dup)
+)"""
+
+
+def dup_span_stats_sql(w: int = DUP_SPAN_W) -> str:
+    return f"""
+{_span_sql_prefix(w)},
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows FROM dup GROUP BY doc_id
+),
+covn AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+         CAST(greatest(0, len(tok) - {w - 1}) AS BIGINT) AS n_windows
+  FROM toks
+)
+SELECT b.doc_id, b.n_tokens, b.n_windows,
+       coalesce(p.dup_windows, 0) AS dup_windows,
+       coalesce(c.dup_tokens, 0) AS dup_tokens
+FROM base b
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN covn c USING (doc_id)
+"""
+
+
+DUP_SPAN_STATS_SQL = dup_span_stats_sql()
+
+
+def scrub_dup_spans(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """Remove duplicated spans from each document's token stream.
+
+    The surgical form of exact-substring dedup: instead of dropping whole
+    near-duplicate documents, drop only the tokens covered by some
+    corpus-duplicated window, keeping the novel remainder — what the
+    published exact-substring pipelines actually ship to training.
+
+    Output, one row per document: ``(doc_id, clean_text, kept_tokens,
+    removed_tokens)``.  ``clean_text`` is the kept tokens space-joined in
+    original order — i.e. whitespace-NORMALIZED, lowercased text (the
+    tokenizer's canonical form), '' when nothing survives.
+
+    Plan: duplicated starts -> merged disjoint islands per doc (classic
+    gaps-and-islands on one doc_id window; adjacent intervals merge, which
+    preserves the coverage union exactly) -> islands collected to a
+    per-doc array (bounded by doc length / w, NOT corpus size) -> one
+    equi-join back to the corpus -> per-row filter of the token array with
+    an exists probe over the islands.  Per-row cost is
+    O(n_tokens x islands); nothing leaves the row after the join, so the
+    heavy text column never enters a shuffle keyed by anything but doc_id.
+    """
+    dw = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max("p").over(
+        dw.rowsBetween(Window.unboundedPreceding, -1)
+    ) + (w - 1)
+    starts = _dup_span_starts(documents, w).withColumn(
+        "_new", (F.col("p") > F.coalesce(prev_end, F.lit(0)) + 1).cast("int")
+    )
+    islands = (
+        starts.withColumn(
+            "_isl", F.sum("_new").over(dw.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "_isl")
+        .agg(F.min("p").alias("s"), (F.max("p") + (w - 1)).alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"))
+    )
+    toks = documents.select(
+        "doc_id", X.tokens_of(F.coalesce(F.col("text"), F.lit(""))).alias("tok")
+    )
+    spans = F.coalesce(F.col("spans"), F.array().cast("array<struct<s:int,e:int>>"))
+    joined = toks.join(islands, "doc_id", "left").select("doc_id", "tok", spans.alias("sp"))
+    kept = F.filter(
+        F.col("tok"),
+        lambda t, i: ~F.exists(
+            F.col("sp"), lambda span: (span["s"] <= i + 1) & (i + 1 <= span["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+        (F.size("tok") - F.size(kept)).cast("long").alias("removed_tokens"),
+    )
+
+
+def scrub_dup_spans_sql(w: int = DUP_SPAN_W) -> str:
+    return f"""
+{_span_sql_prefix(w)},
+tokpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(tok))) AS t, unnest(tok) AS tk
+  FROM toks WHERE len(tok) >= 1
+),
+kept AS (
+  SELECT tp.doc_id, tp.t, tp.tk
+  FROM tokpos tp ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.t = cov.t
+),
+agg AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY t) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens FROM toks)
+SELECT b.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.kept_tokens, 0) AS kept_tokens,
+       b.n_tokens - coalesce(a.kept_tokens, 0) AS removed_tokens
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SCRUB_DUP_SPANS_SQL = scrub_dup_spans_sql()

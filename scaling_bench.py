@@ -254,6 +254,30 @@ def bench_extra(spark) -> dict:
     }
 
 
+def bench_spans(spark) -> dict:
+    """r6 span-family rows: exact-substring stats + scrub on BOTH corpus
+    regimes.  Token-bijective replicas keep duplicated-window mass exactly
+    linear (the operator-regression probe); the suffix replicas make every
+    window hash bucket ~s rows wide (near-identical docs across replicas)
+    — the regime where pair-emitting operators go quadratic, but the span
+    family's per-doc output and ordered-union coverage keep it ~linear,
+    which is the design claim under test."""
+    build_docs_tokenwise(spark)
+    build_corpora(spark)
+    ops = {
+        "dup_span_stats": lambda d: pipeline.dup_span_stats(d).count(),
+        "scrub_dup_spans": lambda d: pipeline.scrub_dup_spans(d).count(),
+    }
+    return {
+        "tokenwise": _bench_op_table(
+            spark, ops, lambda s: (spark.read.parquet(str(WORK / f"docs_tw_x{s}")),)
+        ),
+        "suffix": _bench_op_table(
+            spark, ops, lambda s: (spark.read.parquet(str(WORK / f"docs_x{s}")),)
+        ),
+    }
+
+
 def bench_extra_grow(spark) -> dict:
     """MinHash pairs-vs-clusters on the CLUSTER-GROWTH (suffix) corpora:
     dup clusters widen ~s, so pair output grows ~s² by construction —
@@ -344,6 +368,9 @@ def main() -> None:
         return
     if section == "extra-grow":
         print(json.dumps({"extra_grow": bench_extra_grow(spark)}))
+        return
+    if section == "spans":
+        print(json.dumps({"spans": bench_spans(spark)}))
         return
     build_corpora(spark)
     ops = {

@@ -17,7 +17,11 @@ from __future__ import annotations
 
 import pytest
 
-from cloudcomputing_flink_application_spark.operators import multimodal, textstats
+from cloudcomputing_flink_application_spark.operators import (
+    multimodal,
+    pipeline,
+    textstats,
+)
 from tests.conftest import TESTDATA
 from tests.oracle_harness import compare_query, duck_connection
 
@@ -31,6 +35,11 @@ OFF_REGISTRY = {
     "off_split_assign": (textstats.split_assign, textstats.SPLIT_ASSIGN_SQL),
     "off_image_meta": (multimodal.image_meta, multimodal.IMAGE_META_SQL),
     "off_audio_frames": (multimodal.audio_frames, multimodal.AUDIO_FRAMES_SQL),
+    # r6 additions (new capability, not consolidation orphans): the
+    # exact-substring span family — off-registry because the driver's
+    # correctness window is exactly the 50 registered queries.
+    "off_dup_span_stats": (pipeline.dup_span_stats, pipeline.DUP_SPAN_STATS_SQL),
+    "off_scrub_dup_spans": (pipeline.scrub_dup_spans, pipeline.SCRUB_DUP_SPANS_SQL),
 }
 
 
