@@ -452,3 +452,89 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
 LIMIT {LARGE_ORDERS_K}
 """
+
+
+# --- local supplier volume (TPC-H Q5 shape) ----------------------------------
+
+#: Q5 parameters: one region, one year window inside the generator's
+#: 1995..2001 order-date range so the filter keeps a meaningful slice.
+LOCAL_VOLUME_REGION = "ASIA"
+LOCAL_VOLUME_FROM = "1996-01-01 00:00:00"
+LOCAL_VOLUME_TO = "1997-01-01 00:00:00"
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue kept in-nation per nation of one region (TPC-H Q5 shape):
+    the six-table star join whose distinguishing feature is the join
+    predicate ACROSS two dimensions — the customer's nation must equal the
+    supplier's nation ("local supplier volume").
+
+    Output: (n_name, revenue) for nations of ``LOCAL_VOLUME_REGION`` with
+    orders in the one-year window; revenue is the exact-cents integer sum
+    collapsed to dollars at the end.
+
+    Scale: region prunes nation BEFORE the broadcast (<= |nations in
+    region| rows ship); orders carries the date filter into its scan
+    (PushedFilters); the only fact-table shuffle is the lineitem ⋈ orders
+    equi-join on orderkey — customer, supplier, and nation⋈region all
+    broadcast, and the c_nationkey = s_nationkey cross-dimension predicate
+    evaluates inside those broadcast joins, so mismatched rows die before
+    the aggregate.  Final aggregate is one exchange on a <= |nations| key.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(LOCAL_VOLUME_FROM).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(LOCAL_VOLUME_TO).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == LOCAL_VOLUME_REGION
+    )
+    local_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(
+            F.broadcast(local_nations),
+            supp.s_nationkey == local_nations.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_cents()).alias("_rev"))
+        .select(
+            "n_name", (F.col("_rev").cast("double") / 10000.0).alias("revenue")
+        )
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{LOCAL_VOLUME_REGION}'
+  AND o_orderdate >= TIMESTAMP '{LOCAL_VOLUME_FROM}'
+  AND o_orderdate < TIMESTAMP '{LOCAL_VOLUME_TO}'
+GROUP BY n_name
+"""

@@ -19,6 +19,7 @@ import pytest
 
 from cloudcomputing_flink_application_spark.operators import (
     multimodal,
+    olap,
     pipeline,
     textstats,
 )
@@ -70,3 +71,22 @@ def test_offregistry_empty_input(spark, name):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = op(docs.limit(0))
     assert out.count() == 0
+
+
+# sf-level off-registry queries: (spark, sf_dir) signature, so they join
+# the parity gate directly (no empty-input variant — they read their own
+# tables).
+OFF_REGISTRY_SF = {
+    "off_olap_local_volume": (
+        olap.local_supplier_volume,
+        olap.LOCAL_SUPPLIER_VOLUME_SQL,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(OFF_REGISTRY_SF))
+def test_offregistry_sf_oracle_parity(spark, con, name):
+    op, sql = OFF_REGISTRY_SF[name]
+    res = compare_query(spark, con, name, op, sql, SF_DIR)
+    assert res.ok, f"{name}: {res.spark_rows} vs {res.oracle_rows} | {res.detail}"
+    assert res.spark_rows > 0, f"{name}: degenerate (empty) result proves nothing"
