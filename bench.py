@@ -66,19 +66,31 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(q.fn(spark, sf_dir))  # warm-up (JIT, code cache, FS cache)
         warm = time.perf_counter() - t0
-        runs = 1 if warm > HEAVY_SEC else RUNS  # heavy queries: single timed run
-        samples = []
-        for _ in range(runs):
+
+        def timed_run() -> float:
             # Cold-cache timing: operators that persist() intermediate prep
             # (the MinHash family) must pay their own materialization inside
             # the measured run, not inherit the warm-up's cache entries.
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             materialize(q.fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
+            return time.perf_counter() - t0
+
+        # Heavy classification uses the FIRST TIMED run, not the warm-up:
+        # big composed plans (pipe_clean_corpus) JIT for >8 s on the warm-up
+        # but settle near 3 s — classifying on warm-up left them with ONE
+        # timed sample, so a single contended sample became the record.
+        # Total work is unchanged: heavy = warm + 1 run either way; light =
+        # warm + RUNS runs, the probe counting as the first.
+        samples = [timed_run()]
+        if samples[0] <= HEAVY_SEC:
+            samples += [timed_run() for _ in range(RUNS - 1)]
         per_query[name] = round(statistics.median(samples), 3)
-        print(f"# {name}: {per_query[name]}s (runs: {[round(s, 3) for s in samples]})",
-              file=sys.stderr)
+        print(
+            f"# {name}: {per_query[name]}s (warm: {round(warm, 3)}, "
+            f"runs: {[round(s, 3) for s in samples]})",
+            file=sys.stderr,
+        )
 
     sentinel_last = sentinel_sec()
     total = round(sum(per_query.values()), 3)

@@ -199,6 +199,34 @@ def _dedup_purge(args: argparse.Namespace) -> None:
         sinks.show(out)
 
 
+def _span_scrub(args: argparse.Namespace) -> None:
+    """Exact-substring dedup job: remove corpus-duplicated token spans
+    from a ``documents``-shaped parquet input (batch only — span
+    duplication is a whole-corpus property; there is no incremental
+    variant).
+
+    Writes the scrubbed frame (doc_id, clean_text, kept_tokens,
+    removed_tokens) as parquet; ``--stats`` writes the per-doc duplication
+    stats table instead of scrubbing.  ``--width N`` sets the token-window
+    width (default ``pipeline.DUP_SPAN_W``).
+    """
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        DUP_SPAN_W,
+        dup_span_stats,
+        scrub_dup_spans,
+    )
+
+    spark = get_spark(app_name="span-scrub")
+    w = args.width if args.width is not None else DUP_SPAN_W
+    if w < 1:
+        raise SystemExit(f"--width must be >= 1, got {w}")
+    docs = spark.read.parquet(args.input)
+    out = dup_span_stats(docs, w=w) if args.stats else scrub_dup_spans(docs, w=w)
+    out.write.mode("overwrite").parquet(args.output)
+    if args.show:
+        sinks.show(out)
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="cloudcomputing_flink_application_spark")
     sub = p.add_subparsers(dest="job", required=True)
@@ -213,6 +241,9 @@ def main(argv: list[str] | None = None) -> None:
          "documents-shaped parquet file/dir", "output folder (parquet flags)"),
         ("dedup-purge", _dedup_purge,
          "documents-shaped parquet file/dir", "output folder (parquet purge table)"),
+        ("span-scrub", _span_scrub,
+         "documents-shaped parquet file/dir",
+         "output folder (parquet scrubbed docs, or stats with --stats)"),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("--input", required=True, help=in_help)
@@ -229,6 +260,17 @@ def main(argv: list[str] | None = None) -> None:
                 help="streaming only: bound the dedup state stores to the "
                 "trailing N micro-batches (dedup-within-horizon; older "
                 "state partitions are aged out)",
+            )
+        if name == "span-scrub":
+            sp.add_argument(
+                "--width", type=int, default=None,
+                help="token-window width for span duplication "
+                "(default: pipeline.DUP_SPAN_W)",
+            )
+            sp.add_argument(
+                "--stats", action="store_true",
+                help="write the per-doc duplication stats table instead of "
+                "the scrubbed corpus",
             )
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)

@@ -475,6 +475,119 @@ def run_minhash_dedup_stream(
     )
 
 
+def run_span_flags_stream(
+    spark,
+    documents: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    w: int | None = None,
+    horizon_batches: int | None = None,
+):
+    """Incremental exact-substring (duplicated-span) detection over a
+    document stream — the streaming twin of the batch span family
+    (``pipeline.dup_span_stats``'s duplicated-start set).
+
+    Per micro-batch: compute each doc's token-window rows (the shared
+    ``pipeline._span_window_rows`` — same tokenizer, same md5 window key
+    as batch), then emit every window POSITION ``(doc_id, p)`` that is
+    duplicated: seen within this batch (>= 2 occurrences), seen in the
+    accumulated first-occurrence store, or — the retroactive case — a
+    STORED first occurrence whose hash just got its second copy (span
+    duplication is symmetric: when the twin arrives, the original's
+    position becomes duplicated too, and is emitted in THIS batch's
+    partition).  The store keeps one row per distinct window hash (its
+    first stream position), which is the minimal exact state — nothing
+    retracts, counts only grow, so no corpus text is ever stored.
+
+    Output contract (pinned in tests/test_streaming.py): the DISTINCT
+    union of emitted positions after batch N equals the batch operator's
+    duplicated-start set over the first N batches' documents.  Because a
+    hash's stored first position is re-emitted whenever the hash recurs,
+    positions may repeat ACROSS partitions — each partition is
+    internally distinct, and the cumulative result is a set union (the
+    idempotent form; per-doc stats are an aggregation of this set, as in
+    the batch operator).
+
+    Fault tolerance: identical scheme to ``run_minhash_dedup_stream`` —
+    batch_id-partitioned dynamic-overwrite sinks, ``batch_id < current``
+    store probe, committed-data existence glob, batch-0 stale-partition
+    prune.  ``horizon_batches`` bounds the store to the trailing N
+    micro-batches (duplication-WITHIN-horizon: a position is flagged iff
+    a hash twin exists inside the window; state becomes
+    O(distinct windows in horizon)).
+    """
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        DUP_SPAN_W,
+        _span_window_rows,
+    )
+
+    _check_horizon(horizon_batches)
+    width = DUP_SPAN_W if w is None else w
+    if width < 1:
+        raise ValueError(f"w must be >= 1 (got {width})")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            _prune_stale_batch_partitions(spark, output_dir)
+            _prune_stale_batch_partitions(spark, store_dir)
+        elif horizon_batches is not None:
+            _prune_batch_partitions_before(
+                spark, store_dir, batch_id - horizon_batches
+            )
+        rows = _span_window_rows(batch_df, width).persist()
+        try:
+            cw = SparkWindow.partitionBy("h")
+            within = (
+                rows.withColumn("_c", F.count("*").over(cw))
+                .filter(F.col("_c") >= 2)
+                .select("doc_id", "p")
+            )
+            seen_h = None
+            if _committed_batch_data_exists(spark, store_dir):
+                store = _horizon_probe(
+                    spark.read.parquet(store_dir), batch_id, horizon_batches
+                ).select(
+                    "h",
+                    F.col("doc_id").alias("_sd"),
+                    F.col("p").alias("_sp"),
+                )
+                matched = rows.join(store, "h")
+                dup = within.unionByName(
+                    matched.select("doc_id", "p")
+                ).unionByName(
+                    matched.select(
+                        F.col("_sd").alias("doc_id"), F.col("_sp").alias("p")
+                    )
+                )
+                seen_h = store.select("h")
+            else:  # first batch: no store yet
+                dup = within
+            _write_batch_partition(dup.distinct(), batch_id, output_dir)
+            # Store the first stream position of every hash NEW to the
+            # store (min (doc_id, p) within the batch), including hashes
+            # already duplicated within this batch — a third copy later
+            # must still find the first position to (re-)emit.
+            firsts = rows
+            if seen_h is not None:
+                firsts = rows.join(seen_h, "h", "left_anti")
+            ww = SparkWindow.partitionBy("h").orderBy("doc_id", "p")
+            first_rows = (
+                firsts.withColumn("_r", F.row_number().over(ww))
+                .filter(F.col("_r") == 1)
+                .select("h", "doc_id", "p")
+            )
+            _write_batch_partition(first_rows, batch_id, store_dir)
+        finally:
+            rows.unpersist()
+
+    return (
+        documents.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_decontam_stream(
     spark,
     documents: DataFrame,

@@ -154,3 +154,38 @@ def test_dedup_purge_cli_batch_and_streaming(spark, tmp_path):
     cli.main(["dedup-purge", "--input", d_in, "--output", out_s, "--streaming"])
     streamed = rows_set(spark.read.parquet(f"{out_s}/purge").select(*cols))
     assert streamed == expected
+
+
+def test_span_scrub_cli(spark, tmp_path):
+    # The exact-substring job surface: output must equal a direct
+    # scrub_dup_spans() run; --stats writes the stats table; --width
+    # threads through; width < 1 is rejected.
+    import pytest
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        dup_span_stats,
+        scrub_dup_spans,
+    )
+    from tests.conftest import TESTDATA, rows_set
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(200)
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+
+    out = str(tmp_path / "out_scrub")
+    cli.main(["span-scrub", "--input", d_in, "--output", out])
+    expected = rows_set(scrub_dup_spans(spark.read.parquet(d_in)))
+    assert rows_set(spark.read.parquet(out).select(
+        "doc_id", "clean_text", "kept_tokens", "removed_tokens")) == expected
+
+    out_s = str(tmp_path / "out_stats")
+    cli.main(["span-scrub", "--input", d_in, "--output", out_s,
+              "--stats", "--width", "4"])
+    expected_s = rows_set(dup_span_stats(spark.read.parquet(d_in), w=4))
+    assert rows_set(spark.read.parquet(out_s).select(
+        "doc_id", "n_tokens", "n_windows", "dup_windows", "dup_tokens"
+    )) == expected_s
+
+    with pytest.raises(SystemExit):
+        cli.main(["span-scrub", "--input", d_in,
+                  "--output", str(tmp_path / "bad"), "--width", "0"])
