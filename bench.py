@@ -4,8 +4,11 @@
     {"metric": "wall_sec_total", "value": N, "unit": "sec",
      "queries": {"q_speed": sec, ...}, "sf": 0.1}
 
-Per-query time = median of 3 runs after 1 warm-up; heavy queries (warm-up
-over SPARK_GRAFT_BENCH_HEAVY_SEC) are timed once (BASELINE.md protocol).
+Per-query time = median of 3 runs after 1 warm-up; heavy queries — those
+whose warm-up AND first timed run both exceed SPARK_GRAFT_BENCH_HEAVY_SEC
+— are timed once (BASELINE.md protocol; requiring both keeps a one-off
+JIT-inflated warm-up or a contended first run from collapsing a light
+query to a single sample).
 Results are materialized with the noop sink — full execution of every
 operator, no driver-side row transfer in the measurement.
 
@@ -76,14 +79,17 @@ def main() -> None:
             materialize(q.fn(spark, sf_dir))
             return time.perf_counter() - t0
 
-        # Heavy classification uses the FIRST TIMED run, not the warm-up:
-        # big composed plans (pipe_clean_corpus) JIT for >8 s on the warm-up
-        # but settle near 3 s — classifying on warm-up left them with ONE
-        # timed sample, so a single contended sample became the record.
-        # Total work is unchanged: heavy = warm + 1 run either way; light =
-        # warm + RUNS runs, the probe counting as the first.
+        # Heavy classification requires warm-up AND first timed run BOTH
+        # over the threshold — i.e. min(warm, first) decides.  Warm-up
+        # alone misfires on JIT: pipe_clean_corpus warms at ~13 s but
+        # settles near 3 s, and classifying on warm-up left it ONE timed
+        # sample that a single contention burst then poisoned.  First-run
+        # alone has the mirrored failure (a contended first run of a light
+        # query becomes its record).  Either signal being fast proves the
+        # query is light, so the median-of-3 runs.  Total work unchanged:
+        # heavy = warm + 1 run; light = warm + RUNS runs (probe included).
         samples = [timed_run()]
-        if samples[0] <= HEAVY_SEC:
+        if min(warm, samples[0]) <= HEAVY_SEC:
             samples += [timed_run() for _ in range(RUNS - 1)]
         per_query[name] = round(statistics.median(samples), 3)
         print(

@@ -200,15 +200,21 @@ def _dedup_purge(args: argparse.Namespace) -> None:
 
 
 def _span_scrub(args: argparse.Namespace) -> None:
-    """Exact-substring dedup job: remove corpus-duplicated token spans
-    from a ``documents``-shaped parquet input (batch only — span
-    duplication is a whole-corpus property; there is no incremental
-    variant).
+    """Exact-substring dedup job over a ``documents``-shaped parquet input.
 
-    Writes the scrubbed frame (doc_id, clean_text, kept_tokens,
+    Batch writes the scrubbed frame (doc_id, clean_text, kept_tokens,
     removed_tokens) as parquet; ``--stats`` writes the per-doc duplication
     stats table instead of scrubbing.  ``--width N`` sets the token-window
     width (default ``pipeline.DUP_SPAN_W``).
+
+    ``--streaming`` runs ``run_span_flags_stream`` over the input
+    directory: incremental duplicated-POSITION detection (file-arrival
+    micro-batches, first-occurrence store under ``<output>/_state``,
+    checkpoints under ``<output>/_chk``); the cumulative distinct
+    (doc_id, p) set under ``<output>/positions`` equals the batch
+    duplicated-start set.  Scrubbing itself stays batch (it rewrites
+    whole documents, which retroactive flags would invalidate);
+    ``--horizon-batches N`` bounds the store as in the other streams.
     """
     from cloudcomputing_flink_application_spark.operators.pipeline import (
         DUP_SPAN_W,
@@ -220,6 +226,28 @@ def _span_scrub(args: argparse.Namespace) -> None:
     w = args.width if args.width is not None else DUP_SPAN_W
     if w < 1:
         raise SystemExit(f"--width must be >= 1, got {w}")
+    if args.streaming:
+        if args.show:
+            print("warning: --show is batch-only; streaming mode writes sinks only")
+        from cloudcomputing_flink_application_spark import schemas
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            run_span_flags_stream,
+        )
+
+        q = run_span_flags_stream(
+            spark,
+            spark.readStream.schema(schemas.DOCUMENTS).parquet(args.input),
+            f"{args.output}/positions",
+            f"{args.output}/_chk",
+            f"{args.output}/_state/firsts",
+            w=w,
+            horizon_batches=args.horizon_batches,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return
     docs = spark.read.parquet(args.input)
     out = dup_span_stats(docs, w=w) if args.stats else scrub_dup_spans(docs, w=w)
     out.write.mode("overwrite").parquet(args.output)
@@ -254,7 +282,7 @@ def main(argv: list[str] | None = None) -> None:
             help="run the Structured Streaming variant "
             "(vehicle-telematics / corpus-clean)",
         )
-        if name in ("corpus-clean", "dedup-purge"):
+        if name in ("corpus-clean", "dedup-purge", "span-scrub"):
             sp.add_argument(
                 "--horizon-batches", type=int, default=None,
                 help="streaming only: bound the dedup state stores to the "

@@ -689,6 +689,20 @@ def _dup_span_starts(documents: DataFrame, w: int) -> DataFrame:
     )
 
 
+def _coverage_window(w: int):
+    """The ordered per-doc window and previous-coverage-end expression the
+    coverage-union arithmetic hangs on: for duplicated starts sorted by
+    ``p`` within a doc, ``prev_end`` is the rightmost token covered by any
+    EARLIER start (NULL on the first row).  One definition shared by the
+    stats aggregation and the scrub's island merge — the two must agree or
+    the pinned kept+removed==n_tokens conservation breaks."""
+    dw = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max("p").over(
+        dw.rowsBetween(Window.unboundedPreceding, -1)
+    ) + (w - 1)
+    return dw, prev_end
+
+
 def dup_span_stats(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     """Exact-substring duplication stats, the Lee-et-al-style span pass.
 
@@ -708,10 +722,7 @@ def dup_span_stats(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     doc_id window whose sort feeds the same-keyed groupBy without a second
     exchange, and a doc_id equi-join back to the corpus spine.
     """
-    dw = Window.partitionBy("doc_id").orderBy("p")
-    prev_end = F.max("p").over(
-        dw.rowsBetween(Window.unboundedPreceding, -1)
-    ) + (w - 1)
+    dw, prev_end = _coverage_window(w)
     gain = (
         F.col("p") + (w - 1)
         - F.greatest(F.coalesce(prev_end, F.col("p") - 1), F.col("p") - 1)
@@ -812,10 +823,7 @@ def scrub_dup_spans(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     O(n_tokens x islands); nothing leaves the row after the join, so the
     heavy text column never enters a shuffle keyed by anything but doc_id.
     """
-    dw = Window.partitionBy("doc_id").orderBy("p")
-    prev_end = F.max("p").over(
-        dw.rowsBetween(Window.unboundedPreceding, -1)
-    ) + (w - 1)
+    dw, prev_end = _coverage_window(w)
     starts = _dup_span_starts(documents, w).withColumn(
         "_new", (F.col("p") > F.coalesce(prev_end, F.lit(0)) + 1).cast("int")
     )

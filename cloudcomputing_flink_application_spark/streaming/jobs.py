@@ -496,9 +496,14 @@ def run_span_flags_stream(
     STORED first occurrence whose hash just got its second copy (span
     duplication is symmetric: when the twin arrives, the original's
     position becomes duplicated too, and is emitted in THIS batch's
-    partition).  The store keeps one row per distinct window hash (its
-    first stream position), which is the minimal exact state — nothing
+    partition).  Unbounded mode keeps one store row per distinct window
+    hash (its first stream position) — the minimal exact state; nothing
     retracts, counts only grow, so no corpus text is ever stored.
+    Horizon mode instead stores each batch's first position of every
+    hash it contains (already-seen hashes included): a hash's liveness
+    must refresh while it keeps arriving, or its only store row would
+    age out with the old partition and later in-horizon twins would go
+    unflagged.
 
     Output contract (pinned in tests/test_streaming.py): the DISTINCT
     union of emitted positions after batch N equals the batch operator's
@@ -514,8 +519,8 @@ def run_span_flags_stream(
     store probe, committed-data existence glob, batch-0 stale-partition
     prune.  ``horizon_batches`` bounds the store to the trailing N
     micro-batches (duplication-WITHIN-horizon: a position is flagged iff
-    a hash twin exists inside the window; state becomes
-    O(distinct windows in horizon)).
+    a hash twin exists inside the window; state becomes one row per
+    (batch in horizon, distinct hash in that batch) — O(window hashes)).
     """
     from cloudcomputing_flink_application_spark.operators.pipeline import (
         DUP_SPAN_W,
@@ -564,12 +569,16 @@ def run_span_flags_stream(
             else:  # first batch: no store yet
                 dup = within
             _write_batch_partition(dup.distinct(), batch_id, output_dir)
-            # Store the first stream position of every hash NEW to the
-            # store (min (doc_id, p) within the batch), including hashes
-            # already duplicated within this batch — a third copy later
-            # must still find the first position to (re-)emit.
+            # Store the first position (min (doc_id, p) within the batch)
+            # of every hash this batch contains.  Unbounded mode anti-joins
+            # out hashes already stored (one row per distinct hash ever —
+            # minimal state); horizon mode must NOT: an already-seen hash
+            # needs a fresh row in the current partition, or its liveness
+            # ages out with the old partition and a later in-horizon twin
+            # finds nothing to match (duplication-within-horizon would
+            # silently under-flag).
             firsts = rows
-            if seen_h is not None:
+            if seen_h is not None and horizon_batches is None:
                 firsts = rows.join(seen_h, "h", "left_anti")
             ww = SparkWindow.partitionBy("h").orderBy("doc_id", "p")
             first_rows = (

@@ -189,3 +189,19 @@ def test_span_scrub_cli(spark, tmp_path):
     with pytest.raises(SystemExit):
         cli.main(["span-scrub", "--input", d_in,
                   "--output", str(tmp_path / "bad"), "--width", "0"])
+
+    # --streaming: single micro-batch here; the cumulative positions set
+    # must equal the batch duplicated-start set (the multi-batch contract
+    # is pinned in tests/test_streaming.py)
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        _dup_span_starts,
+    )
+
+    out_st = str(tmp_path / "out_stream")
+    cli.main(["span-scrub", "--input", d_in, "--output", out_st, "--streaming"])
+    streamed = rows_set(
+        spark.read.parquet(f"{out_st}/positions").select("doc_id", "p")
+    )
+    assert streamed == rows_set(
+        _dup_span_starts(spark.read.parquet(d_in), 8).select("doc_id", "p")
+    )

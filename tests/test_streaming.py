@@ -1083,3 +1083,41 @@ def test_span_flags_stream_horizon(spark, tmp_path):
             spark, stream, out_dir, str(tmp_path / "chk3"),
             str(tmp_path / "store3"), w=0,
         )
+
+
+def test_span_flags_stream_horizon_bridge(spark, tmp_path):
+    # The liveness-refresh contract (review catch): the same span arriving
+    # once per batch for three batches with horizon=1 must flag ALL three
+    # positions — batch 1 must re-store the hash so batch 2's probe (which
+    # no longer covers partition 0) still finds a twin.  Before the fix,
+    # already-seen hashes were anti-joined out of the store write, so the
+    # hash aged out with partition 0 and (3, 1) was silently unflagged.
+    import os as _os
+
+    d_in = str(tmp_path / "docs_in")
+    base = 1_700_000_000
+    for i, doc_id in enumerate([1, 2, 3]):
+        p = f"{d_in}/f{i}"
+        spark.createDataFrame(
+            [(doc_id, "a b c")], ["doc_id", "text"]
+        ).coalesce(1).write.parquet(p)
+        for root, _, files in _os.walk(p):
+            for f in files:
+                _os.utime(f"{root}/{f}", (base + i, base + i))
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out_dir = str(tmp_path / "out")
+    q = jobs.run_span_flags_stream(
+        spark, stream, out_dir, str(tmp_path / "chk"), str(tmp_path / "store"),
+        w=3, horizon_batches=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert rows_set(spark.read.parquet(out_dir).select("doc_id", "p")) == {
+        (1, 1), (2, 1), (3, 1),
+    }
