@@ -193,3 +193,59 @@ def test_purge_invariants_random_corpora(spark, picks):
     assert sum(r.chars_saved for r in purged) == sum(
         chars[d] for d, c in clusters.items() if d != c
     )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(  # corpora of short docs over a 3-token alphabet: dense dups
+        st.lists(st.integers(0, 2), min_size=0, max_size=10),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_span_family_matches_python_model(spark, corpora):
+    # dup_span_stats / scrub_dup_spans vs a brute-force Python model: the
+    # model explodes every duplicated window into its covered positions
+    # (the simple road); the operators use the ordered coverage-union and
+    # gaps-and-islands forms — the answers must be identical under any
+    # duplicate structure, self-repetition and overlaps included.
+    from collections import Counter
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        dup_span_stats,
+        scrub_dup_spans,
+    )
+
+    w = 2
+    alphabet = ["aa", "bb", "cc"]
+    docs = [
+        (i, " ".join(alphabet[t] for t in toks)) for i, toks in enumerate(corpora)
+    ]
+    toks = {d: [t for t in txt.split() if t] for d, txt in docs}
+    wins: Counter = Counter()
+    starts = {}
+    for d, tk in toks.items():
+        ws = [" ".join(tk[i : i + w]) for i in range(len(tk) - w + 1)]
+        starts[d] = ws
+        wins.update(ws)
+    stats_model, scrub_model = {}, {}
+    for d, tk in toks.items():
+        dup_ps = [i + 1 for i, s in enumerate(starts[d]) if wins[s] >= 2]
+        cov: set = set()
+        for p in dup_ps:
+            cov.update(range(p, p + w))
+        kept = [t for i, t in enumerate(tk) if (i + 1) not in cov]
+        stats_model[d] = (len(tk), max(0, len(tk) - w + 1), len(dup_ps), len(cov))
+        scrub_model[d] = (" ".join(kept), len(kept), len(tk) - len(kept))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got_stats = {
+        r.doc_id: (r.n_tokens, r.n_windows, r.dup_windows, r.dup_tokens)
+        for r in dup_span_stats(df, w=w).collect()
+    }
+    got_scrub = {
+        r.doc_id: (r.clean_text, r.kept_tokens, r.removed_tokens)
+        for r in scrub_dup_spans(df, w=w).collect()
+    }
+    assert got_stats == stats_model
+    assert got_scrub == scrub_model
