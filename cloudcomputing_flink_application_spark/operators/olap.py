@@ -538,3 +538,239 @@ WHERE r_name = '{LOCAL_VOLUME_REGION}'
   AND o_orderdate < TIMESTAMP '{LOCAL_VOLUME_TO}'
 GROUP BY n_name
 """
+
+
+# --- nation trade volume (TPC-H Q7 shape) ------------------------------------
+
+#: Q7 parameters: the ordered nation pair, both directions kept.
+TRADE_NATION_A = "NATION_3"
+TRADE_NATION_B = "NATION_7"
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade volume between two nations by direction and ship year
+    (TPC-H Q7 shape): supplier-nation x customer-nation with the
+    SYMMETRIC pair predicate — (A ships to B) or (B ships to A) — the
+    disjunction ACROSS two dimension joins that Q5's equality predicate
+    cannot express.
+
+    Output: (supp_nation, cust_nation, l_year, revenue).
+
+    Scale: both nation dims prune to the two-row pair BEFORE broadcast,
+    so the disjunctive filter evaluates inside the broadcast joins and
+    non-pair rows die on the fact scan side of the only real shuffle
+    (lineitem ⋈ orders on orderkey); the year comes from the lineitem
+    scan (no second fact pass); final aggregate exchanges a
+    2 x 2 x |years| key space.
+    """
+    pair = [TRADE_NATION_A, TRADE_NATION_B]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nations = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_name").isin(pair)
+    )
+    n1 = nations.select(
+        F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nations.select(
+        F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_ck"))
+        .filter(
+            (
+                (F.col("supp_nation") == TRADE_NATION_A)
+                & (F.col("cust_nation") == TRADE_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == TRADE_NATION_B)
+                & (F.col("cust_nation") == TRADE_NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_revenue_cents()).alias("_rev"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.col("_rev").cast("double") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+NATION_TRADE_VOLUME_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{TRADE_NATION_A}' AND n2.n_name = '{TRADE_NATION_B}')
+   OR (n1.n_name = '{TRADE_NATION_B}' AND n2.n_name = '{TRADE_NATION_A}')
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# --- disjunctive predicate revenue (TPC-H Q19 shape) -------------------------
+
+#: Q19 parameters: three (brand, size-range, quantity-range) arms.  The
+#: driver schema has no shipmode/shipinstruct columns; the arms keep the
+#: shape's point — a disjunction of per-arm conjunctions spanning BOTH
+#: join sides, which Catalyst must decompose into pushable per-table
+#: predicates (p_brand IN (...) etc.) plus the residual join filter.
+DISJ_ARMS = [
+    ("Brand#12", (1, 15), (1, 11)),
+    ("Brand#23", (1, 25), (10, 20)),
+    ("Brand#34", (1, 50), (20, 30)),
+]
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row revenue under a disjunction of brand/size/quantity
+    conjunctions (TPC-H Q19 shape).
+
+    Scale: the part side prunes to the arms' brand union and broadcasts;
+    the disjunction evaluates inside the broadcast join so the fact scan
+    is single-pass with the quantity bounds pushed down as the arms'
+    envelope.  Output is one exact-cents row — the canonical "does the
+    optimizer decompose OR-of-ANDs" probe.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    arm = None
+    for brand, (s_lo, s_hi), (q_lo, q_hi) in DISJ_ARMS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        arm = c if arm is None else (arm | c)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arm)
+        .agg(F.sum(_revenue_cents()).alias("_rev"))
+        .select((F.coalesce(F.col("_rev"), F.lit(0)).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+def _disj_arm_sql() -> str:
+    arms = []
+    for brand, (s_lo, s_hi), (q_lo, q_hi) in DISJ_ARMS:
+        arms.append(
+            f"(p_brand = '{brand}' AND p_size BETWEEN {s_lo} AND {s_hi} "
+            f"AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+        )
+    return "\n   OR ".join(arms)
+
+
+DISJUNCTIVE_REVENUE_SQL = f"""
+SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) / 10000.0 AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE {_disj_arm_sql()}
+"""
+
+
+# --- idle high-balance customers (TPC-H Q22 shape) ---------------------------
+
+
+#: Q22 adaptation: the generator gives EVERY customer at least one order
+#: (verified at sf0.001/0.01), so "never ordered" is empty at every SF —
+#: "idle" here means CHURNED: no order at or after this cutoff (orders
+#: span 1995..2001).  Same plan shape, populated result.
+IDLE_CUTOFF = "2000-01-01 00:00:00"
+
+
+def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation count and balance of ABOVE-AVERAGE-balance customers with
+    no RECENT order (TPC-H Q22 shape, churn form): a global scalar
+    subquery (the positive-balance average) gating an anti-join against
+    the date-filtered orders.
+
+    Output: (c_nationkey, numcust, totacctbal) — balances summed as exact
+    cents, collapsed to dollars at the end.
+
+    Scale: the scalar average is one partial-agg pass reduced to a single
+    row and broadcast into the filter (no per-row subquery); the cutoff
+    pushes to the orders scan; the anti-join shuffles customer against
+    the filtered orders on custkey once (or broadcasts the distinct
+    custkey side when it fits); the final aggregate exchanges a
+    <= |nations| key space.
+    """
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(cents) / F.count("*")).alias("_avg_cents"))
+    )
+    rich = (
+        cust.select("c_custkey", "c_nationkey", cents.alias("_cents"))
+        .join(F.broadcast(avg_pos))
+        .filter(F.col("_cents") > F.col("_avg_cents"))
+    )
+    return (
+        rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("_cents").alias("_tot"),
+        )
+        .select(
+            "c_nationkey",
+            "numcust",
+            (F.col("_tot").cast("double") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+IDLE_CUSTOMERS_SQL = f"""
+WITH cents AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         c_acctbal
+  FROM customer
+),
+avg_pos AS (
+  SELECT sum(bal_cents) / count(*) AS avg_cents FROM cents WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       sum(bal_cents) / 100.0 AS totacctbal
+FROM cents, avg_pos
+WHERE bal_cents > avg_cents
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}'
+  )
+GROUP BY c_nationkey
+"""

@@ -81,6 +81,18 @@ OFF_REGISTRY_SF = {
         olap.local_supplier_volume,
         olap.LOCAL_SUPPLIER_VOLUME_SQL,
     ),
+    "off_olap_trade_volume": (
+        olap.nation_trade_volume,
+        olap.NATION_TRADE_VOLUME_SQL,
+    ),
+    "off_olap_disjunctive_revenue": (
+        olap.disjunctive_revenue,
+        olap.DISJUNCTIVE_REVENUE_SQL,
+    ),
+    "off_olap_idle_customers": (
+        olap.idle_customers,
+        olap.IDLE_CUSTOMERS_SQL,
+    ),
 }
 
 
