@@ -102,3 +102,25 @@ def test_offregistry_sf_oracle_parity(spark, con, name):
     res = compare_query(spark, con, name, op, sql, SF_DIR)
     assert res.ok, f"{name}: {res.spark_rows} vs {res.oracle_rows} | {res.detail}"
     assert res.spark_rows > 0, f"{name}: degenerate (empty) result proves nothing"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name", sorted(OFF_REGISTRY) + sorted(OFF_REGISTRY_SF)
+)
+def test_offregistry_parity_sf001(spark, name):
+    # Same gate at the driver's t2 scale (sf0.01), slow-marked like the
+    # registry variant.
+    sf_mid = f"{TESTDATA}/sf0.01"
+    if name in OFF_REGISTRY:
+        op, sql = OFF_REGISTRY[name]
+        fn = _on_docs(op)
+    else:
+        fn, sql = OFF_REGISTRY_SF[name]
+    c = duck_connection(sf_mid)
+    try:
+        res = compare_query(spark, c, name, fn, sql, sf_mid)
+        assert res.ok, f"{name}: {res.spark_rows} vs {res.oracle_rows} | {res.detail}"
+        assert res.spark_rows > 0, f"{name}: degenerate at sf0.01"
+    finally:
+        c.close()

@@ -183,3 +183,58 @@ def test_range_count_is_banded_equi_join_not_nested_loop(spark):
     df = REGISTRY["ts_range_count"].fn(spark, SF)
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_span_stats_one_hash_shuffle_and_fused_groupby(spark):
+    # The span pass: exactly one exchange keys the window-hash count and
+    # one keys the per-doc pass; the groupBy(doc_id) must REUSE the
+    # doc_id window's partitioning (no third row-sized exchange), and the
+    # md5 window pipeline must never inline into scan-side filters.
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        dup_span_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = dup_span_stats(docs)
+    plan = physical_plan(df)
+    assert scan_filters_containing(df, "md5") == 0
+    # hashpartitioning exchanges: h (count window), doc_id (coverage
+    # window + fused groupBy), and the base side of the final join — the
+    # pathology pinned out is a FOURTH (groupBy re-exchange after the
+    # doc_id window)
+    assert count_in_plan(df, "hashpartitioning", physical=True) <= 3, plan
+
+
+def test_olap_star_shapes_single_fact_shuffle(spark):
+    # Q5/Q7: every dimension broadcasts and the fact side shuffles at most
+    # once (the final small-key aggregate); no cartesian anywhere.
+    from cloudcomputing_flink_application_spark.operators.olap import (
+        local_supplier_volume,
+        nation_trade_volume,
+    )
+
+    for fn in (local_supplier_volume, nation_trade_volume):
+        df = fn(spark, SF)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert count_in_plan(df, "hashpartitioning", physical=True) <= 1, plan
+
+
+def test_disjunctive_predicate_decomposes_to_scans(spark):
+    # Q19's OR-of-ANDs spans both join sides; Catalyst must derive pushed
+    # per-table predicates (the brand union on part) rather than
+    # evaluating the whole disjunction post-join only.
+    from cloudcomputing_flink_application_spark.operators.olap import (
+        disjunctive_revenue,
+    )
+
+    df = disjunctive_revenue(spark, SF)
+    plan = physical_plan(df)
+    part_scans = [
+        l for l in plan.split("\n") if "PushedFilters" in l and "p_brand" in l
+    ]
+    assert part_scans, plan
+    li_scans = [
+        l for l in plan.split("\n") if "PushedFilters" in l and "l_quantity" in l
+    ]
+    assert li_scans, plan
