@@ -278,6 +278,115 @@ def bench_spans(spark) -> dict:
     }
 
 
+N_STREAM_BATCHES = 10
+
+
+def build_stream_batches(spark) -> str:
+    """Ten token-bijective replicas of the sf0.1 documents, ONE parquet
+    dir per micro-batch (mtime-ordered so maxFilesPerTrigger=1 replays
+    them in sequence).  Disjoint token sets across batches: the store
+    probe finds no cross-batch matches, so what the stream bench measures
+    is pure state-scan cost growth — the claim under test."""
+    import os
+
+    root = WORK / "stream_batches"
+    if root.exists():
+        return str(root)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = 1_700_000_000
+    for k in range(N_STREAM_BATCHES):
+        txt = (
+            F.col("text")
+            if k == 0
+            else F.regexp_replace("text", r"(\S+)", f"r{k}x$1")
+        )
+        out = docs.select(
+            (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
+            txt.alias("text"),
+            "lang",
+            "source",
+            F.length(txt).cast("long").alias("n_chars"),
+        )
+        d = root / f"b{k:02d}"
+        out.coalesce(1).write.mode("overwrite").parquet(str(d))
+        for r, _, fs in os.walk(d):
+            for f in fs:
+                os.utime(os.path.join(r, f), (base + k, base + k))
+    return str(root)
+
+
+def _per_batch_ms(q) -> list[int]:
+    """triggerExecution millis per data-carrying micro-batch, from the
+    query's own progress records (no instrumentation inside the jobs)."""
+    out = []
+    for p in q.recentProgress:
+        prog = p if isinstance(p, dict) else json.loads(p.json)
+        if int(prog.get("numInputRows", 0)) > 0:
+            out.append(int(prog["durationMs"]["triggerExecution"]))
+    return out
+
+
+def bench_stream(spark) -> dict:
+    """Streaming per-batch cost vs accumulated state (r6): feed the same
+    ten equal micro-batches through the incremental banding and span
+    streams, unbounded vs horizon_batches=2, and record each batch's
+    triggerExecution time.  The claim under test: unbounded per-batch
+    cost grows with the store (the probe scans every prior partition)
+    while the horizon holds it ~flat — the measured form of the
+    'horizon bounds state AND cost' story."""
+    import shutil
+    import tempfile
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        run_minhash_dedup_stream,
+        run_span_flags_stream,
+    )
+
+    src = build_stream_batches(spark)
+
+    def run(factory, horizon):
+        tmp = tempfile.mkdtemp(prefix="sg_stream_bench_")
+        try:
+            stream = (
+                spark.readStream.schema(schemas.DOCUMENTS)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*")
+            )
+            q = factory(stream, tmp, horizon)
+            try:
+                q.processAllAvailable()
+                return _per_batch_ms(q)
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    jobs = {
+        "minhash_flags": lambda s, tmp, h: run_minhash_dedup_stream(
+            spark, s, f"{tmp}/out", f"{tmp}/chk", f"{tmp}/bands",
+            horizon_batches=h,
+        ),
+        "span_flags": lambda s, tmp, h: run_span_flags_stream(
+            spark, s, f"{tmp}/out", f"{tmp}/chk", f"{tmp}/store",
+            horizon_batches=h,
+        ),
+    }
+    out: dict = {}
+    for name, factory in jobs.items():
+        per = {}
+        for label, h in (("unbounded", None), ("horizon2", 2)):
+            ms = run(factory, h)
+            head = ms[1:4]  # skip batch 0 (JIT + empty-store fast path)
+            tail = ms[-3:]
+            per[label] = {
+                "per_batch_ms": ms,
+                "tail_over_head": round(sum(tail) / max(1, sum(head)), 2),
+            }
+        out[name] = per
+    return out
+
+
 def bench_extra_grow(spark) -> dict:
     """MinHash pairs-vs-clusters on the CLUSTER-GROWTH (suffix) corpora:
     dup clusters widen ~s, so pair output grows ~s² by construction —
@@ -371,6 +480,9 @@ def main() -> None:
         return
     if section == "spans":
         print(json.dumps({"spans": bench_spans(spark)}))
+        return
+    if section == "stream":
+        print(json.dumps({"stream": bench_stream(spark)}))
         return
     build_corpora(spark)
     ops = {
