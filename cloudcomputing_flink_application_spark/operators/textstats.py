@@ -664,3 +664,71 @@ ranked AS (
 )
 SELECT doc_id, token, tf, df, score, rank FROM ranked WHERE rank <= {TOP_TERMS_K}
 """
+
+
+# --- OOV / rare-token rate ---------------------------------------------------
+
+#: Vocabulary size for the OOV (rare-token) quality gate.  Real pipelines
+#: use the tokenizer's vocab; the corpus-derived top-k keeps the operator
+#: self-contained and the signal identical in shape.
+OOV_VOCAB_K = 64
+
+
+def oov_stats(documents: DataFrame, k: int = OOV_VOCAB_K) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus top-k vocabulary —
+    the rare-token quality gate (high OOV rate flags gibberish, code
+    dumps, and boilerplate-free noise the stopword ratios miss).
+
+    Output, one row per document: (doc_id, n_tokens, n_oov, oov_ratio) —
+    counts exact BIGINTs; the ratio is the one derived double (identical
+    division of identical ints on both engines).
+
+    Scale: the vocabulary is :func:`token_freq`'s partial-agg shuffle +
+    TakeOrderedAndProject, collapsed to ONE row (a k-element array) and
+    cross-broadcast to every doc — the scalar-subquery pattern, no
+    per-token join back.  The membership probe is per-row
+    O(n_tokens x k) with k bounded by the parameter; nothing after the
+    vocab build shuffles at all.
+    """
+    vocab = token_freq(documents, k=k).agg(
+        F.sort_array(F.collect_list("token")).alias("_vocab")
+    )
+    toks = documents.select(
+        "doc_id", X.tokens_of(F.coalesce(F.col("text"), F.lit(""))).alias("_tk")
+    )
+    n_tokens = F.size("_tk")
+    n_oov = F.size(
+        F.filter(F.col("_tk"), lambda t: ~F.array_contains(F.col("_vocab"), t))
+    )
+    return (
+        toks.join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            n_tokens.cast("long").alias("n_tokens"),
+            n_oov.cast("long").alias("n_oov"),
+            F.when(n_tokens > 0, n_oov.cast("double") / n_tokens)
+            .otherwise(F.lit(0.0))
+            .alias("oov_ratio"),
+        )
+    )
+
+
+OOV_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {X.tokens_sql("coalesce(text, '')")} AS tk FROM documents
+),
+tokx AS (SELECT unnest({X.tokens_sql('text')}) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS n FROM tokx GROUP BY token),
+top AS (SELECT token FROM cnt ORDER BY n DESC, token ASC LIMIT {OOV_VOCAB_K}),
+varr AS (
+  SELECT coalesce(list(token ORDER BY token), []::VARCHAR[]) AS v FROM top
+)
+SELECT doc_id,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(tk, x -> NOT list_contains(v, x))) AS BIGINT) AS n_oov,
+       CASE WHEN len(tk) > 0
+            THEN CAST(len(list_filter(tk, x -> NOT list_contains(v, x))) AS DOUBLE)
+                 / len(tk)
+            ELSE 0.0 END AS oov_ratio
+FROM toks, varr
+"""

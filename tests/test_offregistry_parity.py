@@ -41,6 +41,7 @@ OFF_REGISTRY = {
     # correctness window is exactly the 50 registered queries.
     "off_dup_span_stats": (pipeline.dup_span_stats, pipeline.DUP_SPAN_STATS_SQL),
     "off_scrub_dup_spans": (pipeline.scrub_dup_spans, pipeline.SCRUB_DUP_SPANS_SQL),
+    "off_oov_stats": (textstats.oov_stats, textstats.OOV_STATS_SQL),
 }
 
 

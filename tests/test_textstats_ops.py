@@ -43,3 +43,29 @@ def test_top_terms_k_limits_and_tiebreak(spark):
         (1, "a", 1, 1, 1.0, 1),
         (1, "b", 1, 1, 1.0, 2),
     }
+
+
+def test_oov_stats_vocab_boundary_tiebreak(spark):
+    # k=2 vocab over counts {aa:3, bb:2, cc:2, dd:1}: the bb/cc tie at the
+    # boundary breaks by token string (bb in, cc out), and NULL/empty docs
+    # survive with zeros.
+    from cloudcomputing_flink_application_spark.operators.textstats import (
+        oov_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb cc"),
+            (2, "aa bb cc dd"),
+            (3, None),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = rows_set(oov_stats(docs, k=2))
+    assert got == {
+        (1, 4, 1, 0.25),  # cc is OOV
+        (2, 4, 2, 0.5),   # cc, dd are OOV
+        (3, 0, 0, 0.0),
+        (4, 0, 0, 0.0),
+    }
