@@ -118,6 +118,25 @@ def build_corpora(spark) -> None:
         e.write.mode("overwrite").parquet(str(edir))
 
 
+def _tokenwise_replica(docs, k: int):
+    """Replica ``k`` of a documents frame under the token-set BIJECTION
+    (k > 0 prefixes every whitespace token with ``r<k>x``): sizes,
+    intersections, and jaccards inside a replica are bit-preserved, and
+    token sets are disjoint across replicas.  The ONE definition both the
+    scale corpora and the stream batches build on — the disjointness
+    invariant their measurements rest on lives here."""
+    txt = (
+        F.col("text") if k == 0 else F.regexp_replace("text", r"(\S+)", f"r{k}x$1")
+    )
+    return docs.select(
+        (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
+        txt.alias("text"),
+        "lang",
+        "source",
+        F.length(txt).cast("long").alias("n_chars"),
+    )
+
+
 def build_docs_tokenwise(spark) -> None:
     """The linear-pair-output documents corpora (see module docstring):
     replica k > 0 prefixes every whitespace token with ``r<k>x`` — a
@@ -127,22 +146,7 @@ def build_docs_tokenwise(spark) -> None:
         ddir = WORK / f"docs_tw_x{s}"
         if ddir.exists():
             continue
-        parts = []
-        for k in range(s):
-            txt = (
-                F.col("text")
-                if k == 0
-                else F.regexp_replace("text", r"(\S+)", f"r{k}x$1")
-            )
-            parts.append(
-                docs.select(
-                    (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
-                    txt.alias("text"),
-                    "lang",
-                    "source",
-                    F.length(txt).cast("long").alias("n_chars"),
-                )
-            )
+        parts = [_tokenwise_replica(docs, k) for k in range(s)]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -290,25 +294,23 @@ def build_stream_batches(spark) -> str:
     import os
 
     root = WORK / "stream_batches"
-    if root.exists():
+    # Completeness check, not bare exists(): root materializes at the first
+    # batch write, so a killed build would otherwise leave a partial
+    # directory every later run silently reuses (fewer micro-batches,
+    # overlapping head/tail windows, wrong ratios).
+    if all(
+        (root / f"b{k:02d}" / "_SUCCESS").exists()
+        for k in range(N_STREAM_BATCHES)
+    ):
         return str(root)
+    shutil.rmtree(root, ignore_errors=True)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     base = 1_700_000_000
     for k in range(N_STREAM_BATCHES):
-        txt = (
-            F.col("text")
-            if k == 0
-            else F.regexp_replace("text", r"(\S+)", f"r{k}x$1")
-        )
-        out = docs.select(
-            (F.col("doc_id") + k * ID_STRIDE).alias("doc_id"),
-            txt.alias("text"),
-            "lang",
-            "source",
-            F.length(txt).cast("long").alias("n_chars"),
-        )
         d = root / f"b{k:02d}"
-        out.coalesce(1).write.mode("overwrite").parquet(str(d))
+        _tokenwise_replica(docs, k).coalesce(1).write.mode("overwrite").parquet(
+            str(d)
+        )
         for r, _, fs in os.walk(d):
             for f in fs:
                 os.utime(os.path.join(r, f), (base + k, base + k))
