@@ -881,3 +881,97 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 
 
 SCRUB_DUP_SPANS_SQL = scrub_dup_spans_sql()
+
+
+# --- sliding-window document chunking ---------------------------------------
+
+#: Max tokens per chunk and overlap between consecutive chunks.  The
+#: counterpart to ``pack_chunks`` (which CONCATENATES short docs): long
+#: docs split into bounded windows with context overlap, the shape every
+#: context-limited training/embedding pipeline feeds on.
+CHUNK_N = 32
+CHUNK_OVERLAP = 8
+
+
+def chunk_docs(
+    documents: DataFrame, n: int = CHUNK_N, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """Split each document's token stream into sliding chunks of at most
+    ``n`` tokens with ``overlap`` tokens of context carried between
+    consecutive chunks (stride = n - overlap).
+
+    A trailing window fully covered by its predecessor is NOT emitted
+    (start kept iff it is the first, or its predecessor did not already
+    reach the end) — every token lands in >= 1 chunk, no chunk is
+    redundant, and chunk boundaries are pure arithmetic on (position,
+    stride), bit-identical on both engines.
+
+    Output, one row per chunk: (doc_id, chunk_id, chunk_text, n_chunk_tokens)
+    — docs with no tokens produce no rows (they have nothing to chunk;
+    the corpus spine is the documents table itself).
+
+    Scale: pure per-row array math (sequence -> filter -> slice), fused
+    into the scan; the explode multiplies rows by ~n_tokens/stride.  No
+    shuffle at any size.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1 (got {n})")
+    if not 0 <= overlap < n:
+        raise ValueError(f"overlap must be in [0, n) (got {overlap}, n={n})")
+    stride = n - overlap
+    tok = X.tokens_of(F.coalesce(F.col("text"), F.lit("")))
+    ntok = F.size(tok)
+    starts = F.filter(
+        F.when(ntok > 0, F.sequence(F.lit(1), ntok, F.lit(stride))).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda s: (s == 1) | (s - stride + (n - 1) < ntok),
+    )
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    return (
+        documents.repartition(nparts)
+        .select("doc_id", tok.alias("_tk"), F.posexplode_outer(starts).alias("_i", "_s"))
+        .filter(F.col("_s").isNotNull())
+        .select(
+            "doc_id",
+            F.col("_i").cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("_tk", F.col("_s"), n)).alias("chunk_text"),
+            F.least(F.lit(n), F.size("_tk") - F.col("_s") + 1)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+        )
+    )
+
+
+def chunk_docs_sql(n: int = CHUNK_N, overlap: int = CHUNK_OVERLAP) -> str:
+    stride = n - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {X.tokens_sql("coalesce(text, '')")} AS tk FROM documents
+),
+starts AS (
+  SELECT doc_id, tk,
+         list_filter(
+           CASE WHEN len(tk) > 0
+                THEN generate_series(1, len(tk), {stride})
+                ELSE []::BIGINT[] END,
+           s -> s = 1 OR s - {stride} + {n - 1} < len(tk)
+         ) AS ss
+  FROM toks
+),
+ex AS (
+  SELECT doc_id, tk,
+         unnest(ss) AS s,
+         unnest(generate_series(0, len(ss) - 1)) AS chunk_id
+  FROM starts
+  WHERE len(ss) > 0
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(tk[s:s + {n - 1}], ' ') AS chunk_text,
+       CAST(least({n}, len(tk) - s + 1) AS BIGINT) AS n_chunk_tokens
+FROM ex
+"""
+
+
+CHUNK_DOCS_SQL = chunk_docs_sql()

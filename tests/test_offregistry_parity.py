@@ -42,6 +42,7 @@ OFF_REGISTRY = {
     "off_dup_span_stats": (pipeline.dup_span_stats, pipeline.DUP_SPAN_STATS_SQL),
     "off_scrub_dup_spans": (pipeline.scrub_dup_spans, pipeline.SCRUB_DUP_SPANS_SQL),
     "off_oov_stats": (textstats.oov_stats, textstats.OOV_STATS_SQL),
+    "off_chunk_docs": (pipeline.chunk_docs, pipeline.CHUNK_DOCS_SQL),
 }
 
 

@@ -219,3 +219,41 @@ def test_hourly_anomalies_integer_flag_fixture(spark, tmp_path):
     assert (r.event_type, r.hour_s, r.n) == ("a", "2024-01-01 09:00", 30)
     assert r.mean == 39 / 10
     assert r.std == math.sqrt(10 * 909 - 39 * 39) / 10
+
+
+def test_chunk_docs_boundaries_and_coverage(spark):
+    # Hand-checked chunking arithmetic at n=4, overlap=2 (stride 2):
+    # every token covered >= once, no chunk fully contained in its
+    # predecessor, trailing partial chunks kept, short/NULL docs drop out.
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        chunk_docs,
+    )
+    from tests.conftest import rows_set
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 toks: starts 1,3,5 -> last covers 5..7
+            (2, "a b c d"),         # exactly n: one chunk only
+            (3, "a b"),             # shorter than n: one partial chunk
+            (4, None),              # no tokens: no rows
+            (5, "a b c d e"),       # 5 toks: starts 1,3 (5..8 window kept? s=5: 5-2+3=6 >= 5 -> dropped)
+        ],
+        ["doc_id", "text"],
+    )
+    got = rows_set(chunk_docs(docs, n=4, overlap=2))
+    assert got == {
+        (1, 0, "a b c d", 4),
+        (1, 1, "c d e f", 4),
+        (1, 2, "e f g", 3),
+        (2, 0, "a b c d", 4),
+        (3, 0, "a b", 2),
+        (5, 0, "a b c d", 4),
+        (5, 1, "c d e", 3),
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_docs(docs, n=0)
+    with pytest.raises(ValueError):
+        chunk_docs(docs, n=4, overlap=4)
