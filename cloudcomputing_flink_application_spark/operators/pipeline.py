@@ -975,3 +975,72 @@ FROM ex
 
 
 CHUNK_DOCS_SQL = chunk_docs_sql()
+
+
+# --- temperature-balanced source mixing --------------------------------------
+
+#: Salt for the mixture predicate (distinct from SAMPLE_SALT so composing
+#: both samplers never correlates their keep decisions).
+MIXTURE_SALT = "mix|"
+#: Basis of the integer acceptance compare (micro-rate resolution).
+MIXTURE_BASIS = 1_000_000
+
+
+def mixture_sample(documents: DataFrame) -> DataFrame:
+    """Temperature-balanced source mixing at alpha = 1/2: downsample each
+    source by ``sqrt(min_source_count / source_count)`` so source shares
+    move from proportional toward uniform — the sqrt-temperature rebalance
+    every multi-source training mix applies, with the smallest source kept
+    whole.
+
+    Determinism & parity: counts are exact longs; the rate is
+    ``sqrt`` of the exact-integer ratio (IEEE-correctly-rounded on both
+    engines); acceptance is an integer compare of a stable 56-bit doc
+    hash against ``round(rate x 1e6)`` — no RNG, no dependence on
+    physical layout, same bits at any parallelism.
+
+    Output: (doc_id, source, keep_rate) for kept rows.
+
+    Scale: one tiny aggregate (|sources| rows) joined back as a
+    broadcast; the acceptance predicate is scan-fused per row.  The
+    global min is a scalar-subquery broadcast, same pattern as the Q22
+    shape.
+    """
+    counts = documents.groupBy("source").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    rates = (
+        counts.join(F.broadcast(cmin))
+        .select(
+            "source",
+            F.sqrt(F.col("_cmin") / F.col("_c")).alias("keep_rate"),
+        )
+    )
+    u = (
+        X.h56(F.concat(F.lit(MIXTURE_SALT), F.col("doc_id").cast("string")))
+        % MIXTURE_BASIS
+    )
+    thresh = F.round(F.col("keep_rate") * MIXTURE_BASIS).cast("long")
+    return (
+        documents.select("doc_id", "source", u.alias("_u"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("_u") < thresh)
+        .select("doc_id", "source", "keep_rate")
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source
+),
+cmin AS (SELECT min(c) AS cm FROM counts),
+rates AS (
+  SELECT source, sqrt(cm / c) AS keep_rate FROM counts, cmin
+)
+SELECT doc_id, source, keep_rate
+FROM documents
+JOIN rates USING (source)
+WHERE ({X.h56_sql(f"'{MIXTURE_SALT}' || CAST(doc_id AS VARCHAR)")}) % {MIXTURE_BASIS}
+      < CAST(round(keep_rate * {MIXTURE_BASIS}) AS BIGINT)
+"""

@@ -43,6 +43,7 @@ OFF_REGISTRY = {
     "off_scrub_dup_spans": (pipeline.scrub_dup_spans, pipeline.SCRUB_DUP_SPANS_SQL),
     "off_oov_stats": (textstats.oov_stats, textstats.OOV_STATS_SQL),
     "off_chunk_docs": (pipeline.chunk_docs, pipeline.CHUNK_DOCS_SQL),
+    "off_mixture_sample": (pipeline.mixture_sample, pipeline.MIXTURE_SAMPLE_SQL),
 }
 
 

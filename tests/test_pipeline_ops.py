@@ -257,3 +257,34 @@ def test_chunk_docs_boundaries_and_coverage(spark):
         chunk_docs(docs, n=0)
     with pytest.raises(ValueError):
         chunk_docs(docs, n=4, overlap=4)
+
+
+def test_mixture_sample_rebalances_toward_uniform(spark):
+    # sqrt-temperature mixing: the smallest source is kept whole
+    # (rate 1.0 keeps every row: u < basis always), larger sources are
+    # downsampled near sqrt(min/count), and the decision is stable under
+    # repartitioning.
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        mixture_sample,
+    )
+
+    rows = [(i, f"t {i}", "en", "small" if i < 50 else "big", 3)
+            for i in range(450)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = mixture_sample(docs)
+    by_src = {r["source"]: r for r in
+              out.groupBy("source").count().collect()}
+    rates = {r["source"]: r["keep_rate"]
+             for r in out.select("source", "keep_rate").distinct().collect()}
+    assert by_src["small"]["count"] == 50          # rate 1.0: all kept
+    assert rates["small"] == 1.0
+    expected_big = (50 / 400) ** 0.5               # = 0.3535...
+    assert abs(rates["big"] - expected_big) < 1e-12
+    frac_big = by_src["big"]["count"] / 400
+    assert abs(frac_big - expected_big) < 0.1      # hash-uniformity slack
+    # layout-independence: same kept set after a repartition
+    assert set(r.doc_id for r in out.collect()) == set(
+        r.doc_id for r in mixture_sample(docs.repartition(7)).collect()
+    )
