@@ -845,6 +845,97 @@ def run_purge_dedup_stream(
     )
 
 
+def _replace_dir(spark, src: str, dst: str) -> None:
+    """Atomically-enough swap ``src`` into ``dst`` (delete + rename via the
+    Hadoop FS API, so it works on any cluster filesystem)."""
+    jvm = spark._jvm
+    p_src = jvm.org.apache.hadoop.fs.Path(src)
+    p_dst = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = p_dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p_dst):
+        fs.delete(p_dst, True)
+    if not fs.rename(p_src, p_dst):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
+def forget_docs(spark, state_dir: str, doc_ids) -> None:
+    """Compliance deletion ("right to be forgotten") from a
+    ``run_purge_dedup_stream`` state root: remove every trace of the given
+    doc_ids from the band / token-set / doc-stats stores, and RE-DERIVE
+    the edge store among the survivors.
+
+    Row deletion alone is wrong for edges: a forgotten doc may have been a
+    band bucket's MIN, the hub through which two surviving near-dups were
+    linked — dropping its edge rows would silently unlink survivors that
+    still share the bucket.  Because the stores retain every doc's band
+    rows and token sets, the exact survivor edge set is recomputable
+    WITHOUT touching any document text: the batch star + jaccard-verify
+    pass over the remaining stores (the same shared definitions the
+    stream and the batch operator use), re-partitioned by each doc's
+    arrival batch (read from the token-set store) so the stream's
+    ``batch_id < current`` probe contract is preserved.  The stream can
+    then resume on its checkpoint and its next emitted purge table —
+    complete-mode over the accumulated state — reflects the deletion;
+    previously EMITTED output partitions are the caller's to redact.
+
+    Cost: one read+rewrite of each store and one edge pass over the
+    remaining bands — a maintenance operation, run while the stream is
+    stopped.  Horizon-mode streams need only the store rewrite (their
+    edge pass is recomputed per batch anyway), which this performs
+    identically; the edge re-derivation is skipped when no edge store
+    exists.
+    """
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        jaccard_verified_edges,
+        star_edges_from_bands,
+    )
+
+    ids = [int(i) for i in doc_ids]
+    if not ids:
+        return
+    ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+
+    def rewrite_minus(path: str):
+        if not _committed_batch_data_exists(spark, path):
+            return None
+        df = spark.read.parquet(path)
+        kept = df.join(ids_df, "doc_id", "left_anti")
+        tmp = path.rstrip("/") + ".forget_tmp"
+        # Static overwrite of a STAGING dir (never the dir being read),
+        # then swap: partitions emptied by the deletion must disappear,
+        # which dynamic overwrite of the original would not do.
+        kept.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        _replace_dir(spark, tmp, path)
+        return path
+
+    bands_dir = f"{state_dir}/bands"
+    toksets_dir = f"{state_dir}/toksets"
+    edges_dir = f"{state_dir}/edges"
+    stats_dir = f"{state_dir}/docstats"
+    rewrite_minus(bands_dir)
+    rewrite_minus(toksets_dir)
+    rewrite_minus(stats_dir)
+    if not _committed_batch_data_exists(spark, edges_dir):
+        return
+    if not _committed_batch_data_exists(spark, bands_dir):
+        # every doc forgotten: the edge store must empty too
+        _prune_stale_batch_partitions(spark, edges_dir)
+        return
+    bands = spark.read.parquet(bands_dir).select("doc_id", "band", "key")
+    toks = spark.read.parquet(toksets_dir)
+    arrival = toks.select("doc_id", "batch_id")
+    edges = (
+        jaccard_verified_edges(
+            star_edges_from_bands(bands), toks.select("doc_id", "tokset", "nset")
+        )
+        .select("doc_id", "rep")
+        .join(arrival, "doc_id")
+    )
+    tmp = edges_dir.rstrip("/") + ".forget_tmp"
+    edges.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    _replace_dir(spark, tmp, edges_dir)
+
+
 def length_histogram_stream(documents: DataFrame) -> DataFrame:
     """Streaming corpus-shape report: the batch ``length_histogram``
     operator runs unchanged on a document stream — a pure streaming

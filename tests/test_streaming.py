@@ -1121,3 +1121,141 @@ def test_span_flags_stream_horizon_bridge(spark, tmp_path):
     assert rows_set(spark.read.parquet(out_dir).select("doc_id", "p")) == {
         (1, 1), (2, 1), (3, 1),
     }
+
+
+def test_forget_docs_rederives_survivor_edges(spark, tmp_path):
+    # Compliance deletion from the purge stream's state: doc 1 is the hub
+    # (bucket min) through which survivors 10 and 11 are linked.  After
+    # forget_docs([1]) the stores must hold no trace of doc 1, the edge
+    # store must be re-derived so 10-11 stay linked DIRECTLY, and the
+    # stream must resume on its checkpoint with a third batch whose final
+    # purge partition equals the batch operator over the surviving docs.
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight nine"
+    third = "red green blue cyan magenta yellow black white"
+
+    def mk(rows):
+        return [(i, t, "en", "s0", len(t)) for i, t in rows]
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    b0 = mk([(1, dup_text), (2, other)])
+    b1 = mk([(10, dup_text), (11, dup_text), (12, other)])
+    b2 = mk([(20, third), (21, third)])
+
+    d_in = str(tmp_path / "in")
+    base = 1_700_000_000
+    for i, rows in enumerate([b0, b1]):
+        p = f"{d_in}/f{i}"
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(f"{root}/{f}", (base + i, base + i))
+
+    def start():
+        stream = (
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d_in}/*")
+        )
+        return jobs.run_purge_dedup_stream(
+            spark, stream, str(tmp_path / "out"), str(tmp_path / "chk"),
+            str(tmp_path / "state"),
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    jobs.forget_docs(spark, str(tmp_path / "state"), [1])
+    # no trace of doc 1 in any store; survivors 10-11 linked directly
+    for store in ("bands", "toksets", "docstats", "edges"):
+        df = spark.read.parquet(str(tmp_path / "state" / store))
+        assert df.filter("doc_id = 1").count() == 0, store
+    edges = rows_set(
+        spark.read.parquet(str(tmp_path / "state" / "edges"))
+        .select("doc_id", "rep")
+    )
+    assert (11, 10) in edges
+    assert all(r != 1 for _, r in edges)
+
+    # resume on the same checkpoint with a third batch
+    p = f"{d_in}/f2"
+    spark.createDataFrame(b2, cols).coalesce(1).write.parquet(p)
+    for root, _, files in os.walk(p):
+        for f in files:
+            os.utime(f"{root}/{f}", (base + 2, base + 2))
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from pyspark.sql import functions as F
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    last = out.agg({"batch_id": "max"}).collect()[0][0]
+    got = rows_set(
+        out.filter(F.col("batch_id") == last).select(
+            "doc_id", "n_members", "chars_saved"
+        )
+    )
+    survivors = spark.createDataFrame(
+        [r for r in b0 + b1 + b2 if r[0] != 1], cols
+    )
+    expected = rows_set(
+        minhash_purge_dedup(survivors).select(
+            "doc_id", "n_members", "chars_saved"
+        )
+    )
+    assert got == expected
+
+
+def test_forget_docs_noop_and_forget_all(spark, tmp_path):
+    # Empty id list is a no-op; forgetting every doc empties the edge
+    # store instead of leaving stale pairs behind.
+    import shutil as _sh
+
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,  # noqa: F401  (import parity with the main test)
+    )
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = [(1, dup_text, "en", "s0", len(dup_text)),
+            (2, dup_text, "en", "s0", len(dup_text))]
+    d_in = str(tmp_path / "in")
+    p = f"{d_in}/f0"
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(p)
+    for root, _, files in os.walk(p):
+        for f in files:
+            os.utime(f"{root}/{f}", (1_700_000_000, 1_700_000_000))
+    stream = (
+        spark.readStream.schema(schemas.DOCUMENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    q = jobs.run_purge_dedup_stream(
+        spark, stream, str(tmp_path / "out"), str(tmp_path / "chk"),
+        str(tmp_path / "state"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = str(tmp_path / "state")
+    before = rows_set(spark.read.parquet(f"{state}/edges").select("doc_id", "rep"))
+    jobs.forget_docs(spark, state, [])
+    assert rows_set(
+        spark.read.parquet(f"{state}/edges").select("doc_id", "rep")
+    ) == before
+    jobs.forget_docs(spark, state, [1, 2])
+    import glob as _glob
+
+    assert not _glob.glob(f"{state}/edges/batch_id=*/part-*")
+    _sh.rmtree(str(tmp_path / "out"), ignore_errors=True)
