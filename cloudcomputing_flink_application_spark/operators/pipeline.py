@@ -910,9 +910,10 @@ def chunk_docs(
     — docs with no tokens produce no rows (they have nothing to chunk;
     the corpus spine is the documents table itself).
 
-    Scale: pure per-row array math (sequence -> filter -> slice), fused
-    into the scan; the explode multiplies rows by ~n_tokens/stride.  No
-    shuffle at any size.
+    Scale: pure per-row array math (sequence -> filter -> slice); the
+    explode multiplies rows by ~n_tokens/stride.  The only exchange is
+    the usual plan-hygiene repartition off a single-file scan (see
+    ``_token_sets``) — no key-based shuffle at any size.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1 (got {n})")
@@ -984,6 +985,10 @@ CHUNK_DOCS_SQL = chunk_docs_sql()
 MIXTURE_SALT = "mix|"
 #: Basis of the integer acceptance compare (micro-rate resolution).
 MIXTURE_BASIS = 1_000_000
+#: NULL-safe grouping sentinel for the source key (a NULL source is a real
+#: group; a bare equi-join would drop its rows while its count still
+#: dragged the global min down).
+MIXTURE_NULL_KEY = "<null-source>"
 
 
 def mixture_sample(documents: DataFrame) -> DataFrame:
@@ -999,21 +1004,27 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
     hash against ``round(rate x 1e6)`` — no RNG, no dependence on
     physical layout, same bits at any parallelism.
 
-    Output: (doc_id, source, keep_rate) for kept rows.
+    Output: (doc_id, source, keep_rate) for kept rows.  NULL source is a
+    real group (missing provenance is a source in its own right): the
+    join keys on a NULL-safe coalesced sentinel so NULL-source docs are
+    counted, rated, and kept like any other group instead of silently
+    vanishing through a NULL equi-join while still dragging the global
+    min down.
 
     Scale: one tiny aggregate (|sources| rows) joined back as a
     broadcast; the acceptance predicate is scan-fused per row.  The
     global min is a scalar-subquery broadcast, same pattern as the Q22
     shape.
     """
-    counts = documents.groupBy("source").agg(
+    key = F.coalesce(F.col("source"), F.lit(MIXTURE_NULL_KEY))
+    counts = documents.groupBy(key.alias("_k")).agg(
         F.count("*").cast("long").alias("_c")
     )
     cmin = counts.agg(F.min("_c").alias("_cmin"))
     rates = (
         counts.join(F.broadcast(cmin))
         .select(
-            "source",
+            "_k",
             F.sqrt(F.col("_cmin") / F.col("_c")).alias("keep_rate"),
         )
     )
@@ -1023,8 +1034,8 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
     )
     thresh = F.round(F.col("keep_rate") * MIXTURE_BASIS).cast("long")
     return (
-        documents.select("doc_id", "source", u.alias("_u"))
-        .join(F.broadcast(rates), "source")
+        documents.select("doc_id", "source", key.alias("_k"), u.alias("_u"))
+        .join(F.broadcast(rates), "_k")
         .filter(F.col("_u") < thresh)
         .select("doc_id", "source", "keep_rate")
     )
@@ -1032,15 +1043,16 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
 
 MIXTURE_SAMPLE_SQL = f"""
 WITH counts AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source
+  SELECT coalesce(source, '{MIXTURE_NULL_KEY}') AS k, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY k
 ),
 cmin AS (SELECT min(c) AS cm FROM counts),
 rates AS (
-  SELECT source, sqrt(cm / c) AS keep_rate FROM counts, cmin
+  SELECT k, sqrt(cm / c) AS keep_rate FROM counts, cmin
 )
 SELECT doc_id, source, keep_rate
 FROM documents
-JOIN rates USING (source)
+JOIN rates ON coalesce(source, '{MIXTURE_NULL_KEY}') = k
 WHERE ({X.h56_sql(f"'{MIXTURE_SALT}' || CAST(doc_id AS VARCHAR)")}) % {MIXTURE_BASIS}
       < CAST(round(keep_rate * {MIXTURE_BASIS}) AS BIGINT)
 """

@@ -845,24 +845,76 @@ def run_purge_dedup_stream(
     )
 
 
-def _replace_dir(spark, src: str, dst: str) -> None:
-    """Atomically-enough swap ``src`` into ``dst`` (delete + rename via the
-    Hadoop FS API, so it works on any cluster filesystem)."""
+def _fs_path(spark, path: str):
     jvm = spark._jvm
-    p_src = jvm.org.apache.hadoop.fs.Path(src)
-    p_dst = jvm.org.apache.hadoop.fs.Path(dst)
-    fs = p_dst.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(p_dst):
-        fs.delete(p_dst, True)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p
+
+
+def _replace_dir(spark, src: str, dst: str) -> None:
+    """Swap ``src`` into ``dst`` via rename-to-backup (never
+    delete-then-rename: a crash between those two would lose the store
+    with the survivors stranded in the staging dir, and a rerun would
+    silently treat the missing store as empty).  Every intermediate crash
+    state is recoverable by :func:`_recover_swap`."""
+    fs, p_dst = _fs_path(spark, dst)
+    _, p_src = _fs_path(spark, src)
+    _, p_bak = _fs_path(spark, dst.rstrip("/") + ".forget_bak")
+    if fs.exists(p_dst) and not fs.rename(p_dst, p_bak):
+        raise IOError(f"rename {dst} -> backup failed")
     if not fs.rename(p_src, p_dst):
         raise IOError(f"rename {src} -> {dst} failed")
+    if fs.exists(p_bak):
+        fs.delete(p_bak, True)
 
 
-def forget_docs(spark, state_dir: str, doc_ids) -> None:
+def _recover_swap(spark, dst: str) -> None:
+    """Roll back a swap a previous ``forget_docs`` crash left half-done:
+    restore the backup when the destination is missing (crash between the
+    two renames), drop a stale backup otherwise (crash before the final
+    cleanup), and always discard a leftover staging dir — its contents
+    were computed for a possibly different id set."""
+    fs, p_dst = _fs_path(spark, dst)
+    _, p_bak = _fs_path(spark, dst.rstrip("/") + ".forget_bak")
+    _, p_tmp = _fs_path(spark, dst.rstrip("/") + ".forget_tmp")
+    if fs.exists(p_bak):
+        if not fs.exists(p_dst):
+            if not fs.rename(p_bak, p_dst):
+                raise IOError(f"backup restore of {dst} failed")
+        else:
+            fs.delete(p_bak, True)
+    if fs.exists(p_tmp):
+        fs.delete(p_tmp, True)
+
+
+def _latest_numbered(spark, path: str) -> int:
+    """Highest integer-named entry under ``path`` (-1 when none) — the
+    layout of a Structured Streaming checkpoint's offsets/ and commits/."""
+    fs, p = _fs_path(spark, path)
+    if not fs.exists(p):
+        return -1
+    best = -1
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.isdigit():
+            best = max(best, int(name))
+    return best
+
+
+def forget_docs(spark, state_dir: str, doc_ids, checkpoint_dir: str | None) -> None:
     """Compliance deletion ("right to be forgotten") from a
     ``run_purge_dedup_stream`` state root: remove every trace of the given
     doc_ids from the band / token-set / doc-stats stores, and RE-DERIVE
     the edge store among the survivors.
+
+    ``checkpoint_dir`` is the stream's checkpoint: the deletion REFUSES to
+    run while an uncommitted micro-batch is pending there (offsets ahead
+    of commits), because the stream's at-least-once replay would
+    dynamic-overwrite that batch's store partitions from source data that
+    still contains the forgotten docs — silently undoing the deletion.
+    Resume the stream so the in-flight batch commits, stop it cleanly,
+    then forget.  Pass ``None`` only when the caller can assert no stream
+    has ever run or the checkpoint is gone with its sinks.
 
     Row deletion alone is wrong for edges: a forgotten doc may have been a
     band bucket's MIN, the hub through which two surviving near-dups were
@@ -893,6 +945,17 @@ def forget_docs(spark, state_dir: str, doc_ids) -> None:
     ids = [int(i) for i in doc_ids]
     if not ids:
         return
+    if checkpoint_dir is not None:
+        latest_offset = _latest_numbered(spark, f"{checkpoint_dir}/offsets")
+        latest_commit = _latest_numbered(spark, f"{checkpoint_dir}/commits")
+        if latest_offset > latest_commit:
+            raise RuntimeError(
+                f"checkpoint {checkpoint_dir} has an uncommitted micro-batch "
+                f"(offsets at {latest_offset}, commits at {latest_commit}): "
+                "its replay would rewrite state from source data that still "
+                "contains the forgotten docs.  Resume the stream to commit "
+                "the in-flight batch, stop it, then forget."
+            )
     ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
 
     def rewrite_minus(path: str):
@@ -912,6 +975,8 @@ def forget_docs(spark, state_dir: str, doc_ids) -> None:
     toksets_dir = f"{state_dir}/toksets"
     edges_dir = f"{state_dir}/edges"
     stats_dir = f"{state_dir}/docstats"
+    for d in (bands_dir, toksets_dir, edges_dir, stats_dir):
+        _recover_swap(spark, d)  # heal any half-done swap a crash left
     rewrite_minus(bands_dir)
     rewrite_minus(toksets_dir)
     rewrite_minus(stats_dir)

@@ -268,19 +268,24 @@ def test_mixture_sample_rebalances_toward_uniform(spark):
         mixture_sample,
     )
 
+    # 25 NULL-source docs form the SMALLEST group: they must be counted,
+    # rated 1.0, and kept — not silently dropped through a NULL equi-join
+    # while still dragging the global min down (review catch).
     rows = [(i, f"t {i}", "en", "small" if i < 50 else "big", 3)
             for i in range(450)]
+    rows += [(1000 + i, f"n {i}", "en", None, 3) for i in range(25)]
     docs = spark.createDataFrame(
         rows, ["doc_id", "text", "lang", "source", "n_chars"]
     )
     out = mixture_sample(docs)
+    assert out.filter("source IS NULL").count() == 25  # rate 1.0: all kept
     by_src = {r["source"]: r for r in
               out.groupBy("source").count().collect()}
     rates = {r["source"]: r["keep_rate"]
              for r in out.select("source", "keep_rate").distinct().collect()}
-    assert by_src["small"]["count"] == 50          # rate 1.0: all kept
-    assert rates["small"] == 1.0
-    expected_big = (50 / 400) ** 0.5               # = 0.3535...
+    assert rates[None] == 1.0                      # smallest group kept whole
+    assert abs(rates["small"] - (25 / 50) ** 0.5) < 1e-12
+    expected_big = (25 / 400) ** 0.5               # = 0.25
     assert abs(rates["big"] - expected_big) < 1e-12
     frac_big = by_src["big"]["count"] / 400
     assert abs(frac_big - expected_big) < 0.1      # hash-uniformity slack

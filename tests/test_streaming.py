@@ -1172,7 +1172,7 @@ def test_forget_docs_rederives_survivor_edges(spark, tmp_path):
     finally:
         q.stop()
 
-    jobs.forget_docs(spark, str(tmp_path / "state"), [1])
+    jobs.forget_docs(spark, str(tmp_path / "state"), [1], str(tmp_path / "chk"))
     # no trace of doc 1 in any store; survivors 10-11 linked directly
     for store in ("bands", "toksets", "docstats", "edges"):
         df = spark.read.parquet(str(tmp_path / "state" / store))
@@ -1250,12 +1250,75 @@ def test_forget_docs_noop_and_forget_all(spark, tmp_path):
         q.stop()
     state = str(tmp_path / "state")
     before = rows_set(spark.read.parquet(f"{state}/edges").select("doc_id", "rep"))
-    jobs.forget_docs(spark, state, [])
+    jobs.forget_docs(spark, state, [], str(tmp_path / "chk"))
     assert rows_set(
         spark.read.parquet(f"{state}/edges").select("doc_id", "rep")
     ) == before
-    jobs.forget_docs(spark, state, [1, 2])
+    jobs.forget_docs(spark, state, [1, 2], str(tmp_path / "chk"))
     import glob as _glob
 
     assert not _glob.glob(f"{state}/edges/batch_id=*/part-*")
+    _sh.rmtree(str(tmp_path / "out"), ignore_errors=True)
+
+
+def test_forget_docs_refuses_pending_replay_and_heals_crashed_swap(spark, tmp_path):
+    # (1) An uncommitted micro-batch (offsets ahead of commits) must make
+    # forget_docs refuse: its replay would rewrite state from source data
+    # that still contains the forgotten docs, silently undoing the
+    # deletion.  (2) A crash between _replace_dir's two renames (store
+    # moved to backup, staging not yet promoted) must be healed by the
+    # next forget_docs call, not treated as an empty store.
+    import shutil as _sh
+
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = [(1, dup_text, "en", "s0", len(dup_text)),
+            (2, dup_text, "en", "s0", len(dup_text)),
+            (3, dup_text, "en", "s0", len(dup_text))]
+    d_in = str(tmp_path / "in")
+    p = f"{d_in}/f0"
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(p)
+    for root, _, files in os.walk(p):
+        for f in files:
+            os.utime(f"{root}/{f}", (1_700_000_000, 1_700_000_000))
+    stream = (
+        spark.readStream.schema(schemas.DOCUMENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    chk = str(tmp_path / "chk")
+    state = str(tmp_path / "state")
+    q = jobs.run_purge_dedup_stream(
+        spark, stream, str(tmp_path / "out"), chk, state
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # (1) simulate the crash-before-commit window: offsets/0 exists,
+    # commits/0 removed
+    os.rename(f"{chk}/commits/0", str(tmp_path / "commit0.bak"))
+    with pytest.raises(RuntimeError, match="uncommitted micro-batch"):
+        jobs.forget_docs(spark, state, [1], chk)
+    os.rename(str(tmp_path / "commit0.bak"), f"{chk}/commits/0")
+
+    # (2) simulate a crash between the two renames: bands moved to backup,
+    # staging dir left behind with garbage
+    os.rename(f"{state}/bands", f"{state}/bands.forget_bak")
+    os.makedirs(f"{state}/bands.forget_tmp")
+    with open(f"{state}/bands.forget_tmp/garbage", "w") as f:
+        f.write("stale")
+    jobs.forget_docs(spark, state, [1], chk)
+    assert os.path.isdir(f"{state}/bands")
+    assert not os.path.exists(f"{state}/bands.forget_bak")
+    assert not os.path.exists(f"{state}/bands.forget_tmp")
+    # the healed store then served the deletion: doc 1 gone, 2-3 relinked
+    bands = spark.read.parquet(f"{state}/bands")
+    assert bands.filter("doc_id = 1").count() == 0
+    assert bands.filter("doc_id = 2").count() > 0
+    edges = rows_set(
+        spark.read.parquet(f"{state}/edges").select("doc_id", "rep")
+    )
+    assert edges == {(3, 2)}
     _sh.rmtree(str(tmp_path / "out"), ignore_errors=True)
