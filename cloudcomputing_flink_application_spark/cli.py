@@ -166,12 +166,26 @@ def _dedup_purge(args: argparse.Namespace) -> None:
     ``--horizon-batches N`` bounds the stores to the trailing N batches
     (purge-within-horizon: each batch partition covers its window's
     union, via the bounded window recompute — see streaming/jobs.py).
+    ``--forget ID[,ID...]`` runs compliance deletion against the
+    streaming state under ``<output>/_state`` instead of the job
+    (``jobs.forget_docs`` — survivor edges re-derived; refuses while the
+    checkpoint holds an uncommitted batch).
     """
     from cloudcomputing_flink_application_spark.operators.dedup import (
         minhash_purge_dedup,
     )
 
     spark = get_spark(app_name="dedup-purge")
+    if args.forget:
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            forget_docs,
+        )
+
+        ids = [int(x) for x in args.forget.split(",") if x.strip()]
+        forget_docs(
+            spark, f"{args.output}/_state", ids, f"{args.output}/_chk"
+        )
+        return
     if args.streaming:
         if args.show:
             print("warning: --show is batch-only; streaming mode writes sinks only")
@@ -282,6 +296,15 @@ def main(argv: list[str] | None = None) -> None:
             help="run the Structured Streaming variant "
             "(vehicle-telematics / corpus-clean)",
         )
+        if name == "dedup-purge":
+            sp.add_argument(
+                "--forget", default=None, metavar="ID[,ID...]",
+                help="compliance deletion instead of running the job: "
+                "remove the doc_ids from the streaming state under "
+                "<output>/_state and re-derive survivor edges (the stream "
+                "must be stopped; refuses while its checkpoint holds an "
+                "uncommitted batch)",
+            )
         if name in ("corpus-clean", "dedup-purge", "span-scrub"):
             sp.add_argument(
                 "--horizon-batches", type=int, default=None,

@@ -205,3 +205,26 @@ def test_span_scrub_cli(spark, tmp_path):
     assert streamed == rows_set(
         _dup_span_starts(spark.read.parquet(d_in), 8).select("doc_id", "p")
     )
+
+
+def test_dedup_purge_cli_forget(spark, tmp_path):
+    # --forget runs compliance deletion against the streaming state: after
+    # the streaming job, forgetting a doc removes it from every store and
+    # the re-derived edges never reference it.
+    from tests.conftest import TESTDATA
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(100)
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+    out = str(tmp_path / "out")
+    cli.main(["dedup-purge", "--input", d_in, "--output", out, "--streaming"])
+    some_doc = spark.read.parquet(f"{out}/_state/toksets").select(
+        "doc_id"
+    ).first()[0]
+    cli.main(["dedup-purge", "--input", d_in, "--output", out,
+              "--forget", str(some_doc)])
+    for store in ("bands", "toksets", "docstats"):
+        assert (
+            spark.read.parquet(f"{out}/_state/{store}")
+            .filter(f"doc_id = {some_doc}").count() == 0
+        ), store

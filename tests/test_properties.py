@@ -249,3 +249,53 @@ def test_span_family_matches_python_model(spark, corpora):
     }
     assert got_stats == stats_model
     assert got_scrub == scrub_model
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 12), min_size=1, max_size=10),  # doc lengths
+    st.integers(2, 6),   # n
+    st.integers(0, 3),   # overlap (clamped below n)
+)
+def test_chunk_docs_coverage_and_bounds(spark, lengths, n, overlap):
+    # Chunking invariants under random doc lengths and (n, overlap):
+    # every token of every doc is covered by >= 1 chunk, every chunk is
+    # within the n-token bound, chunk ids are contiguous from 0, and
+    # rejoining chunk tokens at stride offsets reconstructs the doc.
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        chunk_docs,
+    )
+
+    overlap = min(overlap, n - 1)
+    stride = n - overlap
+    docs = [
+        (i, " ".join(f"t{i}x{j}" for j in range(ln)))
+        for i, ln in enumerate(lengths)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = chunk_docs(df, n=n, overlap=overlap).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert 1 <= r.n_chunk_tokens <= n
+        assert len(r.chunk_text.split()) == r.n_chunk_tokens
+    for doc_id, ln in enumerate(lengths):
+        rows = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_id)
+        if ln == 0:
+            assert not rows
+            continue
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        covered: set = set()
+        recon: dict = {}
+        for r in rows:
+            start = r.chunk_id * stride + 1
+            toks = r.chunk_text.split()
+            for off, t in enumerate(toks):
+                pos = start + off
+                covered.add(pos)
+                assert recon.get(pos, t) == t  # overlaps agree
+                recon[pos] = t
+        assert covered == set(range(1, ln + 1))
+        assert [recon[p] for p in range(1, ln + 1)] == [
+            f"t{doc_id}x{j}" for j in range(ln)
+        ]
