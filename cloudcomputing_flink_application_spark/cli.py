@@ -181,6 +181,13 @@ def _dedup_purge(args: argparse.Namespace) -> None:
             forget_docs,
         )
 
+        import os
+
+        if not os.path.isdir(f"{args.output}/_state"):
+            raise SystemExit(
+                f"no streaming state under {args.output}/_state — --forget "
+                "operates on a dedup-purge --streaming output root"
+            )
         ids = [int(x) for x in args.forget.split(",") if x.strip()]
         forget_docs(
             spark, f"{args.output}/_state", ids, f"{args.output}/_chk"

@@ -228,3 +228,13 @@ def test_dedup_purge_cli_forget(spark, tmp_path):
             spark.read.parquet(f"{out}/_state/{store}")
             .filter(f"doc_id = {some_doc}").count() == 0
         ), store
+
+    # --forget against a BATCH output root (no streaming state) must fail
+    # loudly, not silently no-op
+    import pytest
+
+    out_b = str(tmp_path / "out_batch")
+    cli.main(["dedup-purge", "--input", d_in, "--output", out_b])
+    with pytest.raises(SystemExit, match="no streaming state"):
+        cli.main(["dedup-purge", "--input", d_in, "--output", out_b,
+                  "--forget", "1"])
