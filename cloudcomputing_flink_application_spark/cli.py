@@ -244,6 +244,23 @@ def _span_scrub(args: argparse.Namespace) -> None:
     )
 
     spark = get_spark(app_name="span-scrub")
+    if args.forget:
+        import os
+
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            forget_docs_span,
+        )
+
+        if not os.path.isdir(f"{args.output}/_state"):
+            raise SystemExit(
+                f"no streaming state under {args.output}/_state — --forget "
+                "operates on a span-scrub --streaming output root"
+            )
+        ids = [int(x) for x in args.forget.split(",") if x.strip()]
+        forget_docs_span(
+            spark, f"{args.output}/_state", ids, f"{args.output}/_chk"
+        )
+        return
     w = args.width if args.width is not None else DUP_SPAN_W
     if w < 1:
         raise SystemExit(f"--width must be >= 1, got {w}")
@@ -310,7 +327,20 @@ def main(argv: list[str] | None = None) -> None:
                 "remove the doc_ids from the streaming state under "
                 "<output>/_state and re-derive survivor edges (the stream "
                 "must be stopped; refuses while its checkpoint holds an "
-                "uncommitted batch)",
+                "uncommitted batch, and leaves a lock the stream refuses "
+                "to run under until the forget completes)",
+            )
+        if name == "span-scrub":
+            sp.add_argument(
+                "--forget", default=None, metavar="ID[,ID...]",
+                help="compliance deletion instead of running the job: "
+                "remove the doc_ids' rows (content-derived window hashes "
+                "and positions) from the first-occurrence store under "
+                "<output>/_state/firsts.  A dropped hash re-seeds on its "
+                "next occurrence (pre-deletion history is gone — the "
+                "conservative compliance direction); emitted output "
+                "partitions are yours to redact.  Same stream-stopped "
+                "lock contract as dedup-purge --forget.",
             )
         if name in ("corpus-clean", "dedup-purge", "span-scrub"):
             sp.add_argument(

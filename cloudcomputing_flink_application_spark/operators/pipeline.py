@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cloudcomputing_flink_application_spark.functions import text as X
+from cloudcomputing_flink_application_spark.operators.dedup import _persist
 
 # --- decontamination ---------------------------------------------------------
 
@@ -643,6 +644,23 @@ GROUP BY source
 DUP_SPAN_W = 8
 
 
+def _spread(documents: DataFrame) -> DataFrame:
+    """Repartition a narrow scan up to full parallelism — but ONLY when the
+    input actually has fewer partitions than the session's parallelism.
+
+    The unconditional form existed for the local single-file parquet scans
+    (1 partition -> 32); on a many-file corpus at scale the scan already
+    carries >= defaultParallelism splits and the same repartition becomes a
+    full shuffle of the heaviest column for nothing (r6 VERDICT).  The
+    partition count comes from the physical plan's RDD metadata — no job
+    runs.
+    """
+    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    if documents.rdd.getNumPartitions() >= nparts:
+        return documents
+    return documents.repartition(nparts)
+
+
 def _span_window_rows(documents: DataFrame, w: int) -> DataFrame:
     """One row per token-window start: ``(doc_id, p, h)`` where ``p`` is the
     1-based start position and ``h`` the md5 of the space-joined w-gram.
@@ -651,13 +669,13 @@ def _span_window_rows(documents: DataFrame, w: int) -> DataFrame:
     (sequence+transform, no explode until here), so the projection fuses
     into the scan; the explode emits ~n_tokens rows per doc — the same
     fan-out every shingle-level operator in this family pays.  Same plan
-    hygiene as ``repetition_stats``: repartition off the single-file scan,
-    explode_outer + isNotNull filter so the inferred ``size() > 0``
-    constraint cannot re-inline the tokenize pipeline into the scan.
+    hygiene as ``repetition_stats``: spread a narrow scan across the
+    session's parallelism (gated — see ``_spread``), explode_outer +
+    isNotNull filter so the inferred ``size() > 0`` constraint cannot
+    re-inline the tokenize pipeline into the scan.
     """
-    nparts = documents.sparkSession.sparkContext.defaultParallelism
     return (
-        documents.repartition(nparts)
+        _spread(documents)
         .select(
             "doc_id",
             F.posexplode_outer(
@@ -675,18 +693,28 @@ def _dup_span_starts(documents: DataFrame, w: int) -> DataFrame:
     same doc — self-repetition is duplication too, per the exact-substring
     dedup definition).
 
-    Scale: ONE shuffle keyed by the 128-bit window hash (high-cardinality,
-    uniform; skew only under true boilerplate mass, which is exactly the
-    signal) — the occurrence count is a window aggregate on that key, so
-    no separate count+join pass over the exploded frame.
+    Skew stance (r6 VERDICT fix): the occurrence count is a
+    ``groupBy(h).count()`` — map-side partial aggregation collapses a hot
+    window hash to ONE row per task before the exchange — semi-joined back
+    onto the window rows, where AQE's skew-join splitting can divide a hot
+    probe partition.  The previous form (``count(*) OVER (PARTITION BY
+    h)``) had neither escape: window aggregates get no partial agg and AQE
+    cannot split a window partition, so corpus-wide boilerplate (license
+    headers — one hash carrying millions of rows, precisely the signal
+    this operator exists to find) became its own straggler.  The window
+    rows are ``persist()``-ed (same contract as the MinHash family —
+    released by ``dedup.release_cached`` / ``clearCache``) so the count
+    side and the probe side share one explode instead of recomputing the
+    md5 pipeline.
     """
-    cw = Window.partitionBy("h")
-    return (
-        _span_window_rows(documents, w)
-        .withColumn("_c", F.count("*").over(cw))
+    rows = _persist(_span_window_rows(documents, w))
+    dup_h = (
+        rows.groupBy("h")
+        .agg(F.count("*").alias("_c"))
         .filter(F.col("_c") >= 2)
-        .select("doc_id", "p")
+        .select("h")
     )
+    return rows.join(dup_h, "h", "leftsemi").select("doc_id", "p")
 
 
 def _coverage_window(w: int):
@@ -912,8 +940,8 @@ def chunk_docs(
 
     Scale: pure per-row array math (sequence -> filter -> slice); the
     explode multiplies rows by ~n_tokens/stride.  The only exchange is
-    the usual plan-hygiene repartition off a single-file scan (see
-    ``_token_sets``) — no key-based shuffle at any size.
+    the plan-hygiene spread off a narrow scan (gated on the scan's
+    partition count — see ``_spread``) — no key-based shuffle at any size.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1 (got {n})")
@@ -928,9 +956,8 @@ def chunk_docs(
         ),
         lambda s: (s == 1) | (s - stride + (n - 1) < ntok),
     )
-    nparts = documents.sparkSession.sparkContext.defaultParallelism
     return (
-        documents.repartition(nparts)
+        _spread(documents)
         .select("doc_id", tok.alias("_tk"), F.posexplode_outer(starts).alias("_i", "_s"))
         .filter(F.col("_s").isNotNull())
         .select(
@@ -985,10 +1012,6 @@ CHUNK_DOCS_SQL = chunk_docs_sql()
 MIXTURE_SALT = "mix|"
 #: Basis of the integer acceptance compare (micro-rate resolution).
 MIXTURE_BASIS = 1_000_000
-#: NULL-safe grouping sentinel for the source key (a NULL source is a real
-#: group; a bare equi-join would drop its rows while its count still
-#: dragged the global min down).
-MIXTURE_NULL_KEY = "<null-source>"
 
 
 def mixture_sample(documents: DataFrame) -> DataFrame:
@@ -1006,18 +1029,21 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
 
     Output: (doc_id, source, keep_rate) for kept rows.  NULL source is a
     real group (missing provenance is a source in its own right): the
-    join keys on a NULL-safe coalesced sentinel so NULL-source docs are
-    counted, rated, and kept like any other group instead of silently
-    vanishing through a NULL equi-join while still dragging the global
-    min down.
+    rate join uses NULL-SAFE equality (``<=>`` here, ``IS NOT DISTINCT
+    FROM`` in the oracle) so NULL-source docs are counted, rated, and
+    kept like any other group.  No sentinel string is involved — a
+    coalesced sentinel (the r6 form) would silently MERGE a corpus whose
+    source column really contains that literal with the NULL group,
+    inflating both counts and giving both groups a wrong keep_rate
+    (ADVICE r6).  Null-safe equality is a legal hash-join key, so the
+    broadcast plan is unchanged.
 
     Scale: one tiny aggregate (|sources| rows) joined back as a
     broadcast; the acceptance predicate is scan-fused per row.  The
     global min is a scalar-subquery broadcast, same pattern as the Q22
     shape.
     """
-    key = F.coalesce(F.col("source"), F.lit(MIXTURE_NULL_KEY))
-    counts = documents.groupBy(key.alias("_k")).agg(
+    counts = documents.groupBy(F.col("source").alias("_k")).agg(
         F.count("*").cast("long").alias("_c")
     )
     cmin = counts.agg(F.min("_c").alias("_cmin"))
@@ -1033,9 +1059,9 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
         % MIXTURE_BASIS
     )
     thresh = F.round(F.col("keep_rate") * MIXTURE_BASIS).cast("long")
+    docs = documents.select("doc_id", "source", u.alias("_u"))
     return (
-        documents.select("doc_id", "source", key.alias("_k"), u.alias("_u"))
-        .join(F.broadcast(rates), "_k")
+        docs.join(F.broadcast(rates), docs["source"].eqNullSafe(rates["_k"]))
         .filter(F.col("_u") < thresh)
         .select("doc_id", "source", "keep_rate")
     )
@@ -1043,8 +1069,8 @@ def mixture_sample(documents: DataFrame) -> DataFrame:
 
 MIXTURE_SAMPLE_SQL = f"""
 WITH counts AS (
-  SELECT coalesce(source, '{MIXTURE_NULL_KEY}') AS k, CAST(count(*) AS BIGINT) AS c
-  FROM documents GROUP BY k
+  SELECT source AS k, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source
 ),
 cmin AS (SELECT min(c) AS cm FROM counts),
 rates AS (
@@ -1052,7 +1078,7 @@ rates AS (
 )
 SELECT doc_id, source, keep_rate
 FROM documents
-JOIN rates ON coalesce(source, '{MIXTURE_NULL_KEY}') = k
+JOIN rates ON source IS NOT DISTINCT FROM k
 WHERE ({X.h56_sql(f"'{MIXTURE_SALT}' || CAST(doc_id AS VARCHAR)")}) % {MIXTURE_BASIS}
       < CAST(round(keep_rate * {MIXTURE_BASIS}) AS BIGINT)
 """

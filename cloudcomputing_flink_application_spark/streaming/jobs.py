@@ -28,7 +28,6 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import Window as SparkWindow
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -436,10 +435,12 @@ def run_minhash_dedup_stream(
             )
         b = band_rows(batch_df).persist()
         try:
-            w = SparkWindow.partitionBy("band", "key")
+            # bucket-min via groupBy + join back (partial agg on a possibly
+            # hot bucket; a min-over-window would concentrate it on one task)
+            mins = b.groupBy("band", "key").agg(F.min("doc_id").alias("_m"))
             within = (
-                b.withColumn("rep", F.min("doc_id").over(w))
-                .filter(F.col("rep") < F.col("doc_id"))
+                b.join(mins, ["band", "key"])
+                .filter(F.col("doc_id") > F.col("_m"))
                 .select("doc_id")
             )
             if _committed_batch_data_exists(spark, bands_dir):
@@ -533,6 +534,7 @@ def run_span_flags_stream(
         raise ValueError(f"w must be >= 1 (got {width})")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _forget_guard(spark, [store_dir])
         if batch_id == 0:
             _prune_stale_batch_partitions(spark, output_dir)
             _prune_stale_batch_partitions(spark, store_dir)
@@ -542,12 +544,17 @@ def run_span_flags_stream(
             )
         rows = _span_window_rows(batch_df, width).persist()
         try:
-            cw = SparkWindow.partitionBy("h")
-            within = (
-                rows.withColumn("_c", F.count("*").over(cw))
+            # groupBy + semi-join, not count-over-window: partial agg
+            # collapses a boilerplate hot hash map-side and AQE can split
+            # the skewed probe partition (same r6-VERDICT fix as the batch
+            # _dup_span_starts).
+            dup_h = (
+                rows.groupBy("h")
+                .agg(F.count("*").alias("_c"))
                 .filter(F.col("_c") >= 2)
-                .select("doc_id", "p")
+                .select("h")
             )
+            within = rows.join(dup_h, "h", "leftsemi").select("doc_id", "p")
             seen_h = None
             if _committed_batch_data_exists(spark, store_dir):
                 store = _horizon_probe(
@@ -580,11 +587,12 @@ def run_span_flags_stream(
             firsts = rows
             if seen_h is not None and horizon_batches is None:
                 firsts = rows.join(seen_h, "h", "left_anti")
-            ww = SparkWindow.partitionBy("h").orderBy("doc_id", "p")
+            # min-struct aggregate == row_number()==1 over (doc_id, p),
+            # with map-side partial agg on a possibly-hot hash.
             first_rows = (
-                firsts.withColumn("_r", F.row_number().over(ww))
-                .filter(F.col("_r") == 1)
-                .select("h", "doc_id", "p")
+                firsts.groupBy("h")
+                .agg(F.min(F.struct("doc_id", "p")).alias("_m"))
+                .select("h", F.col("_m.doc_id").alias("doc_id"), F.col("_m.p").alias("p"))
             )
             _write_batch_partition(first_rows, batch_id, store_dir)
         finally:
@@ -717,6 +725,7 @@ def run_purge_dedup_stream(
     stats_dir = f"{state_dir}/docstats"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _forget_guard(spark, [bands_dir, toksets_dir, edges_dir, stats_dir])
         if batch_id == 0:
             for d in (output_dir, bands_dir, toksets_dir, edges_dir, stats_dir):
                 _prune_stale_batch_partitions(spark, d)
@@ -887,6 +896,100 @@ def _recover_swap(spark, dst: str) -> None:
         fs.delete(p_tmp, True)
 
 
+def _lock_of(store_dir: str) -> str:
+    """The forget-lock marker is a SIBLING of the store dir (like
+    ``.forget_bak``/``.forget_tmp``) — it must survive the dir swap."""
+    return store_dir.rstrip("/") + ".forget_lock"
+
+
+def _acquire_forget_locks(spark, dirs) -> list[str]:
+    """Create each store's lock marker; returns the locks THIS call created
+    (an already-present lock means a prior forget crashed mid-rewrite —
+    the re-run resumes under it and must not release it on early refusal).
+    """
+    created = []
+    for d in dirs:
+        fs, p = _fs_path(spark, _lock_of(d))
+        if fs.createNewFile(p):
+            created.append(d)
+    return created
+
+
+def _release_forget_locks(spark, dirs) -> None:
+    for d in dirs:
+        fs, p = _fs_path(spark, _lock_of(d))
+        if fs.exists(p):
+            fs.delete(p, False)
+
+
+def _forget_guard(spark, dirs) -> None:
+    """Batch-start guard for streams whose state a ``forget_docs``-style
+    rewrite can touch (ADVICE r6, medium + low):
+
+    - A present lock marker means a forget is IN PROGRESS or crashed
+      mid-rewrite (the stores may be mutually inconsistent — e.g. bands
+      rewritten, token sets not).  Refuse loudly: without this, a resumed
+      stream would read a half-forgotten store — or, after a crash
+      between ``_replace_dir``'s two renames, mistake the missing dir for
+      an empty first-batch store and silently rebuild all accumulated
+      dedup state from nothing.  Re-running the same forget heals and
+      completes the rewrite, then releases the lock.
+    - Absent the lock, heal any stray half-done swap (``.forget_bak``
+      with the real dir missing) via :func:`_recover_swap`, so pre-lock
+      crash debris can never read as "no state".
+
+    The lock also closes the run-race: ``forget_docs`` creates the locks
+    BEFORE its uncommitted-batch check, and a micro-batch writes its
+    offset before ``process`` runs — so either the batch's offset lands
+    first (the forget refuses) or the batch sees the lock here (the
+    stream stops) — a mid-stream forget can never interleave with a
+    batch's store reads/writes.
+    """
+    for d in dirs:
+        fs, p = _fs_path(spark, _lock_of(d))
+        if fs.exists(p):
+            raise RuntimeError(
+                f"forget-lock present at {_lock_of(d)}: a compliance "
+                "deletion is in progress or crashed mid-rewrite.  Finish "
+                "it (re-run the same forget; it is idempotent and heals "
+                "partial state) before resuming the stream."
+            )
+    for d in dirs:
+        _recover_swap(spark, d)
+
+
+def _refuse_uncommitted(spark, checkpoint_dir: str | None) -> None:
+    """Refuse a state rewrite while the stream's checkpoint shows an
+    uncommitted micro-batch: its at-least-once replay would rewrite store
+    partitions from source data that still contains the forgotten docs."""
+    if checkpoint_dir is None:
+        return
+    latest_offset = _latest_numbered(spark, f"{checkpoint_dir}/offsets")
+    latest_commit = _latest_numbered(spark, f"{checkpoint_dir}/commits")
+    if latest_offset > latest_commit:
+        raise RuntimeError(
+            f"checkpoint {checkpoint_dir} has an uncommitted micro-batch "
+            f"(offsets at {latest_offset}, commits at {latest_commit}): "
+            "its replay would rewrite state from source data that still "
+            "contains the forgotten docs.  Resume the stream to commit "
+            "the in-flight batch, stop it, then forget."
+        )
+
+
+def _rewrite_minus(spark, path: str, ids_df) -> None:
+    """Rewrite a batch_id-partitioned store minus the given doc_ids: static
+    overwrite of a STAGING dir (never the dir being read) then swap, so
+    partitions emptied by the deletion disappear (dynamic overwrite of the
+    original would leave them)."""
+    if not _committed_batch_data_exists(spark, path):
+        return
+    df = spark.read.parquet(path)
+    kept = df.join(ids_df, "doc_id", "left_anti")
+    tmp = path.rstrip("/") + ".forget_tmp"
+    kept.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    _replace_dir(spark, tmp, path)
+
+
 def _latest_numbered(spark, path: str) -> int:
     """Highest integer-named entry under ``path`` (-1 when none) — the
     layout of a Structured Streaming checkpoint's offsets/ and commits/."""
@@ -936,6 +1039,17 @@ def forget_docs(spark, state_dir: str, doc_ids, checkpoint_dir: str | None) -> N
     edge pass is recomputed per batch anyway), which this performs
     identically; the edge re-derivation is skipped when no edge store
     exists.
+
+    Locking (ADVICE r6): each store gets a sibling ``.forget_lock``
+    marker BEFORE the checkpoint check; the stream's per-batch
+    ``_forget_guard`` refuses to run while a lock is present, so a
+    resumed stream can never read half-forgotten state, and the
+    lock-then-check ordering closes the between-batches race (either the
+    next batch's offset lands first and this refuses, or the batch sees
+    the lock and stops).  Locks release on success; a crash mid-rewrite
+    leaves them, wedging the stream LOUDLY until the same forget is
+    re-run (idempotent — the anti-join and edge re-derivation converge
+    on any partial state).
     """
     from cloudcomputing_flink_application_spark.operators.dedup import (
         jaccard_verified_edges,
@@ -945,46 +1059,33 @@ def forget_docs(spark, state_dir: str, doc_ids, checkpoint_dir: str | None) -> N
     ids = [int(i) for i in doc_ids]
     if not ids:
         return
-    if checkpoint_dir is not None:
-        latest_offset = _latest_numbered(spark, f"{checkpoint_dir}/offsets")
-        latest_commit = _latest_numbered(spark, f"{checkpoint_dir}/commits")
-        if latest_offset > latest_commit:
-            raise RuntimeError(
-                f"checkpoint {checkpoint_dir} has an uncommitted micro-batch "
-                f"(offsets at {latest_offset}, commits at {latest_commit}): "
-                "its replay would rewrite state from source data that still "
-                "contains the forgotten docs.  Resume the stream to commit "
-                "the in-flight batch, stop it, then forget."
-            )
-    ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
-
-    def rewrite_minus(path: str):
-        if not _committed_batch_data_exists(spark, path):
-            return None
-        df = spark.read.parquet(path)
-        kept = df.join(ids_df, "doc_id", "left_anti")
-        tmp = path.rstrip("/") + ".forget_tmp"
-        # Static overwrite of a STAGING dir (never the dir being read),
-        # then swap: partitions emptied by the deletion must disappear,
-        # which dynamic overwrite of the original would not do.
-        kept.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-        _replace_dir(spark, tmp, path)
-        return path
-
     bands_dir = f"{state_dir}/bands"
     toksets_dir = f"{state_dir}/toksets"
     edges_dir = f"{state_dir}/edges"
     stats_dir = f"{state_dir}/docstats"
-    for d in (bands_dir, toksets_dir, edges_dir, stats_dir):
+    stores = (bands_dir, toksets_dir, edges_dir, stats_dir)
+    created = _acquire_forget_locks(spark, stores)
+    try:
+        _refuse_uncommitted(spark, checkpoint_dir)
+    except Exception:
+        # refusal before any rewrite: release only the locks THIS call
+        # created (a crashed prior forget's locks must stay — its stores
+        # may already be half-rewritten)
+        _release_forget_locks(spark, created)
+        raise
+    ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+    for d in stores:
         _recover_swap(spark, d)  # heal any half-done swap a crash left
-    rewrite_minus(bands_dir)
-    rewrite_minus(toksets_dir)
-    rewrite_minus(stats_dir)
+    _rewrite_minus(spark, bands_dir, ids_df)
+    _rewrite_minus(spark, toksets_dir, ids_df)
+    _rewrite_minus(spark, stats_dir, ids_df)
     if not _committed_batch_data_exists(spark, edges_dir):
+        _release_forget_locks(spark, stores)
         return
     if not _committed_batch_data_exists(spark, bands_dir):
         # every doc forgotten: the edge store must empty too
         _prune_stale_batch_partitions(spark, edges_dir)
+        _release_forget_locks(spark, stores)
         return
     bands = spark.read.parquet(bands_dir).select("doc_id", "band", "key")
     toks = spark.read.parquet(toksets_dir)
@@ -999,6 +1100,47 @@ def forget_docs(spark, state_dir: str, doc_ids, checkpoint_dir: str | None) -> N
     tmp = edges_dir.rstrip("/") + ".forget_tmp"
     edges.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     _replace_dir(spark, tmp, edges_dir)
+    _release_forget_locks(spark, stores)
+
+
+def forget_docs_span(spark, state_dir: str, doc_ids, checkpoint_dir: str | None) -> None:
+    """Compliance deletion from a ``run_span_flags_stream`` state root:
+    remove every trace of the given doc_ids from the first-occurrence
+    store at ``{state_dir}/firsts`` — rows ``(h, doc_id, p)`` are
+    content-derived (md5 window hashes AND positions of the forgotten
+    document), so "remove every trace" must cover them (ADVICE r6).
+
+    Semantics after deletion (documented limitation, inherent to minimal
+    state): the store keeps only each hash's FIRST occurrence, so a
+    forgotten doc's row cannot be re-pointed to the next-smallest
+    SURVIVING occurrence — surviving occurrences of the same hash exist
+    only in already-emitted output partitions (which carry no hash
+    column).  The row is therefore DROPPED: a later twin of that hash
+    re-seeds the store as a fresh first occurrence and is not flagged
+    against pre-deletion history.  That is the conservative direction
+    for compliance (nothing derived from the forgotten doc survives);
+    callers needing exact post-deletion flags re-run the batch span pass
+    over the surviving corpus.  Emitted ``(doc_id, p)`` output
+    partitions are the caller's to redact, as with ``forget_docs``.
+
+    Same locking / uncommitted-checkpoint / crash-recovery contract as
+    :func:`forget_docs`; ``run_span_flags_stream`` refuses to start a
+    batch while the lock is present.
+    """
+    ids = [int(i) for i in doc_ids]
+    if not ids:
+        return
+    store = f"{state_dir}/firsts"
+    created = _acquire_forget_locks(spark, [store])
+    try:
+        _refuse_uncommitted(spark, checkpoint_dir)
+    except Exception:
+        _release_forget_locks(spark, created)
+        raise
+    _recover_swap(spark, store)
+    ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+    _rewrite_minus(spark, store, ids_df)
+    _release_forget_locks(spark, [store])
 
 
 def length_histogram_stream(documents: DataFrame) -> DataFrame:
@@ -1109,10 +1251,10 @@ def run_clean_corpus_stream(
             surv = flags.filter(
                 F.col("q_ok") & F.col("rep_ok") & F.col("con_ok")
             ).select("doc_id", "h")
-            w = SparkWindow.partitionBy("h")
-            local_canon = surv.select(
-                "doc_id", "h", F.min("doc_id").over(w).alias("_c")
-            ).filter(F.col("doc_id") == F.col("_c"))
+            # one row per hash = min doc_id, as a partial-agg groupBy (a
+            # min-over-window would pull a viral duplicated text's whole
+            # hash partition onto one task)
+            local_canon = surv.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
             if _committed_batch_data_exists(spark, hashes_dir):
                 seen = _horizon_probe(
                     spark.read.parquet(hashes_dir), batch_id, horizon_batches

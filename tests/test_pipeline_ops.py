@@ -293,3 +293,35 @@ def test_mixture_sample_rebalances_toward_uniform(spark):
     assert set(r.doc_id for r in out.collect()) == set(
         r.doc_id for r in mixture_sample(docs.repartition(7)).collect()
     )
+
+
+def test_mixture_sample_null_source_is_not_a_sentinel_string(spark):
+    # ADVICE r6: the NULL-source group must never merge with a source whose
+    # literal value happens to be a reserved sentinel string.  The join is
+    # null-safe equality now, so a corpus containing the old sentinel
+    # '<null-source>' as a REAL source keeps two distinct groups with two
+    # distinct counts/rates.
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        mixture_sample,
+    )
+
+    rows = [(i, f"t {i}", "en", "<null-source>", 3) for i in range(2)]
+    rows += [(100 + i, f"n {i}", "en", None, 3) for i in range(8)]
+    rows += [(200 + i, f"a {i}", "en", "a", 3) for i in range(32)]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    rates = {r["source"]: r["keep_rate"]
+             for r in mixture_sample(docs).select("source", "keep_rate")
+             .distinct().collect()}
+    # smallest group is the literal-string one (2 docs) -> rate 1.0;
+    # the NULL group (8 docs) is rated sqrt(2/8), NOT merged into it
+    assert rates["<null-source>"] == 1.0
+    assert abs(rates[None] - (2 / 8) ** 0.5) < 1e-12
+    assert abs(rates["a"] - (2 / 32) ** 0.5) < 1e-12
+    # every literal-sentinel and NULL row is preserved through the
+    # null-safe join (rate-1.0 group kept whole; NULL group rated, kept
+    # by hash)
+    out = mixture_sample(docs)
+    assert out.filter("source = '<null-source>'").count() == 2
+    assert out.filter("source IS NULL").count() > 0

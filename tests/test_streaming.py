@@ -1322,3 +1322,209 @@ def test_forget_docs_refuses_pending_replay_and_heals_crashed_swap(spark, tmp_pa
     )
     assert edges == {(3, 2)}
     _sh.rmtree(str(tmp_path / "out"), ignore_errors=True)
+
+
+def _write_doc_batch(spark, d_in, idx, rows, cols, base=1_700_000_000):
+    p = f"{d_in}/f{idx}"
+    spark.createDataFrame(rows, cols).coalesce(1).write.parquet(p)
+    for root, _, files in os.walk(p):
+        for f in files:
+            os.utime(f"{root}/{f}", (base + idx, base + idx))
+
+
+def test_stream_refuses_under_forget_lock_and_heals_crashed_swap(spark, tmp_path):
+    # ADVICE r6 (medium): a resumed store-backed stream must NEVER mistake
+    # a half-done forget swap for an empty first-batch store.  Two arms:
+    # (1) a present .forget_lock makes the next micro-batch raise instead
+    # of reading half-forgotten state; (2) absent the lock, a stray
+    # bak-with-missing-dir (pre-lock crash debris) is healed by restore at
+    # batch start, so the accumulated state survives.
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d_in = str(tmp_path / "in")
+    _write_doc_batch(spark, d_in, 0,
+                     [(1, dup_text, "en", "s0", len(dup_text))], cols)
+
+    chk = str(tmp_path / "chk")
+    state = str(tmp_path / "state")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d_in}/*")
+        )
+        return jobs.run_purge_dedup_stream(
+            spark, stream, str(tmp_path / "out"), chk, state
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # (1) lock present -> next batch refuses loudly
+    with open(f"{state}/bands.forget_lock", "w"):
+        pass
+    _write_doc_batch(spark, d_in, 1,
+                     [(2, dup_text, "en", "s0", len(dup_text))], cols)
+    q = start()
+    with pytest.raises(Exception, match="forget-lock"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    os.remove(f"{state}/bands.forget_lock")
+
+    # (2) no lock, but a crash between _replace_dir's renames left the
+    # band store as the backup: the stream must RESTORE it, then process
+    # batch 1 against the full prior state (doc 2 links to doc 1).
+    os.rename(f"{state}/bands", f"{state}/bands.forget_bak")
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert os.path.isdir(f"{state}/bands")
+    assert not os.path.exists(f"{state}/bands.forget_bak")
+    edges = rows_set(
+        spark.read.parquet(f"{state}/edges").select("doc_id", "rep")
+    )
+    assert (2, 1) in edges  # prior state was not rebuilt from empty
+
+
+def test_forget_locks_survive_refusal_only_when_preexisting(spark, tmp_path):
+    # Lock lifecycle: a refusal (uncommitted checkpoint) releases the locks
+    # THIS call created, but keeps a lock a crashed prior forget left —
+    # its stores may be half-rewritten and must stay fenced.
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d_in = str(tmp_path / "in")
+    _write_doc_batch(spark, d_in, 0,
+                     [(1, dup_text, "en", "s0", len(dup_text)),
+                      (2, dup_text, "en", "s0", len(dup_text))], cols)
+    chk = str(tmp_path / "chk")
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(schemas.DOCUMENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    q = jobs.run_purge_dedup_stream(
+        spark, stream, str(tmp_path / "out"), chk, state
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # pre-existing lock from a "crashed" forget + an uncommitted batch
+    with open(f"{state}/toksets.forget_lock", "w"):
+        pass
+    os.rename(f"{chk}/commits/0", str(tmp_path / "commit0.bak"))
+    with pytest.raises(RuntimeError, match="uncommitted micro-batch"):
+        jobs.forget_docs(spark, state, [1], chk)
+    # the pre-existing lock stays; the ones the refused call created are gone
+    assert os.path.exists(f"{state}/toksets.forget_lock")
+    for s in ("bands", "edges", "docstats"):
+        assert not os.path.exists(f"{state}/{s}.forget_lock"), s
+    os.rename(str(tmp_path / "commit0.bak"), f"{chk}/commits/0")
+
+    # re-running the forget completes and releases EVERY lock
+    jobs.forget_docs(spark, state, [1], chk)
+    for s in ("bands", "toksets", "edges", "docstats"):
+        assert not os.path.exists(f"{state}/{s}.forget_lock"), s
+    assert spark.read.parquet(f"{state}/bands").filter("doc_id = 1").count() == 0
+
+
+def test_forget_docs_span_removes_store_rows_and_reseeds(spark, tmp_path):
+    # ADVICE r6: compliance deletion must extend to the span stream's
+    # first-occurrence store — rows (h, doc_id, p) are content-derived
+    # window hashes and positions of the forgotten doc.  After the forget:
+    # no store row references the doc; a LATER twin of a dropped hash
+    # re-seeds as a fresh first occurrence (pre-deletion history is gone,
+    # the documented conservative semantics); the stream resumes cleanly
+    # on its checkpoint.
+    cols = ["doc_id", "text"]
+    d_in = str(tmp_path / "in")
+    _write_doc_batch(spark, d_in, 0, [(1, "a b c"), (2, "x y z")], cols)
+
+    chk = str(tmp_path / "chk")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d_in}/*")
+        )
+        return jobs.run_span_flags_stream(
+            spark, stream, out, chk, f"{state}/firsts", w=3
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    store = spark.read.parquet(f"{state}/firsts")
+    assert store.filter("doc_id = 1").count() == 1  # 'a b c' window stored
+
+    jobs.forget_docs_span(spark, state, [1], chk)
+    store = spark.read.parquet(f"{state}/firsts")
+    assert store.filter("doc_id = 1").count() == 0
+    assert store.filter("doc_id = 2").count() == 1  # survivor row intact
+    assert not os.path.exists(f"{state}/firsts.forget_lock")
+
+    # a later twin of the forgotten hash re-seeds (fresh first occurrence,
+    # flagged only against itself -> no flags), and a twin of the SURVIVING
+    # hash still flags both sides
+    _write_doc_batch(spark, d_in, 1, [(3, "a b c"), (4, "x y z")], cols)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flagged = rows_set(spark.read.parquet(out).select("doc_id", "p"))
+    assert (4, 1) in flagged and (2, 1) in flagged  # surviving twin pair
+    assert (3, 1) not in flagged                    # re-seeded, history gone
+    store = spark.read.parquet(f"{state}/firsts")
+    assert store.filter("doc_id = 3").count() == 1  # hash re-seeded by doc 3
+
+
+def test_span_stream_guard_refuses_under_lock(spark, tmp_path):
+    # The span stream carries the same batch-start guard as the purge
+    # stream: a forget-lock on its store makes the next batch raise.
+    cols = ["doc_id", "text"]
+    d_in = str(tmp_path / "in")
+    _write_doc_batch(spark, d_in, 0, [(1, "a b c")], cols)
+    state = str(tmp_path / "state")
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d_in}/*")
+        )
+        return jobs.run_span_flags_stream(
+            spark, stream, str(tmp_path / "out"), str(tmp_path / "chk"),
+            f"{state}/firsts", w=3,
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    os.makedirs(state, exist_ok=True)
+    with open(f"{state}/firsts.forget_lock", "w"):
+        pass
+    _write_doc_batch(spark, d_in, 1, [(2, "a b c")], cols)
+    q = start()
+    with pytest.raises(Exception, match="forget-lock"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
