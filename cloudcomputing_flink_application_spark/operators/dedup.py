@@ -1551,3 +1551,59 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) > {COSINE_DUP}
 """
+
+
+# --- r7 registry consolidation: method-keyed pair unions ---------------------
+
+
+def embedding_dedup_methods(embeddings: DataFrame) -> DataFrame:
+    """Exact-cosine and hyperplane-LSH embedding near-dup pairs as ONE
+    method-keyed union — the registry-facing composition (r7; both
+    components stay public and individually parity-gated in
+    tests/test_offregistry_parity.py).  Output: ``(method, vec_a, vec_b,
+    cos)`` with method in {'exact', 'lsh'}; the LSH branch's pairs are a
+    subset of the exact branch's (pinned in tests/test_dedup_edges.py),
+    so the union doubles exactly the recalled pairs.
+    """
+    exact = embedding_cosine_dedup(embeddings).select(
+        F.lit("exact").alias("method"), "vec_a", "vec_b", "cos"
+    )
+    lsh = embedding_lsh_dedup(embeddings).select(
+        F.lit("lsh").alias("method"), "vec_a", "vec_b", "cos"
+    )
+    return exact.unionByName(lsh)
+
+
+EMBEDDING_METHODS_SQL = f"""
+SELECT 'exact' AS method, vec_a, vec_b, cos FROM ({EMBEDDING_COSINE_SQL}) e
+UNION ALL
+SELECT 'lsh' AS method, vec_a, vec_b, cos FROM ({EMBEDDING_LSH_SQL}) l
+"""
+
+
+def text_pair_dedup_methods(documents: DataFrame) -> DataFrame:
+    """MinHash-LSH (word-level, jaccard-verified) and char-trigram
+    (source-blocked) near-dup pairs as ONE method-keyed union — the
+    registry-facing composition (r7; both components stay public and
+    individually parity-gated in tests/test_offregistry_parity.py).
+    Output: ``(method, doc_a, doc_b, jaccard)`` with method in
+    {'minhash', 'ngram'}.  The two branches share nothing but the scan
+    (different tokenizations by design — word sets vs char trigrams), so
+    the union is two independent pipelines; each keeps its own scale
+    shape (unique-text banding / source blocking with the broadcast row
+    gate).
+    """
+    mh = minhash_lsh_dedup(documents).select(
+        F.lit("minhash").alias("method"), "doc_a", "doc_b", "jaccard"
+    )
+    ng = ngram_jaccard_dedup(documents).select(
+        F.lit("ngram").alias("method"), "doc_a", "doc_b", "jaccard"
+    )
+    return mh.unionByName(ng)
+
+
+TEXT_PAIR_METHODS_SQL = f"""
+SELECT 'minhash' AS method, doc_a, doc_b, jaccard FROM ({MINHASH_LSH_SQL}) m
+UNION ALL
+SELECT 'ngram' AS method, doc_a, doc_b, jaccard FROM ({NGRAM_JACCARD_SQL}) n
+"""

@@ -646,7 +646,9 @@ DISJ_ARMS = [
 ]
 
 
-def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def disjunctive_revenue(
+    spark: SparkSession, sf_dir: str, empty_as_zero: bool = True
+) -> DataFrame:
     """Single-row revenue under a disjunction of brand/size/quantity
     conjunctions (TPC-H Q19 shape).
 
@@ -655,6 +657,11 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     is single-pass with the quantity bounds pushed down as the arms'
     envelope.  Output is one exact-cents row — the canonical "does the
     optimizer decompose OR-of-ANDs" probe.
+
+    ``empty_as_zero=False`` drops the scalar row when NO lineitem matched
+    (sum is NULL) instead of coalescing to 0.0 — the form the
+    ``suite_extra`` union uses so an empty input yields an empty union
+    (the registry-wide empty-input invariant).
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
@@ -668,11 +675,17 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_quantity").between(q_lo, q_hi)
         )
         arm = c if arm is None else (arm | c)
-    return (
+    agg = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(arm)
         .agg(F.sum(_revenue_cents()).alias("_rev"))
-        .select((F.coalesce(F.col("_rev"), F.lit(0)).cast("double") / 10000.0).alias("revenue"))
+    )
+    if not empty_as_zero:
+        return agg.filter(F.col("_rev").isNotNull()).select(
+            (F.col("_rev").cast("double") / 10000.0).alias("revenue")
+        )
+    return agg.select(
+        (F.coalesce(F.col("_rev"), F.lit(0)).cast("double") / 10000.0).alias("revenue")
     )
 
 
@@ -773,4 +786,93 @@ WHERE bal_cents > avg_cents
       AND o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}'
   )
 GROUP BY c_nationkey
+"""
+
+
+# --- r7 registry consolidation: the four r6 OLAP shapes as one keyed union ---
+
+
+def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four r6 OLAP shapes (Q5 local supplier volume, Q7 nation trade
+    volume, Q19 disjunctive revenue, Q22 idle customers) as ONE keyed
+    union — the registry-facing composition that earns all four a driver
+    CORRECTNESS row inside the 50-query window (each component stays
+    public and individually parity-gated in
+    tests/test_offregistry_parity.py).
+
+    Normalized schema ``(shape, k, v)``: shape names the component, ``k``
+    is its grouping key flattened to one string (pipe-joined for Q7;
+    Q22 emits one row per metric so both ``numcust`` and ``totacctbal``
+    are value-hashed), ``v`` the metric as double.
+
+    Scale: a UNION of independent plans — each keeps its own shape's
+    plan guarantees (single fact shuffle, pruned broadcasts, pushed
+    disjunction, scalar-subquery anti-join); the union itself adds no
+    exchange.
+    """
+    q5 = local_supplier_volume(spark, sf_dir).select(
+        F.lit("q5_local_volume").alias("shape"),
+        F.col("n_name").alias("k"),
+        F.col("revenue").alias("v"),
+    )
+    q7 = nation_trade_volume(spark, sf_dir).select(
+        F.lit("q7_trade_volume").alias("shape"),
+        F.concat_ws(
+            "|", "supp_nation", "cust_nation", F.col("l_year").cast("string")
+        ).alias("k"),
+        F.col("revenue").alias("v"),
+    )
+    q19 = disjunctive_revenue(spark, sf_dir, empty_as_zero=False).select(
+        F.lit("q19_disjunctive").alias("shape"),
+        F.lit("*").alias("k"),
+        F.col("revenue").alias("v"),
+    )
+    q22 = idle_customers(spark, sf_dir)
+    q22n = q22.select(
+        F.lit("q22_idle").alias("shape"),
+        F.concat_ws("|", F.col("c_nationkey").cast("string"), F.lit("numcust")).alias("k"),
+        F.col("numcust").cast("double").alias("v"),
+    )
+    q22b = q22.select(
+        F.lit("q22_idle").alias("shape"),
+        F.concat_ws("|", F.col("c_nationkey").cast("string"), F.lit("totacctbal")).alias("k"),
+        F.col("totacctbal").alias("v"),
+    )
+    return q5.unionByName(q7).unionByName(q19).unionByName(q22n).unionByName(q22b)
+
+
+# Q19 arm without the empty-input scalar row (HAVING count(*) > 0 drops the
+# NULL-sum row exactly when no lineitem matched) — keeps the union's
+# registry-wide "empty input -> empty output" invariant.
+_DISJ_NONEMPTY_SQL = f"""
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE {_disj_arm_sql()}
+HAVING count(*) > 0
+"""
+
+
+SUITE_EXTRA_SQL = f"""
+SELECT 'q5_local_volume' AS shape, n_name AS k, revenue AS v
+FROM ({LOCAL_SUPPLIER_VOLUME_SQL}) q5
+UNION ALL
+SELECT 'q7_trade_volume' AS shape,
+       supp_nation || '|' || cust_nation || '|' || CAST(l_year AS VARCHAR) AS k,
+       revenue AS v
+FROM ({NATION_TRADE_VOLUME_SQL}) q7
+UNION ALL
+SELECT 'q19_disjunctive' AS shape, '*' AS k, revenue AS v
+FROM ({_DISJ_NONEMPTY_SQL}) q19
+UNION ALL
+SELECT 'q22_idle' AS shape,
+       CAST(c_nationkey AS VARCHAR) || '|numcust' AS k,
+       CAST(numcust AS DOUBLE) AS v
+FROM ({IDLE_CUSTOMERS_SQL}) q22a
+UNION ALL
+SELECT 'q22_idle' AS shape,
+       CAST(c_nationkey AS VARCHAR) || '|totacctbal' AS k,
+       totacctbal AS v
+FROM ({IDLE_CUSTOMERS_SQL}) q22b
 """

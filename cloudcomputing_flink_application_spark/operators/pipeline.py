@@ -911,6 +911,76 @@ FROM base b LEFT JOIN agg a USING (doc_id)
 SCRUB_DUP_SPANS_SQL = scrub_dup_spans_sql()
 
 
+def span_pass(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+    """The COMPOSED exact-substring span pass: per-document duplication
+    stats AND the scrubbed text in one result — the registry-facing form
+    of ``dup_span_stats`` + ``scrub_dup_spans`` (r7 consolidation; both
+    components stay public and individually parity-gated in
+    tests/test_offregistry_parity.py / tests/test_dup_spans.py).
+
+    Output, one row per document: ``(doc_id, n_tokens, n_windows,
+    dup_windows, dup_tokens, clean_text, kept_tokens, removed_tokens)``.
+    Invariants pinned by the component tests carry over: ``kept_tokens +
+    removed_tokens == n_tokens`` and ``removed_tokens == dup_tokens``
+    (the coverage union IS the removed set).
+
+    Scale: the duplicated-start set (the persisted
+    ``_dup_span_starts`` window rows) is computed ONCE — the
+    CacheManager shares the canonical plan between the two component
+    pipelines — then one doc_id-keyed join stitches stats and scrub;
+    every per-key exchange is doc_id (high-cardinality, uniform).
+    """
+    return dup_span_stats(documents, w).join(
+        scrub_dup_spans(documents, w), "doc_id"
+    ).select(
+        "doc_id", "n_tokens", "n_windows", "dup_windows", "dup_tokens",
+        "clean_text", "kept_tokens", "removed_tokens",
+    )
+
+
+def span_pass_sql(w: int = DUP_SPAN_W) -> str:
+    return f"""
+{_span_sql_prefix(w)},
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows FROM dup GROUP BY doc_id
+),
+covn AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens FROM cov GROUP BY doc_id
+),
+tokpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(tok))) AS t, unnest(tok) AS tk
+  FROM toks WHERE len(tok) >= 1
+),
+kept AS (
+  SELECT tp.doc_id, tp.t, tp.tk
+  FROM tokpos tp ANTI JOIN cov ON tp.doc_id = cov.doc_id AND tp.t = cov.t
+),
+agg AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY t) AS clean_text,
+         CAST(count(*) AS BIGINT) AS kept_tokens
+  FROM kept GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens,
+         CAST(greatest(0, len(tok) - {w - 1}) AS BIGINT) AS n_windows
+  FROM toks
+)
+SELECT b.doc_id, b.n_tokens, b.n_windows,
+       coalesce(p.dup_windows, 0) AS dup_windows,
+       coalesce(c.dup_tokens, 0) AS dup_tokens,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.kept_tokens, 0) AS kept_tokens,
+       b.n_tokens - coalesce(a.kept_tokens, 0) AS removed_tokens
+FROM base b
+LEFT JOIN perdoc p USING (doc_id)
+LEFT JOIN covn c USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SPAN_PASS_SQL = span_pass_sql()
+
+
 # --- sliding-window document chunking ---------------------------------------
 
 #: Max tokens per chunk and overlap between consecutive chunks.  The
@@ -1082,3 +1152,99 @@ JOIN rates ON source IS NOT DISTINCT FROM k
 WHERE ({X.h56_sql(f"'{MIXTURE_SALT}' || CAST(doc_id AS VARCHAR)")}) % {MIXTURE_BASIS}
       < CAST(round(keep_rate * {MIXTURE_BASIS}) AS BIGINT)
 """
+
+
+# --- composed training-prep pipeline -----------------------------------------
+
+
+def prep_corpus(documents: DataFrame) -> DataFrame:
+    """Composed training-prep pipeline: temperature-balanced source mixing
+    -> sliding-window chunking of the kept docs -> per-doc OOV quality
+    columns — the registry-facing composition of ``mixture_sample``,
+    ``chunk_docs``, and ``textstats.oov_stats`` (r7 consolidation; each
+    component stays public and individually parity-gated in
+    tests/test_offregistry_parity.py).
+
+    Output, one row per CHUNK of every mixture-kept document:
+    ``(doc_id, chunk_id, chunk_text, n_chunk_tokens, keep_rate, n_oov,
+    oov_ratio)`` — the rows a context-limited trainer would actually
+    consume, each carrying its provenance (the source's mixture rate) and
+    its parent doc's rare-token quality signal.
+
+    Scale: the mixture rates and the OOV vocabulary are both tiny
+    broadcast frames (|sources| rows / one vocab-array row); chunking is
+    per-row array math; the only row-sized exchanges are the
+    doc_id-keyed joins stitching chunk rows to the per-doc columns
+    (high-cardinality, uniform key).
+    """
+    from cloudcomputing_flink_application_spark.operators.textstats import oov_stats
+
+    kept = mixture_sample(documents).select("doc_id", "keep_rate")
+    oov = oov_stats(documents).select("doc_id", "n_oov", "oov_ratio")
+    chunks = chunk_docs(documents.join(kept, "doc_id"))
+    return chunks.join(kept, "doc_id").join(oov, "doc_id").select(
+        "doc_id", "chunk_id", "chunk_text", "n_chunk_tokens",
+        "keep_rate", "n_oov", "oov_ratio",
+    )
+
+
+def _prep_corpus_sql() -> str:
+    from cloudcomputing_flink_application_spark.operators.textstats import OOV_VOCAB_K
+
+    stride = CHUNK_N - CHUNK_OVERLAP
+    n = CHUNK_N
+    return f"""
+WITH counts AS (
+  SELECT source AS k, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source
+),
+cmin AS (SELECT min(c) AS cm FROM counts),
+rates AS (SELECT k, sqrt(cm / c) AS keep_rate FROM counts, cmin),
+kept AS (
+  SELECT doc_id, keep_rate
+  FROM documents JOIN rates ON source IS NOT DISTINCT FROM k
+  WHERE ({X.h56_sql(f"'{MIXTURE_SALT}' || CAST(doc_id AS VARCHAR)")}) % {MIXTURE_BASIS}
+        < CAST(round(keep_rate * {MIXTURE_BASIS}) AS BIGINT)
+),
+tokx AS (SELECT unnest({X.tokens_sql('text')}) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS n FROM tokx GROUP BY token),
+top AS (SELECT token FROM cnt ORDER BY n DESC, token ASC LIMIT {OOV_VOCAB_K}),
+varr AS (SELECT coalesce(list(token ORDER BY token), []::VARCHAR[]) AS v FROM top),
+dtoks AS (SELECT doc_id, {X.tokens_sql("coalesce(text, '')")} AS tk FROM documents),
+oov AS (
+  SELECT doc_id,
+         CAST(len(list_filter(tk, x -> NOT list_contains(v, x))) AS BIGINT) AS n_oov,
+         CASE WHEN len(tk) > 0
+              THEN CAST(len(list_filter(tk, x -> NOT list_contains(v, x))) AS DOUBLE)
+                   / len(tk)
+              ELSE 0.0 END AS oov_ratio
+  FROM dtoks, varr
+),
+ktoks AS (SELECT d.doc_id, tk, keep_rate FROM dtoks d JOIN kept USING (doc_id)),
+starts AS (
+  SELECT doc_id, tk, keep_rate,
+         list_filter(
+           CASE WHEN len(tk) > 0
+                THEN generate_series(1, len(tk), {stride})
+                ELSE []::BIGINT[] END,
+           s -> s = 1 OR s - {stride} + {n - 1} < len(tk)
+         ) AS ss
+  FROM ktoks
+),
+ex AS (
+  SELECT doc_id, tk, keep_rate,
+         unnest(ss) AS s,
+         unnest(generate_series(0, len(ss) - 1)) AS chunk_id
+  FROM starts WHERE len(ss) > 0
+)
+SELECT e.doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(tk[s:s + {n - 1}], ' ') AS chunk_text,
+       CAST(least({n}, len(tk) - s + 1) AS BIGINT) AS n_chunk_tokens,
+       keep_rate,
+       o.n_oov,
+       o.oov_ratio
+FROM ex e JOIN oov o ON e.doc_id = o.doc_id
+"""
+
+
+PREP_CORPUS_SQL = _prep_corpus_sql()

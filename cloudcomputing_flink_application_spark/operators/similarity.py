@@ -678,3 +678,35 @@ SELECT query_id, n_exact,
        CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact AS recall
 FROM totals LEFT JOIN hits USING (query_id)
 """
+
+
+# --- r7 registry consolidation: brute + IVF top-k as one keyed union ---------
+
+
+def topk_methods(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
+    """Brute-force and IVF cosine top-k as ONE method-keyed union — the
+    registry-facing composition (r7 consolidation; both components stay
+    public and individually parity-gated in
+    tests/test_offregistry_parity.py).
+
+    Output: ``(method, query_id, neighbor_id, rank, cos)`` with method in
+    {'brute', 'ivf'}.  The union adds no exchange; each branch keeps its
+    own plan (broadcast query set + map-side WindowGroupLimit for brute,
+    codebook-pruned candidate scan for IVF).
+    """
+    brute = cosine_topk(embeddings, k).select(
+        F.lit("brute").alias("method"), "query_id", "neighbor_id", "rank", "cos"
+    )
+    ivf = cosine_topk_ivf(embeddings, k=k).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank", "cos"
+    )
+    return brute.unionByName(ivf)
+
+
+TOPK_METHODS_SQL = f"""
+SELECT 'brute' AS method, query_id, neighbor_id, rank, cos
+FROM ({COSINE_TOPK_SQL}) b
+UNION ALL
+SELECT 'ivf' AS method, query_id, neighbor_id, rank, cos
+FROM ({COSINE_TOPK_IVF_SQL}) i
+"""

@@ -225,9 +225,15 @@ REGISTRY: dict[str, Query] = {
         _on_docs(dedup.exact_dedup), dedup.EXACT_DEDUP_SQL,
         "exact dedup: canonical id per text-hash group",
     ),
-    "dedup_minhash_lsh": Query(
-        _on_docs(dedup.minhash_lsh_dedup), dedup.MINHASH_LSH_SQL,
-        "MinHash 16-perm 4x4-band LSH candidates, jaccard-verified",
+    # (r7 consolidation: minhash_lsh_dedup + ngram_jaccard_dedup are
+    # registered as the method-keyed union dedup_text_pairs; the embedding
+    # pair in dedup_embedding; brute+IVF top-k in ann_topk.  Every
+    # component stays public with its own oracle in
+    # tests/test_offregistry_parity.py.)
+    "dedup_text_pairs": Query(
+        _on_docs(dedup.text_pair_dedup_methods), dedup.TEXT_PAIR_METHODS_SQL,
+        "near-dup pairs, method-keyed union: MinHash 16-perm 4x4-band LSH "
+        "(jaccard-verified) + char-trigram jaccard within source blocks",
     ),
     "dedup_minhash_clusters": Query(
         _on_docs(dedup.minhash_cluster_dedup), dedup.MINHASH_CLUSTER_SQL,
@@ -250,27 +256,16 @@ REGISTRY: dict[str, Query] = {
         _on_docs(dedup.simhash_dedup), dedup.SIMHASH_SQL,
         "SimHash 32-bit, 8-bit-band blocking, hamming-verified",
     ),
-    "dedup_ngram_jaccard": Query(
-        _on_docs(dedup.ngram_jaccard_dedup), dedup.NGRAM_JACCARD_SQL,
-        "char-trigram jaccard within source blocks",
-    ),
-    "dedup_embedding_cosine": Query(
-        _on_embs(dedup.embedding_cosine_dedup), dedup.EMBEDDING_COSINE_SQL,
-        "exact cosine near-dup pairs (baseline for ANN variants)",
-    ),
-    "dedup_embedding_lsh": Query(
-        _on_embs(dedup.embedding_lsh_dedup), dedup.EMBEDDING_LSH_SQL,
-        "hyperplane-LSH cosine near-dup pairs (sub-quadratic scale path)",
+    "dedup_embedding": Query(
+        _on_embs(dedup.embedding_dedup_methods), dedup.EMBEDDING_METHODS_SQL,
+        "embedding near-dup pairs, method-keyed union: exact cosine "
+        "baseline + hyperplane-LSH sub-quadratic scale path",
     ),
     # --- similarity search ---
-    "ann_cosine_topk": Query(
-        _on_embs(similarity.cosine_topk), similarity.COSINE_TOPK_SQL,
-        "brute-force cosine top-k per query vector",
-    ),
-    "ann_cosine_topk_ivf": Query(
-        _on_embs(similarity.cosine_topk_ivf), similarity.COSINE_TOPK_IVF_SQL,
-        "IVF-pruned cosine top-k (two-level label x hash-sampled codebook, "
-        "nprobe nearest clusters; measured recall@5 0.94 at sf0.1)",
+    "ann_topk": Query(
+        _on_embs(similarity.topk_methods), similarity.TOPK_METHODS_SQL,
+        "cosine top-k per query vector, method-keyed union: brute-force "
+        "baseline + IVF-pruned (two-level codebook, recall@5 0.94 at sf0.1)",
     ),
     "ann_ivf_recall": Query(
         _on_embs(similarity.ivf_recall_report), similarity.IVF_RECALL_SQL,
@@ -346,6 +341,17 @@ REGISTRY: dict[str, Query] = {
         _on_docs(pipeline.clean_corpus), pipeline.CLEAN_CORPUS_SQL,
         "composed cleaning pipeline: quality -> repetition -> decontam -> dedup -> split",
     ),
+    # --- r7 compositions (the r6 off-registry operators earn driver rows) ---
+    "text_span_scrub": Query(
+        _on_docs(pipeline.span_pass), pipeline.SPAN_PASS_SQL,
+        "exact-substring span pass: per-doc duplication stats + scrubbed "
+        "text (Lee-et-al-style corpus-duplicated window removal)",
+    ),
+    "pipe_prep": Query(
+        _on_docs(pipeline.prep_corpus), pipeline.PREP_CORPUS_SQL,
+        "composed training prep: sqrt-temperature source mixing -> "
+        "sliding-window chunking -> per-doc OOV quality columns",
+    ),
     # --- analytical joins over the star schema (beyond the join-free reference) ---
     "olap_revenue_by_nation": Query(
         lambda s, d: olap.revenue_by_nation(olap_confs(s), d), olap.REVENUE_BY_NATION_SQL,
@@ -376,6 +382,11 @@ REGISTRY: dict[str, Query] = {
         lambda s, d: olap.large_orders(olap_confs(s), d), olap.LARGE_ORDERS_SQL,
         "large-volume-customer orders: HAVING-filtered aggregate joined back "
         "to orders (TPC-H Q18 shape, AQE runtime broadcast)",
+    ),
+    "olap_suite_extra": Query(
+        lambda s, d: olap.suite_extra(olap_confs(s), d), olap.SUITE_EXTRA_SQL,
+        "keyed union of the four r6 OLAP shapes: Q5 local supplier volume, "
+        "Q7 nation trade volume, Q19 disjunctive revenue, Q22 idle customers",
     ),
     # --- time-series compositions over events ---
     "ts_asof_join": Query(

@@ -19,7 +19,7 @@ assert e.entry(spark).count() > 0
 qs, oq = e.queries(), e.oracle_sql()
 assert set(oq) <= set(qs), "oracle keys must be a subset of query keys"
 # touch a representative query per input table family
-for name in ("q_cong", "dedup_exact", "ann_cosine_topk", "ts_rollup"):
+for name in ("q_cong", "dedup_exact", "ann_topk", "ts_rollup"):
     assert qs[name](spark, "/root/testdata/sf0.001").count() >= 0, name
 print("CONTRACT_OK", len(qs), len(oq))
 """

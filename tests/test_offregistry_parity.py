@@ -18,9 +18,11 @@ from __future__ import annotations
 import pytest
 
 from cloudcomputing_flink_application_spark.operators import (
+    dedup,
     multimodal,
     olap,
     pipeline,
+    similarity,
     textstats,
 )
 from tests.conftest import TESTDATA
@@ -36,14 +38,33 @@ OFF_REGISTRY = {
     "off_split_assign": (textstats.split_assign, textstats.SPLIT_ASSIGN_SQL),
     "off_image_meta": (multimodal.image_meta, multimodal.IMAGE_META_SQL),
     "off_audio_frames": (multimodal.audio_frames, multimodal.AUDIO_FRAMES_SQL),
-    # r6 additions (new capability, not consolidation orphans): the
-    # exact-substring span family — off-registry because the driver's
-    # correctness window is exactly the 50 registered queries.
+    # r6 span/prep family — now driver-covered through the r7 composed
+    # registry entries (text_span_scrub / pipe_prep), kept here so each
+    # COMPONENT also stays individually parity-gated.
     "off_dup_span_stats": (pipeline.dup_span_stats, pipeline.DUP_SPAN_STATS_SQL),
     "off_scrub_dup_spans": (pipeline.scrub_dup_spans, pipeline.SCRUB_DUP_SPANS_SQL),
     "off_oov_stats": (textstats.oov_stats, textstats.OOV_STATS_SQL),
     "off_chunk_docs": (pipeline.chunk_docs, pipeline.CHUNK_DOCS_SQL),
     "off_mixture_sample": (pipeline.mixture_sample, pipeline.MIXTURE_SAMPLE_SQL),
+    # r7 consolidation orphans: the components of the method-keyed union
+    # registry entries (dedup_text_pairs) stay individually gated.
+    "off_minhash_lsh": (dedup.minhash_lsh_dedup, dedup.MINHASH_LSH_SQL),
+    "off_ngram_jaccard": (dedup.ngram_jaccard_dedup, dedup.NGRAM_JACCARD_SQL),
+}
+
+# same gate over the embeddings table (components of dedup_embedding and
+# ann_topk)
+OFF_REGISTRY_EMB = {
+    "off_embedding_cosine": (
+        dedup.embedding_cosine_dedup,
+        dedup.EMBEDDING_COSINE_SQL,
+    ),
+    "off_embedding_lsh": (dedup.embedding_lsh_dedup, dedup.EMBEDDING_LSH_SQL),
+    "off_ann_cosine_topk": (similarity.cosine_topk, similarity.COSINE_TOPK_SQL),
+    "off_ann_cosine_topk_ivf": (
+        similarity.cosine_topk_ivf,
+        similarity.COSINE_TOPK_IVF_SQL,
+    ),
 }
 
 
@@ -60,10 +81,24 @@ def _on_docs(op):
     )
 
 
+def _on_embs(op):
+    return lambda spark, sf_dir: op(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
 @pytest.mark.parametrize("name", sorted(OFF_REGISTRY))
 def test_offregistry_oracle_parity(spark, con, name):
     op, sql = OFF_REGISTRY[name]
     res = compare_query(spark, con, name, _on_docs(op), sql, SF_DIR)
+    assert res.ok, f"{name}: {res.spark_rows} vs {res.oracle_rows} | {res.detail}"
+    assert res.spark_rows > 0, f"{name}: degenerate (empty) result proves nothing"
+
+
+@pytest.mark.parametrize("name", sorted(OFF_REGISTRY_EMB))
+def test_offregistry_emb_oracle_parity(spark, con, name):
+    op, sql = OFF_REGISTRY_EMB[name]
+    res = compare_query(spark, con, name, _on_embs(op), sql, SF_DIR)
     assert res.ok, f"{name}: {res.spark_rows} vs {res.oracle_rows} | {res.detail}"
     assert res.spark_rows > 0, f"{name}: degenerate (empty) result proves nothing"
 
@@ -109,7 +144,8 @@ def test_offregistry_sf_oracle_parity(spark, con, name):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "name", sorted(OFF_REGISTRY) + sorted(OFF_REGISTRY_SF)
+    "name",
+    sorted(OFF_REGISTRY) + sorted(OFF_REGISTRY_EMB) + sorted(OFF_REGISTRY_SF),
 )
 def test_offregistry_parity_sf001(spark, name):
     # Same gate at the driver's t2 scale (sf0.01), slow-marked like the
@@ -118,6 +154,9 @@ def test_offregistry_parity_sf001(spark, name):
     if name in OFF_REGISTRY:
         op, sql = OFF_REGISTRY[name]
         fn = _on_docs(op)
+    elif name in OFF_REGISTRY_EMB:
+        op, sql = OFF_REGISTRY_EMB[name]
+        fn = _on_embs(op)
     else:
         fn, sql = OFF_REGISTRY_SF[name]
     c = duck_connection(sf_mid)
