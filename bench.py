@@ -20,6 +20,14 @@ machine holds the ratio near 1.0 and the absolute times near the
 BASELINE.md reference value; a contended session (the r4->r5 uniform
 +13% drift signature) shows up directly as an inflated sentinel instead
 of needing a by-hand diff against clean runs.
+
+Per-query outlier flag (r7): each median-of-3 query also records its
+run-to-run spread (max/min); spreads > 2x land in the JSON ``outliers``
+key.  This closes the one contention mode the two-point sentinel cannot
+see — a mid-run burst between the probes (the r6 signature: three
+unchanged operators breached their bars while the sentinel read clean).
+An entry in ``outliers`` means that query's record absorbed a burst and
+should be re-measured before being treated as a regression.
 """
 
 from __future__ import annotations
@@ -65,6 +73,7 @@ def main() -> None:
     sentinel_first = sentinel_sec()
 
     per_query: dict[str, float] = {}
+    outliers: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
         materialize(q.fn(spark, sf_dir))  # warm-up (JIT, code cache, FS cache)
@@ -92,6 +101,16 @@ def main() -> None:
         if min(warm, samples[0]) <= HEAVY_SEC:
             samples += [timed_run() for _ in range(RUNS - 1)]
         per_query[name] = round(statistics.median(samples), 3)
+        # Run-to-run spread (max/min): the per-query contention flag the
+        # two-point sentinel cannot provide (r6 VERDICT — a mid-run burst
+        # between the sentinel probes inflated three queries' records
+        # invisibly).  > 2x spread on a median-of-3 means one run was
+        # burst-inflated; the median absorbs ONE outlier, and the JSON now
+        # carries the evidence instead of burying it in stderr.
+        if len(samples) > 1 and min(samples) > 0:
+            spread = max(samples) / min(samples)
+            if spread > 2.0:
+                outliers[name] = round(spread, 2)
         print(
             f"# {name}: {per_query[name]}s (warm: {round(warm, 3)}, "
             f"runs: {[round(s, 3) for s in samples]})",
@@ -113,6 +132,7 @@ def main() -> None:
             if sentinel_first > 0
             else None,
         },
+        "outliers": outliers,
     }))
     spark.stop()
 
