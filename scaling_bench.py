@@ -258,16 +258,55 @@ def bench_extra(spark) -> dict:
     }
 
 
+#: Exactly DUP_SPAN_W (8) tokens, identical across replicas: every headered
+#: doc contributes the SAME window hash, the license-header hot key.
+BOILERPLATE_HEADER = "lic0 lic1 lic2 lic3 lic4 lic5 lic6 lic7"
+
+
+def build_docs_boilerplate(spark) -> None:
+    """The BOILERPLATE regime (r7, the r6-VERDICT skew probe): token-
+    bijective replicas with an identical 8-token license header prepended
+    to every 10th doc ACROSS replicas, so ONE window hash carries ~10% of
+    all headered-doc window rows at every scale — growing s-fold with the
+    corpus.  Under the old ``count(*) OVER (PARTITION BY h)`` plan that
+    hash was a single window partition (no partial agg, no AQE split):
+    the straggler regime.  Under the groupBy+semi-join plan the hot key
+    collapses map-side and the pass should stay ~linear."""
+    build_docs_tokenwise(spark)
+    for s in SCALES:
+        dst = WORK / f"docs_bp_x{s}"
+        if dst.exists():
+            continue
+        d = spark.read.parquet(str(WORK / f"docs_tw_x{s}"))
+        txt = F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit(BOILERPLATE_HEADER + " "),
+                F.coalesce(F.col("text"), F.lit("")),
+            ),
+        ).otherwise(F.col("text"))
+        d.select(
+            "doc_id",
+            txt.alias("text"),
+            "lang",
+            "source",
+            F.length(txt).cast("long").alias("n_chars"),
+        ).write.mode("overwrite").parquet(str(dst))
+
+
 def bench_spans(spark) -> dict:
-    """r6 span-family rows: exact-substring stats + scrub on BOTH corpus
+    """r6 span-family rows: exact-substring stats + scrub on THREE corpus
     regimes.  Token-bijective replicas keep duplicated-window mass exactly
     linear (the operator-regression probe); the suffix replicas make every
     window hash bucket ~s rows wide (near-identical docs across replicas)
     — the regime where pair-emitting operators go quadratic, but the span
     family's per-doc output and ordered-union coverage keep it ~linear,
-    which is the design claim under test."""
+    which is the design claim under test.  The boilerplate regime (r7)
+    concentrates ~10% of headered-doc windows on ONE hash — the
+    license-header hot key that was the old h-window plan's straggler."""
     build_docs_tokenwise(spark)
     build_corpora(spark)
+    build_docs_boilerplate(spark)
     ops = {
         "dup_span_stats": lambda d: pipeline.dup_span_stats(d).count(),
         "scrub_dup_spans": lambda d: pipeline.scrub_dup_spans(d).count(),
@@ -278,6 +317,9 @@ def bench_spans(spark) -> dict:
         ),
         "suffix": _bench_op_table(
             spark, ops, lambda s: (spark.read.parquet(str(WORK / f"docs_x{s}")),)
+        ),
+        "boilerplate": _bench_op_table(
+            spark, ops, lambda s: (spark.read.parquet(str(WORK / f"docs_bp_x{s}")),)
         ),
     }
 
