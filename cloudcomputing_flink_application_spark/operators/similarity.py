@@ -259,9 +259,13 @@ def ivf_codebook(embeddings: DataFrame, subk: int = SUBK) -> DataFrame:
     return _twolevel_seeds(_normed(embeddings), subk)
 
 
-def _assign_to_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
+def _assign_to_centroids(
+    base: DataFrame, centroids: DataFrame, keep_score: bool = False
+) -> DataFrame:
     """Assign every vector to its nearest centroid (cos desc, cluster asc
-    tiebreak).  Output: (vec_id, emb, nrm, cluster).
+    tiebreak).  Output: (vec_id, emb, nrm, cluster) — plus the winning
+    assignment cosine as ``ccos`` when ``keep_score`` (the index-lifecycle
+    consumers feed it to the drift metric).
 
     When the codebook carries the coarse ``label`` level the join is an
     EQUI-join on label — each vector compares against its own label's SUBK
@@ -298,10 +302,11 @@ def _assign_to_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
         (_dot(F.col("cemb"), F.col("emb")) / (F.col("cnrm") * F.col("nrm"))).alias("ccos"),
     )
     wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cluster"))
+    cols = ["vec_id", "emb", "nrm", "cluster"] + (["ccos"] if keep_score else [])
     return (
         asg_scored.withColumn("arank", F.row_number().over(wa))
         .filter(F.col("arank") == 1)
-        .select("vec_id", "emb", "nrm", "cluster")
+        .select(*cols)
     )
 
 
@@ -710,3 +715,115 @@ UNION ALL
 SELECT 'ivf' AS method, query_id, neighbor_id, rank, cos
 FROM ({COSINE_TOPK_IVF_SQL}) i
 """
+
+
+# --- IVF index lifecycle (r7) ------------------------------------------------
+
+#: Fixed-point scale for assignment-cosine statistics: ccos quantizes to
+#: floor(ccos * 2^20) longs before summing, so per-batch and reference
+#: means are exact-integer-derived — order-independent across partitions
+#: and bit-stable between the build pass and every later drift reading.
+DRIFT_SCALE = 1 << 20
+
+
+def _ccos_q() -> F.Column:
+    return F.floor(F.col("ccos") * DRIFT_SCALE).cast("long")
+
+
+def assignment_rows(embeddings: DataFrame, codebook: DataFrame) -> DataFrame:
+    """The IVF index rows for a corpus under a given codebook: one row per
+    vector, ``(vec_id, cluster, ccos_q)`` — the inverted-list membership
+    plus the quantized assignment cosine the drift metric aggregates.
+    Pure narrow output (no embedding copies): the index references
+    vectors, the vector store stays the parquet corpus itself."""
+    return _assign_to_centroids(_normed(embeddings), codebook, keep_score=True).select(
+        "vec_id", "cluster", _ccos_q().alias("ccos_q")
+    )
+
+
+def assignment_stats(rows: DataFrame) -> DataFrame:
+    """Exact-integer assignment-quality aggregate of index rows:
+    one row ``(n_vecs, sum_ccos_q)``.  ``sum/n/DRIFT_SCALE`` is the mean
+    assignment cosine — how tightly the codebook fits the vectors it
+    indexes.  Stored at build time as the drift reference."""
+    return rows.agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("ccos_q").cast("long").alias("sum_ccos_q"),
+    )
+
+
+def build_ivf_index(embeddings: DataFrame, index_root: str, iters: int = 0) -> None:
+    """Persist the versioned IVF index artifact a 100 TB similarity
+    deployment maintains alongside its data:
+
+    - ``{index_root}/codebook`` — (cluster, label, cemb, cnrm), the
+      two-level seed codebook (``iters=0``) or its k-means refinement;
+    - ``{index_root}/ref_stats`` — the build corpus's exact-integer
+      assignment statistics, the drift reference;
+    - ``{index_root}/assignments/batch_id=0`` — the build corpus's index
+      rows, in the SAME batch_id-partitioned layout the streaming
+      assigner appends to (so batch and stream rows form one store).
+
+    ``run_ivf_assign_stream`` (streaming/jobs.py) appends arriving
+    vectors' rows and per-batch drift readings; ``forget_vecs`` deletes
+    rows under the same lock/swap contract as the other stores.  The
+    codebook itself is an AGGREGATE artifact (centroids are means over
+    many vectors); deleting a vector's rows removes every per-vector
+    trace, and the drift metric prices when the aggregate should be
+    rebuilt — the same state/compliance split as the dedup stores.
+    """
+    cb = refined_codebook(embeddings, iters=iters) if iters > 0 else ivf_codebook(embeddings)
+    cb.write.mode("overwrite").parquet(f"{index_root}/codebook")
+    spark = embeddings.sparkSession
+    cb_stored = spark.read.parquet(f"{index_root}/codebook")
+    rows = assignment_rows(embeddings, F.broadcast(cb_stored))
+    (
+        rows.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(f"{index_root}/assignments")
+    )
+    stats = assignment_stats(spark.read.parquet(f"{index_root}/assignments"))
+    stats.write.mode("overwrite").parquet(f"{index_root}/ref_stats")
+
+
+def read_codebook(spark, index_root: str) -> DataFrame:
+    """Load the persisted codebook, search-ready: pass directly as
+    ``cosine_topk_ivf(..., codebook=read_codebook(...))`` — the search
+    plan is identical to the in-memory artifact (pinned in
+    tests/test_ann_lifecycle.py)."""
+    return spark.read.parquet(f"{index_root}/codebook")
+
+
+def drift_report(spark, index_root: str) -> DataFrame:
+    """Staleness reading over the accumulated drift rows the streaming
+    assigner emits: one row per micro-batch,
+    ``(batch_id, n_vecs, mean_ccos, drift)`` where ``drift`` is the
+    batch's mean assignment cosine over the BUILD corpus's mean — 1.0
+    means arriving vectors fit the codebook exactly as well as the
+    training data did; a sustained drop means the distribution moved and
+    the codebook should be rebuilt (the instrument that makes 'when to
+    rebuild' a measurement instead of a guess)."""
+    ref = spark.read.parquet(f"{index_root}/ref_stats")
+    drift_rows = spark.read.parquet(f"{index_root}/drift")
+    ref_mean = (
+        F.col("_rsum").cast("double") / F.col("_rn") / DRIFT_SCALE
+    )
+    mean = F.col("sum_ccos_q").cast("double") / F.col("n_vecs") / DRIFT_SCALE
+    return (
+        drift_rows.join(
+            F.broadcast(
+                ref.select(
+                    F.col("n_vecs").alias("_rn"),
+                    F.col("sum_ccos_q").alias("_rsum"),
+                )
+            )
+        )
+        .select(
+            "batch_id",
+            "n_vecs",
+            mean.alias("mean_ccos"),
+            (mean / ref_mean).alias("drift"),
+        )
+    )

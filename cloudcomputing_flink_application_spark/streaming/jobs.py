@@ -976,15 +976,15 @@ def _refuse_uncommitted(spark, checkpoint_dir: str | None) -> None:
         )
 
 
-def _rewrite_minus(spark, path: str, ids_df) -> None:
-    """Rewrite a batch_id-partitioned store minus the given doc_ids: static
-    overwrite of a STAGING dir (never the dir being read) then swap, so
-    partitions emptied by the deletion disappear (dynamic overwrite of the
-    original would leave them)."""
+def _rewrite_minus(spark, path: str, ids_df, key: str = "doc_id") -> None:
+    """Rewrite a batch_id-partitioned store minus the given ``key`` ids:
+    static overwrite of a STAGING dir (never the dir being read) then
+    swap, so partitions emptied by the deletion disappear (dynamic
+    overwrite of the original would leave them)."""
     if not _committed_batch_data_exists(spark, path):
         return
     df = spark.read.parquet(path)
-    kept = df.join(ids_df, "doc_id", "left_anti")
+    kept = df.join(ids_df, key, "left_anti")
     tmp = path.rstrip("/") + ".forget_tmp"
     kept.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     _replace_dir(spark, tmp, path)
@@ -1141,6 +1141,121 @@ def forget_docs_span(spark, state_dir: str, doc_ids, checkpoint_dir: str | None)
     ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
     _rewrite_minus(spark, store, ids_df)
     _release_forget_locks(spark, [store])
+
+
+def run_ivf_assign_stream(
+    spark,
+    embeddings: DataFrame,
+    checkpoint_dir: str,
+    index_root: str,
+):
+    """Incremental IVF index maintenance — the streaming half of the ANN
+    lifecycle (``similarity.build_ivf_index`` is the batch half): a 100 TB
+    similarity deployment appends vectors continuously, and rebuilding the
+    codebook per arrival is absurd; this assigns arriving embeddings to
+    the PERSISTED codebook and appends their index rows, keeping the
+    inverted lists complete between rebuilds.
+
+    Per micro-batch:
+
+    - assign each arriving vector to its nearest codebook centroid (the
+      shared ``_assign_to_centroids`` plan — broadcast codebook, no
+      shuffle of the vectors beyond the scan) and append
+      ``(vec_id, cluster, ccos_q)`` rows under
+      ``{index_root}/assignments/batch_id=N`` — the SAME layout the
+      build pass wrote batch 0 in, so batch + stream rows form one
+      store, idempotent under at-least-once replay (dynamic partition
+      overwrite, as in every other incremental job here);
+    - append one drift row ``(n_vecs, sum_ccos_q)`` under
+      ``{index_root}/drift/batch_id=N`` — the exact-integer per-batch
+      assignment statistics ``similarity.drift_report`` divides against
+      the build reference.  Monotone state, nothing retracts: the same
+      store discipline as the span-flag first-occurrence store.
+
+    Contract (tests/test_ann_lifecycle.py): the accumulated assignment
+    store equals ``similarity.assignment_rows`` over the union of all
+    batches under the same codebook — assignment is per-row against a
+    static artifact, so micro-batching is trivially exact; drift over
+    batches drawn from the build corpus reads exactly 1.0.
+
+    Batch 0 prune covers only partitions this stream owns (batch_id >= 1;
+    the build pass's batch 0 is the index's foundation, not stale state).
+    """
+    cb = spark.read.parquet(f"{index_root}/codebook")
+    asg_dir = f"{index_root}/assignments"
+    drift_dir = f"{index_root}/drift"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from cloudcomputing_flink_application_spark.operators.similarity import (
+            assignment_rows,
+            assignment_stats,
+        )
+
+        _forget_guard(spark, [asg_dir])
+        if batch_id == 0:
+            _prune_batch_partitions_after(spark, asg_dir, 0)
+            _prune_stale_batch_partitions(spark, drift_dir)
+        rows = assignment_rows(batch_df, F.broadcast(cb)).persist()
+        try:
+            # stream batches land at batch_id + 1: partition 0 is the
+            # build pass's
+            _write_batch_partition(rows, batch_id + 1, asg_dir)
+            _write_batch_partition(
+                assignment_stats(rows), batch_id + 1, drift_dir
+            )
+        finally:
+            rows.unpersist()
+
+    return (
+        embeddings.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def _prune_batch_partitions_after(spark, path: str, keep_max: int) -> None:
+    """Delete ``batch_id=K`` partitions with K > ``keep_max`` — the
+    fresh-checkpoint prune for stores whose low partitions belong to a
+    BATCH build pass (the IVF assignment store: partition 0 is the build
+    corpus, stream partitions start at 1)."""
+    jvm = spark._jvm
+    pattern = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/batch_id=*")
+    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.globStatus(pattern) or []:
+        name = st.getPath().getName()
+        if int(name.split("=", 1)[1]) > keep_max:
+            fs.delete(st.getPath(), True)
+
+
+def forget_vecs(spark, index_root: str, vec_ids, checkpoint_dir: str | None) -> None:
+    """Compliance deletion from the IVF index: remove the given vec_ids'
+    rows from the assignment store — each row carries the vector's
+    cluster membership and assignment cosine, per-vector derived data.
+
+    Same locking / uncommitted-checkpoint / crash-recovery contract as
+    ``forget_docs``; ``run_ivf_assign_stream`` refuses to start a batch
+    under the lock.  The DRIFT store is untouched: its rows are
+    per-batch integer AGGREGATES over many vectors (like the codebook's
+    centroids — k-anonymous sums, no per-vector trace), and rewriting
+    them would silently re-baseline the staleness instrument.  Full
+    erasure of a vector's statistical contribution = rebuild the index
+    (``build_ivf_index`` on the surviving corpus), which the drift
+    metric prices; the vector store itself is the caller's corpus.
+    """
+    ids = [int(i) for i in vec_ids]
+    if not ids:
+        return
+    asg_dir = f"{index_root}/assignments"
+    created = _acquire_forget_locks(spark, [asg_dir])
+    try:
+        _refuse_uncommitted(spark, checkpoint_dir)
+    except Exception:
+        _release_forget_locks(spark, created)
+        raise
+    _recover_swap(spark, asg_dir)
+    ids_df = spark.createDataFrame([(i,) for i in ids], "vec_id LONG")
+    _rewrite_minus(spark, asg_dir, ids_df, key="vec_id")
+    _release_forget_locks(spark, [asg_dir])
 
 
 def length_histogram_stream(documents: DataFrame) -> DataFrame:

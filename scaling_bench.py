@@ -327,32 +327,43 @@ def bench_spans(spark) -> dict:
 N_STREAM_BATCHES = 10
 
 
-def build_stream_batches(spark) -> str:
-    """Ten token-bijective replicas of the sf0.1 documents, ONE parquet
-    dir per micro-batch (mtime-ordered so maxFilesPerTrigger=1 replays
-    them in sequence).  Disjoint token sets across batches: the store
-    probe finds no cross-batch matches, so what the stream bench measures
-    is pure state-scan cost growth — the claim under test."""
+def build_stream_batches(
+    spark, n_batches: int = N_STREAM_BATCHES, reps_per_batch: int = 1,
+    name: str = "stream_batches",
+) -> str:
+    """Token-bijective replicas of the sf0.1 documents, ONE parquet dir
+    per micro-batch (mtime-ordered so maxFilesPerTrigger=1 replays them
+    in sequence).  Disjoint token sets across batches AND within a batch
+    (each batch unions ``reps_per_batch`` globally-unique replicas): the
+    store probe finds no cross-batch matches, so what the stream bench
+    measures is pure state-scan cost growth — the claim under test.
+    ``reps_per_batch`` scales each batch (and therefore the accumulated
+    store) without changing the batch count."""
     import os
 
-    root = WORK / "stream_batches"
+    root = WORK / name
     # Completeness check, not bare exists(): root materializes at the first
     # batch write, so a killed build would otherwise leave a partial
     # directory every later run silently reuses (fewer micro-batches,
     # overlapping head/tail windows, wrong ratios).
     if all(
         (root / f"b{k:02d}" / "_SUCCESS").exists()
-        for k in range(N_STREAM_BATCHES)
+        for k in range(n_batches)
     ):
         return str(root)
     shutil.rmtree(root, ignore_errors=True)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     base = 1_700_000_000
-    for k in range(N_STREAM_BATCHES):
+    for k in range(n_batches):
         d = root / f"b{k:02d}"
-        _tokenwise_replica(docs, k).coalesce(1).write.mode("overwrite").parquet(
-            str(d)
-        )
+        parts = [
+            _tokenwise_replica(docs, k * reps_per_batch + j)
+            for j in range(reps_per_batch)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.coalesce(1).write.mode("overwrite").parquet(str(d))
         for r, _, fs in os.walk(d):
             for f in fs:
                 os.utime(os.path.join(r, f), (base + k, base + k))
@@ -427,6 +438,83 @@ def bench_stream(spark) -> dict:
                 "per_batch_ms": ms,
                 "tail_over_head": round(sum(tail) / max(1, sum(head)), 2),
             }
+        out[name] = per
+    return out
+
+
+def bench_stream_grow(spark) -> dict:
+    """The r7 divergence measurement (r6 VERDICT item 4): the r6 stream
+    bench showed flat curves because <= 45k stored docs never outgrew the
+    ~2 s trigger overhead — the unbounded probe's O(store) term was
+    stated as construction, not measured.  Here each micro-batch carries
+    4 token-bijective replicas (~20k docs) across 30 batches, so the
+    unbounded probe's tail scans a ~580k-doc store (~9M band rows / ~14M
+    first-occurrence rows) while horizon=2 scans a fixed 2-batch window —
+    the store size where the linear term must surface and the two curves
+    visibly separate.  Same jobs, same per-batch ``triggerExecution``
+    extraction as ``bench_stream``."""
+    import shutil
+    import tempfile
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        run_minhash_dedup_stream,
+        run_span_flags_stream,
+    )
+
+    src = build_stream_batches(
+        spark, n_batches=30, reps_per_batch=4, name="stream_batches_grow"
+    )
+
+    def run(factory, horizon):
+        tmp = tempfile.mkdtemp(prefix="sg_stream_grow_")
+        try:
+            stream = (
+                spark.readStream.schema(schemas.DOCUMENTS)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*")
+            )
+            q = factory(stream, tmp, horizon)
+            try:
+                q.processAllAvailable()
+                return _per_batch_ms(q)
+            finally:
+                q.stop()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    jobs = {
+        "minhash_flags": lambda s, tmp, h: run_minhash_dedup_stream(
+            spark, s, f"{tmp}/out", f"{tmp}/chk", f"{tmp}/bands",
+            horizon_batches=h,
+        ),
+        "span_flags": lambda s, tmp, h: run_span_flags_stream(
+            spark, s, f"{tmp}/out", f"{tmp}/chk", f"{tmp}/store",
+            horizon_batches=h,
+        ),
+    }
+    out: dict = {}
+    for name, factory in jobs.items():
+        per = {}
+        for label, h in (("unbounded", None), ("horizon2", 2)):
+            ms = run(factory, h)
+            head = ms[1:6]  # skip batch 0 (JIT + empty-store fast path)
+            tail = ms[-5:]
+            per[label] = {
+                "per_batch_ms": ms,
+                "head_mean_ms": round(sum(head) / max(1, len(head))),
+                "tail_mean_ms": round(sum(tail) / max(1, len(tail))),
+                "tail_over_head": round(
+                    sum(tail) / len(tail) / (sum(head) / max(1, len(head))), 2
+                ),
+            }
+        # the divergence statistic: how much MORE the unbounded tail costs
+        # than the horizoned tail on the same data
+        per["unbounded_over_horizon_tail"] = round(
+            per["unbounded"]["tail_mean_ms"]
+            / max(1, per["horizon2"]["tail_mean_ms"]),
+            2,
+        )
         out[name] = per
     return out
 
@@ -527,6 +615,9 @@ def main() -> None:
         return
     if section == "stream":
         print(json.dumps({"stream": bench_stream(spark)}))
+        return
+    if section == "stream-grow":
+        print(json.dumps({"stream_grow": bench_stream_grow(spark)}))
         return
     build_corpora(spark)
     ops = {
