@@ -293,6 +293,68 @@ def _span_scrub(args: argparse.Namespace) -> None:
         sinks.show(out)
 
 
+def _ivf_index(args: argparse.Namespace) -> None:
+    """The ANN index lifecycle surface over an ``embeddings``-shaped
+    parquet input.
+
+    Batch (default) BUILDS the versioned index artifact under
+    ``<output>`` (codebook / ref_stats / assignments —
+    ``similarity.build_ivf_index``; ``--iters N`` adds k-means
+    refinement).  ``--streaming`` runs ``run_ivf_assign_stream`` over the
+    input directory against the already-built artifact: arriving vectors
+    append assignment rows and per-batch drift readings.  ``--report``
+    prints the drift report (mean assignment cosine vs the build
+    reference — the rebuild-staleness instrument).  ``--forget
+    ID[,ID...]`` removes the vec_ids' index rows (same stream-stopped
+    lock contract as the dedup stores).
+    """
+    from cloudcomputing_flink_application_spark.operators import similarity
+
+    spark = get_spark(app_name="ivf-index")
+    if args.forget:
+        from cloudcomputing_flink_application_spark.streaming.jobs import forget_vecs
+
+        import os
+
+        if not os.path.isdir(f"{args.output}/assignments"):
+            raise SystemExit(
+                f"no index under {args.output} — --forget operates on a "
+                "built ivf-index output root"
+            )
+        ids = [int(x) for x in args.forget.split(",") if x.strip()]
+        forget_vecs(spark, args.output, ids, f"{args.output}/_chk")
+        return
+    if args.report:
+        sinks.show(similarity.drift_report(spark, args.output))
+        return
+    if args.streaming:
+        import os
+
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            run_ivf_assign_stream,
+        )
+
+        if not os.path.isdir(f"{args.output}/codebook"):
+            raise SystemExit(
+                f"no codebook under {args.output} — build the index first "
+                "(ivf-index without --streaming)"
+            )
+        stream = spark.readStream.schema(
+            "vec_id LONG, label INT, embedding ARRAY<FLOAT>"
+        ).parquet(args.input)
+        q = run_ivf_assign_stream(spark, stream, f"{args.output}/_chk", args.output)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return
+    similarity.build_ivf_index(
+        spark.read.parquet(args.input), args.output, iters=args.iters
+    )
+    if args.show:
+        sinks.show(spark.read.parquet(f"{args.output}/ref_stats"))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="cloudcomputing_flink_application_spark")
     sub = p.add_subparsers(dest="job", required=True)
@@ -310,6 +372,9 @@ def main(argv: list[str] | None = None) -> None:
         ("span-scrub", _span_scrub,
          "documents-shaped parquet file/dir",
          "output folder (parquet scrubbed docs, or stats with --stats)"),
+        ("ivf-index", _ivf_index,
+         "embeddings-shaped parquet file/dir",
+         "index root (codebook / ref_stats / assignments / drift)"),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("--input", required=True, help=in_help)
@@ -348,6 +413,25 @@ def main(argv: list[str] | None = None) -> None:
                 help="streaming only: bound the dedup state stores to the "
                 "trailing N micro-batches (dedup-within-horizon; older "
                 "state partitions are aged out)",
+            )
+        if name == "ivf-index":
+            sp.add_argument(
+                "--iters", type=int, default=0,
+                help="k-means refinement iterations for the build "
+                "(default 0: the deterministic two-level seed codebook)",
+            )
+            sp.add_argument(
+                "--report", action="store_true",
+                help="print the drift report for an existing index root "
+                "instead of building/assigning",
+            )
+            sp.add_argument(
+                "--forget", default=None, metavar="ID[,ID...]",
+                help="compliance deletion: remove the vec_ids' assignment "
+                "rows from the index (stream must be stopped; same lock "
+                "contract as dedup-purge --forget; drift rows are "
+                "k-anonymous aggregates and stay — full statistical "
+                "erasure = rebuild)",
             )
         if name == "span-scrub":
             sp.add_argument(

@@ -238,3 +238,70 @@ def test_dedup_purge_cli_forget(spark, tmp_path):
     with pytest.raises(SystemExit, match="no streaming state"):
         cli.main(["dedup-purge", "--input", d_in, "--output", out_b,
                   "--forget", "1"])
+
+
+def test_ivf_index_cli_lifecycle(spark, tmp_path):
+    # Full lifecycle through the CLI: build -> streaming assign -> drift
+    # report present -> forget -> span-forget-style failure modes.
+    import pytest
+
+    from tests.conftest import TESTDATA
+
+    emb = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+    build_in = str(tmp_path / "build_in")
+    emb.filter("vec_id <= 300").write.parquet(build_in)
+    arrive_in = str(tmp_path / "arrive_in")
+    emb.filter("vec_id > 300").write.parquet(arrive_in)
+    root = str(tmp_path / "index")
+
+    cli.main(["ivf-index", "--input", build_in, "--output", root])
+    assert os.path.isdir(f"{root}/codebook") and os.path.isdir(f"{root}/ref_stats")
+
+    cli.main(["ivf-index", "--input", arrive_in, "--output", root, "--streaming"])
+    asg = spark.read.parquet(f"{root}/assignments")
+    assert asg.filter("vec_id > 300").count() > 0
+    assert spark.read.parquet(f"{root}/drift").count() >= 1
+
+    victim = asg.select("vec_id").first()[0]
+    cli.main(["ivf-index", "--input", arrive_in, "--output", root,
+              "--forget", str(victim)])
+    assert (
+        spark.read.parquet(f"{root}/assignments")
+        .filter(f"vec_id = {victim}").count() == 0
+    )
+
+    # --streaming against an unbuilt root fails loudly
+    with pytest.raises(SystemExit, match="no codebook"):
+        cli.main(["ivf-index", "--input", arrive_in,
+                  "--output", str(tmp_path / "nope"), "--streaming"])
+    # --forget against an unbuilt root fails loudly
+    with pytest.raises(SystemExit, match="no index"):
+        cli.main(["ivf-index", "--input", arrive_in,
+                  "--output", str(tmp_path / "nope2"), "--forget", "1"])
+
+
+def test_span_scrub_cli_forget(spark, tmp_path):
+    # --forget on a span-scrub streaming root removes the doc's
+    # content-derived rows from the first-occurrence store.
+    import pytest
+
+    from tests.conftest import TESTDATA
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(50)
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+    out = str(tmp_path / "out")
+    cli.main(["span-scrub", "--input", d_in, "--output", out, "--streaming"])
+    victim = spark.read.parquet(f"{out}/_state/firsts").select("doc_id").first()[0]
+    cli.main(["span-scrub", "--input", d_in, "--output", out,
+              "--forget", str(victim)])
+    assert (
+        spark.read.parquet(f"{out}/_state/firsts")
+        .filter(f"doc_id = {victim}").count() == 0
+    )
+    # batch root (no streaming state) fails loudly
+    out_b = str(tmp_path / "out_b")
+    cli.main(["span-scrub", "--input", d_in, "--output", out_b])
+    with pytest.raises(SystemExit, match="no streaming state"):
+        cli.main(["span-scrub", "--input", d_in, "--output", out_b,
+                  "--forget", "1"])
