@@ -50,6 +50,19 @@ OFF_REGISTRY = {
     # registry entries (dedup_text_pairs) stay individually gated.
     "off_minhash_lsh": (dedup.minhash_lsh_dedup, dedup.MINHASH_LSH_SQL),
     "off_ngram_jaccard": (dedup.ngram_jaccard_dedup, dedup.NGRAM_JACCARD_SQL),
+    # r7 multimodal additions (resize / feature-extract / frame-sample) —
+    # per-doc resize + feature fingerprints are ALSO driver-covered
+    # through the extended mm_media_probe columns; the 1->N frame sampler
+    # is off-registry only (its explode shape has no probe column).
+    "off_image_resize": (multimodal.image_resize, multimodal.IMAGE_RESIZE_SQL),
+    "off_image_features": (
+        multimodal.image_features,
+        multimodal.IMAGE_FEATURES_SQL,
+    ),
+    "off_video_frame_sample": (
+        multimodal.video_frame_sample,
+        multimodal.VIDEO_FRAME_SAMPLE_SQL,
+    ),
 }
 
 # same gate over the embeddings table (components of dedup_embedding and

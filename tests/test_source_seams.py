@@ -100,3 +100,68 @@ def test_image_meta_real_plumbing_matches_fake_schema(spark):
         (1, 3, 7, 3, "real/decoded"),
         (2, 5, 7, 5, "real/decoded"),
     }
+
+
+def test_image_resize_real_plumbing_matches_fake_schema(spark):
+    # Injectable resizer drives the full mapInPandas plumbing without PIL;
+    # the schema must equal the fake path's (the swap-in contract).
+    import hashlib
+
+    docs = spark.createDataFrame([(1, "abc"), (2, "defgh")], ["doc_id", "text"])
+    out = multimodal.image_resize_real(
+        docs, max_side=4,
+        resizer=lambda b, ms: (len(b) * 2, len(b), min(len(b) * 2, ms),
+                               max(1, min(len(b) * 2, ms) // 2), b"thumb" + b),
+    )
+    fake = multimodal.image_resize(docs)
+    assert out.schema == fake.schema
+    fp = lambda b: hashlib.md5(b"thumb" + b).hexdigest()[:8]  # noqa: E731
+    assert rows_set(out) == {
+        (1, 6, 3, 4, 2, fp(b"abc")),
+        (2, 10, 5, 4, 2, fp(b"defgh")),
+    }
+
+
+def test_resize_real_raises_without_pil(spark):
+    if multimodal.HAVE_PIL:
+        pytest.skip("PIL unexpectedly present")
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="PIL"):
+        multimodal.image_resize_real(docs).collect()
+
+
+def test_fit_dims_boundaries():
+    # Aspect-preserving fit: never upscales, floors at 1, exact integers.
+    import pandas as pd
+
+    w = pd.Series([100, 2048, 1, 256, 2000], dtype="int64")
+    h = pd.Series([50, 1024, 2048, 256, 1], dtype="int64")
+    nw, nh = multimodal._fit_dims(w, h, 256)
+    assert list(nw) == [100, 256, 1, 256, 256]
+    # 1024*256//2048 = 128; 2048 tall -> width floors to 1 via clip;
+    # 2000x1 -> height 1*256//2000 = 0 floored to 1
+    assert list(nh) == [50, 128, 256, 256, 1]
+
+
+def test_video_frame_sample_boundaries(spark):
+    # payload shorter than one frame emits nothing; exact multiples and
+    # step boundaries emit the arithmetic series.
+    from cloudcomputing_flink_application_spark.operators.multimodal import (
+        VIDEO_FRAME_BYTES,
+        video_frame_sample,
+    )
+
+    short = "x" * (VIDEO_FRAME_BYTES - 1)         # 0 whole frames
+    exact = "y" * (VIDEO_FRAME_BYTES * 15)        # 15 frames: idx 0,7,14
+    docs = spark.createDataFrame(
+        [(1, short), (2, exact)], ["doc_id", "text"]
+    )
+    rows = video_frame_sample(docs).collect()
+    assert all(r.doc_id == 2 for r in rows)
+    assert sorted(r.frame_idx for r in rows) == [0, 7, 14]
+    by_idx = {r.frame_idx: r.ts_ms for r in rows}
+    assert by_idx[7] == 7 * 1000 // 25 and by_idx[14] == 14 * 1000 // 25
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="step"):
+        video_frame_sample(docs, step=0)
