@@ -339,9 +339,9 @@ def _ivf_index(args: argparse.Namespace) -> None:
                 f"no codebook under {args.output} — build the index first "
                 "(ivf-index without --streaming)"
             )
-        stream = spark.readStream.schema(
-            "vec_id LONG, label INT, embedding ARRAY<FLOAT>"
-        ).parquet(args.input)
+        from cloudcomputing_flink_application_spark import schemas
+
+        stream = spark.readStream.schema(schemas.EMBEDDINGS).parquet(args.input)
         q = run_ivf_assign_stream(spark, stream, f"{args.output}/_chk", args.output)
         try:
             q.processAllAvailable()

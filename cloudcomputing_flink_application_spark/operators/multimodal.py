@@ -254,12 +254,22 @@ def media_probe(documents: DataFrame) -> DataFrame:
     )
 
 
-def _media_probe_sql() -> str:
+def _fake_dims_sql(max_side: int = RESIZE_MAX_SIDE) -> tuple[str, str, str, str]:
+    """The ONE statement of the fake decode dims + aspect-fit arithmetic
+    shared by the resize and probe oracles (returns w, h, new_w, new_h
+    SQL fragments) — mirrors ``_fit_dims``; a fit-rule change lands in
+    both oracles or neither."""
     w = "(1 + (CAST('0x' || substr(md5(text), 1, 4) AS INT) % 1024))"
     h = "(1 + (CAST('0x' || substr(md5(text), 5, 4) AS INT) % 1024))"
     ls = f"greatest({w}, {h})"
-    nw = f"CASE WHEN {ls} > {RESIZE_MAX_SIDE} THEN greatest(1, {w} * {RESIZE_MAX_SIDE} // {ls}) ELSE {w} END"
-    nh = f"CASE WHEN {ls} > {RESIZE_MAX_SIDE} THEN greatest(1, {h} * {RESIZE_MAX_SIDE} // {ls}) ELSE {h} END"
+    nw = f"CASE WHEN {ls} > {max_side} THEN greatest(1, {w} * {max_side} // {ls}) ELSE {w} END"
+    nh = f"CASE WHEN {ls} > {max_side} THEN greatest(1, {h} * {max_side} // {ls}) ELSE {h} END"
+    return w, h, nw, nh
+
+
+
+def _media_probe_sql() -> str:
+    w, h, nw, nh = _fake_dims_sql()
     return f"""
 SELECT doc_id,
        CAST({w} AS INT) AS width,
@@ -339,11 +349,7 @@ def image_resize(documents: DataFrame, max_side: int = RESIZE_MAX_SIDE) -> DataF
 
 
 def _image_resize_sql(max_side: int = RESIZE_MAX_SIDE) -> str:
-    w = "(1 + (CAST('0x' || substr(md5(text), 1, 4) AS INT) % 1024))"
-    h = "(1 + (CAST('0x' || substr(md5(text), 5, 4) AS INT) % 1024))"
-    ls = f"greatest({w}, {h})"
-    nw = f"CASE WHEN {ls} > {max_side} THEN greatest(1, {w} * {max_side} // {ls}) ELSE {w} END"
-    nh = f"CASE WHEN {ls} > {max_side} THEN greatest(1, {h} * {max_side} // {ls}) ELSE {h} END"
+    w, h, nw, nh = _fake_dims_sql(max_side)
     return f"""
 SELECT doc_id,
        CAST({w} AS INT) AS width,

@@ -827,18 +827,27 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("*").alias("k"),
         F.col("revenue").alias("v"),
     )
-    q22 = idle_customers(spark, sf_dir)
-    q22n = q22.select(
+    # ONE Q22 computation: its two metrics explode into (metric, value)
+    # rows instead of planning the customer+orders anti-join subtree twice
+    # (r7 review catch — the union-of-two-selects form did exactly that).
+    q22 = idle_customers(spark, sf_dir).select(
         F.lit("q22_idle").alias("shape"),
-        F.concat_ws("|", F.col("c_nationkey").cast("string"), F.lit("numcust")).alias("k"),
-        F.col("numcust").cast("double").alias("v"),
+        F.col("c_nationkey").cast("string").alias("_nk"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("numcust").alias("m"),
+                    F.col("numcust").cast("double").alias("v"),
+                ),
+                F.struct(F.lit("totacctbal").alias("m"), F.col("totacctbal").alias("v")),
+            )
+        ).alias("mv"),
+    ).select(
+        "shape",
+        F.concat_ws("|", "_nk", F.col("mv.m")).alias("k"),
+        F.col("mv.v").alias("v"),
     )
-    q22b = q22.select(
-        F.lit("q22_idle").alias("shape"),
-        F.concat_ws("|", F.col("c_nationkey").cast("string"), F.lit("totacctbal")).alias("k"),
-        F.col("totacctbal").alias("v"),
-    )
-    return q5.unionByName(q7).unionByName(q19).unionByName(q22n).unionByName(q22b)
+    return q5.unionByName(q7).unionByName(q19).unionByName(q22)
 
 
 # Q19 arm without the empty-input scalar row (HAVING count(*) > 0 drops the
@@ -855,6 +864,7 @@ HAVING count(*) > 0
 
 
 SUITE_EXTRA_SQL = f"""
+WITH q22 AS ({IDLE_CUSTOMERS_SQL})
 SELECT 'q5_local_volume' AS shape, n_name AS k, revenue AS v
 FROM ({LOCAL_SUPPLIER_VOLUME_SQL}) q5
 UNION ALL
@@ -869,10 +879,10 @@ UNION ALL
 SELECT 'q22_idle' AS shape,
        CAST(c_nationkey AS VARCHAR) || '|numcust' AS k,
        CAST(numcust AS DOUBLE) AS v
-FROM ({IDLE_CUSTOMERS_SQL}) q22a
+FROM q22
 UNION ALL
 SELECT 'q22_idle' AS shape,
        CAST(c_nationkey AS VARCHAR) || '|totacctbal' AS k,
        totacctbal AS v
-FROM ({IDLE_CUSTOMERS_SQL}) q22b
+FROM q22
 """

@@ -651,12 +651,25 @@ def _spread(documents: DataFrame) -> DataFrame:
     The unconditional form existed for the local single-file parquet scans
     (1 partition -> 32); on a many-file corpus at scale the scan already
     carries >= defaultParallelism splits and the same repartition becomes a
-    full shuffle of the heaviest column for nothing (r6 VERDICT).  The
-    partition count comes from the physical plan's RDD metadata — no job
-    runs.
+    full shuffle of the heaviest column for nothing (r6 VERDICT).
+
+    The gate applies ONLY to scan-shaped inputs (projections/filters over
+    relations — where ``.rdd.getNumPartitions()`` is a metadata read, 0
+    jobs).  For shuffle-bearing inputs (joins/aggregates — e.g. the
+    kept-docs frame ``prep_corpus`` chunks), converting to an RDD would
+    EXECUTE the AQE shuffle stages at plan-construction time, discard the
+    results, and recompute them in the real query (r7 review catch,
+    reproduced: 5 eager jobs per call); those inputs keep the plain
+    repartition, whose exchange AQE folds into the plan it was already
+    going to run.
     """
     nparts = documents.sparkSession.sparkContext.defaultParallelism
-    if documents.rdd.getNumPartitions() >= nparts:
+    analyzed = documents._jdf.queryExecution().analyzed().toString()
+    shuffle_bearing = any(
+        k in analyzed
+        for k in ("Join", "Aggregate", "Window", "Distinct", "Sort", "Repartition")
+    )
+    if not shuffle_bearing and documents.rdd.getNumPartitions() >= nparts:
         return documents
     return documents.repartition(nparts)
 
@@ -1189,61 +1202,24 @@ def prep_corpus(documents: DataFrame) -> DataFrame:
 
 
 def _prep_corpus_sql() -> str:
-    from cloudcomputing_flink_application_spark.operators.textstats import OOV_VOCAB_K
+    """COMPOSED from the component oracle constants (r7 review catch: an
+    inline re-statement had already forced the mixture null-safety fix to
+    be applied twice) — chunking every doc then semi-joining the kept set
+    equals chunking the kept docs, because chunk rows depend only on
+    their own doc."""
+    from cloudcomputing_flink_application_spark.operators.textstats import (
+        OOV_STATS_SQL,
+    )
 
-    stride = CHUNK_N - CHUNK_OVERLAP
-    n = CHUNK_N
     return f"""
-WITH counts AS (
-  SELECT source AS k, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source
-),
-cmin AS (SELECT min(c) AS cm FROM counts),
-rates AS (SELECT k, sqrt(cm / c) AS keep_rate FROM counts, cmin),
-kept AS (
-  SELECT doc_id, keep_rate
-  FROM documents JOIN rates ON source IS NOT DISTINCT FROM k
-  WHERE ({X.h56_sql(f"'{MIXTURE_SALT}' || CAST(doc_id AS VARCHAR)")}) % {MIXTURE_BASIS}
-        < CAST(round(keep_rate * {MIXTURE_BASIS}) AS BIGINT)
-),
-tokx AS (SELECT unnest({X.tokens_sql('text')}) AS token FROM documents),
-cnt AS (SELECT token, count(*) AS n FROM tokx GROUP BY token),
-top AS (SELECT token FROM cnt ORDER BY n DESC, token ASC LIMIT {OOV_VOCAB_K}),
-varr AS (SELECT coalesce(list(token ORDER BY token), []::VARCHAR[]) AS v FROM top),
-dtoks AS (SELECT doc_id, {X.tokens_sql("coalesce(text, '')")} AS tk FROM documents),
-oov AS (
-  SELECT doc_id,
-         CAST(len(list_filter(tk, x -> NOT list_contains(v, x))) AS BIGINT) AS n_oov,
-         CASE WHEN len(tk) > 0
-              THEN CAST(len(list_filter(tk, x -> NOT list_contains(v, x))) AS DOUBLE)
-                   / len(tk)
-              ELSE 0.0 END AS oov_ratio
-  FROM dtoks, varr
-),
-ktoks AS (SELECT d.doc_id, tk, keep_rate FROM dtoks d JOIN kept USING (doc_id)),
-starts AS (
-  SELECT doc_id, tk, keep_rate,
-         list_filter(
-           CASE WHEN len(tk) > 0
-                THEN generate_series(1, len(tk), {stride})
-                ELSE []::BIGINT[] END,
-           s -> s = 1 OR s - {stride} + {n - 1} < len(tk)
-         ) AS ss
-  FROM ktoks
-),
-ex AS (
-  SELECT doc_id, tk, keep_rate,
-         unnest(ss) AS s,
-         unnest(generate_series(0, len(ss) - 1)) AS chunk_id
-  FROM starts WHERE len(ss) > 0
-)
-SELECT e.doc_id,
-       CAST(chunk_id AS INT) AS chunk_id,
-       array_to_string(tk[s:s + {n - 1}], ' ') AS chunk_text,
-       CAST(least({n}, len(tk) - s + 1) AS BIGINT) AS n_chunk_tokens,
-       keep_rate,
-       o.n_oov,
-       o.oov_ratio
-FROM ex e JOIN oov o ON e.doc_id = o.doc_id
+WITH kept AS (SELECT doc_id, keep_rate FROM ({MIXTURE_SAMPLE_SQL}) m),
+oovd AS (SELECT doc_id, n_oov, oov_ratio FROM ({OOV_STATS_SQL}) o),
+ch AS (SELECT * FROM ({CHUNK_DOCS_SQL}) c)
+SELECT ch.doc_id, chunk_id, chunk_text, n_chunk_tokens,
+       keep_rate, n_oov, oov_ratio
+FROM ch
+JOIN kept USING (doc_id)
+JOIN oovd USING (doc_id)
 """
 
 

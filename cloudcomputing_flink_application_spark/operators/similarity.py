@@ -752,7 +752,12 @@ def assignment_stats(rows: DataFrame) -> DataFrame:
     )
 
 
-def build_ivf_index(embeddings: DataFrame, index_root: str, iters: int = 0) -> None:
+def build_ivf_index(
+    embeddings: DataFrame,
+    index_root: str,
+    iters: int = 0,
+    checkpoint_dir: str | None = None,
+) -> None:
     """Persist the versioned IVF index artifact a 100 TB similarity
     deployment maintains alongside its data:
 
@@ -771,21 +776,48 @@ def build_ivf_index(embeddings: DataFrame, index_root: str, iters: int = 0) -> N
     many vectors); deleting a vector's rows removes every per-vector
     trace, and the drift metric prices when the aggregate should be
     rebuilt — the same state/compliance split as the dedup stores.
+
+    REBUILD over an existing root is the designed flow (the drift metric
+    exists to trigger it), so the build (a) fences the assign stream
+    with the same ``.forget_lock`` marker every other store rewrite uses
+    — a running stream's next batch fails loudly instead of appending
+    old-codebook rows under a new codebook — and, when ``checkpoint_dir``
+    is given, refuses while that stream checkpoint holds an uncommitted
+    batch; (b) STATICALLY overwrites the assignment store (stale stream
+    partitions from the previous codebook are dropped, not merged); and
+    (c) clears the drift store, whose old rows divided against the old
+    reference.  ``ref_stats`` is therefore always exactly the build
+    corpus's statistics.
     """
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        _acquire_forget_locks,
+        _prune_stale_batch_partitions,
+        _refuse_uncommitted,
+        _release_forget_locks,
+    )
+
+    spark = embeddings.sparkSession
+    asg_dir = f"{index_root}/assignments"
+    created = _acquire_forget_locks(spark, [asg_dir])
+    try:
+        _refuse_uncommitted(spark, checkpoint_dir)
+    except Exception:
+        _release_forget_locks(spark, created)
+        raise
     cb = refined_codebook(embeddings, iters=iters) if iters > 0 else ivf_codebook(embeddings)
     cb.write.mode("overwrite").parquet(f"{index_root}/codebook")
-    spark = embeddings.sparkSession
     cb_stored = spark.read.parquet(f"{index_root}/codebook")
     rows = assignment_rows(embeddings, F.broadcast(cb_stored))
     (
         rows.withColumn("batch_id", F.lit(0))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .write.mode("overwrite")  # STATIC overwrite: drops stale partitions
         .partitionBy("batch_id")
-        .parquet(f"{index_root}/assignments")
+        .parquet(asg_dir)
     )
-    stats = assignment_stats(spark.read.parquet(f"{index_root}/assignments"))
+    _prune_stale_batch_partitions(spark, f"{index_root}/drift")
+    stats = assignment_stats(spark.read.parquet(asg_dir))
     stats.write.mode("overwrite").parquet(f"{index_root}/ref_stats")
+    _release_forget_locks(spark, [asg_dir])
 
 
 def read_codebook(spark, index_root: str) -> DataFrame:

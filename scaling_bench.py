@@ -500,13 +500,16 @@ def bench_stream_grow(spark) -> dict:
             ms = run(factory, h)
             head = ms[1:6]  # skip batch 0 (JIT + empty-store fast path)
             tail = ms[-5:]
+            head_mean = sum(head) / max(1, len(head))
+            tail_mean = sum(tail) / max(1, len(tail))
             per[label] = {
                 "per_batch_ms": ms,
-                "head_mean_ms": round(sum(head) / max(1, len(head))),
-                "tail_mean_ms": round(sum(tail) / max(1, len(tail))),
-                "tail_over_head": round(
-                    sum(tail) / len(tail) / (sum(head) / max(1, len(head))), 2
-                ),
+                "head_mean_ms": round(head_mean),
+                "tail_mean_ms": round(tail_mean),
+                # max(1, ...) guards the degenerate zero/empty-head case
+                # (same guard bench_stream carries) so a truncated run
+                # still emits its JSON instead of dying on the ratio
+                "tail_over_head": round(tail_mean / max(1, head_mean), 2),
             }
         # the divergence statistic: how much MORE the unbounded tail costs
         # than the horizoned tail on the same data

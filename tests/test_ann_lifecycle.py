@@ -14,12 +14,13 @@ import os
 
 import pytest
 
+from cloudcomputing_flink_application_spark import schemas
 from cloudcomputing_flink_application_spark.operators import similarity
 from cloudcomputing_flink_application_spark.streaming import jobs
 from tests.conftest import TESTDATA, rows_set
 
 SF_DIR = f"{TESTDATA}/sf0.001"
-EMB_SCHEMA = "vec_id LONG, label INT, embedding ARRAY<FLOAT>"
+EMB_SCHEMA = schemas.EMBEDDINGS
 
 
 def _write_emb_batch(spark, d_in, idx, df, base=1_700_000_000):
@@ -215,5 +216,46 @@ def test_forget_vecs_refuses_uncommitted_checkpoint(spark, tmp_path, built_index
     os.rename(f"{chk}/commits/0", str(tmp_path / "c0"))
     with pytest.raises(RuntimeError, match="uncommitted micro-batch"):
         jobs.forget_vecs(spark, root, [1], chk)
+    assert not os.path.exists(f"{root}/assignments.forget_lock")
+    os.rename(str(tmp_path / "c0"), f"{chk}/commits/0")
+
+
+def test_rebuild_drops_stale_stream_state_and_rebaselines(spark, tmp_path, built_index):
+    # r7 review catch (reproduced): rebuilding over an existing root used
+    # dynamic partition overwrite, so stream partitions assigned under the
+    # OLD codebook survived and ref_stats aggregated them — every later
+    # drift reading divided against a contaminated baseline.  A rebuild
+    # must leave exactly the build corpus's batch-0 rows, a clean drift
+    # store, and ref_stats == the build corpus statistics.
+    root, build, arrive, cut = built_index
+    d_in = str(tmp_path / "in")
+    _write_emb_batch(spark, d_in, 0, arrive)
+    chk = str(tmp_path / "chk")
+    q = _start_assign_stream(spark, d_in, root, chk)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(f"{root}/drift").count() == 1
+
+    # rebuild over the full corpus (the drift-triggered flow)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    similarity.build_ivf_index(emb, root, checkpoint_dir=chk)
+    asg = spark.read.parquet(f"{root}/assignments")
+    parts = {r.batch_id for r in asg.select("batch_id").distinct().collect()}
+    assert parts == {0}
+    n = emb.count()
+    ref = spark.read.parquet(f"{root}/ref_stats").collect()[0]
+    assert ref.n_vecs == n
+    import glob
+
+    assert not glob.glob(f"{root}/drift/batch_id=*/part-*")
+    assert not os.path.exists(f"{root}/assignments.forget_lock")
+
+    # rebuild refuses while the stream checkpoint holds an uncommitted
+    # batch (the same replay hazard forget_docs refuses under)
+    os.rename(f"{chk}/commits/0", str(tmp_path / "c0"))
+    with pytest.raises(RuntimeError, match="uncommitted micro-batch"):
+        similarity.build_ivf_index(emb, root, checkpoint_dir=chk)
     assert not os.path.exists(f"{root}/assignments.forget_lock")
     os.rename(str(tmp_path / "c0"), f"{chk}/commits/0")
