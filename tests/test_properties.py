@@ -299,3 +299,37 @@ def test_chunk_docs_coverage_and_bounds(spark, lengths, n, overlap):
         assert [recon[p] for p in range(1, ln + 1)] == [
             f"t{doc_id}x{j}" for j in range(ln)
         ]
+
+
+@given(
+    dims=st.lists(
+        st.tuples(st.integers(1, 8192), st.integers(1, 8192)),
+        min_size=1, max_size=64,
+    ),
+    max_side=st.integers(1, 4096),
+)
+@settings(max_examples=60, deadline=None)
+def test_fit_dims_invariants(dims, max_side):
+    # The aspect-fit arithmetic behind image_resize / mm_media_probe:
+    # (1) never upscales; (2) the longest side lands exactly at max_side
+    # whenever scaling happened; (3) both dims stay >= 1; (4) aspect ratio
+    # is preserved to integer-floor precision.  Pure pandas — no Spark.
+    import pandas as pd
+
+    from cloudcomputing_flink_application_spark.operators.multimodal import _fit_dims
+
+    w = pd.Series([d[0] for d in dims], dtype="int64")
+    h = pd.Series([d[1] for d in dims], dtype="int64")
+    nw, nh = _fit_dims(w, h, max_side)
+    for wi, hi, nwi, nhi in zip(w, h, nw, nh):
+        assert nwi >= 1 and nhi >= 1
+        assert nwi <= wi and nhi <= hi           # never upscale
+        if wi <= max_side and hi <= max_side:
+            assert (nwi, nhi) == (wi, hi)        # already fits: untouched
+        else:
+            ls = max(wi, hi)
+            # longest side scales exactly to max_side; the other is the
+            # exact floor of the proportional scale, floored at 1
+            assert max(nwi, nhi) == max_side
+            assert nwi == max(1, wi * max_side // ls)
+            assert nhi == max(1, hi * max_side // ls)
