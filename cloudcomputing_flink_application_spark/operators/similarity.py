@@ -836,8 +836,20 @@ def drift_report(spark, index_root: str) -> DataFrame:
     means arriving vectors fit the codebook exactly as well as the
     training data did; a sustained drop means the distribution moved and
     the codebook should be rebuilt (the instrument that makes 'when to
-    rebuild' a measurement instead of a guess)."""
+    rebuild' a measurement instead of a guess).
+
+    A freshly built (or just-rebuilt) index has no drift store yet — no
+    stream batch has run — and that reads as an EMPTY report, not a path
+    error (the CLI --report path on a new index)."""
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        _committed_batch_data_exists,
+    )
+
     ref = spark.read.parquet(f"{index_root}/ref_stats")
+    if not _committed_batch_data_exists(spark, f"{index_root}/drift"):
+        return spark.createDataFrame(
+            [], "batch_id LONG, n_vecs LONG, mean_ccos DOUBLE, drift DOUBLE"
+        )
     drift_rows = spark.read.parquet(f"{index_root}/drift")
     ref_mean = (
         F.col("_rsum").cast("double") / F.col("_rn") / DRIFT_SCALE

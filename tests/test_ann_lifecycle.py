@@ -259,3 +259,16 @@ def test_rebuild_drops_stale_stream_state_and_rebaselines(spark, tmp_path, built
         similarity.build_ivf_index(emb, root, checkpoint_dir=chk)
     assert not os.path.exists(f"{root}/assignments.forget_lock")
     os.rename(str(tmp_path / "c0"), f"{chk}/commits/0")
+
+
+def test_drift_report_empty_on_fresh_index(spark, tmp_path):
+    # A just-built index has no drift store; --report must read as an
+    # empty frame, not a path error.
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+    root = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, root)
+    rep = similarity.drift_report(spark, root)
+    assert rep.count() == 0
+    assert [f.name for f in rep.schema.fields] == [
+        "batch_id", "n_vecs", "mean_ccos", "drift",
+    ]
