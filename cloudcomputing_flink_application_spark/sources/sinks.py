@@ -82,3 +82,38 @@ def write_jsonl(df: DataFrame, path: str, partition_by: list[str] | None = None)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.json(path)
+
+
+def write_training_shards(
+    df: DataFrame, path: str, n_shards: int, key: str = "doc_id"
+) -> None:
+    """Deterministic content-addressed shard layout for training output:
+    every row lands in shard ``h56(key) % n_shards``, written as
+    ``shard=K/`` parquet partitions with exactly one file per shard.
+
+    Why not ``df.repartition(n).write``: round-robin repartition assigns
+    rows by PHYSICAL layout, so the same corpus re-written after any
+    upstream change lands in different shards — downstream dataloader
+    checkpoints, shard-level dedup ledgers, and resume-from-shard-K all
+    break.  Hashing the stable key makes shard membership a pure function
+    of the data (same contract as ``sample_stratified`` vs
+    ``DataFrame.sample``), repeatable across writes, layouts, and
+    cluster sizes; hash uniformity keeps shards balanced without a sort.
+
+    Scale: one exchange on the shard id (the write was going to shuffle
+    for layout anyway), no global sort, no driver collection.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.functions import text as X
+
+    shard = (X.h56(F.col(key).cast("string")) % n_shards).cast("int")
+    (
+        df.withColumn("shard", shard)
+        .repartition(n_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -87,3 +87,32 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     assert scans, "expected a FileSourceScanExec leaf in the executed plan"
     assert scans[0].metrics().apply("numPartitions").value() == 1
     assert got.count() == events.filter("event_type = 'click'").count()
+
+
+def test_training_shards_deterministic_and_complete(spark, tmp_path):
+    # Shard membership is a pure function of the key: identical across
+    # writes and input layouts; every row lands in exactly one shard;
+    # hash uniformity keeps shards balanced.
+    from cloudcomputing_flink_application_spark.sources.sinks import (
+        write_training_shards,
+    )
+    from tests.conftest import TESTDATA
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, p1, 8)
+    write_training_shards(docs.repartition(7), p2, 8)  # different layout
+    a = {(r.doc_id, r.shard) for r in
+         spark.read.parquet(p1).select("doc_id", "shard").collect()}
+    b = {(r.doc_id, r.shard) for r in
+         spark.read.parquet(p2).select("doc_id", "shard").collect()}
+    assert a == b                                  # layout-independent
+    assert len(a) == docs.count()                  # complete, no dupes
+    sizes = [c for _, c in
+             spark.read.parquet(p1).groupBy("shard").count().collect()]
+    assert len(sizes) == 8
+    assert max(sizes) < 3 * min(sizes)             # hash balance at n=500
+    import pytest
+
+    with pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(docs, str(tmp_path / "bad"), 0)
