@@ -348,8 +348,14 @@ def _ivf_index(args: argparse.Namespace) -> None:
         finally:
             q.stop()
         return
+    # Pass the stream checkpoint the --streaming path uses: a rebuild while
+    # that checkpoint holds an uncommitted batch would let the replay append
+    # vectors the new batch 0 already contains (duplicate index rows).
+    # _latest_numbered reads a missing checkpoint as -1, so a never-streamed
+    # root builds without friction.
     similarity.build_ivf_index(
-        spark.read.parquet(args.input), args.output, iters=args.iters
+        spark.read.parquet(args.input), args.output, iters=args.iters,
+        checkpoint_dir=f"{args.output}/_chk",
     )
     if args.show:
         sinks.show(spark.read.parquet(f"{args.output}/ref_stats"))

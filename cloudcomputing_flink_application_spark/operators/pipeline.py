@@ -655,23 +655,52 @@ def _spread(documents: DataFrame) -> DataFrame:
 
     The gate applies ONLY to scan-shaped inputs (projections/filters over
     relations — where ``.rdd.getNumPartitions()`` is a metadata read, 0
-    jobs).  For shuffle-bearing inputs (joins/aggregates — e.g. the
-    kept-docs frame ``prep_corpus`` chunks), converting to an RDD would
-    EXECUTE the AQE shuffle stages at plan-construction time, discard the
-    results, and recompute them in the real query (r7 review catch,
-    reproduced: 5 eager jobs per call); those inputs keep the plain
-    repartition, whose exchange AQE folds into the plan it was already
-    going to run.
+    jobs).  For anything else (joins/aggregates — e.g. the kept-docs
+    frame ``prep_corpus`` chunks), converting to an RDD would EXECUTE the
+    AQE shuffle stages at plan-construction time, discard the results,
+    and recompute them in the real query (r7 review catch, reproduced: 5
+    eager jobs per call); those inputs keep the plain repartition, whose
+    exchange AQE folds into the plan it was already going to run.
+
+    Scan-shapedness is decided by walking the analyzed plan's NODE CLASS
+    NAMES against a whitelist, not substring-matching the rendered plan
+    (which false-positives on literals like ``source == 'Joint-...'`` and
+    false-negatives on node types outside a keyword list, e.g.
+    Deduplicate — second review catch).  Unknown node types conservatively
+    fall back to the unconditional repartition — always correct, never
+    eager.
     """
     nparts = documents.sparkSession.sparkContext.defaultParallelism
-    analyzed = documents._jdf.queryExecution().analyzed().toString()
-    shuffle_bearing = any(
-        k in analyzed
-        for k in ("Join", "Aggregate", "Window", "Distinct", "Sort", "Repartition")
-    )
-    if not shuffle_bearing and documents.rdd.getNumPartitions() >= nparts:
+    if _scan_shaped(documents) and documents.rdd.getNumPartitions() >= nparts:
         return documents
     return documents.repartition(nparts)
+
+
+#: Logical node class names (substrings) that cannot introduce a shuffle:
+#: the shapes where plan -> RDD conversion is a pure metadata read.
+_SCAN_SHAPED_NODES = (
+    "Project",
+    "Filter",
+    "SubqueryAlias",
+    "View",
+    "Relation",       # LogicalRelation / DataSourceV2Relation / LocalRelation
+    "LogicalRDD",
+    "Range",
+    "Limit",          # Global/LocalLimit
+)
+
+
+def _scan_shaped(df: DataFrame) -> bool:
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if not any(k in name for k in _SCAN_SHAPED_NODES):
+            return False
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return True
 
 
 def _span_window_rows(documents: DataFrame, w: int) -> DataFrame:

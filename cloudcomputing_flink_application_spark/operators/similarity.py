@@ -865,7 +865,10 @@ def drift_report(spark, index_root: str) -> DataFrame:
             )
         )
         .select(
-            "batch_id",
+            # partition-inferred batch_id reads back as INT; cast so the
+            # report's schema matches the empty-index branch exactly
+            # (consumers union/append reports across rebuild boundaries)
+            F.col("batch_id").cast("long").alias("batch_id"),
             "n_vecs",
             mean.alias("mean_ccos"),
             (mean / ref_mean).alias("drift"),

@@ -105,11 +105,25 @@ def write_training_shards(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    if "shard" in df.columns:
+        raise ValueError(
+            "input already has a 'shard' column — the sink would silently "
+            "clobber it; rename or drop it first"
+        )
     from pyspark.sql import functions as F
 
     from cloudcomputing_flink_application_spark.functions import text as X
 
-    shard = (X.h56(F.col(key).cast("string")) % n_shards).cast("int")
+    # A NULL key would hash to a NULL shard and land in a silent
+    # __HIVE_DEFAULT_PARTITION__ no shard ledger expects; fail loudly
+    # inside the write (no extra validation job).
+    shard = F.when(
+        F.col(key).isNull(),
+        F.raise_error(
+            F.lit(f"write_training_shards: NULL {key} — shard assignment "
+                  "requires a non-null key")
+        ).cast("int"),
+    ).otherwise((X.h56(F.col(key).cast("string")) % n_shards).cast("int"))
     (
         df.withColumn("shard", shard)
         .repartition(n_shards, F.col("shard"))

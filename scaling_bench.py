@@ -506,10 +506,10 @@ def bench_stream_grow(spark) -> dict:
                 "per_batch_ms": ms,
                 "head_mean_ms": round(head_mean),
                 "tail_mean_ms": round(tail_mean),
-                # max(1, ...) guards the degenerate zero/empty-head case
-                # (same guard bench_stream carries) so a truncated run
-                # still emits its JSON instead of dying on the ratio
-                "tail_over_head": round(tail_mean / max(1, head_mean), 2),
+                # zero-ONLY guard (`or 1`): clamping sub-1ms means to 1
+                # (max(1, ...)) would understate the divergence ratio the
+                # bench exists to expose; a truncated run still emits JSON
+                "tail_over_head": round(tail_mean / (head_mean or 1), 2),
             }
         # the divergence statistic: how much MORE the unbounded tail costs
         # than the horizoned tail on the same data

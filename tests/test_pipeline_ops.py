@@ -325,3 +325,41 @@ def test_mixture_sample_null_source_is_not_a_sentinel_string(spark):
     out = mixture_sample(docs)
     assert out.filter("source = '<null-source>'").count() == 2
     assert out.filter("source IS NULL").count() > 0
+
+
+def test_spread_gate_scan_shaped_only(spark):
+    # The _spread gate must (a) be a metadata read on scan-shaped inputs,
+    # (b) NEVER eagerly execute shuffle stages for join/aggregate/dedup
+    # inputs, and (c) not be fooled by keyword-looking literals in the
+    # plan string (second r7 review catch: substring matching the rendered
+    # plan false-positived on filter literals and missed Deduplicate).
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        _scan_shaped,
+    )
+    from tests.conftest import TESTDATA
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    assert _scan_shaped(docs)
+    assert _scan_shaped(docs.select("doc_id", "text").filter("doc_id > 3"))
+    # a literal containing 'Join' must not flip the decision
+    assert _scan_shaped(docs.filter(docs.source == "Joint-corpus"))
+    # shuffle-bearing shapes — including ones outside any keyword list
+    assert not _scan_shaped(docs.dropDuplicates(["text"]))
+    assert not _scan_shaped(docs.join(docs.select("doc_id"), "doc_id"))
+    assert not _scan_shaped(docs.groupBy("lang").count())
+
+    # (b): constructing chunk_docs over a join-shaped input runs ZERO jobs
+    from cloudcomputing_flink_application_spark.operators.pipeline import chunk_docs
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or []) | set(
+        tracker.getActiveJobsIds() or []
+    )
+    sc.setJobGroup("spread-gate-probe", "plan-construction only")
+    try:
+        chunk_docs(docs.join(docs.select("doc_id"), "doc_id"))
+        probe_jobs = tracker.getJobIdsForGroup("spread-gate-probe") or []
+        assert len(probe_jobs) == 0, f"eager jobs at construction: {probe_jobs}"
+    finally:
+        sc.setJobGroup(None, None)

@@ -116,3 +116,19 @@ def test_training_shards_deterministic_and_complete(spark, tmp_path):
 
     with pytest.raises(ValueError, match="n_shards"):
         write_training_shards(docs, str(tmp_path / "bad"), 0)
+
+
+def test_training_shards_rejects_null_keys_and_collision(spark, tmp_path):
+    from cloudcomputing_flink_application_spark.sources.sinks import (
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        write_training_shards(docs, str(tmp_path / "s"), 4)
+    with pytest.raises(ValueError, match="shard"):
+        write_training_shards(
+            docs.withColumn("shard", docs.doc_id), str(tmp_path / "s2"), 4
+        )
