@@ -275,3 +275,35 @@ def test_disjunctive_predicate_decomposes_to_scans(spark):
         l for l in plan.split("\n") if "PushedFilters" in l and "l_quantity" in l
     ]
     assert li_scans, plan
+
+
+def test_r7_composed_queries_plan_shapes(spark):
+    # The r7 composed registry entries must not cost more than their
+    # components: no cartesian anywhere; the span composition SHARES the
+    # persisted window rows between its stats and scrub arms (>= 2
+    # InMemoryTableScans) instead of re-exploding; the OLAP suite's only
+    # nested-loop join is Q22's one-row scalar-subquery broadcast; exchange
+    # budgets pin the no-extra-shuffle property with slack for AQE.
+    from cloudcomputing_flink_application_spark.operators import similarity
+
+    budgets = {  # name -> (max hashpartitioning, max BroadcastNestedLoopJoin)
+        "text_span_scrub": (5, 0),
+        "pipe_prep": (8, 3),       # 3 BNLJ = the scalar/vocab 1-row broadcasts
+        "olap_suite_extra": (4, 1),
+        "dedup_text_pairs": (15, 0),
+    }
+    try:
+        for name, (max_ex, max_bnlj) in budgets.items():
+            df = REGISTRY[name].fn(spark, SF)
+            plan = physical_plan(df)
+            assert "CartesianProduct" not in plan, name
+            assert count_in_plan(df, "hashpartitioning", physical=True) <= max_ex, (
+                name, plan)
+            assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, (name, plan)
+        span = REGISTRY["text_span_scrub"].fn(spark, SF)
+        assert physical_plan(span).count("InMemoryTableScan") >= 2
+    finally:
+        from cloudcomputing_flink_application_spark.operators import dedup as _d
+
+        _d.release_cached()
+        similarity.release_cached()
