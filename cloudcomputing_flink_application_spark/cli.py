@@ -106,6 +106,11 @@ def _corpus_clean(args: argparse.Namespace) -> None:
     ``documents``-shaped parquet input, batch or incremental.
 
     Batch writes the per-doc flag frame as (distributed) parquet.
+    ``--shards N`` additionally writes the KEPT documents (text joined
+    back from the input) as N deterministic content-addressed training
+    shards under ``<output>_shards`` — the end of the prep pipeline a
+    trainer actually reads (``sinks.write_training_shards``; shard
+    membership is a pure function of doc_id, stable across rewrites).
     ``--streaming`` runs ``run_clean_corpus_stream`` over the input
     directory: file-arrival micro-batches, survivor-hash dedup state under
     ``<output>/_state``, checkpoints under ``<output>/_chk`` — rerunnable
@@ -147,8 +152,17 @@ def _corpus_clean(args: argparse.Namespace) -> None:
         finally:
             q.stop()
         return
-    out = clean_corpus(spark.read.parquet(args.input))
+    docs = spark.read.parquet(args.input)
+    out = clean_corpus(docs)
     out.write.mode("overwrite").parquet(args.output)
+    if getattr(args, "shards", None):
+        kept = (
+            spark.read.parquet(args.output)
+            .filter("kept")
+            .select("doc_id", "split")
+            .join(docs, "doc_id")
+        )
+        sinks.write_training_shards(kept, f"{args.output}_shards", args.shards)
     if args.show:
         sinks.show(out)
 
@@ -412,6 +426,14 @@ def main(argv: list[str] | None = None) -> None:
                 "conservative compliance direction); emitted output "
                 "partitions are yours to redact.  Same stream-stopped "
                 "lock contract as dedup-purge --forget.",
+            )
+        if name == "corpus-clean":
+            sp.add_argument(
+                "--shards", type=int, default=None, metavar="N",
+                help="batch only: also write the kept documents as N "
+                "deterministic content-addressed training shards under "
+                "<output>_shards (shard = stable hash of doc_id — "
+                "repeatable across rewrites and layouts)",
             )
         if name in ("corpus-clean", "dedup-purge", "span-scrub"):
             sp.add_argument(

@@ -305,3 +305,23 @@ def test_span_scrub_cli_forget(spark, tmp_path):
     with pytest.raises(SystemExit, match="no streaming state"):
         cli.main(["span-scrub", "--input", d_in, "--output", out_b,
                   "--forget", "1"])
+
+
+def test_corpus_clean_cli_shards(spark, tmp_path):
+    # --shards writes the kept docs as deterministic training shards: one
+    # row per kept doc, shard membership stable, text joined back intact.
+    from tests.conftest import TESTDATA
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+    out = str(tmp_path / "out")
+    cli.main(["corpus-clean", "--input", d_in, "--output", out,
+              "--shards", "4"])
+    flags = spark.read.parquet(out)
+    shards = spark.read.parquet(f"{out}_shards")
+    assert shards.count() == flags.filter("kept").count()
+    assert {r.shard for r in shards.select("shard").distinct().collect()} <= set(range(4))
+    # text travelled intact and split survived the join
+    assert shards.filter("text IS NULL").count() == 0
+    assert shards.filter("split = ''").count() == 0

@@ -1528,3 +1528,51 @@ def test_span_stream_guard_refuses_under_lock(spark, tmp_path):
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def test_forget_docs_idempotent_under_rerun(spark, tmp_path):
+    # The recovery contract tells the operator to RE-RUN a crashed forget
+    # with the same ids; that is only safe if forget is idempotent — the
+    # second run must leave every store and the re-derived edges
+    # bit-identical to the first.
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    rows = [(i, dup_text, "en", "s0", len(dup_text)) for i in (1, 2, 3, 10)]
+    d_in = str(tmp_path / "in")
+    _write_doc_batch(spark, d_in, 0, rows, cols)
+    chk = str(tmp_path / "chk")
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(schemas.DOCUMENTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    q = jobs.run_purge_dedup_stream(
+        spark, stream, str(tmp_path / "out"), chk, state
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snapshot():
+        def canon(v):
+            return tuple(sorted(v)) if isinstance(v, list) else v
+
+        snap = {}
+        for store in ("bands", "toksets", "docstats", "edges"):
+            df = spark.read.parquet(f"{state}/{store}")
+            snap[store] = {
+                tuple(canon(v) for v in r)
+                for r in df.select(*sorted(df.columns)).collect()
+            }
+        return snap
+
+    jobs.forget_docs(spark, state, [1], chk)
+    first = snapshot()
+    jobs.forget_docs(spark, state, [1], chk)  # the crash-recovery rerun
+    assert snapshot() == first
+    for store in ("bands", "toksets", "docstats", "edges"):
+        df = spark.read.parquet(f"{state}/{store}")
+        assert df.filter("doc_id = 1").count() == 0, store
+    assert first["edges"], "survivors must stay linked after the forget"
