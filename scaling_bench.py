@@ -597,6 +597,28 @@ def bench_clustered_ann(spark) -> dict:
     return out
 
 
+def bench_composed(spark) -> dict:
+    """r7 composed registry entries on the 1x/4x/10x corpora: the span
+    composition should track the span family (flat — shared persisted
+    window rows), and prep should stay ~linear (one partial-agg vocab
+    shuffle + broadcast joins; chunk explode is per-row).  Both regimes,
+    as for bench_spans."""
+    build_docs_tokenwise(spark)
+    build_corpora(spark)
+    ops = {
+        "text_span_scrub": lambda d: pipeline.span_pass(d).count(),
+        "pipe_prep": lambda d: pipeline.prep_corpus(d).count(),
+    }
+    return {
+        "tokenwise": _bench_op_table(
+            spark, ops, lambda s: (spark.read.parquet(str(WORK / f"docs_tw_x{s}")),)
+        ),
+        "suffix": _bench_op_table(
+            spark, ops, lambda s: (spark.read.parquet(str(WORK / f"docs_x{s}")),)
+        ),
+    }
+
+
 def main() -> None:
     import sys
 
@@ -615,6 +637,9 @@ def main() -> None:
         return
     if section == "spans":
         print(json.dumps({"spans": bench_spans(spark)}))
+        return
+    if section == "composed":
+        print(json.dumps({"composed": bench_composed(spark)}))
         return
     if section == "stream":
         print(json.dumps({"stream": bench_stream(spark)}))
