@@ -126,6 +126,8 @@ def _corpus_clean(args: argparse.Namespace) -> None:
     if args.streaming:
         if args.show:
             print("warning: --show is batch-only; streaming mode writes sinks only")
+        if getattr(args, "shards", None) is not None:
+            print("warning: --shards is batch-only; streaming mode writes flags only")
         from pyspark.sql import functions as F
 
         from cloudcomputing_flink_application_spark import schemas
@@ -155,14 +157,21 @@ def _corpus_clean(args: argparse.Namespace) -> None:
     docs = spark.read.parquet(args.input)
     out = clean_corpus(docs)
     out.write.mode("overwrite").parquet(args.output)
-    if getattr(args, "shards", None):
+    # `is not None`, not truthiness: --shards 0 must reach the sink's
+    # loud n_shards guard instead of silently no-opping.  The shard root
+    # is a SIBLING of the normalized output ('out/' would otherwise nest
+    # them INSIDE the flags dir, where the next flags overwrite deletes
+    # the shards a dataloader checkpoint references).
+    if getattr(args, "shards", None) is not None:
         kept = (
             spark.read.parquet(args.output)
             .filter("kept")
             .select("doc_id", "split")
             .join(docs, "doc_id")
         )
-        sinks.write_training_shards(kept, f"{args.output}_shards", args.shards)
+        sinks.write_training_shards(
+            kept, args.output.rstrip("/") + "_shards", args.shards
+        )
     if args.show:
         sinks.show(out)
 

@@ -325,3 +325,25 @@ def test_corpus_clean_cli_shards(spark, tmp_path):
     # text travelled intact and split survived the join
     assert shards.filter("text IS NULL").count() == 0
     assert shards.filter("split = ''").count() == 0
+
+
+def test_corpus_clean_cli_shards_edge_flags(spark, tmp_path, capsys):
+    # --shards 0 must fail loudly through the sink guard (not silently
+    # no-op), --streaming --shards warns, and a trailing-slash output
+    # still writes shards as a SIBLING (never nested inside the flags dir
+    # where the next overwrite would delete them).
+    import pytest
+
+    from tests.conftest import TESTDATA
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(60)
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+    out = str(tmp_path / "out") + "/"           # trailing slash
+    with pytest.raises(ValueError, match="n_shards"):
+        cli.main(["corpus-clean", "--input", d_in, "--output", out,
+                  "--shards", "0"])
+    cli.main(["corpus-clean", "--input", d_in, "--output", out,
+              "--shards", "2"])
+    assert os.path.isdir(str(tmp_path / "out_shards"))
+    assert not os.path.isdir(str(tmp_path / "out" / "_shards"))

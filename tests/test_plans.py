@@ -284,15 +284,12 @@ def test_r7_composed_queries_plan_shapes(spark):
     # InMemoryTableScans) instead of re-exploding; the OLAP suite's only
     # nested-loop join is Q22's one-row scalar-subquery broadcast; exchange
     # budgets pin the no-extra-shuffle property with slack for AQE.
-    from cloudcomputing_flink_application_spark.operators import dedup as _dd
-    from cloudcomputing_flink_application_spark.operators import similarity
-
     # Plan shapes depend on what the CacheManager currently holds (an
     # earlier test's persisted frame substitutes InMemoryTableScans and
     # changes exchange counts), so pin a CLEAN cache state first.
     spark.catalog.clearCache()
-    _dd.release_cached()
-    similarity.release_cached()
+    _dedup.release_cached()
+    _sim.release_cached()
 
     budgets = {  # name -> (max hashpartitioning, max BroadcastNestedLoopJoin)
         "text_span_scrub": (5, 0),
@@ -311,7 +308,5 @@ def test_r7_composed_queries_plan_shapes(spark):
         span = REGISTRY["text_span_scrub"].fn(spark, SF)
         assert physical_plan(span).count("InMemoryTableScan") >= 2
     finally:
-        from cloudcomputing_flink_application_spark.operators import dedup as _d
-
-        _d.release_cached()
-        similarity.release_cached()
+        _dedup.release_cached()
+        _sim.release_cached()
