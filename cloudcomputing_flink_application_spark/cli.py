@@ -123,6 +123,23 @@ def _corpus_clean(args: argparse.Namespace) -> None:
     )
 
     spark = get_spark(app_name="corpus-clean")
+    if getattr(args, "forget", None):
+        import os
+
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            forget_docs_clean,
+        )
+
+        if not os.path.isdir(f"{args.output}/_state"):
+            raise SystemExit(
+                f"no streaming state under {args.output}/_state — --forget "
+                "operates on a corpus-clean --streaming output root"
+            )
+        ids = [int(x) for x in args.forget.split(",") if x.strip()]
+        forget_docs_clean(
+            spark, f"{args.output}/_state/hashes", ids, f"{args.output}/_chk"
+        )
+        return
     if args.streaming:
         if args.show:
             print("warning: --show is batch-only; streaming mode writes sinks only")
@@ -437,6 +454,16 @@ def main(argv: list[str] | None = None) -> None:
                 "lock contract as dedup-purge --forget.",
             )
         if name == "corpus-clean":
+            sp.add_argument(
+                "--forget", default=None, metavar="ID[,ID...]",
+                help="compliance deletion instead of running the job: "
+                "remove the doc_ids' (text-hash, doc_id) rows from the "
+                "survivor-hash store under <output>/_state/hashes (a "
+                "forgotten canonical doc's text re-seeds as uniq on its "
+                "next identical survivor — the content left the kept "
+                "corpus with its doc).  Same stream-stopped lock contract "
+                "as dedup-purge --forget.",
+            )
             sp.add_argument(
                 "--shards", type=int, default=None, metavar="N",
                 help="batch only: also write the kept documents as N "

@@ -424,6 +424,7 @@ def run_minhash_dedup_stream(
     _check_horizon(horizon_batches)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _forget_guard(spark, [bands_dir])
         if batch_id == 0:
             # Fresh-checkpoint rerun over a dirty sink: batches renumber
             # from 0, so partitions a previous run wrote would linger.
@@ -463,8 +464,16 @@ def run_minhash_dedup_stream(
                 )
             )
             _write_batch_partition(flags, batch_id, output_dir)
+            # Store PER-DOC band rows (r7: was distinct (band, key)): the
+            # probe still reads only (band, key), but keeping doc_id makes
+            # the store FORGETTABLE — forget_docs_minhash drops a doc's
+            # rows while every other doc's rows keep their buckets live
+            # (the distinct form shared liveness across docs, so deletion
+            # was impossible without re-deriving from text).  State grows
+            # from O(distinct buckets) to O(docs x bands) — the same bound
+            # the purge stream's band store already carries.
             _write_batch_partition(
-                b.select("band", "key").distinct(), batch_id, bands_dir
+                b.select("doc_id", "band", "key"), batch_id, bands_dir
             )
         finally:
             b.unpersist()
@@ -1127,20 +1136,7 @@ def forget_docs_span(spark, state_dir: str, doc_ids, checkpoint_dir: str | None)
     :func:`forget_docs`; ``run_span_flags_stream`` refuses to start a
     batch while the lock is present.
     """
-    ids = [int(i) for i in doc_ids]
-    if not ids:
-        return
-    store = f"{state_dir}/firsts"
-    created = _acquire_forget_locks(spark, [store])
-    try:
-        _refuse_uncommitted(spark, checkpoint_dir)
-    except Exception:
-        _release_forget_locks(spark, created)
-        raise
-    _recover_swap(spark, store)
-    ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
-    _rewrite_minus(spark, store, ids_df)
-    _release_forget_locks(spark, [store])
+    _forget_single_store(spark, f"{state_dir}/firsts", doc_ids, checkpoint_dir)
 
 
 def run_ivf_assign_stream(
@@ -1258,6 +1254,57 @@ def forget_vecs(spark, index_root: str, vec_ids, checkpoint_dir: str | None) -> 
     _release_forget_locks(spark, [asg_dir])
 
 
+def _forget_single_store(spark, store_dir: str, doc_ids, checkpoint_dir) -> None:
+    """The shared single-store deletion: lock -> refuse-uncommitted ->
+    heal -> rewrite-minus -> unlock (the forget_docs contract without the
+    edge re-derivation)."""
+    ids = [int(i) for i in doc_ids]
+    if not ids:
+        return
+    created = _acquire_forget_locks(spark, [store_dir])
+    try:
+        _refuse_uncommitted(spark, checkpoint_dir)
+    except Exception:
+        _release_forget_locks(spark, created)
+        raise
+    _recover_swap(spark, store_dir)
+    ids_df = spark.createDataFrame([(i,) for i in ids], "doc_id LONG")
+    _rewrite_minus(spark, store_dir, ids_df)
+    _release_forget_locks(spark, [store_dir])
+
+
+def forget_docs_minhash(spark, bands_dir: str, doc_ids, checkpoint_dir: str | None) -> None:
+    """Compliance deletion from a ``run_minhash_dedup_stream`` band store:
+    drop the doc_ids' (doc_id, band, key) rows — content-derived MinHash
+    band keys of the forgotten documents.
+
+    Because the store keeps PER-DOC rows (r7), deletion is exact and
+    non-destructive to survivors: every other document's rows keep their
+    buckets live, so post-forget semantics are dedup-against-survivors —
+    a future twin of a bucket only the forgotten doc occupied re-seeds
+    as fresh (nothing derived from the forgotten doc remains), while
+    twins of shared buckets still flag.  Emitted (doc_id, is_dup) output
+    partitions are the caller's to redact, as with ``forget_docs``.
+    Same lock / uncommitted-checkpoint / crash-recovery contract; the
+    stream refuses to run a batch under the lock.
+    """
+    _forget_single_store(spark, bands_dir, doc_ids, checkpoint_dir)
+
+
+def forget_docs_clean(spark, hashes_dir: str, doc_ids, checkpoint_dir: str | None) -> None:
+    """Compliance deletion from a ``run_clean_corpus_stream`` hash store:
+    drop the doc_ids' (h, doc_id) rows — the md5 of a forgotten doc's
+    text is content-derived and must go.
+
+    Dropping a forgotten CANONICAL doc's row re-seeds its text: a future
+    identical survivor becomes uniq (and kept) again — the correct
+    post-deletion reading, since the content left the kept corpus with
+    its document.  Same lock / checkpoint / recovery contract as the
+    other forgets; the stream refuses to run a batch under the lock.
+    """
+    _forget_single_store(spark, hashes_dir, doc_ids, checkpoint_dir)
+
+
 def length_histogram_stream(documents: DataFrame) -> DataFrame:
     """Streaming corpus-shape report: the batch ``length_histogram``
     operator runs unchanged on a document stream — a pure streaming
@@ -1333,6 +1380,7 @@ def run_clean_corpus_stream(
     _check_horizon(horizon_batches)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        _forget_guard(spark, [hashes_dir])
         if batch_id == 0:
             _prune_stale_batch_partitions(spark, output_dir)
             _prune_stale_batch_partitions(spark, hashes_dir)
@@ -1398,7 +1446,16 @@ def run_clean_corpus_stream(
                 .alias("split"),
             )
             _write_batch_partition(out, batch_id, output_dir)
-            _write_batch_partition(surv.select("h").distinct(), batch_id, hashes_dir)
+            # Store (h, canonical doc_id) rows (r7: was distinct h): same
+            # hash set — local_canon holds exactly one row per distinct
+            # batch-survivor hash — but the doc_id makes the store
+            # FORGETTABLE (forget_docs_clean).  Dropping a forgotten
+            # canonical doc's row re-seeds its text: a future identical
+            # survivor becomes uniq again, which is CORRECT post-deletion
+            # semantics — the content left the kept corpus with its doc.
+            _write_batch_partition(
+                local_canon.select("h", "doc_id"), batch_id, hashes_dir
+            )
         finally:
             corpus.unpersist()
             if flags is not None:

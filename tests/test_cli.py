@@ -347,3 +347,27 @@ def test_corpus_clean_cli_shards_edge_flags(spark, tmp_path, capsys):
               "--shards", "2"])
     assert os.path.isdir(str(tmp_path / "out_shards"))
     assert not os.path.isdir(str(tmp_path / "out" / "_shards"))
+
+
+def test_corpus_clean_cli_forget(spark, tmp_path):
+    import pytest
+
+    from tests.conftest import TESTDATA
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(80)
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+    out = str(tmp_path / "out")
+    cli.main(["corpus-clean", "--input", d_in, "--output", out, "--streaming"])
+    victim = spark.read.parquet(f"{out}/_state/hashes").select("doc_id").first()[0]
+    cli.main(["corpus-clean", "--input", d_in, "--output", out,
+              "--forget", str(victim)])
+    assert (
+        spark.read.parquet(f"{out}/_state/hashes")
+        .filter(f"doc_id = {victim}").count() == 0
+    )
+    out_b = str(tmp_path / "out_b")
+    cli.main(["corpus-clean", "--input", d_in, "--output", out_b])
+    with pytest.raises(SystemExit, match="no streaming state"):
+        cli.main(["corpus-clean", "--input", d_in, "--output", out_b,
+                  "--forget", "1"])

@@ -1576,3 +1576,116 @@ def test_forget_docs_idempotent_under_rerun(spark, tmp_path):
         df = spark.read.parquet(f"{state}/{store}")
         assert df.filter("doc_id = 1").count() == 0, store
     assert first["edges"], "survivors must stay linked after the forget"
+
+
+def test_forget_docs_minhash_exact_survivor_semantics(spark, tmp_path):
+    # The r7 per-doc band store makes flag-stream deletion exact: after
+    # forgetting doc 1, (a) no store row references it, (b) a future twin
+    # of a bucket ONLY doc 1 occupied re-seeds unflagged, while (c) a twin
+    # of a bucket a SURVIVOR shares still flags — dedup-against-survivors.
+    t_shared = "alpha beta gamma delta epsilon zeta eta theta"
+    t_only1 = "red green blue cyan magenta yellow black white"
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d_in = str(tmp_path / "in")
+    _write_doc_batch(spark, d_in, 0,
+                     [(1, t_only1, "en", "s0", len(t_only1)),
+                      (2, t_shared, "en", "s0", len(t_shared))], cols)
+    chk = str(tmp_path / "chk")
+    bands = str(tmp_path / "bands")
+    out = str(tmp_path / "out")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d_in}/*")
+        )
+        return jobs.run_minhash_dedup_stream(spark, stream, out, chk, bands)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(bands).filter("doc_id = 1").count() > 0
+
+    jobs.forget_docs_minhash(spark, bands, [1], chk)
+    store = spark.read.parquet(bands)
+    assert store.filter("doc_id = 1").count() == 0
+    assert store.filter("doc_id = 2").count() > 0  # survivor rows intact
+    assert not os.path.exists(f"{bands}.forget_lock")
+
+    _write_doc_batch(spark, d_in, 1,
+                     [(10, t_only1, "en", "s0", len(t_only1)),   # twin of forgotten
+                      (11, t_shared, "en", "s0", len(t_shared))], cols)  # twin of survivor
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flags = {r.doc_id: r.is_dup for r in spark.read.parquet(out).collect()}
+    assert flags[10] is False   # history of the forgotten doc is gone
+    assert flags[11] is True    # survivor's buckets still live
+
+    # the guard fences this stream too
+    with open(f"{bands}.forget_lock", "w"):
+        pass
+    _write_doc_batch(spark, d_in, 2, [(20, t_shared, "en", "s0", 1)], cols)
+    q = start()
+    with pytest.raises(Exception, match="forget-lock"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
+def test_forget_docs_clean_reseeds_text(spark, tmp_path):
+    # Clean-stream hash-store deletion: the forgotten canonical doc's
+    # (h, doc_id) row goes; a future identical survivor becomes uniq and
+    # KEPT again — correct post-deletion semantics.
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import BENCH_MOD
+
+    text = ("quality words flow nicely through this sentence and keep "
+            "ratios inside every gate without repeats at all")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d_in = str(tmp_path / "in")
+    _write_doc_batch(spark, d_in, 0, [(1, text, "en", "s0", len(text))], cols)
+    chk = str(tmp_path / "chk")
+    hashes = str(tmp_path / "hashes")
+    out = str(tmp_path / "out")
+    bench = spark.createDataFrame([], schemas.DOCUMENTS).filter(
+        F.col("doc_id") % BENCH_MOD == 0
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d_in}/*")
+        )
+        return jobs.run_clean_corpus_stream(spark, stream, bench, out, chk, hashes)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    batch0 = {r.doc_id: r.kept for r in spark.read.parquet(out).collect()}
+    assert batch0[1] is True  # the doc passes the gates and is uniq
+
+    jobs.forget_docs_clean(spark, hashes, [1], chk)
+    # doc 1 was the store's ONLY row: the rewrite leaves no committed data
+    assert not jobs._committed_batch_data_exists(spark, hashes)
+    assert not os.path.exists(f"{hashes}.forget_lock")
+
+    _write_doc_batch(spark, d_in, 1, [(5, text, "en", "s0", len(text))], cols)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flags = {r.doc_id: (r.uniq, r.kept)
+             for r in spark.read.parquet(out).collect()}
+    assert flags[5] == (True, True)  # re-seeded: identical text kept again
