@@ -678,10 +678,16 @@ def disjunctive_revenue(
     agg = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(arm)
-        .agg(F.sum(_revenue_cents()).alias("_rev"))
+        .agg(
+            F.sum(_revenue_cents()).alias("_rev"),
+            F.count("*").alias("_n"),
+        )
     )
     if not empty_as_zero:
-        return agg.filter(F.col("_rev").isNotNull()).select(
+        # count(*) > 0, the SAME predicate as the oracle's HAVING (ADVICE
+        # r7 low: an IS NOT NULL filter here diverges from the oracle if
+        # matched rows ever aggregated to a NULL sum).
+        return agg.filter(F.col("_n") > 0).select(
             (F.col("_rev").cast("double") / 10000.0).alias("revenue")
         )
     return agg.select(

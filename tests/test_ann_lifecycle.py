@@ -272,3 +272,28 @@ def test_drift_report_empty_on_fresh_index(spark, tmp_path):
     assert [f.name for f in rep.schema.fields] == [
         "batch_id", "n_vecs", "mean_ccos", "drift",
     ]
+
+
+def test_build_failure_before_mutation_releases_lock(spark, tmp_path):
+    # ADVICE r7 low: a build that fails BEFORE touching the artifact must
+    # not leave the forget-lock (nothing to heal; the assign stream may
+    # keep running against the old index).
+    root = str(tmp_path / "ivf")
+    bad = spark.range(5).toDF("not_embeddings")  # analysis fails pre-write
+    with pytest.raises(Exception):
+        similarity.build_ivf_index(bad, root)
+    assert not os.path.exists(f"{root}/assignments.forget_lock")
+
+
+def test_build_failure_keeps_preexisting_lock(spark, tmp_path):
+    # A lock left by a CRASHED prior build/forget must survive an early
+    # build failure — releasing someone else's lock would unfence the
+    # stream against a half-rewritten store.
+    root = str(tmp_path / "ivf")
+    os.makedirs(root, exist_ok=True)
+    with open(f"{root}/assignments.forget_lock", "w"):
+        pass
+    bad = spark.range(5).toDF("not_embeddings")
+    with pytest.raises(Exception):
+        similarity.build_ivf_index(bad, root)
+    assert os.path.exists(f"{root}/assignments.forget_lock")

@@ -529,3 +529,44 @@ def test_plan_size_probe_sql_matches_jdf(spark, sf_dir):
         for t in spark.catalog.listTables()
         if t.name.startswith("_plan_size_probe_")
     ]
+
+
+def test_ivf_auto_subk_rule():
+    # Compat zone: every tested SF (n <= 2000) keeps SUBK=5, so the
+    # driver oracles (whose _SEEDS_CTE hardcodes SUBK) are bit-unchanged
+    # under the auto default.
+    for n in (1, 500, 2000, similarity.IVF_AUTO_COMPAT_N):
+        assert similarity.auto_subk(n, 10) == similarity.SUBK
+        assert similarity.auto_subk(n, 50) == similarity.SUBK
+    # Adaptive zone: K = n_labels * subk tracks ceil(sqrt(n)).
+    assert similarity.auto_subk(10_000, 10) == 10  # K = 100 = sqrt(10^4)
+    assert similarity.auto_subk(1_000_000, 10) == 100  # K = 1000
+    assert similarity.auto_subk(1_000_000, 50) == 20  # K = 1000
+    # Floor: a huge label count never shrinks subk below the tested SUBK.
+    assert similarity.auto_subk(10_000, 1000) == similarity.SUBK
+    # Clamp: rank must fit cluster = label*1000 + rank's three digits.
+    assert similarity.auto_subk(10**12, 10) == similarity.IVF_MAX_SUBK
+    # Monotone: more data never shrinks the codebook.
+    ks = [similarity.auto_subk(n, 10) for n in range(1, 10**6, 9973)]
+    assert ks == sorted(ks)
+
+
+def test_ivf_subk_out_of_range_raises(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="subk"):
+        similarity.ivf_codebook(embs, subk=0).count()
+    with pytest.raises(ValueError, match="subk"):
+        similarity.ivf_codebook(embs, subk=1000).count()
+
+
+def test_ivf_auto_matches_fixed_at_tested_sf(spark, sf_dir):
+    # At the tested SFs the auto default must produce the EXACT codebook
+    # of the fixed SUBK layout (the oracle-hash-unchanged contract).
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    auto = rows_set(similarity.ivf_codebook(embs).select("cluster", "label"))
+    fixed = rows_set(
+        similarity.ivf_codebook(embs, subk=similarity.SUBK).select(
+            "cluster", "label"
+        )
+    )
+    assert auto == fixed and len(auto) > 0

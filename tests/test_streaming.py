@@ -1689,3 +1689,121 @@ def test_forget_docs_clean_reseeds_text(spark, tmp_path):
     flags = {r.doc_id: (r.uniq, r.kept)
              for r in spark.read.parquet(out).collect()}
     assert flags[5] == (True, True)  # re-seeded: identical text kept again
+
+
+def test_forget_docs_clean_reseeds_recurring_hash(spark, tmp_path):
+    # ADVICE r7 medium: a hash that RECURS across batches must still
+    # re-seed after its canonical doc is forgotten.  The r7 store wrote
+    # batch-local canon rows every batch, leaving (h, dup_doc_id) rows
+    # that kept flagging identical future text as dup forever; the store
+    # now keeps first occurrences only, all keyed to the true canonical.
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import BENCH_MOD
+
+    text = ("quality words flow nicely through this sentence and keep "
+            "ratios inside every gate without repeats at all")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d_in = str(tmp_path / "in")
+    _write_doc_batch(spark, d_in, 0, [(1, text, "en", "s0", len(text))], cols)
+    _write_doc_batch(spark, d_in, 1, [(5, text, "en", "s0", len(text))], cols)
+    chk = str(tmp_path / "chk")
+    hashes = str(tmp_path / "hashes")
+    out = str(tmp_path / "out")
+    bench = spark.createDataFrame([], schemas.DOCUMENTS).filter(
+        F.col("doc_id") % BENCH_MOD == 0
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d_in}/*")
+        )
+        return jobs.run_clean_corpus_stream(spark, stream, bench, out, chk, hashes)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flags = {r.doc_id: (r.uniq, r.kept)
+             for r in spark.read.parquet(out).collect()}
+    assert flags[1] == (True, True)
+    assert flags[5] == (False, False)  # cross-batch dup of doc 1
+    # the store holds FIRST occurrences only, every row keyed to doc 1
+    store = spark.read.parquet(hashes)
+    assert {r.doc_id for r in store.collect()} == {1}
+
+    jobs.forget_docs_clean(spark, hashes, [1], chk)
+    # every trace of the recurring hash left with its canonical
+    assert not jobs._committed_batch_data_exists(spark, hashes)
+
+    _write_doc_batch(spark, d_in, 2, [(9, text, "en", "s0", len(text))], cols)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flags = {r.doc_id: (r.uniq, r.kept)
+             for r in spark.read.parquet(out).collect()}
+    assert flags[9] == (True, True)  # re-seeded despite the recurrence
+
+
+def test_clean_stream_horizon_refresh_carries_canonical(spark, tmp_path):
+    # Horizon mode must REFRESH a recurring hash's liveness (the r6
+    # span-store lesson: an unrefreshed hash ages out mid-recurrence and
+    # a later in-horizon twin under-flags) — and the refresh row must
+    # carry the ORIGINAL canonical doc_id, keeping the store forgettable.
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import BENCH_MOD
+
+    text = ("quality words flow nicely through this sentence and keep "
+            "ratios inside every gate without repeats at all")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    d_in = str(tmp_path / "in")
+    for idx, did in ((0, 1), (1, 5), (2, 9)):
+        _write_doc_batch(spark, d_in, idx,
+                         [(did, text, "en", "s0", len(text))], cols)
+    chk = str(tmp_path / "chk")
+    hashes = str(tmp_path / "hashes")
+    out = str(tmp_path / "out")
+    bench = spark.createDataFrame([], schemas.DOCUMENTS).filter(
+        F.col("doc_id") % BENCH_MOD == 0
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d_in}/*")
+        )
+        return jobs.run_clean_corpus_stream(
+            spark, stream, bench, out, chk, hashes, horizon_batches=1
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flags = {r.doc_id: r.uniq for r in spark.read.parquet(out).collect()}
+    # horizon=1: batch 2's probe reads ONLY batch 1's partition — doc 9
+    # is still flagged dup because batch 1 refreshed the hash's liveness
+    assert flags == {1: True, 5: False, 9: False}
+    # every store row (first occurrence AND refreshes) carries doc 1
+    assert {r.doc_id for r in spark.read.parquet(hashes).collect()} == {1}
+
+    jobs.forget_docs_clean(spark, hashes, [1], chk)
+    assert not jobs._committed_batch_data_exists(spark, hashes)
+
+    _write_doc_batch(spark, d_in, 3, [(13, text, "en", "s0", len(text))], cols)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flags = {r.doc_id: (r.uniq, r.kept)
+             for r in spark.read.parquet(out).collect()}
+    assert flags[13] == (True, True)  # re-seeded within the horizon too
