@@ -213,16 +213,35 @@ def media_probe(documents: DataFrame) -> DataFrame:
     decode batch emits every modality interpretation, which is also the
     realistic ingest shape: probe every payload once, type it later.
 
+    r8: the VIDEO interpretation joins the pass — per-doc whole-frame
+    count and the fingerprint chain of the SAMPLED frames
+    (``video_fp8`` = md5 of the '|'-joined per-frame fp8s
+    ``video_frame_sample`` emits, every FRAME_SAMPLE_STEP-th frame in
+    order; NULL when the payload holds no whole frame).  This puts the
+    video operator's per-frame derivation under the driver row while its
+    1->N explode shape stays the off-registry operator.
+
     Output: (doc_id, width, height, new_width, new_height, n_bytes,
-    n_samples, n_frames, duration_ms, fp8, feat_fp8).
+    n_samples, n_frames, duration_ms, fp8, feat_fp8, n_video_frames,
+    video_fp8).
     """
     payloads = with_binary_payload(documents)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def video_fp(h: str, n: int):
+            if n <= 0:
+                return None
+            chain = "|".join(
+                hashlib.md5(f"{h}|f{i}".encode()).hexdigest()[:8]
+                for i in range(0, n, FRAME_SAMPLE_STEP)
+            )
+            return hashlib.md5(chain.encode()).hexdigest()[:8]
+
         for pdf in batches:
             digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
             nbytes = pdf["payload"].map(len)
             samples = nbytes // BYTES_PER_SAMPLE
+            nvf = (nbytes // VIDEO_FRAME_BYTES).astype("int64")
             w = digests.map(lambda h: 1 + int(h[0:4], 16) % 1024).astype("int64")
             h = digests.map(lambda h: 1 + int(h[4:8], 16) % 1024).astype("int64")
             new_w, new_h = _fit_dims(w, h, RESIZE_MAX_SIDE)
@@ -241,6 +260,11 @@ def media_probe(documents: DataFrame) -> DataFrame:
                     "feat_fp8": digests.map(
                         lambda h: hashlib.md5(f"{h}|feat".encode()).hexdigest()[:8]
                     ),
+                    "n_video_frames": nvf,
+                    "video_fp8": pd.Series(
+                        [video_fp(hh, int(n)) for hh, n in zip(digests, nvf)],
+                        dtype="object",
+                    ),
                 }
             )
 
@@ -249,7 +273,7 @@ def media_probe(documents: DataFrame) -> DataFrame:
         schema=(
             "doc_id long, width int, height int, new_width int, new_height int, "
             "n_bytes long, n_samples long, n_frames long, duration_ms long, "
-            "fp8 string, feat_fp8 string"
+            "fp8 string, feat_fp8 string, n_video_frames long, video_fp8 string"
         ),
     )
 
@@ -269,9 +293,20 @@ def _fake_dims_sql(max_side: int = RESIZE_MAX_SIDE) -> tuple[str, str, str, str]
 
 
 def _media_probe_sql() -> str:
+    # The video fingerprint chain COMPOSES the frame-sample oracle (the
+    # r7 review rule: no inline restatement of another operator's
+    # arithmetic) — per doc, md5 over the sampled frames' fp8s joined in
+    # frame order, exactly the probe UDF's video_fp().
     w, h, nw, nh = _fake_dims_sql()
     return f"""
-SELECT doc_id,
+WITH vfp AS (
+  SELECT doc_id,
+         substr(md5(string_agg(frame_fp8, '|' ORDER BY frame_idx)), 1, 8)
+           AS video_fp8
+  FROM ({VIDEO_FRAME_SAMPLE_SQL.strip()}) vf
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
        CAST({w} AS INT) AS width,
        CAST({h} AS INT) AS height,
        CAST({nw} AS INT) AS new_width,
@@ -281,12 +316,15 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) // {BYTES_PER_SAMPLE} // {FRAME_SAMPLES} AS BIGINT) AS n_frames,
        CAST(octet_length(encode(text)) // {BYTES_PER_SAMPLE} * 1000 // {SAMPLE_RATE} AS BIGINT) AS duration_ms,
        substr(md5(text), 1, 8) AS fp8,
-       substr(md5(md5(text) || '|feat'), 1, 8) AS feat_fp8
-FROM documents
+       substr(md5(md5(text) || '|feat'), 1, 8) AS feat_fp8,
+       CAST(octet_length(encode(text)) // {VIDEO_FRAME_BYTES} AS BIGINT) AS n_video_frames,
+       vfp.video_fp8
+FROM documents d LEFT JOIN vfp USING (doc_id)
 """
 
 
-MEDIA_PROBE_SQL = _media_probe_sql()
+# NOTE: MEDIA_PROBE_SQL is assigned AFTER the video section below — the
+# probe oracle composes VIDEO_FRAME_SAMPLE_SQL (r8 video_fp8 column).
 
 
 # --- r7: resize / feature-extract / video frame-sample -----------------------
@@ -546,3 +584,5 @@ FROM frames
 
 
 VIDEO_FRAME_SAMPLE_SQL = _video_frame_sample_sql()
+
+MEDIA_PROBE_SQL = _media_probe_sql()

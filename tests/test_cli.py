@@ -371,3 +371,114 @@ def test_corpus_clean_cli_forget(spark, tmp_path):
     with pytest.raises(SystemExit, match="no streaming state"):
         cli.main(["corpus-clean", "--input", d_in, "--output", out_b,
                   "--forget", "1"])
+
+
+def test_dedup_flags_cli_batch_streaming_and_forget(spark, tmp_path):
+    # The band-flags job surface (r8 — the one forget path that had no
+    # shell surface): batch output equals a direct minhash_band_flags()
+    # run; --streaming matches on a single micro-batch; --forget removes
+    # a doc's band rows from the bucket store.
+    import pytest
+
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_band_flags,
+    )
+    from tests.conftest import TESTDATA, rows_set
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(100)
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+
+    out_b = str(tmp_path / "out_batch")
+    cli.main(["dedup-flags", "--input", d_in, "--output", out_b])
+    expected = rows_set(minhash_band_flags(spark.read.parquet(d_in)))
+    assert rows_set(
+        spark.read.parquet(out_b).select("doc_id", "is_dup")
+    ) == expected
+
+    out_s = str(tmp_path / "out_stream")
+    cli.main(["dedup-flags", "--input", d_in, "--output", out_s, "--streaming"])
+    streamed = rows_set(
+        spark.read.parquet(f"{out_s}/flags").select("doc_id", "is_dup")
+    )
+    assert streamed == expected
+
+    victim = spark.read.parquet(f"{out_s}/_state/bands").select(
+        "doc_id"
+    ).first()[0]
+    cli.main(["dedup-flags", "--input", d_in, "--output", out_s,
+              "--forget", str(victim)])
+    store = spark.read.parquet(f"{out_s}/_state/bands")
+    assert store.filter(f"doc_id = {victim}").count() == 0
+    assert store.count() > 0  # survivors' rows intact
+
+    # batch root (no streaming state) fails loudly
+    with pytest.raises(SystemExit, match="no streaming state"):
+        cli.main(["dedup-flags", "--input", d_in, "--output", out_b,
+                  "--forget", "1"])
+
+
+def test_ivf_index_cli_rebuild_if_drift(spark, tmp_path, capsys):
+    # The drift-triggered maintenance loop (r8): fresh index (no drift
+    # rows) is a no-op; an in-distribution reading is a no-op; a reading
+    # under the threshold rebuilds from --input.
+    import pytest
+
+    from tests.conftest import TESTDATA
+
+    emb = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+    build_in = str(tmp_path / "build_in")
+    emb.filter("vec_id <= 300").write.parquet(build_in)
+    arrive_in = str(tmp_path / "arrive_in")
+    emb.filter("vec_id > 300").write.parquet(arrive_in)
+    root = str(tmp_path / "index")
+
+    # unbuilt root fails loudly
+    with pytest.raises(SystemExit, match="no codebook"):
+        cli.main(["ivf-index", "--input", build_in, "--output", root,
+                  "--rebuild-if-drift", "0.9"])
+
+    cli.main(["ivf-index", "--input", build_in, "--output", root])
+    def cb_set(path):
+        return {(r.cluster, r.label, tuple(r.cemb))
+                for r in spark.read.parquet(path).collect()}
+
+    cb0 = cb_set(f"{root}/codebook")
+
+    # fresh: no stream batch has run -> no drift evidence -> no-op
+    cli.main(["ivf-index", "--input", arrive_in, "--output", root,
+              "--rebuild-if-drift", "0.9"])
+    assert "no drift readings" in capsys.readouterr().out
+    assert cb_set(f"{root}/codebook") == cb0
+
+    # stream a batch: the deterministic drift reading on this corpus
+    # is ~0.47 (near-uniform random vectors, tiny build set: arrivals
+    # genuinely fit an overfitted seed codebook worse than the build
+    # slice did — the clustered fixture is where drift ~ 1.0 lives,
+    # pinned in test_drift_reads_one_for_in_distribution_batches)
+    cli.main(["ivf-index", "--input", arrive_in, "--output", root,
+              "--streaming"])
+    assert spark.read.parquet(f"{root}/drift").count() >= 1
+
+    # healthy-enough: drift >= 0.3 -> no rebuild, codebook unchanged
+    cli.main(["ivf-index", "--input", arrive_in, "--output", root,
+              "--rebuild-if-drift", "0.3"])
+    assert "no rebuild" in capsys.readouterr().out
+    assert cb_set(f"{root}/codebook") == cb0
+
+    # stale-triggers: a threshold above the reading forces the rebuild
+    # path deterministically (drift ~ 0.47 < 0.9)
+    cli.main(["ivf-index", "--input", arrive_in, "--output", root,
+              "--rebuild-if-drift", "0.9"])
+    assert "rebuilding" in capsys.readouterr().out
+    # rebuilt FROM --input: batch-0 assignments are the arrive set only,
+    # stale stream partitions dropped, drift store cleared
+    asg = spark.read.parquet(f"{root}/assignments")
+    assert asg.filter("vec_id <= 300").count() == 0
+    assert asg.filter("vec_id > 300").count() > 0
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        _committed_batch_data_exists,
+    )
+
+    assert not _committed_batch_data_exists(spark, f"{root}/drift")
+    assert not os.path.exists(f"{root}/assignments.forget_lock")
