@@ -294,6 +294,91 @@ def build_docs_boilerplate(spark) -> None:
         ).write.mode("overwrite").parquet(str(dst))
 
 
+#: Long-doc regime constants (r8, VERDICT r7 item 6): DUP_SPAN_W=8 was
+#: tuned to the ~30-token synthetic docs, but Lee et al. run 50-token
+#: windows over multi-hundred-token documents — window-hash cardinality
+#: and the per-doc island arrays both change regime with w and doc
+#: length, so the flat-exponent claim needs a row AT that width.
+LONGDOC_GROUP = 10  # base docs concatenated per long doc (~300 tokens)
+LONGDOC_W = 50
+#: 60 deterministic tokens appended to every 3rd long doc: the shared
+#: terms-of-service paragraph that gives the corpus GENUINE >= 50-token
+#: duplicated spans (organic base-corpus duplicates are ~30 tokens —
+#: invisible at w=50 — exactly why the width changes the regime).
+LONGDOC_FOOTER = " ".join(f"tos{i} clause" for i in range(30))
+
+
+def build_docs_longdoc(spark) -> None:
+    """Multi-hundred-token corpora: concatenate LONGDOC_GROUP base docs
+    (doc_id order inside each group, deterministic) into one document,
+    append the shared footer to every 3rd, then token-bijective replicas
+    at each scale — same replication invariants as the other regimes."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    g = F.floor(F.col("doc_id") / LONGDOC_GROUP).cast("long")
+    joined = (
+        docs.groupBy(g.alias("doc_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("doc_id").alias("i"), F.col("text").alias("t"))
+                        )
+                    ),
+                    lambda s: F.coalesce(s["t"], F.lit("")),
+                ),
+                " ",
+            ).alias("text"),
+            F.min("lang").alias("lang"),
+            F.min("source").alias("source"),
+        )
+    )
+    txt = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" " + LONGDOC_FOOTER)),
+    ).otherwise(F.col("text"))
+    base = joined.select(
+        "doc_id",
+        txt.alias("text"),
+        "lang",
+        "source",
+        F.length(txt).cast("long").alias("n_chars"),
+    )
+    for s in SCALES:
+        ddir = WORK / f"docs_ld_x{s}"
+        if ddir.exists():
+            continue
+        parts = [_tokenwise_replica(base, k) for k in range(s)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(str(ddir))
+
+
+def bench_spans_w50(spark) -> dict:
+    """The span family at realistic width (w=50) on the long-doc corpora
+    — the row the 100 TB claim was missing (it rested on w=8 over
+    ~30-token docs).  Exponents should stay ~flat: window rows per doc
+    grow with doc length but the per-doc ordered-union pass and the
+    groupBy-collapsed hash count don't change shape with w."""
+    build_docs_longdoc(spark)
+    ops = {
+        "dup_span_stats_w50": lambda d: pipeline.dup_span_stats(
+            d, w=LONGDOC_W
+        ).count(),
+        "scrub_dup_spans_w50": lambda d: pipeline.scrub_dup_spans(
+            d, w=LONGDOC_W
+        ).count(),
+    }
+    return {
+        "w": LONGDOC_W,
+        "group": LONGDOC_GROUP,
+        "longdoc": _bench_op_table(
+            spark, ops, lambda s: (spark.read.parquet(str(WORK / f"docs_ld_x{s}")),)
+        ),
+    }
+
+
 def bench_spans(spark) -> dict:
     """r6 span-family rows: exact-substring stats + scrub on THREE corpus
     regimes.  Token-bijective replicas keep duplicated-window mass exactly
@@ -522,6 +607,82 @@ def bench_stream_grow(spark) -> dict:
     return out
 
 
+def bench_purge_decompose(spark) -> dict:
+    """r8 (VERDICT r7 item 7): what share of a purge-stream batch is the
+    per-batch closure rebuild?  ``run_purge_dedup_stream`` rebuilds the
+    purge table from the accumulated edge store every batch
+    (purge_from_edges); the stream-grow bench measured the SPAN store's
+    divergence but never decomposed the purge batch.  Here: run the
+    unbounded purge stream over the 30-batch grow corpus (per-batch
+    triggerExecution), then time purge_from_edges STANDALONE over the
+    edge+stats stores truncated at batch 10/20/30 — the closure
+    component's own growth curve next to the whole batch's.  If the
+    closure share is small/flat, rebuild-per-batch stands; if it
+    dominates and grows, an incremental union-find delta is the fix."""
+    import tempfile
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        purge_from_edges,
+    )
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        run_purge_dedup_stream,
+    )
+
+    src = build_stream_batches(
+        spark, n_batches=30, reps_per_batch=4, name="stream_batches_grow"
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_purge_decomp_")
+    try:
+        stream = (
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = run_purge_dedup_stream(
+            spark, stream, f"{tmp}/out", f"{tmp}/chk", f"{tmp}/state"
+        )
+        try:
+            q.processAllAvailable()
+            per_batch = _per_batch_ms(q)
+        finally:
+            q.stop()
+        edges = spark.read.parquet(f"{tmp}/state/edges")
+        stats = spark.read.parquet(f"{tmp}/state/docstats")
+        closure: dict = {}
+        for upto in (10, 20, 30):
+            e = edges.filter(F.col("batch_id") < upto).select("doc_id", "rep")
+            st = stats.filter(F.col("batch_id") < upto).select(
+                "doc_id", "n_chars"
+            )
+            times = []
+            for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
+                spark.catalog.clearCache()
+                dedup.release_cached()
+                t0 = time.time()
+                purge_from_edges(e, st).count()
+                times.append(time.time() - t0)
+            closure[upto] = {
+                "sec": round(min(times[1:]), 3),
+                "edge_rows": e.count(),
+                "docs": st.count(),
+            }
+        tail = per_batch[-5:]
+        tail_mean_ms = sum(tail) / max(1, len(tail))
+        return {
+            "per_batch_ms": per_batch,
+            "tail_mean_ms": round(tail_mean_ms),
+            "closure_standalone": closure,
+            # the decomposition statistic: last-window closure cost over
+            # the mean cost of the last five whole batches
+            "closure_share_of_tail": round(
+                closure[30]["sec"] * 1000 / (tail_mean_ms or 1), 2
+            ),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_extra_grow(spark) -> dict:
     """MinHash pairs-vs-clusters on the CLUSTER-GROWTH (suffix) corpora:
     dup clusters widen ~s, so pair output grows ~s² by construction —
@@ -648,6 +809,12 @@ def main() -> None:
         return
     if section == "spans":
         print(json.dumps({"spans": bench_spans(spark)}))
+        return
+    if section == "spans-w50":
+        print(json.dumps({"spans_w50": bench_spans_w50(spark)}))
+        return
+    if section == "purge-decompose":
+        print(json.dumps({"purge_decompose": bench_purge_decompose(spark)}))
         return
     if section == "composed":
         print(json.dumps({"composed": bench_composed(spark)}))
