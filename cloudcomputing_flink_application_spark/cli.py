@@ -472,12 +472,22 @@ def _ivf_index(args: argparse.Namespace) -> None:
                 "codebook still fits the arriving vectors — no rebuild"
             )
             return
+        # Reuse the ORIGINAL build's refinement depth unless --iters is
+        # explicitly given (r8 review catch: a scheduled maintenance run
+        # that omitted --iters would otherwise silently downgrade a
+        # refined codebook to the seed and re-baseline drift against the
+        # degraded artifact).
+        iters = (
+            args.iters
+            if args.iters is not None
+            else similarity.build_iters(spark, args.output)
+        )
         print(
             f"drift {drift:.4f} < threshold {args.rebuild_if_drift}: "
-            "rebuilding the index (stale codebook)"
+            f"rebuilding the index (stale codebook; iters={iters})"
         )
         similarity.build_ivf_index(
-            spark.read.parquet(args.input), args.output, iters=args.iters,
+            spark.read.parquet(args.input), args.output, iters=iters,
             checkpoint_dir=f"{args.output}/_chk",
         )
         return
@@ -508,7 +518,8 @@ def _ivf_index(args: argparse.Namespace) -> None:
     # _latest_numbered reads a missing checkpoint as -1, so a never-streamed
     # root builds without friction.
     similarity.build_ivf_index(
-        spark.read.parquet(args.input), args.output, iters=args.iters,
+        spark.read.parquet(args.input), args.output,
+        iters=args.iters if args.iters is not None else 0,
         checkpoint_dir=f"{args.output}/_chk",
     )
     if args.show:
@@ -609,9 +620,13 @@ def main(argv: list[str] | None = None) -> None:
             )
         if name == "ivf-index":
             sp.add_argument(
-                "--iters", type=int, default=0,
+                "--iters", type=int, default=None,
                 help="k-means refinement iterations for the build "
-                "(default 0: the deterministic two-level seed codebook)",
+                "(default 0: the deterministic two-level seed codebook).  "
+                "With --rebuild-if-drift, omitting --iters reuses the "
+                "depth the index was ORIGINALLY built with (stored in "
+                "the artifact), so a maintenance run never downgrades a "
+                "refined codebook by accident.",
             )
             sp.add_argument(
                 "--report", action="store_true",

@@ -261,9 +261,15 @@ def media_probe(documents: DataFrame) -> DataFrame:
                         lambda h: hashlib.md5(f"{h}|feat".encode()).hexdigest()[:8]
                     ),
                     "n_video_frames": nvf,
+                    # index=pdf.index: pandas aligns columns by index at
+                    # DataFrame construction; a fresh RangeIndex would
+                    # misalign against doc_id if a batch ever arrives
+                    # with a non-default index (same guard as
+                    # image_resize's thumb Series)
                     "video_fp8": pd.Series(
                         [video_fp(hh, int(n)) for hh, n in zip(digests, nvf)],
                         dtype="object",
+                        index=pdf.index,
                     ),
                 }
             )

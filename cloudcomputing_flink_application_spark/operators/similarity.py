@@ -895,11 +895,31 @@ def build_ivf_index(
         _prune_stale_batch_partitions(spark, f"{index_root}/drift")
         stats = assignment_stats(spark.read.parquet(asg_dir))
         stats.write.mode("overwrite").parquet(f"{index_root}/ref_stats")
+        # Record the build's refinement depth in the artifact: a
+        # drift-triggered REBUILD must not silently downgrade a refined
+        # codebook to the seed because the maintenance invocation forgot
+        # --iters (r8 review catch) — build_iters() reads this back.
+        spark.createDataFrame([(int(iters),)], "iters INT").write.mode(
+            "overwrite"
+        ).parquet(f"{index_root}/build_meta")
     except Exception:
         if not mutated:
             _release_forget_locks(spark, created)
         raise
     _release_forget_locks(spark, [asg_dir])
+
+
+def build_iters(spark, index_root: str) -> int:
+    """The k-means refinement depth the index at ``index_root`` was built
+    with — what a maintenance rebuild must reuse so a refined codebook is
+    never silently downgraded to the seed.  Returns 0 for an index
+    predating the ``build_meta`` artifact (which WAS built with the
+    iters=0 default)."""
+    import os
+
+    if not os.path.isdir(f"{index_root}/build_meta"):
+        return 0
+    return int(spark.read.parquet(f"{index_root}/build_meta").first()["iters"])
 
 
 def read_codebook(spark, index_root: str) -> DataFrame:

@@ -1430,14 +1430,15 @@ def run_clean_corpus_stream(
             local_canon = surv.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
             store_rows = local_canon
             if _committed_batch_data_exists(spark, hashes_dir):
-                seen = (
-                    _horizon_probe(
-                        spark.read.parquet(hashes_dir), batch_id, horizon_batches
-                    )
-                    .groupBy("h")
-                    .agg(F.min("doc_id").alias("doc_id"))
+                probe = _horizon_probe(
+                    spark.read.parquet(hashes_dir), batch_id, horizon_batches
                 )
-                canon = local_canon.join(seen.select("h"), "h", "left_anti")
+                # anti-join against the PLAIN probe (duplicate-insensitive)
+                # — aggregating first would add a full store exchange to
+                # every unbounded batch for nothing (r8 review catch); the
+                # aggregated form is built only where the refresh rows
+                # need it, in the horizon branch below.
+                canon = local_canon.join(probe.select("h"), "h", "left_anti")
                 # Store only FIRST occurrences (ADVICE r7 medium): writing
                 # local_canon unconditionally left (h, batch-local dup
                 # doc_id) rows for already-seen hashes, so forgetting the
@@ -1454,6 +1455,9 @@ def run_clean_corpus_stream(
                 if horizon_batches is None:
                     store_rows = canon
                 else:
+                    seen = probe.groupBy("h").agg(
+                        F.min("doc_id").alias("doc_id")
+                    )
                     refreshed = seen.join(
                         local_canon.select("h"), "h", "leftsemi"
                     )

@@ -482,3 +482,43 @@ def test_ivf_index_cli_rebuild_if_drift(spark, tmp_path, capsys):
 
     assert not _committed_batch_data_exists(spark, f"{root}/drift")
     assert not os.path.exists(f"{root}/assignments.forget_lock")
+
+
+def test_rebuild_if_drift_preserves_refinement_depth(spark, tmp_path, capsys):
+    # A maintenance run that omits --iters must reuse the ORIGINAL
+    # build's k-means depth (r8 review catch: iters defaulting to 0
+    # silently downgraded a refined codebook to the seed on rebuild).
+    from cloudcomputing_flink_application_spark.operators import similarity
+    from tests.conftest import TESTDATA
+
+    emb = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+    build_in = str(tmp_path / "build_in")
+    emb.filter("vec_id <= 300").write.parquet(build_in)
+    arrive_in = str(tmp_path / "arrive_in")
+    emb.filter("vec_id > 300").write.parquet(arrive_in)
+    root = str(tmp_path / "index")
+
+    cli.main(["ivf-index", "--input", build_in, "--output", root,
+              "--iters", "1"])
+    assert similarity.build_iters(spark, root) == 1
+
+    cli.main(["ivf-index", "--input", arrive_in, "--output", root,
+              "--streaming"])
+    # force the rebuild path; --iters omitted -> stored depth reused
+    cli.main(["ivf-index", "--input", arrive_in, "--output", root,
+              "--rebuild-if-drift", "0.99"])
+    out = capsys.readouterr().out
+    assert "rebuilding" in out and "iters=1" in out
+    assert similarity.build_iters(spark, root) == 1
+    # explicit --iters still overrides.  The rebuild cleared the drift
+    # store and the checkpoint already consumed arrive_in's files, so
+    # append fresh files to trigger a new drift-producing batch first.
+    emb.filter("vec_id > 300 AND vec_id % 7 = 0").write.mode(
+        "append"
+    ).parquet(arrive_in)
+    cli.main(["ivf-index", "--input", arrive_in, "--output", root,
+              "--streaming"])
+    cli.main(["ivf-index", "--input", arrive_in, "--output", root,
+              "--rebuild-if-drift", "0.99", "--iters", "0"])
+    assert "iters=0" in capsys.readouterr().out
+    assert similarity.build_iters(spark, root) == 0
