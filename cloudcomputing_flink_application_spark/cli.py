@@ -248,12 +248,18 @@ def _dedup_purge(args: argparse.Namespace) -> None:
             f"{args.output}/_chk",
             f"{args.output}/_state",
             horizon_batches=args.horizon_batches,
+            emit="delta" if args.emit_deltas else "full",
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
         return
+    if args.emit_deltas:
+        raise SystemExit(
+            "--emit-deltas is streaming-only (a batch run emits the full "
+            "purge table once; there is nothing to delta against)"
+        )
     out = minhash_purge_dedup(spark.read.parquet(args.input))
     out.write.mode("overwrite").parquet(args.output)
     if args.show:
@@ -598,6 +604,17 @@ def main(argv: list[str] | None = None) -> None:
                 "deterministic content-addressed training shards under "
                 "<output>_shards (shard = stable hash of doc_id — "
                 "repeatable across rewrites and layouts)",
+            )
+        if name == "dedup-purge":
+            sp.add_argument(
+                "--emit-deltas", action="store_true",
+                help="streaming only: emit rows for TOUCHED clusters per "
+                "batch (updated reps, one-time singletons, tombstones "
+                "for absorbed former reps) instead of the complete purge "
+                "table — the O(changed) emission shape for large "
+                "corpora; the current table is the fold of the deltas "
+                "(latest row per doc, n_members > 0).  Incompatible "
+                "with --horizon-batches.",
             )
         if name == "dedup-flags":
             sp.add_argument(

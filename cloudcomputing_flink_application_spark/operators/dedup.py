@@ -907,6 +907,111 @@ def purge_from_edges(edges: DataFrame, docstats: DataFrame) -> DataFrame:
     )
 
 
+def purge_delta_from_edges(
+    edges: DataFrame, docstats: DataFrame, new_docs: DataFrame
+) -> DataFrame:
+    """DELTA form of :func:`purge_from_edges` — the 100 TB emission shape
+    the r8 purge-batch decomposition motivated (SCALING.md): the full
+    form's only per-batch O(corpus) terms are the stats join and the
+    complete-table write, both of which exist to re-emit clusters that
+    DID NOT CHANGE.  This emits rows only for clusters touched by this
+    batch's arrivals:
+
+    - an updated ``(rep, n_members, chars_saved)`` row for every cluster
+      containing a ``new_docs`` member (under ordered arrival those are
+      exactly the clusters whose stats can change — membership only ever
+      grows via a new doc joining or bridging);
+    - a ``(doc_id, 1, 0)`` row for each new SINGLETON (no edges) — its
+      one-time emission;
+    - a ``(doc_id, 0, 0)`` TOMBSTONE for every non-rep member of a
+      touched cluster, covering the bridge case where a new doc merges
+      two existing clusters and the larger rep loses leadership (its old
+      row must be retracted).  Tombstones for members that never had a
+      row are emitted too — harmless, since reconstruction drops
+      ``n_members = 0`` rows, and deriving "previously emitted" exactly
+      would need last-batch state this keeps not needing.
+
+    The current purge table is the FOLD of the deltas: latest row per
+    doc_id, ``n_members > 0`` (``streaming.jobs.purge_table_from_deltas``;
+    fold == :func:`purge_from_edges` over the same edges/stats is the
+    pinned contract).  Scale: the closure still runs over the sparse
+    edge store (measured sub-linear); every join against ``docstats``
+    is driven by the SMALL touched-member side (broadcastable), so no
+    corpus-sized shuffle or corpus-sized write remains in the batch.
+    """
+    comp = connected_components(edges)
+    assignment = comp.groupBy(F.col("node").alias("doc_id")).agg(
+        F.min("root").alias("_root")
+    )
+    roots = assignment.select(F.col("_root").alias("doc_id")).distinct()
+    # connected docs = non-root members + roots themselves.  PERSISTED
+    # (the _CACHED release contract): three output branches reference it
+    # (touched-roots probe, touched membership, singleton anti-join), and
+    # without the persist each branch would replay the assignment
+    # aggregation.  Size is O(connected docs) — the closure output the
+    # full form materializes anyway.
+    members = _persist(
+        assignment.unionByName(
+            roots.select("doc_id", F.col("doc_id").alias("_root"))
+        )
+    )
+    new_ids = new_docs.select("doc_id").distinct()
+    touched_roots = (
+        members.join(F.broadcast(new_ids), "doc_id", "leftsemi")
+        .select("_root")
+        .distinct()
+    )
+    # Broadcast direction is the point of the delta form: every join
+    # against the O(corpus) docstats store is driven by a SMALL derived
+    # side (touched membership / touched-cluster stats / new singleton
+    # ids), so the store is only ever SCANNED, never shuffled.  The
+    # derived sides are O(touched-cluster membership) — bounded by this
+    # batch's blast radius, not the corpus; a degenerate batch touching
+    # a giant cluster degrades the broadcast, but that is the
+    # "everything changed" regime where delta emission equals full
+    # emission anyway.
+    # touched membership feeds both the stats aggregation and the
+    # tombstones — persisted so the semi-join runs once (small: this
+    # batch's blast radius).
+    touched = _persist(
+        members.join(F.broadcast(touched_roots), "_root", "leftsemi")
+    )
+    stats = (
+        docstats.join(F.broadcast(touched), "doc_id")
+        .groupBy("_root")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum("n_chars").cast("long").alias("_chars"),
+        )
+    )
+    rep_rows = (
+        docstats.join(
+            F.broadcast(stats), F.col("doc_id") == F.col("_root")
+        )
+        .select(
+            "doc_id",
+            "n_members",
+            (F.col("_chars") - F.col("n_chars")).cast("long").alias("chars_saved"),
+        )
+    )
+    new_singles = new_ids.join(members.select("doc_id"), "doc_id", "left_anti")
+    singleton_rows = (
+        docstats.select("doc_id")
+        .join(F.broadcast(new_singles), "doc_id", "leftsemi")
+        .select(
+            "doc_id",
+            F.lit(1).cast("long").alias("n_members"),
+            F.lit(0).cast("long").alias("chars_saved"),
+        )
+    )
+    tombstones = touched.filter(F.col("doc_id") != F.col("_root")).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_members"),
+        F.lit(0).cast("long").alias("chars_saved"),
+    )
+    return rep_rows.unionByName(singleton_rows).unionByName(tombstones)
+
+
 def _minhash_purge_sql() -> str:
     return f"""
 WITH RECURSIVE {_star_ctes_sql()},

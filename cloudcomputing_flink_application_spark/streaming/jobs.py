@@ -664,6 +664,7 @@ def run_purge_dedup_stream(
     checkpoint_dir: str,
     state_dir: str,
     horizon_batches: int | None = None,
+    emit: str = "full",
 ):
     """Incremental MinHash-LSH PURGE over a document stream — the streaming
     twin of ``operators.dedup.minhash_purge_dedup``, completing the
@@ -718,16 +719,38 @@ def run_purge_dedup_stream(
     partition equals ``minhash_purge_dedup`` over the window's union —
     pinned in tests/test_streaming.py, including a chain whose canonical
     doc ages out so cluster leadership passes to a younger survivor.
+
+    ``emit="delta"`` (r8, unbounded mode only) switches the OUTPUT from
+    the complete purge table per batch to rows for TOUCHED clusters only
+    (``purge_delta_from_edges``: updated rep rows, one-time singleton
+    rows, tombstones for absorbed former reps) — the emission shape the
+    r8 purge-batch decomposition motivated (SCALING.md): the full form's
+    per-batch O(corpus) terms are exactly the re-emission of unchanged
+    clusters.  The current table is the fold of the deltas
+    (:func:`purge_table_from_deltas`; fold == batch operator pinned in
+    tests/test_streaming.py, including a cross-batch cluster merge whose
+    displaced rep gets a tombstone).  Horizon mode refuses the flag: a
+    bounded-window recompute RETRACTS on aging, which append-only deltas
+    cannot express.
     """
     from cloudcomputing_flink_application_spark.operators.dedup import (
         _token_sets,
         band_rows_from_toksets,
         jaccard_verified_edges,
+        purge_delta_from_edges,
         purge_from_edges,
         star_edges_from_bands,
     )
 
     _check_horizon(horizon_batches)
+    if emit not in ("full", "delta"):
+        raise ValueError(f"emit must be 'full' or 'delta', got {emit!r}")
+    if emit == "delta" and horizon_batches is not None:
+        raise ValueError(
+            "emit='delta' requires unbounded mode: the horizon window "
+            "recompute retracts state on aging, which append-only deltas "
+            "cannot express — use emit='full' with horizon_batches"
+        )
     bands_dir = f"{state_dir}/bands"
     toksets_dir = f"{state_dir}/toksets"
     edges_dir = f"{state_dir}/edges"
@@ -842,7 +865,16 @@ def run_purge_dedup_stream(
                 if _committed_batch_data_exists(spark, stats_dir)
                 else batch_stats
             )
-            purge = purge_from_edges(all_edges, all_stats)
+            if emit == "delta":
+                # the emitter _persist()s its members/touched frames
+                # (multi-branch reuse); the finally below releases them
+                # so per-batch cache entries never accumulate across the
+                # stream's lifetime
+                purge = purge_delta_from_edges(
+                    all_edges, all_stats, batch_df.select("doc_id")
+                )
+            else:
+                purge = purge_from_edges(all_edges, all_stats)
             _write_batch_partition(purge, batch_id, output_dir)
             _write_batch_partition(
                 b.select("doc_id", "band", "key"), batch_id, bands_dir
@@ -855,6 +887,12 @@ def run_purge_dedup_stream(
             toks.unpersist()
             if edges_new is not None:
                 edges_new.unpersist()
+            if emit == "delta":
+                from cloudcomputing_flink_application_spark.operators.dedup import (
+                    release_cached as _release_dedup_cached,
+                )
+
+                _release_dedup_cached()
 
     return (
         documents.writeStream.foreachBatch(process)
@@ -1014,6 +1052,30 @@ def _latest_numbered(spark, path: str) -> int:
         if name.isdigit():
             best = max(best, int(name))
     return best
+
+
+def purge_table_from_deltas(spark, output_dir: str) -> DataFrame:
+    """The current purge table from a ``run_purge_dedup_stream(...,
+    emit="delta")`` output: latest row per doc_id across the batch
+    partitions, tombstones (``n_members = 0``) dropped.
+
+    Equals :func:`operators.dedup.purge_from_edges` over the same
+    accumulated edges/stats — i.e. the full-emission stream's last
+    partition — pinned in tests/test_streaming.py.
+
+    Scale: ``max_by`` under a groupBy is a map-side partial aggregate
+    keyed by doc_id (no window, no whole-store sort); the fold is what a
+    consumer runs ONCE at read time, against per-batch emissions that
+    stopped costing O(corpus) each."""
+    rows = spark.read.parquet(output_dir)
+    latest = rows.groupBy("doc_id").agg(
+        F.max_by(F.struct("n_members", "chars_saved"), "batch_id").alias("_m")
+    )
+    return latest.filter(F.col("_m.n_members") > 0).select(
+        "doc_id",
+        F.col("_m.n_members").alias("n_members"),
+        F.col("_m.chars_saved").alias("chars_saved"),
+    )
 
 
 def forget_docs(spark, state_dir: str, doc_ids, checkpoint_dir: str | None) -> None:

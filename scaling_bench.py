@@ -633,20 +633,28 @@ def bench_purge_decompose(spark) -> dict:
         spark, n_batches=30, reps_per_batch=4, name="stream_batches_grow"
     )
     tmp = tempfile.mkdtemp(prefix="sg_purge_decomp_")
-    try:
+
+    def run_mode(emit: str, root: str) -> list[int]:
         stream = (
             spark.readStream.schema(schemas.DOCUMENTS)
             .option("maxFilesPerTrigger", 1)
             .parquet(f"{src}/*")
         )
         q = run_purge_dedup_stream(
-            spark, stream, f"{tmp}/out", f"{tmp}/chk", f"{tmp}/state"
+            spark, stream, f"{root}/out", f"{root}/chk", f"{root}/state",
+            emit=emit,
         )
         try:
             q.processAllAvailable()
-            per_batch = _per_batch_ms(q)
+            return _per_batch_ms(q)
         finally:
             q.stop()
+
+    try:
+        per_batch = run_mode("full", tmp)
+        # the r8 delta emitter: same state accumulation, O(changed)
+        # output — its curve next to full's prices the emission contract
+        delta_batch = run_mode("delta", f"{tmp}/delta")
         edges = spark.read.parquet(f"{tmp}/state/edges")
         stats = spark.read.parquet(f"{tmp}/state/docstats")
         closure: dict = {}
@@ -669,9 +677,13 @@ def bench_purge_decompose(spark) -> dict:
             }
         tail = per_batch[-5:]
         tail_mean_ms = sum(tail) / max(1, len(tail))
+        delta_tail_ms = sum(delta_batch[-5:]) / max(1, len(delta_batch[-5:]))
         return {
             "per_batch_ms": per_batch,
             "tail_mean_ms": round(tail_mean_ms),
+            "delta_per_batch_ms": delta_batch,
+            "delta_tail_mean_ms": round(delta_tail_ms),
+            "full_over_delta_tail": round(tail_mean_ms / (delta_tail_ms or 1), 2),
             "closure_standalone": closure,
             # the decomposition statistic: last-window closure cost over
             # the mean cost of the last five whole batches

@@ -522,3 +522,30 @@ def test_rebuild_if_drift_preserves_refinement_depth(spark, tmp_path, capsys):
               "--rebuild-if-drift", "0.99", "--iters", "0"])
     assert "iters=0" in capsys.readouterr().out
     assert similarity.build_iters(spark, root) == 0
+
+
+def test_dedup_purge_cli_emit_deltas(spark, tmp_path):
+    # --emit-deltas: the fold of the streamed deltas equals the batch
+    # operator; batch mode refuses the flag loudly.
+    import pytest
+
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        purge_table_from_deltas,
+    )
+    from tests.conftest import TESTDATA, rows_set
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(120)
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+    out = str(tmp_path / "out")
+    cli.main(["dedup-purge", "--input", d_in, "--output", out,
+              "--streaming", "--emit-deltas"])
+    folded = rows_set(purge_table_from_deltas(spark, f"{out}/purge"))
+    assert folded == rows_set(minhash_purge_dedup(spark.read.parquet(d_in)))
+
+    with pytest.raises(SystemExit, match="streaming-only"):
+        cli.main(["dedup-purge", "--input", d_in,
+                  "--output", str(tmp_path / "b"), "--emit-deltas"])

@@ -1807,3 +1807,114 @@ def test_clean_stream_horizon_refresh_carries_canonical(spark, tmp_path):
     flags = {r.doc_id: (r.uniq, r.kept)
              for r in spark.read.parquet(out).collect()}
     assert flags[13] == (True, True)  # re-seeded within the horizon too
+
+
+def test_purge_delta_from_edges_unit_semantics(spark):
+    # Direct semantics of the delta emitter (r8): a new doc bridging two
+    # existing singleton clusters emits ONE updated rep row, a tombstone
+    # for every non-rep member of the merged cluster (including the
+    # displaced former rep), and nothing for untouched clusters.
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        purge_delta_from_edges,
+    )
+
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "u LONG, v LONG")
+    stats = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (9, 90)], "doc_id LONG, n_chars LONG"
+    )
+    new = spark.createDataFrame([(3,)], "doc_id LONG")
+    rows = {
+        (r.doc_id, r.n_members, r.chars_saved)
+        for r in purge_delta_from_edges(edges, stats, new).collect()
+    }
+    # rep 1 re-emits with the merged stats; 2 (displaced rep) and 3 (new
+    # member) get tombstones; untouched singleton 9 emits NOTHING
+    assert rows == {(1, 3, 50), (2, 0, 0), (3, 0, 0)}
+
+    # no arrivals -> no emission at all (the O(changed) invariant)
+    none = spark.createDataFrame([], "doc_id LONG")
+    assert purge_delta_from_edges(edges, stats, none).count() == 0
+
+    # a new SINGLETON emits its one-time row and touches nothing else
+    new9 = spark.createDataFrame([(9,)], "doc_id LONG")
+    rows9 = {
+        (r.doc_id, r.n_members, r.chars_saved)
+        for r in purge_delta_from_edges(edges, stats, new9).collect()
+    }
+    assert rows9 == {(9, 1, 0)}
+
+
+def test_purge_stream_delta_emission_folds_to_batch(spark, tmp_path):
+    # emit="delta" stream over the staged corpus (exact duplicates of
+    # early docs arriving in the last batch): the FOLD of the deltas
+    # equals the batch operator over the union, later partitions are
+    # O(changed) rather than O(corpus), and tombstones appear.
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+
+    raw = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    dups = raw.filter(raw.doc_id < 60).withColumn(
+        "doc_id", raw.doc_id + 100_000
+    )
+    docs = raw.unionByName(dups)
+    d_in = str(tmp_path / "docs_in")
+    base = 1_700_000_000
+    cuts = [
+        docs.doc_id < 150,
+        (docs.doc_id >= 150) & (docs.doc_id < 400),
+        docs.doc_id >= 400,
+    ]
+    for i, pred in enumerate(cuts):
+        p = f"{d_in}/f{i}"
+        docs.filter(pred).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(f"{root}/{f}", (base + i, base + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out_dir = str(tmp_path / "purge_out")
+    q = jobs.run_purge_dedup_stream(
+        spark, stream, out_dir, str(tmp_path / "chk"), str(tmp_path / "state"),
+        emit="delta",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    folded = rows_set(jobs.purge_table_from_deltas(spark, out_dir))
+    assert folded == rows_set(minhash_purge_dedup(docs))
+    out = spark.read.parquet(out_dir)
+    # the last batch's delta is a fraction of the table, not the table
+    last = out.agg(F.max("batch_id")).first()[0]
+    assert last == 2
+    assert out.filter(F.col("batch_id") == last).count() < len(folded)
+    # tombstones were really emitted (the duplicate members are non-rep
+    # members of touched clusters)
+    assert out.filter(F.col("n_members") == 0).count() > 0
+
+
+def test_purge_stream_delta_refuses_horizon_and_bad_emit(spark, tmp_path):
+    import pytest
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    d_in = str(tmp_path / "in")
+    docs.limit(10).write.parquet(d_in)
+    stream = spark.readStream.schema(docs.schema).parquet(d_in)
+    with pytest.raises(ValueError, match="unbounded"):
+        jobs.run_purge_dedup_stream(
+            spark, stream, str(tmp_path / "o"), str(tmp_path / "c"),
+            str(tmp_path / "s"), horizon_batches=2, emit="delta",
+        )
+    with pytest.raises(ValueError, match="emit"):
+        jobs.run_purge_dedup_stream(
+            spark, stream, str(tmp_path / "o"), str(tmp_path / "c"),
+            str(tmp_path / "s"), emit="bogus",
+        )
