@@ -215,6 +215,14 @@ def _dedup_purge(args: argparse.Namespace) -> None:
         minhash_purge_dedup,
     )
 
+    # flag-conflict checks BEFORE Spark startup: a clean SystemExit, not
+    # a post-session ValueError traceback (r8 review catch)
+    if args.emit_deltas and args.horizon_batches is not None:
+        raise SystemExit(
+            "--emit-deltas is incompatible with --horizon-batches: the "
+            "horizon window recompute retracts state on aging, which "
+            "append-only deltas cannot express"
+        )
     spark = get_spark(app_name="dedup-purge")
     if args.forget:
         from cloudcomputing_flink_application_spark.streaming.jobs import (
@@ -229,8 +237,13 @@ def _dedup_purge(args: argparse.Namespace) -> None:
                 "operates on a dedup-purge --streaming output root"
             )
         ids = [int(x) for x in args.forget.split(",") if x.strip()]
+        # purge_dir heals the emitted output to the post-forget table —
+        # REQUIRED for a delta-mode output (the fold would resurrect the
+        # forgotten rows), and an upgrade for full mode (the stale last
+        # table is rewritten instead of left to the caller to redact)
         forget_docs(
-            spark, f"{args.output}/_state", ids, f"{args.output}/_chk"
+            spark, f"{args.output}/_state", ids, f"{args.output}/_chk",
+            purge_dir=f"{args.output}/purge",
         )
         return
     if args.streaming:

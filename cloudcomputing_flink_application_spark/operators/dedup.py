@@ -50,16 +50,28 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_cached() -> None:
+def release_cached(since: int = 0) -> None:
     """Unpersist every frame the dedup operators have cached.
 
     The explicit release handle for long-lived sessions: calling this after
     consuming an operator's output frees executor storage without nuking
     unrelated cache entries the way ``spark.catalog.clearCache()`` does.
     Unpersisting a frame that clearCache already dropped is a no-op.
+
+    ``since`` scopes the release to frames persisted AFTER a
+    :func:`cached_mark` snapshot — what a long-running stream uses to
+    drop its own batch's frames without clobbering caches another
+    operator or stream in the same session is still using (r8 review
+    catch).
     """
-    while _CACHED:
+    while len(_CACHED) > since:
         _CACHED.pop().unpersist()
+
+
+def cached_mark() -> int:
+    """Current length of the operator cache registry; pass to
+    ``release_cached(since=mark)`` for a scoped release."""
+    return len(_CACHED)
 
 
 # --- exact -------------------------------------------------------------------
@@ -869,6 +881,27 @@ def minhash_purge_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def _closure_assignment(edges: DataFrame) -> DataFrame:
+    """``(doc_id, _root)`` for every CONNECTED doc — the shared closure
+    prologue of the full and delta purge forms (one definition so the
+    pinned fold==batch contract cannot drift)."""
+    comp = connected_components(edges)
+    return comp.groupBy(F.col("node").alias("doc_id")).agg(
+        F.min("root").alias("_root")
+    )
+
+
+def _rep_accounting(stats: DataFrame, docstats: DataFrame) -> DataFrame:
+    """``(doc_id, n_members, chars_saved)`` rows for cluster reps, from a
+    per-cluster ``(_root, n_members, _chars)`` aggregate — the shared
+    accounting tail of the full and delta purge forms."""
+    return docstats.join(stats, F.col("doc_id") == F.col("_root")).select(
+        "doc_id",
+        "n_members",
+        (F.col("_chars") - F.col("n_chars")).cast("long").alias("chars_saved"),
+    )
+
+
 def purge_from_edges(edges: DataFrame, docstats: DataFrame) -> DataFrame:
     """The closure + accounting tail of ``minhash_purge_dedup``, factored
     over an EXPLICIT near-dup edge list: ``edges`` is any two-column
@@ -877,34 +910,24 @@ def purge_from_edges(edges: DataFrame, docstats: DataFrame) -> DataFrame:
     incremental twin (``streaming/jobs.py::run_purge_dedup_stream``) feeds
     the ACCUMULATED edge store, so both produce the purge table from the
     same plan.  Output: (doc_id, n_members, chars_saved)."""
-    comp = connected_components(edges)
-    assignment = comp.groupBy(F.col("node").alias("doc_id")).agg(
-        F.min("root").alias("_root")
-    )
+    assignment = _closure_assignment(edges)
     clusters = (
         docstats.select("doc_id")
         .join(assignment, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce(F.col("_root"), F.col("doc_id")).alias("cluster_id"),
+            F.coalesce(F.col("_root"), F.col("doc_id")).alias("_root"),
         )
     )
     stats = (
         clusters.join(docstats, "doc_id")
-        .groupBy("cluster_id")
+        .groupBy("_root")
         .agg(
             F.count("*").cast("long").alias("n_members"),
             F.sum("n_chars").cast("long").alias("_chars"),
         )
     )
-    return (
-        docstats.join(stats, F.col("doc_id") == F.col("cluster_id"))
-        .select(
-            "doc_id",
-            "n_members",
-            (F.col("_chars") - F.col("n_chars")).cast("long").alias("chars_saved"),
-        )
-    )
+    return _rep_accounting(stats, docstats)
 
 
 def purge_delta_from_edges(
@@ -922,7 +945,9 @@ def purge_delta_from_edges(
       exactly the clusters whose stats can change — membership only ever
       grows via a new doc joining or bridging);
     - a ``(doc_id, 1, 0)`` row for each new SINGLETON (no edges) — its
-      one-time emission;
+      one-time emission (precondition: ``new_docs`` ids are docstats
+      docs, which the stream guarantees by construction — the rows are
+      emitted from the id set directly, without a corpus-store probe);
     - a ``(doc_id, 0, 0)`` TOMBSTONE for every non-rep member of a
       touched cluster, covering the bridge case where a new doc merges
       two existing clusters and the larger rep loses leadership (its old
@@ -939,10 +964,7 @@ def purge_delta_from_edges(
     is driven by the SMALL touched-member side (broadcastable), so no
     corpus-sized shuffle or corpus-sized write remains in the batch.
     """
-    comp = connected_components(edges)
-    assignment = comp.groupBy(F.col("node").alias("doc_id")).agg(
-        F.min("root").alias("_root")
-    )
+    assignment = _closure_assignment(edges)
     roots = assignment.select(F.col("_root").alias("doc_id")).distinct()
     # connected docs = non-root members + roots themselves.  PERSISTED
     # (the _CACHED release contract): three output branches reference it
@@ -984,20 +1006,14 @@ def purge_delta_from_edges(
             F.sum("n_chars").cast("long").alias("_chars"),
         )
     )
-    rep_rows = (
-        docstats.join(
-            F.broadcast(stats), F.col("doc_id") == F.col("_root")
-        )
-        .select(
-            "doc_id",
-            "n_members",
-            (F.col("_chars") - F.col("n_chars")).cast("long").alias("chars_saved"),
-        )
-    )
-    new_singles = new_ids.join(members.select("doc_id"), "doc_id", "left_anti")
+    rep_rows = _rep_accounting(F.broadcast(stats), docstats)
+    # Precondition (documented, not re-verified): every new_docs id is a
+    # docstats doc — true by construction in the stream, where both come
+    # from the same micro-batch.  Emitting straight from the id set
+    # avoids a third full scan of the O(corpus) stats store per batch
+    # that filtered nothing (r8 review catch).
     singleton_rows = (
-        docstats.select("doc_id")
-        .join(F.broadcast(new_singles), "doc_id", "leftsemi")
+        new_ids.join(members.select("doc_id"), "doc_id", "left_anti")
         .select(
             "doc_id",
             F.lit(1).cast("long").alias("n_members"),

@@ -65,6 +65,17 @@ IVF_AUTO_COMPAT_N = 4096
 #: n ~ (999 * |labels|)^2 (10^8 at 10 labels) — past it, grow the COARSE
 #: level (more labels / shard the corpus) instead of the rank digits,
 #: which would renumber every persisted cluster id.
+#:
+#: nprobe stays FIXED as K grows, deliberately: on clustered data a
+#: query's neighbors live in the handful of cells nearest it, and that
+#: count is set by the neighborhood's geometry, not by how finely the
+#: codebook partitions the space — so the probed-cell FRACTION
+#: (nprobe/K) shrinking with sqrt(n) is the win, not a recall leak by
+#: construction (measured: recall held 1.00 as K grew 250 -> 300 on the
+#: clustered bench).  It is still data-dependent — which is what
+#: ``ivf_recall_report`` exists to price; re-run it per corpus when the
+#: auto rule moves K, and raise nprobe only if the measured recall says
+#: so (the sweep pattern in the module docstring).
 IVF_MAX_SUBK = 999
 
 

@@ -731,14 +731,22 @@ def run_purge_dedup_stream(
     tests/test_streaming.py, including a cross-batch cluster merge whose
     displaced rep gets a tombstone).  Horizon mode refuses the flag: a
     bounded-window recompute RETRACTS on aging, which append-only deltas
-    cannot express.
+    cannot express.  Switching ``emit`` on an existing checkpoint is not
+    supported (like switching ``horizon_batches``): a full-mode prefix
+    never tombstoned its displaced reps, so a delta fold over the mixed
+    output would resurrect their stale rows — start delta mode with a
+    fresh checkpoint and output dir.  Compliance deletion against a
+    delta output MUST pass ``purge_dir`` to :func:`forget_docs` (the
+    fold keeps forgotten rows alive otherwise; the CLI does this).
     """
     from cloudcomputing_flink_application_spark.operators.dedup import (
         _token_sets,
         band_rows_from_toksets,
+        cached_mark as dedup_cached_mark,
         jaccard_verified_edges,
         purge_delta_from_edges,
         purge_from_edges,
+        release_cached as dedup_release_cached,
         star_edges_from_bands,
     )
 
@@ -772,6 +780,7 @@ def run_purge_dedup_stream(
         toks = _token_sets(batch_df).persist()
         b = band_rows_from_toksets(toks).persist()
         edges_new = None
+        cache_mark = None
         try:
             batch_stats = batch_df.select("doc_id", "n_chars")
             if horizon_batches is not None:
@@ -868,8 +877,11 @@ def run_purge_dedup_stream(
             if emit == "delta":
                 # the emitter _persist()s its members/touched frames
                 # (multi-branch reuse); the finally below releases them
-                # so per-batch cache entries never accumulate across the
-                # stream's lifetime
+                # SCOPED to this mark, so per-batch cache entries never
+                # accumulate across the stream's lifetime and caches
+                # another operator/stream in the session persisted are
+                # never clobbered (r8 review catch)
+                cache_mark = dedup_cached_mark()
                 purge = purge_delta_from_edges(
                     all_edges, all_stats, batch_df.select("doc_id")
                 )
@@ -887,12 +899,8 @@ def run_purge_dedup_stream(
             toks.unpersist()
             if edges_new is not None:
                 edges_new.unpersist()
-            if emit == "delta":
-                from cloudcomputing_flink_application_spark.operators.dedup import (
-                    release_cached as _release_dedup_cached,
-                )
-
-                _release_dedup_cached()
+            if cache_mark is not None:
+                dedup_release_cached(since=cache_mark)
 
     return (
         documents.writeStream.foreachBatch(process)
@@ -1078,11 +1086,75 @@ def purge_table_from_deltas(spark, output_dir: str) -> DataFrame:
     )
 
 
-def forget_docs(spark, state_dir: str, doc_ids, checkpoint_dir: str | None) -> None:
+def _max_batch_partition(spark, path: str) -> int:
+    """Highest ``batch_id=K`` partition under ``path`` (-1 if none)."""
+    jvm = spark._jvm
+    pattern = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/batch_id=*")
+    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+    best = -1
+    for st in fs.globStatus(pattern) or []:
+        best = max(best, int(st.getPath().getName().split("=", 1)[1]))
+    return best
+
+
+def _heal_purge_output(
+    spark, purge_dir: str, edges_dir: str | None, stats_dir: str
+) -> None:
+    """Replace a purge stream's emitted output with one post-forget
+    snapshot partition (see :func:`forget_docs`'s ``purge_dir``).  The
+    snapshot lands at the CURRENT max batch_id: the resumed stream's next
+    batch ids are strictly higher, so a delta fold's latest-row-per-doc
+    rule keeps working — future deltas override the snapshot, never the
+    reverse.  Runs under the caller's locks; crash-safe via the same
+    rename-to-backup swap as the stores."""
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        purge_from_edges,
+    )
+
+    _recover_swap(spark, purge_dir)
+    if not _committed_batch_data_exists(spark, purge_dir):
+        return  # nothing ever emitted: nothing to heal
+    snap_id = _max_batch_partition(spark, purge_dir)
+    if edges_dir is not None and _committed_batch_data_exists(spark, edges_dir):
+        edges = spark.read.parquet(edges_dir).select("doc_id", "rep")
+    else:
+        edges = spark.createDataFrame([], "doc_id LONG, rep LONG")
+    if _committed_batch_data_exists(spark, stats_dir):
+        stats = spark.read.parquet(stats_dir).select("doc_id", "n_chars")
+    else:  # every doc forgotten: the healed output is empty
+        stats = spark.createDataFrame([], "doc_id LONG, n_chars LONG")
+    table = purge_from_edges(edges, stats).withColumn(
+        "batch_id", F.lit(snap_id)
+    )
+    tmp = purge_dir.rstrip("/") + ".forget_tmp"
+    table.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    _replace_dir(spark, tmp, purge_dir)
+
+
+def forget_docs(
+    spark,
+    state_dir: str,
+    doc_ids,
+    checkpoint_dir: str | None,
+    purge_dir: str | None = None,
+) -> None:
     """Compliance deletion ("right to be forgotten") from a
     ``run_purge_dedup_stream`` state root: remove every trace of the given
     doc_ids from the band / token-set / doc-stats stores, and RE-DERIVE
     the edge store among the survivors.
+
+    ``purge_dir`` (r8): when given, the stream's EMITTED purge output is
+    also healed — all existing partitions are replaced by one post-forget
+    snapshot (``purge_from_edges`` over the rewritten stores) at the
+    current max batch_id, under the same locks.  This is REQUIRED for an
+    ``emit="delta"`` stream: its fold takes the latest row per doc, so
+    without the heal a forgotten canonical is resurrected by its old
+    positive row and surviving clusters keep pre-deletion stats forever
+    (nothing re-emits an untouched cluster — r8 review catch).  For a
+    full-emission stream the heal replaces the equally-stale last table,
+    upgrading the old "emitted partitions are the caller's to redact"
+    contract into an actual rewrite; omitting ``purge_dir`` keeps that
+    old caller-redacts contract (never omit it for a delta stream).
 
     ``checkpoint_dir`` is the stream's checkpoint: the deletion REFUSES to
     run while an uncommitted micro-batch is pending there (offsets ahead
@@ -1154,11 +1226,15 @@ def forget_docs(spark, state_dir: str, doc_ids, checkpoint_dir: str | None) -> N
     _rewrite_minus(spark, toksets_dir, ids_df)
     _rewrite_minus(spark, stats_dir, ids_df)
     if not _committed_batch_data_exists(spark, edges_dir):
+        if purge_dir is not None:
+            _heal_purge_output(spark, purge_dir, None, stats_dir)
         _release_forget_locks(spark, stores)
         return
     if not _committed_batch_data_exists(spark, bands_dir):
         # every doc forgotten: the edge store must empty too
         _prune_stale_batch_partitions(spark, edges_dir)
+        if purge_dir is not None:
+            _heal_purge_output(spark, purge_dir, None, stats_dir)
         _release_forget_locks(spark, stores)
         return
     bands = spark.read.parquet(bands_dir).select("doc_id", "band", "key")
@@ -1174,6 +1250,8 @@ def forget_docs(spark, state_dir: str, doc_ids, checkpoint_dir: str | None) -> N
     tmp = edges_dir.rstrip("/") + ".forget_tmp"
     edges.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
     _replace_dir(spark, tmp, edges_dir)
+    if purge_dir is not None:
+        _heal_purge_output(spark, purge_dir, edges_dir, stats_dir)
     _release_forget_locks(spark, stores)
 
 

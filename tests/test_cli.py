@@ -549,3 +549,8 @@ def test_dedup_purge_cli_emit_deltas(spark, tmp_path):
     with pytest.raises(SystemExit, match="streaming-only"):
         cli.main(["dedup-purge", "--input", d_in,
                   "--output", str(tmp_path / "b"), "--emit-deltas"])
+    # the horizon conflict is a clean pre-Spark SystemExit too
+    with pytest.raises(SystemExit, match="incompatible"):
+        cli.main(["dedup-purge", "--input", d_in,
+                  "--output", str(tmp_path / "b2"), "--streaming",
+                  "--emit-deltas", "--horizon-batches", "2"])

@@ -1918,3 +1918,75 @@ def test_purge_stream_delta_refuses_horizon_and_bad_emit(spark, tmp_path):
             spark, stream, str(tmp_path / "o"), str(tmp_path / "c"),
             str(tmp_path / "s"), emit="bogus",
         )
+
+
+def test_forget_docs_heals_delta_output(spark, tmp_path):
+    # Compliance deletion against a DELTA-mode purge output (r8 review
+    # catch): without the heal, the fold resurrects the forgotten
+    # canonical's old positive row and keeps survivors' stale stats.
+    # forget_docs(purge_dir=...) replaces the emitted partitions with a
+    # post-forget snapshot; the fold then equals the batch operator over
+    # the survivors, and a RESUMED delta stream keeps the contract.
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+
+    raw = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").filter(
+        "doc_id < 100"
+    )
+    dups = raw.filter(raw.doc_id < 20).withColumn("doc_id", raw.doc_id + 100_000)
+    d_in = str(tmp_path / "in")
+    _write = lambda i, df: (  # noqa: E731
+        df.coalesce(1).write.parquet(f"{d_in}/f{i}"),
+        [os.utime(f"{r}/{f}", (1_700_000_000 + i,) * 2)
+         for r, _, fs in os.walk(f"{d_in}/f{i}") for f in fs],
+    )
+    _write(0, raw)
+    _write(1, dups)
+    out = str(tmp_path / "purge_out")
+    chk = str(tmp_path / "chk")
+    state = str(tmp_path / "state")
+
+    def start():
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d_in}/*")
+        )
+        return jobs.run_purge_dedup_stream(
+            spark, stream, out, chk, state, emit="delta"
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    docs = raw.unionByName(dups)
+    fold0 = rows_set(jobs.purge_table_from_deltas(spark, out))
+    assert fold0 == rows_set(minhash_purge_dedup(docs))
+    # a canonical whose cluster has members (its +100000 duplicate)
+    victim = next(r[0] for r in sorted(fold0) if r[1] > 1)
+
+    jobs.forget_docs(spark, state, [victim], chk, purge_dir=out)
+    survivors = docs.filter(docs.doc_id != victim)
+    healed = rows_set(jobs.purge_table_from_deltas(spark, out))
+    assert healed == rows_set(minhash_purge_dedup(survivors))
+    # the forgotten doc left the table; its surviving duplicate re-seeds
+    assert victim not in {r[0] for r in healed}
+    assert not os.path.exists(f"{state}/bands.forget_lock")
+
+    # resumed delta stream over fresh arrivals keeps fold == batch
+    fresh = raw.filter(raw.doc_id < 10).withColumn(
+        "doc_id", raw.doc_id + 200_000
+    )
+    _write(2, fresh)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    fold2 = rows_set(jobs.purge_table_from_deltas(spark, out))
+    assert fold2 == rows_set(minhash_purge_dedup(survivors.unionByName(fresh)))
