@@ -1098,7 +1098,11 @@ def _max_batch_partition(spark, path: str) -> int:
 
 
 def _heal_purge_output(
-    spark, purge_dir: str, edges_dir: str | None, stats_dir: str
+    spark,
+    purge_dir: str,
+    edges_dir: str | None,
+    stats_dir: str,
+    edges_frame: DataFrame | None = None,
 ) -> None:
     """Replace a purge stream's emitted output with one post-forget
     snapshot partition (see :func:`forget_docs`'s ``purge_dir``).  The
@@ -1115,7 +1119,9 @@ def _heal_purge_output(
     if not _committed_batch_data_exists(spark, purge_dir):
         return  # nothing ever emitted: nothing to heal
     snap_id = _max_batch_partition(spark, purge_dir)
-    if edges_dir is not None and _committed_batch_data_exists(spark, edges_dir):
+    if edges_frame is not None:
+        edges = edges_frame
+    elif edges_dir is not None and _committed_batch_data_exists(spark, edges_dir):
         edges = spark.read.parquet(edges_dir).select("doc_id", "rep")
     else:
         edges = spark.createDataFrame([], "doc_id LONG, rep LONG")
@@ -1227,7 +1233,31 @@ def forget_docs(
     _rewrite_minus(spark, stats_dir, ids_df)
     if not _committed_batch_data_exists(spark, edges_dir):
         if purge_dir is not None:
-            _heal_purge_output(spark, purge_dir, None, stats_dir)
+            # No edge store — a HORIZON-mode root (edges recomputed per
+            # batch, never stored) or an unbounded root that never saw a
+            # near-dup.  Assuming empty edges here would heal a horizon
+            # output to all-singletons (r8 review follow-up); instead
+            # RE-DERIVE survivor edges from the rewritten bands/token-set
+            # stores — the same shared pass — which is exact in both
+            # cases (for horizon mode, over the retained window union).
+            if _committed_batch_data_exists(spark, bands_dir):
+                survivor_edges = (
+                    jaccard_verified_edges(
+                        star_edges_from_bands(
+                            spark.read.parquet(bands_dir).select(
+                                "doc_id", "band", "key"
+                            )
+                        ),
+                        spark.read.parquet(toksets_dir).select(
+                            "doc_id", "tokset", "nset"
+                        ),
+                    ).select("doc_id", "rep")
+                )
+            else:
+                survivor_edges = None
+            _heal_purge_output(
+                spark, purge_dir, None, stats_dir, edges_frame=survivor_edges
+            )
         _release_forget_locks(spark, stores)
         return
     if not _committed_batch_data_exists(spark, bands_dir):

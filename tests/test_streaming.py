@@ -1990,3 +1990,56 @@ def test_forget_docs_heals_delta_output(spark, tmp_path):
         q.stop()
     fold2 = rows_set(jobs.purge_table_from_deltas(spark, out))
     assert fold2 == rows_set(minhash_purge_dedup(survivors.unionByName(fresh)))
+
+
+def test_forget_docs_heals_horizon_output_via_rederived_edges(spark, tmp_path):
+    # A horizon-mode purge root has NO edge store (edges recompute per
+    # batch) — the heal must re-derive survivor edges from the retained
+    # bands/token-set stores, not assume empty edges (which would stomp
+    # the output with an all-singletons table — r8 review follow-up).
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+
+    raw = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").filter(
+        "doc_id <= 30"
+    )
+    b0 = raw
+    b1 = raw.filter("doc_id <= 20").withColumn("doc_id", raw.doc_id + 200)
+    b2 = raw.filter("doc_id <= 10").withColumn("doc_id", raw.doc_id + 400)
+    d_in = str(tmp_path / "in")
+    for i, df in enumerate((b0, b1, b2)):
+        p = f"{d_in}/f{i}"
+        df.coalesce(1).write.parquet(p)
+        for r, _, fs in os.walk(p):
+            for f in fs:
+                os.utime(f"{r}/{f}", (1_700_000_000 + i,) * 2)
+    out = str(tmp_path / "purge_out")
+    chk = str(tmp_path / "chk")
+    state = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    q = jobs.run_purge_dedup_stream(
+        spark, stream, out, chk, state, horizon_batches=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # retained window at the end = batches 1 and 2
+    window_docs = b1.unionByName(b2)
+    victim = 201  # canonical of the {201, 401} duplicate pair in-window
+    jobs.forget_docs(spark, state, [victim], chk, purge_dir=out)
+    healed = rows_set(
+        spark.read.parquet(out).select("doc_id", "n_members", "chars_saved")
+    )
+    expected = rows_set(
+        minhash_purge_dedup(window_docs.filter(f"doc_id != {victim}"))
+    )
+    assert healed == expected
+    # the forgotten canonical is gone and its duplicate re-seeds as uniq
+    assert 201 not in {r[0] for r in healed}
+    assert (401, 1, 0) in healed
