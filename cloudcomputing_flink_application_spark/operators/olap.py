@@ -892,3 +892,267 @@ SELECT 'q22_idle' AS shape,
        totacctbal AS v
 FROM q22
 """
+
+
+# --- forecast revenue change (TPC-H Q6 shape) --------------------------------
+
+#: Q6 parameters: one ship-year window, a discount band, a quantity cap.
+FORECAST_FROM = "1996-01-01 00:00:00"
+FORECAST_TO = "1997-01-01 00:00:00"
+FORECAST_DISC_LO_C = 5  # discount cents
+FORECAST_DISC_HI_C = 7
+FORECAST_MAX_QTY = 24
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue change (TPC-H Q6 shape): the revenue that would
+    be recovered by eliminating small discounts on low-quantity lines —
+    one scalar over a pure filter-aggregate with NO join at all.
+
+    Output: one row ``(revenue)``, sum(extendedprice * discount) over
+    the window, exact cents x cents integer arithmetic.
+
+    Scale: the canonical pushdown probe — all three predicates
+    (ship-date window, discount band, quantity cap) must reach the
+    parquet scan as PushedFilters and the aggregate is a map-side
+    partial collapsed to one row; any plan with a shuffle bigger than
+    the single-row exchange is wrong (pinned in tests/test_plans.py).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * disc_c
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(FORECAST_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(FORECAST_TO).cast("timestamp"))
+            & disc_c.between(FORECAST_DISC_LO_C, FORECAST_DISC_HI_C)
+            & (F.col("l_quantity") < FORECAST_MAX_QTY)
+        )
+        .agg(F.sum(rev).alias("_rev"))
+        .select(
+            (F.coalesce(F.col("_rev"), F.lit(0)).cast("double") / 10000.0).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+FORECAST_REVENUE_SQL = f"""
+SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)), 0) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{FORECAST_FROM}'
+  AND l_shipdate < TIMESTAMP '{FORECAST_TO}'
+  AND CAST(round(l_discount * 100) AS BIGINT)
+      BETWEEN {FORECAST_DISC_LO_C} AND {FORECAST_DISC_HI_C}
+  AND l_quantity < {FORECAST_MAX_QTY}
+"""
+
+
+# --- returned-item revenue (TPC-H Q10 shape) ---------------------------------
+
+#: Q10 parameters: one order-date quarter; top-k complaining customers.
+RETURNED_FROM = "1997-01-01 00:00:00"
+RETURNED_TO = "1997-04-01 00:00:00"
+RETURNED_K = 20
+
+
+def returned_item_revenue(
+    spark: SparkSession, sf_dir: str, k: int = RETURNED_K
+) -> DataFrame:
+    """Top customers by revenue of RETURNED items in one quarter
+    (TPC-H Q10 shape): the fact-side group-then-decorate plan — filter
+    orders to the quarter, lineitem to returnflag 'R', aggregate revenue
+    per customer, then decorate the few surviving customers with their
+    name / balance / nation via broadcast joins.
+
+    Output: (c_custkey, c_name, revenue, c_acctbal, n_name), top ``k``
+    by revenue (custkey tiebreak).
+
+    Scale: the quarter + returnflag predicates push to the scans; the
+    ONE row-sized shuffle is the per-customer aggregate keyed by
+    custkey (uniform key); customer and nation broadcast; the top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit(RETURNED_FROM).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(RETURNED_TO).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_revenue_cents()).alias("_rev"))
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("_rev").cast("double") / 10000.0).alias("revenue"),
+            "c_acctbal",
+            "n_name",
+            F.col("_rev").alias("_o"),
+        )
+        .orderBy(F.desc("_o"), F.asc("c_custkey"))
+        .limit(k)
+        .drop("_o")
+    )
+
+
+RETURNED_ITEM_SQL = f"""
+SELECT c_custkey, c_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+       c_acctbal, n_name
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{RETURNED_FROM}'
+  AND o_orderdate < TIMESTAMP '{RETURNED_TO}'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC,
+         c_custkey ASC
+LIMIT {RETURNED_K}
+"""
+
+
+# --- promotion revenue share (TPC-H Q14 shape) -------------------------------
+
+#: Q14 parameters: one ship-month; the promoted part category.  The
+#: synthetic generator emits BARE category names (p_type = 'PROMO'), so
+#: the equality replaces TPC-H's LIKE 'PROMO%' — same shape, documented
+#: deviation.
+PROMO_FROM = "1997-06-01 00:00:00"
+PROMO_TO = "1997-07-01 00:00:00"
+PROMO_TYPE = "PROMO"
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of one month's revenue from promoted parts (TPC-H Q14
+    shape): a conditional-aggregate ratio — two sums over the same
+    joined scan, one gated by the part category, divided at the end.
+
+    Output: one row ``(promo_share)`` = 100 * promo revenue / total
+    revenue (NULL when the month is empty, matching the SQL ratio).
+
+    Scale: the month predicate pushes to the fact scan; part prunes to
+    (p_partkey, p_type) and broadcasts; both sums are exact-integer and
+    collapse map-side into ONE single-row exchange — the
+    numerator/denominator never require two passes.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit(PROMO_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(PROMO_TO).cast("timestamp"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    rev = _revenue_cents()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == PROMO_TYPE, rev).otherwise(F.lit(0)))
+            .alias("_promo"),
+            F.sum(rev).alias("_total"),
+        )
+        .select(
+            (
+                F.lit(100.0)
+                * F.col("_promo").cast("double")
+                / F.col("_total").cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+PROMO_REVENUE_SQL = f"""
+SELECT 100.0 * sum(CASE WHEN p_type = '{PROMO_TYPE}'
+           THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           ELSE 0 END) / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS promo_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{PROMO_FROM}'
+  AND l_shipdate < TIMESTAMP '{PROMO_TO}'
+"""
+
+
+# --- small-quantity-order revenue (TPC-H Q17 shape) --------------------------
+
+#: Q17 parameters: one brand; the below-one-fifth-of-average threshold.
+SMALLQTY_BRAND = "Brand#4"
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost by not filling small-quantity orders
+    of one brand's parts (TPC-H Q17 shape): the CORRELATED-aggregate
+    probe — each line qualifies iff its quantity is under 1/5 of the
+    AVERAGE quantity ordered for ITS OWN part.
+
+    Decorrelation is the point: the per-part average becomes one
+    partial-agg groupBy over the brand's lines joined back by partkey —
+    never a per-row subquery.  The threshold compare is INTEGER-exact
+    (quantities are integral): ``5 * qty * cnt < sum_qty`` replaces the
+    fractional ``qty < 0.2 * avg`` with no float boundary, mirrored in
+    the oracle.
+
+    Output: one row ``(avg_yearly)`` = qualifying extendedprice sum / 7
+    (the TPC-H year-count convention).
+
+    Scale: part prunes to the brand and broadcasts into the fact scan
+    (the only corpus-sized read); the per-part aggregate and the
+    join-back shuffle only the brand's lines (a ~1/|brands| slice).
+    """
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_brand") == SMALLQTY_BRAND
+    ).select("p_partkey")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    qty = F.col("l_quantity").cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("_sum_qty"), F.count("*").alias("_cnt")
+    )
+    return (
+        li.select("l_partkey", qty.alias("_qty"),
+                  F.round(F.col("l_extendedprice") * 100).cast("long").alias("_ep"))
+        .join(per_part, "l_partkey")
+        .filter(F.lit(5) * F.col("_qty") * F.col("_cnt") < F.col("_sum_qty"))
+        .agg(F.sum("_ep").alias("_rev"))
+        .select(
+            (
+                F.coalesce(F.col("_rev"), F.lit(0)).cast("double") / 100.0 / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+SMALL_QUANTITY_SQL = f"""
+WITH brand_lines AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{SMALLQTY_BRAND}'
+),
+per_part AS (
+  SELECT l_partkey, sum(qty) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT coalesce(sum(ep), 0) / 100.0 / 7.0 AS avg_yearly
+FROM brand_lines JOIN per_part USING (l_partkey)
+WHERE 5 * qty * cnt < sum_qty
+"""

@@ -144,6 +144,23 @@ OFF_REGISTRY_SF = {
         olap.idle_customers,
         olap.IDLE_CUSTOMERS_SQL,
     ),
+    # r8 additions: four more TPC-H shapes the suite lacked
+    "off_olap_forecast_revenue": (
+        olap.forecast_revenue,
+        olap.FORECAST_REVENUE_SQL,
+    ),
+    "off_olap_returned_items": (
+        olap.returned_item_revenue,
+        olap.RETURNED_ITEM_SQL,
+    ),
+    "off_olap_promo_share": (
+        olap.promo_revenue_share,
+        olap.PROMO_REVENUE_SQL,
+    ),
+    "off_olap_small_quantity": (
+        olap.small_quantity_revenue,
+        olap.SMALL_QUANTITY_SQL,
+    ),
 }
 
 

@@ -310,3 +310,51 @@ def test_r7_composed_queries_plan_shapes(spark):
     finally:
         _dedup.release_cached()
         _sim.release_cached()
+
+
+def test_r8_olap_shapes_pushdown_and_single_fact_shuffle(spark):
+    # Q6: the pure filter-aggregate — all three predicates reach the
+    # parquet scan; the only exchange is the single-row final aggregate.
+    from cloudcomputing_flink_application_spark.operators.olap import (
+        forecast_revenue,
+        promo_revenue_share,
+        returned_item_revenue,
+        small_quantity_revenue,
+    )
+
+    df = forecast_revenue(spark, SF)
+    plan = physical_plan(df)
+    pushed = [l for l in plan.split("\n") if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), plan
+    assert any("l_quantity" in l for l in pushed), plan
+    assert "hashpartitioning" not in plan, plan  # single-row agg only
+
+    # Q10: quarter + returnflag pushed; one row-sized shuffle (the
+    # per-customer aggregate); customer/nation broadcast; top-k is
+    # TakeOrderedAndProject, never a global Sort.
+    df = returned_item_revenue(spark, SF)
+    plan = physical_plan(df)
+    assert any(
+        "PushedFilters" in l and "l_returnflag" in l for l in plan.split("\n")
+    ), plan
+    assert count_in_plan(df, "hashpartitioning", physical=True) <= 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+    # Q14: month pushed to the fact scan, part broadcast, ONE single-row
+    # aggregate pass (numerator and denominator in the same agg).
+    df = promo_revenue_share(spark, SF)
+    plan = physical_plan(df)
+    assert any(
+        "PushedFilters" in l and "l_shipdate" in l for l in plan.split("\n")
+    ), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+    # Q17: the brand broadcast gates the fact scan; the decorrelated
+    # per-part aggregate + join-back shuffle only the brand slice (at
+    # most two hashpartitioning exchanges: per-part agg + join-back).
+    df = small_quantity_revenue(spark, SF)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert count_in_plan(df, "hashpartitioning", physical=True) <= 2, plan
+    assert "CartesianProduct" not in plan, plan
