@@ -799,22 +799,27 @@ GROUP BY c_nationkey
 
 
 def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The four r6 OLAP shapes (Q5 local supplier volume, Q7 nation trade
-    volume, Q19 disjunctive revenue, Q22 idle customers) as ONE keyed
-    union — the registry-facing composition that earns all four a driver
-    CORRECTNESS row inside the 50-query window (each component stays
-    public and individually parity-gated in
+    """The r6+r8 OLAP shapes beyond the individually-registered queries —
+    Q5 local supplier volume, Q7 nation trade volume, Q19 disjunctive
+    revenue, Q22 idle customers, and (r8) Q6 forecast revenue, Q10
+    returned-item revenue, Q14 promo revenue share, Q17 small-quantity
+    revenue — as ONE keyed union: the registry-facing composition that
+    earns all eight a driver CORRECTNESS row inside the 50-query window
+    (each component stays public and individually parity-gated in
     tests/test_offregistry_parity.py).
 
     Normalized schema ``(shape, k, v)``: shape names the component, ``k``
     is its grouping key flattened to one string (pipe-joined for Q7;
     Q22 emits one row per metric so both ``numcust`` and ``totacctbal``
-    are value-hashed), ``v`` the metric as double.
+    are value-hashed; Q10's arm keys by custkey and hashes the revenue —
+    its decoration columns live in the off-registry full shape), ``v``
+    the metric as double.  Scalar arms use the drop-empty forms so the
+    union keeps the registry-wide empty-input -> empty-output invariant.
 
     Scale: a UNION of independent plans — each keeps its own shape's
     plan guarantees (single fact shuffle, pruned broadcasts, pushed
-    disjunction, scalar-subquery anti-join); the union itself adds no
-    exchange.
+    disjunction, scalar-subquery anti-join, decorrelated per-part agg);
+    the union itself adds no exchange.
     """
     q5 = local_supplier_volume(spark, sf_dir).select(
         F.lit("q5_local_volume").alias("shape"),
@@ -853,7 +858,35 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "_nk", F.col("mv.m")).alias("k"),
         F.col("mv.v").alias("v"),
     )
-    return q5.unionByName(q7).unionByName(q19).unionByName(q22)
+    q6 = forecast_revenue(spark, sf_dir, empty_as_zero=False).select(
+        F.lit("q6_forecast").alias("shape"),
+        F.lit("*").alias("k"),
+        F.col("revenue").alias("v"),
+    )
+    q10 = returned_item_revenue(spark, sf_dir).select(
+        F.lit("q10_returned").alias("shape"),
+        F.col("c_custkey").cast("string").alias("k"),
+        F.col("revenue").alias("v"),
+    )
+    q14 = promo_revenue_share(spark, sf_dir, drop_empty=True).select(
+        F.lit("q14_promo").alias("shape"),
+        F.lit("*").alias("k"),
+        F.col("promo_share").alias("v"),
+    )
+    q17 = small_quantity_revenue(spark, sf_dir, drop_empty=True).select(
+        F.lit("q17_smallqty").alias("shape"),
+        F.lit("*").alias("k"),
+        F.col("avg_yearly").alias("v"),
+    )
+    return (
+        q5.unionByName(q7)
+        .unionByName(q19)
+        .unionByName(q22)
+        .unionByName(q6)
+        .unionByName(q10)
+        .unionByName(q14)
+        .unionByName(q17)
+    )
 
 
 # Q19 arm without the empty-input scalar row (HAVING count(*) > 0 drops the
@@ -869,29 +902,8 @@ HAVING count(*) > 0
 """
 
 
-SUITE_EXTRA_SQL = f"""
-WITH q22 AS ({IDLE_CUSTOMERS_SQL})
-SELECT 'q5_local_volume' AS shape, n_name AS k, revenue AS v
-FROM ({LOCAL_SUPPLIER_VOLUME_SQL}) q5
-UNION ALL
-SELECT 'q7_trade_volume' AS shape,
-       supp_nation || '|' || cust_nation || '|' || CAST(l_year AS VARCHAR) AS k,
-       revenue AS v
-FROM ({NATION_TRADE_VOLUME_SQL}) q7
-UNION ALL
-SELECT 'q19_disjunctive' AS shape, '*' AS k, revenue AS v
-FROM ({_DISJ_NONEMPTY_SQL}) q19
-UNION ALL
-SELECT 'q22_idle' AS shape,
-       CAST(c_nationkey AS VARCHAR) || '|numcust' AS k,
-       CAST(numcust AS DOUBLE) AS v
-FROM q22
-UNION ALL
-SELECT 'q22_idle' AS shape,
-       CAST(c_nationkey AS VARCHAR) || '|totacctbal' AS k,
-       totacctbal AS v
-FROM q22
-"""
+# NOTE: SUITE_EXTRA_SQL is assigned at the END of this module — the r8
+# union composes the Q6/Q10/Q14/Q17 oracle constants defined below.
 
 
 # --- forecast revenue change (TPC-H Q6 shape) --------------------------------
@@ -904,7 +916,9 @@ FORECAST_DISC_HI_C = 7
 FORECAST_MAX_QTY = 24
 
 
-def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def forecast_revenue(
+    spark: SparkSession, sf_dir: str, empty_as_zero: bool = True
+) -> DataFrame:
     """Forecast revenue change (TPC-H Q6 shape): the revenue that would
     be recovered by eliminating small discounts on low-quantity lines —
     one scalar over a pure filter-aggregate with NO join at all.
@@ -917,22 +931,28 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan as PushedFilters and the aggregate is a map-side
     partial collapsed to one row; any plan with a shuffle bigger than
     the single-row exchange is wrong (pinned in tests/test_plans.py).
+
+    ``empty_as_zero=False`` drops the scalar row when no line matched
+    (count(*) > 0, the same predicate as the oracle's HAVING) — the form
+    the ``suite_extra`` union uses for the registry-wide empty-input
+    invariant.
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
     rev = F.round(F.col("l_extendedprice") * 100).cast("long") * disc_c
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit(FORECAST_FROM).cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit(FORECAST_TO).cast("timestamp"))
-            & disc_c.between(FORECAST_DISC_LO_C, FORECAST_DISC_HI_C)
-            & (F.col("l_quantity") < FORECAST_MAX_QTY)
+    agg = li.filter(
+        (F.col("l_shipdate") >= F.lit(FORECAST_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(FORECAST_TO).cast("timestamp"))
+        & disc_c.between(FORECAST_DISC_LO_C, FORECAST_DISC_HI_C)
+        & (F.col("l_quantity") < FORECAST_MAX_QTY)
+    ).agg(F.sum(rev).alias("_rev"), F.count("*").alias("_n"))
+    if not empty_as_zero:
+        return agg.filter(F.col("_n") > 0).select(
+            (F.col("_rev").cast("double") / 10000.0).alias("revenue")
         )
-        .agg(F.sum(rev).alias("_rev"))
-        .select(
-            (F.coalesce(F.col("_rev"), F.lit(0)).cast("double") / 10000.0).alias(
-                "revenue"
-            )
+    return agg.select(
+        (F.coalesce(F.col("_rev"), F.lit(0)).cast("double") / 10000.0).alias(
+            "revenue"
         )
     )
 
@@ -1040,7 +1060,9 @@ PROMO_TO = "1997-07-01 00:00:00"
 PROMO_TYPE = "PROMO"
 
 
-def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def promo_revenue_share(
+    spark: SparkSession, sf_dir: str, drop_empty: bool = False
+) -> DataFrame:
     """Share of one month's revenue from promoted parts (TPC-H Q14
     shape): a conditional-aggregate ratio — two sums over the same
     joined scan, one gated by the part category, divided at the end.
@@ -1061,20 +1083,20 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_type"
     )
     rev = _revenue_cents()
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(
-            F.sum(F.when(F.col("p_type") == PROMO_TYPE, rev).otherwise(F.lit(0)))
-            .alias("_promo"),
-            F.sum(rev).alias("_total"),
-        )
-        .select(
-            (
-                F.lit(100.0)
-                * F.col("_promo").cast("double")
-                / F.col("_total").cast("double")
-            ).alias("promo_share")
-        )
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == PROMO_TYPE, rev).otherwise(F.lit(0)))
+        .alias("_promo"),
+        F.sum(rev).alias("_total"),
+        F.count("*").alias("_n"),
+    )
+    if drop_empty:  # suite_extra arm: empty month -> no row, not NULL
+        agg = agg.filter(F.col("_n") > 0)
+    return agg.select(
+        (
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_total").cast("double")
+        ).alias("promo_share")
     )
 
 
@@ -1097,7 +1119,9 @@ WHERE l_shipdate >= TIMESTAMP '{PROMO_FROM}'
 SMALLQTY_BRAND = "Brand#4"
 
 
-def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, drop_empty: bool = False
+) -> DataFrame:
     """Average yearly revenue lost by not filling small-quantity orders
     of one brand's parts (TPC-H Q17 shape): the CORRELATED-aggregate
     probe — each line qualifies iff its quantity is under 1/5 of the
@@ -1127,17 +1151,21 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.sum(qty).alias("_sum_qty"), F.count("*").alias("_cnt")
     )
-    return (
+    agg = (
         li.select("l_partkey", qty.alias("_qty"),
                   F.round(F.col("l_extendedprice") * 100).cast("long").alias("_ep"))
         .join(per_part, "l_partkey")
         .filter(F.lit(5) * F.col("_qty") * F.col("_cnt") < F.col("_sum_qty"))
-        .agg(F.sum("_ep").alias("_rev"))
-        .select(
-            (
-                F.coalesce(F.col("_rev"), F.lit(0)).cast("double") / 100.0 / 7.0
-            ).alias("avg_yearly")
+        .agg(F.sum("_ep").alias("_rev"), F.count("*").alias("_n"))
+    )
+    if drop_empty:  # suite_extra arm: no qualifying line -> no row
+        return agg.filter(F.col("_n") > 0).select(
+            (F.col("_rev").cast("double") / 100.0 / 7.0).alias("avg_yearly")
         )
+    return agg.select(
+        (
+            F.coalesce(F.col("_rev"), F.lit(0)).cast("double") / 100.0 / 7.0
+        ).alias("avg_yearly")
     )
 
 
@@ -1155,4 +1183,86 @@ per_part AS (
 SELECT coalesce(sum(ep), 0) / 100.0 / 7.0 AS avg_yearly
 FROM brand_lines JOIN per_part USING (l_partkey)
 WHERE 5 * qty * cnt < sum_qty
+"""
+
+
+# Drop-empty oracle forms for the scalar r8 arms (HAVING count(*) > 0 drops
+# the empty-input scalar row, same predicate as the Spark side).
+_FORECAST_NONEMPTY_SQL = f"""
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{FORECAST_FROM}'
+  AND l_shipdate < TIMESTAMP '{FORECAST_TO}'
+  AND CAST(round(l_discount * 100) AS BIGINT)
+      BETWEEN {FORECAST_DISC_LO_C} AND {FORECAST_DISC_HI_C}
+  AND l_quantity < {FORECAST_MAX_QTY}
+HAVING count(*) > 0
+"""
+
+_PROMO_NONEMPTY_SQL = f"""
+SELECT 100.0 * sum(CASE WHEN p_type = '{PROMO_TYPE}'
+           THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           ELSE 0 END) / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS promo_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{PROMO_FROM}'
+  AND l_shipdate < TIMESTAMP '{PROMO_TO}'
+HAVING count(*) > 0
+"""
+
+_SMALLQTY_NONEMPTY_SQL = f"""
+WITH brand_lines AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{SMALLQTY_BRAND}'
+),
+per_part AS (
+  SELECT l_partkey, sum(qty) AS sum_qty, CAST(count(*) AS BIGINT) AS cnt
+  FROM brand_lines GROUP BY l_partkey
+)
+SELECT sum(ep) / 100.0 / 7.0 AS avg_yearly
+FROM brand_lines JOIN per_part USING (l_partkey)
+WHERE 5 * qty * cnt < sum_qty
+HAVING count(*) > 0
+"""
+
+
+SUITE_EXTRA_SQL = f"""
+WITH q22 AS ({IDLE_CUSTOMERS_SQL})
+SELECT 'q5_local_volume' AS shape, n_name AS k, revenue AS v
+FROM ({LOCAL_SUPPLIER_VOLUME_SQL}) q5
+UNION ALL
+SELECT 'q7_trade_volume' AS shape,
+       supp_nation || '|' || cust_nation || '|' || CAST(l_year AS VARCHAR) AS k,
+       revenue AS v
+FROM ({NATION_TRADE_VOLUME_SQL}) q7
+UNION ALL
+SELECT 'q19_disjunctive' AS shape, '*' AS k, revenue AS v
+FROM ({_DISJ_NONEMPTY_SQL}) q19
+UNION ALL
+SELECT 'q22_idle' AS shape,
+       CAST(c_nationkey AS VARCHAR) || '|numcust' AS k,
+       CAST(numcust AS DOUBLE) AS v
+FROM q22
+UNION ALL
+SELECT 'q22_idle' AS shape,
+       CAST(c_nationkey AS VARCHAR) || '|totacctbal' AS k,
+       totacctbal AS v
+FROM q22
+UNION ALL
+SELECT 'q6_forecast' AS shape, '*' AS k, revenue AS v
+FROM ({_FORECAST_NONEMPTY_SQL}) q6
+UNION ALL
+SELECT 'q10_returned' AS shape, CAST(c_custkey AS VARCHAR) AS k, revenue AS v
+FROM ({RETURNED_ITEM_SQL}) q10
+UNION ALL
+SELECT 'q14_promo' AS shape, '*' AS k, promo_share AS v
+FROM ({_PROMO_NONEMPTY_SQL}) q14
+UNION ALL
+SELECT 'q17_smallqty' AS shape, '*' AS k, avg_yearly AS v
+FROM ({_SMALLQTY_NONEMPTY_SQL}) q17
 """
