@@ -926,11 +926,13 @@ def forecast_revenue(
     Output: one row ``(revenue)``, sum(extendedprice * discount) over
     the window, exact cents x cents integer arithmetic.
 
-    Scale: the canonical pushdown probe — all three predicates
-    (ship-date window, discount band, quantity cap) must reach the
-    parquet scan as PushedFilters and the aggregate is a map-side
-    partial collapsed to one row; any plan with a shuffle bigger than
-    the single-row exchange is wrong (pinned in tests/test_plans.py).
+    Scale: the canonical pushdown probe — the ship-date window, the
+    quantity cap, and a SARGable envelope of the discount band (the
+    exact cents band is a round+cast expression no scan can push; see
+    the inline note) all reach the parquet scan as PushedFilters, and
+    the aggregate is a map-side partial collapsed to one row; any plan
+    with a shuffle bigger than the single-row exchange is wrong
+    (pinned in tests/test_plans.py, including the l_discount pushdown).
 
     ``empty_as_zero=False`` drops the scalar row when no line matched
     (count(*) > 0, the same predicate as the oracle's HAVING) — the form
@@ -940,9 +942,20 @@ def forecast_revenue(
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
     rev = F.round(F.col("l_extendedprice") * 100).cast("long") * disc_c
+    # The cents-exact discount band is an EXPRESSION (round+cast), which
+    # no parquet scan can push — so a redundant plain-column envelope
+    # rides along: round(d*100) in [5,7] implies d in [0.045, 0.075),
+    # and [0.044, 0.076] contains it, so the envelope never drops a
+    # qualifying row (same trick as Q19's quantity envelope) while
+    # giving the scan a SARGable l_discount range.  The exact band stays
+    # as the residual; the oracle needs no mirror (implied predicates
+    # cannot change results).
     agg = li.filter(
         (F.col("l_shipdate") >= F.lit(FORECAST_FROM).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(FORECAST_TO).cast("timestamp"))
+        & F.col("l_discount").between(
+            FORECAST_DISC_LO_C / 100.0 - 0.006, FORECAST_DISC_HI_C / 100.0 + 0.006
+        )
         & disc_c.between(FORECAST_DISC_LO_C, FORECAST_DISC_HI_C)
         & (F.col("l_quantity") < FORECAST_MAX_QTY)
     ).agg(F.sum(rev).alias("_rev"), F.count("*").alias("_n"))
@@ -989,9 +1002,15 @@ def returned_item_revenue(
     Output: (c_custkey, c_name, revenue, c_acctbal, n_name), top ``k``
     by revenue (custkey tiebreak).
 
-    Scale: the quarter + returnflag predicates push to the scans; the
-    ONE row-sized shuffle is the per-customer aggregate keyed by
-    custkey (uniform key); customer and nation broadcast; the top-k is
+    Scale: the quarter + returnflag predicates push to the scans;
+    customer and nation broadcast (explicit hints); the lineitem-orders
+    join is deliberately UNhinted — at bench scale AQE broadcasts the
+    quarter-filtered orders slice (the plan test pins one exchange
+    here), while at 100 TB a quarter of orders is itself fact-sized and
+    the right plan is the orderkey equi-join shuffle, which the
+    optimizer picks from statistics; forcing a broadcast would wedge
+    the large case.  Either way the per-customer aggregate is the one
+    row-sized shuffle (uniform key) and the top-k is
     TakeOrderedAndProject, never a global sort.
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
@@ -1127,34 +1146,45 @@ def small_quantity_revenue(
     probe — each line qualifies iff its quantity is under 1/5 of the
     AVERAGE quantity ordered for ITS OWN part.
 
-    Decorrelation is the point: the per-part average becomes one
-    partial-agg groupBy over the brand's lines joined back by partkey —
-    never a per-row subquery.  The threshold compare is INTEGER-exact
-    (quantities are integral): ``5 * qty * cnt < sum_qty`` replaces the
-    fractional ``qty < 0.2 * avg`` with no float boundary, mirrored in
-    the oracle.
+    Decorrelation is the point: the per-part average becomes window
+    aggregates partitioned by partkey over the brand slice — never a
+    per-row subquery, and ONE pass over lineitem (the r8 review caught
+    the groupBy+join-back form scanning the corpus-sized fact twice;
+    the window shuffles the tiny brand slice once and reads the scan
+    once).  Per-part windows here carry ~tens of rows, so the usual
+    hot-key window caveat does not apply.  The threshold compare is
+    INTEGER-exact (quantities are integral): ``5 * qty * cnt <
+    sum_qty`` replaces the fractional ``qty < 0.2 * avg`` with no
+    float boundary, mirrored in the oracle.
 
     Output: one row ``(avg_yearly)`` = qualifying extendedprice sum / 7
     (the TPC-H year-count convention).
 
     Scale: part prunes to the brand and broadcasts into the fact scan
-    (the only corpus-sized read); the per-part aggregate and the
-    join-back shuffle only the brand's lines (a ~1/|brands| slice).
+    (the only corpus-sized read, read once); the window shuffles only
+    the brand's lines (a ~1/|brands| slice) on a uniform partkey.
     """
     part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
         F.col("p_brand") == SMALLQTY_BRAND
     ).select("p_partkey")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
-    )
     qty = F.col("l_quantity").cast("long")
-    per_part = li.groupBy("l_partkey").agg(
-        F.sum(qty).alias("_sum_qty"), F.count("*").alias("_cnt")
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            qty.alias("_qty"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("_ep"),
+        )
     )
+    w = Window.partitionBy("l_partkey")
     agg = (
-        li.select("l_partkey", qty.alias("_qty"),
-                  F.round(F.col("l_extendedprice") * 100).cast("long").alias("_ep"))
-        .join(per_part, "l_partkey")
+        li.select(
+            "_qty",
+            "_ep",
+            F.sum("_qty").over(w).alias("_sum_qty"),
+            F.count("*").over(w).alias("_cnt"),
+        )
         .filter(F.lit(5) * F.col("_qty") * F.col("_cnt") < F.col("_sum_qty"))
         .agg(F.sum("_ep").alias("_rev"), F.count("*").alias("_n"))
     )

@@ -1187,10 +1187,12 @@ def forget_docs(
 
     Cost: one read+rewrite of each store and one edge pass over the
     remaining bands — a maintenance operation, run while the stream is
-    stopped.  Horizon-mode streams need only the store rewrite (their
-    edge pass is recomputed per batch anyway), which this performs
-    identically; the edge re-derivation is skipped when no edge store
-    exists.
+    stopped.  Without ``purge_dir``, horizon-mode streams need only the
+    store rewrite (their edge pass is recomputed per batch anyway) and
+    the edge-store rebuild is skipped when no edge store exists; WITH
+    ``purge_dir``, a no-edge-store root still runs one star+verify pass
+    over the retained bands/token-sets to heal the output exactly (r8 —
+    the O(window) price of an exact post-forget snapshot).
 
     Locking (ADVICE r6): each store gets a sibling ``.forget_lock``
     marker BEFORE the checkpoint check; the stream's per-batch
@@ -1241,6 +1243,23 @@ def forget_docs(
             # stores — the same shared pass — which is exact in both
             # cases (for horizon mode, over the retained window union).
             if _committed_batch_data_exists(spark, bands_dir):
+                if not _committed_batch_data_exists(spark, toksets_dir):
+                    # bands without token sets = a crash between the two
+                    # sequential store writes (guarded toksets read — an
+                    # AnalysisException here would wedge the locks with
+                    # no explanation; r8 review catch).  The state is
+                    # mid-batch-inconsistent: resume the stream so the
+                    # in-flight batch commits, then re-run this forget.
+                    raise RuntimeError(
+                        f"store inconsistency: {bands_dir} has committed "
+                        f"data but {toksets_dir} does not — a stream "
+                        "batch crashed between its store writes.  Resume "
+                        "the stream so the in-flight batch commits, stop "
+                        "it, then re-run this forget.  (Passing the real "
+                        "checkpoint_dir instead of None would have "
+                        "caught this as an uncommitted-batch refusal "
+                        "before any rewrite.)"
+                    )
                 survivor_edges = (
                     jaccard_verified_edges(
                         star_edges_from_bands(

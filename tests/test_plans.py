@@ -295,9 +295,9 @@ def test_r7_composed_queries_plan_shapes(spark):
         "text_span_scrub": (5, 0),
         "pipe_prep": (8, 3),       # 3 BNLJ = the scalar/vocab 1-row broadcasts
         # r8: the union grew Q6/Q10/Q14/Q17 arms — Q10 adds its
-        # per-customer aggregate exchange, Q17 its per-part aggregate +
-        # join-back (one reused); Q6/Q14 are single-row aggregates with
-        # no row-sized exchange.  4 (r7 arms) + 1 + 2 - 1 reuse = 6.
+        # per-customer aggregate exchange, Q17 its per-part window
+        # exchange; Q6/Q14 are single-row aggregates with no row-sized
+        # exchange.  4 (r7 arms) + 1 + 1 = 6 ceiling (one spare).
         "olap_suite_extra": (6, 1),
         "dedup_text_pairs": (15, 0),
     }
@@ -331,6 +331,9 @@ def test_r8_olap_shapes_pushdown_and_single_fact_shuffle(spark):
     pushed = [l for l in plan.split("\n") if "PushedFilters" in l]
     assert any("l_shipdate" in l for l in pushed), plan
     assert any("l_quantity" in l for l in pushed), plan
+    # the discount band pushes via its SARGable envelope (the exact
+    # cents band is a round+cast residual no scan can take)
+    assert any("l_discount" in l for l in pushed), plan
     assert "hashpartitioning" not in plan, plan  # single-row agg only
 
     # Q10: quarter + returnflag pushed; one row-sized shuffle (the
@@ -354,11 +357,14 @@ def test_r8_olap_shapes_pushdown_and_single_fact_shuffle(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "hashpartitioning" not in plan, plan
 
-    # Q17: the brand broadcast gates the fact scan; the decorrelated
-    # per-part aggregate + join-back shuffle only the brand slice (at
-    # most two hashpartitioning exchanges: per-part agg + join-back).
+    # Q17: the brand broadcast gates the ONE fact scan; the
+    # decorrelated per-part window shuffles only the brand slice (one
+    # hashpartitioning exchange on partkey).
     df = small_quantity_revenue(spark, SF)
     plan = physical_plan(df)
     assert "BroadcastHashJoin" in plan, plan
-    assert count_in_plan(df, "hashpartitioning", physical=True) <= 2, plan
+    assert count_in_plan(df, "hashpartitioning", physical=True) <= 1, plan
     assert "CartesianProduct" not in plan, plan
+    # ONE lineitem scan (the r8 review caught the join-back form
+    # scanning the fact twice)
+    assert plan.count("lineitem.parquet") == 1, plan
