@@ -714,6 +714,77 @@ def bench_extra_grow(spark) -> dict:
     }
 
 
+def build_tpch_replicas(spark) -> None:
+    """Fact-growth TPC-H corpora (r8): lineitem/orders replicated with
+    offset order keys while the DIMENSIONS stay fixed — the realistic
+    scale axis (a warehouse accumulates orders; customers/parts/nations
+    grow far slower).  Replica k shifts l_orderkey/o_orderkey by
+    k*ID_STRIDE and keeps o_custkey/l_partkey/l_suppkey unchanged, so
+    every join key distribution is preserved and per-dimension fan-in
+    grows s-fold — exactly what stresses the one-fact-shuffle claims."""
+    import shutil as _sh
+
+    for s in SCALES:
+        root = WORK / f"tpch_x{s}"
+        if (root / "lineitem.parquet").exists():
+            continue
+        root.mkdir(parents=True, exist_ok=True)
+        for t in ("customer", "supplier", "part", "nation", "region"):
+            src = f"{SF_DIR}/{t}.parquet"
+            dst = root / f"{t}.parquet"
+            if not dst.exists():
+                _sh.copyfile(src, dst)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        li_parts, o_parts = [], []
+        for k in range(s):
+            off = k * ID_STRIDE
+            li_parts.append(
+                li.withColumn("l_orderkey", F.col("l_orderkey") + off)
+            )
+            o_parts.append(
+                orders.withColumn("o_orderkey", F.col("o_orderkey") + off)
+            )
+        out_li = li_parts[0]
+        for p in li_parts[1:]:
+            out_li = out_li.unionByName(p)
+        out_o = o_parts[0]
+        for p in o_parts[1:]:
+            out_o = out_o.unionByName(p)
+        out_li.write.mode("overwrite").parquet(str(root / "lineitem.parquet"))
+        out_o.write.mode("overwrite").parquet(str(root / "orders.parquet"))
+
+
+def bench_olap(spark) -> dict:
+    """Measured OLAP exponents (r8): the family carried plan-shape pins
+    (single fact shuffle, pushdown, broadcast dims) but no measured
+    1x/4x/10x rows.  Five representative shapes over the fact-growth
+    corpora: Q1 (full-scan grouped agg), Q6 (join-free pushdown scan),
+    Q10 (join + per-customer agg + top-k), Q18 (HAVING-filtered
+    aggregate joined back), and the 8-arm suite_extra union.  All
+    should be ~linear: every plan is scan + broadcast dims + one
+    row-sized exchange (or none)."""
+    from cloudcomputing_flink_application_spark.operators import olap
+
+    build_tpch_replicas(spark)
+    ops = {
+        "olap_pricing_summary": lambda d: olap.pricing_summary(spark, d).count(),
+        "olap_forecast_revenue": lambda d: olap.forecast_revenue(
+            spark, d
+        ).count(),
+        "olap_returned_items": lambda d: olap.returned_item_revenue(
+            spark, d
+        ).count(),
+        "olap_large_orders": lambda d: olap.large_orders(spark, d).count(),
+        "olap_suite_extra": lambda d: olap.suite_extra(spark, d).count(),
+    }
+    return {
+        "fact_growth": _bench_op_table(
+            spark, ops, lambda s: (str(WORK / f"tpch_x{s}"),)
+        )
+    }
+
+
 def build_clustered() -> None:
     """Hash-seeded mixture corpora (fixtures.clustered_embedding_rows):
     the similarity-structured regime where IVF pruning can actually pay,
@@ -827,6 +898,9 @@ def main() -> None:
         return
     if section == "purge-decompose":
         print(json.dumps({"purge_decompose": bench_purge_decompose(spark)}))
+        return
+    if section == "olap":
+        print(json.dumps({"olap": bench_olap(spark)}))
         return
     if section == "composed":
         print(json.dumps({"composed": bench_composed(spark)}))
