@@ -333,3 +333,69 @@ def test_fit_dims_invariants(dims, max_side):
             assert max(nwi, nhi) == max_side
             assert nwi == max(1, wi * max_side // ls)
             assert nhi == max(1, hi * max_side // ls)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(  # batch sizes: 1..4 batches of 1..6 docs
+        st.integers(1, 6), min_size=1, max_size=4
+    ),
+    st.data(),
+)
+def test_delta_fold_matches_full_at_every_prefix(spark, batch_sizes, data):
+    # Algebraic pin of the delta purge emitter (r8) beyond the two
+    # crafted scenarios: random ordered-arrival edge streams (each new
+    # doc links to 0-2 earlier docs — exactly the stream's star-edge
+    # shape), folded delta emissions vs purge_from_edges at EVERY batch
+    # prefix.  Covers random merge chains, tombstone cascades, and
+    # singleton re-emissions the two example tests cannot enumerate.
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        purge_delta_from_edges,
+        purge_from_edges,
+        release_cached,
+    )
+
+    docs = list(range(1, sum(batch_sizes) + 1))
+    batches, i = [], 0
+    for n in batch_sizes:
+        batches.append(docs[i : i + n])
+        i += n
+    edges = []
+    for b_idx, batch in enumerate(batches):
+        for d in batch:
+            earlier = [x for x in docs if x < d]
+            if earlier:
+                n_links = data.draw(
+                    st.integers(0, min(2, len(earlier))), label=f"links{d}"
+                )
+                partners = data.draw(
+                    st.permutations(earlier), label=f"partners{d}"
+                )[:n_links]
+                edges.extend((d, p, b_idx) for p in partners)
+
+    def frame(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    latest: dict[int, tuple] = {}
+    seen_docs: list[int] = []
+    try:
+        for b_idx, batch in enumerate(batches):
+            seen_docs.extend(batch)
+            stats = frame(
+                [(d, d * 3 + 7) for d in seen_docs], "doc_id LONG, n_chars LONG"
+            )
+            e_rows = [(u, v) for (u, v, bi) in edges if bi <= b_idx]
+            e = frame(e_rows or [], "u LONG, v LONG")
+            new = frame([(d,) for d in batch], "doc_id LONG")
+            for r in purge_delta_from_edges(e, stats, new).collect():
+                latest[r.doc_id] = (r.n_members, r.chars_saved)
+            folded = {
+                (d, m, c) for d, (m, c) in latest.items() if m > 0
+            }
+            expected = {
+                (r.doc_id, r.n_members, r.chars_saved)
+                for r in purge_from_edges(e, stats).collect()
+            }
+            assert folded == expected, (b_idx, batches, e_rows)
+    finally:
+        release_cached()
