@@ -209,21 +209,51 @@ def _dedup_purge(args: argparse.Namespace) -> None:
     ``--forget ID[,ID...]`` runs compliance deletion against the
     streaming state under ``<output>/_state`` instead of the job
     (``jobs.forget_docs`` — survivor edges re-derived; refuses while the
-    checkpoint holds an uncommitted batch).
+    checkpoint holds an uncommitted batch).  ``--emit-deltas`` switches
+    the streamed output to touched-cluster deltas; ``--compact`` /
+    ``--compact-every N`` bound that output's read-time fold by folding
+    the delta history into a snapshot partition (offline / in-stream).
     """
     from cloudcomputing_flink_application_spark.operators.dedup import (
         minhash_purge_dedup,
     )
 
     # flag-conflict checks BEFORE Spark startup: a clean SystemExit, not
-    # a post-session ValueError traceback (r8 review catch)
-    if args.emit_deltas and args.horizon_batches is not None:
+    # a post-session traceback — and no full session start paid just to
+    # exit with a usage error (r8 review catch; ADVICE r8 low)
+    if args.emit_deltas and not args.streaming and not args.forget:
         raise SystemExit(
-            "--emit-deltas is incompatible with --horizon-batches: the "
-            "horizon window recompute retracts state on aging, which "
-            "append-only deltas cannot express"
+            "--emit-deltas is streaming-only (a batch run emits the full "
+            "purge table once; there is nothing to delta against)"
+        )
+    if args.compact_every is not None and not args.streaming:
+        raise SystemExit(
+            "--compact-every is streaming-only (the in-stream compactor; "
+            "use --compact for a stopped stream's output)"
+        )
+    if args.compact_every is not None and not args.emit_deltas:
+        raise SystemExit(
+            "--compact-every requires --emit-deltas (a full-mode "
+            "partition is already the complete table)"
         )
     spark = get_spark(app_name="dedup-purge")
+    if args.compact:
+        import os
+
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            compact_purge_deltas,
+        )
+
+        if not os.path.isdir(f"{args.output}/purge"):
+            raise SystemExit(
+                f"no emitted output under {args.output}/purge — --compact "
+                "operates on a dedup-purge --streaming --emit-deltas "
+                "output root"
+            )
+        compact_purge_deltas(
+            spark, f"{args.output}/purge", f"{args.output}/_chk"
+        )
+        return
     if args.forget:
         from cloudcomputing_flink_application_spark.streaming.jobs import (
             forget_docs,
@@ -262,17 +292,13 @@ def _dedup_purge(args: argparse.Namespace) -> None:
             f"{args.output}/_state",
             horizon_batches=args.horizon_batches,
             emit="delta" if args.emit_deltas else "full",
+            compact_every=args.compact_every,
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
         return
-    if args.emit_deltas:
-        raise SystemExit(
-            "--emit-deltas is streaming-only (a batch run emits the full "
-            "purge table once; there is nothing to delta against)"
-        )
     out = minhash_purge_dedup(spark.read.parquet(args.input))
     out.write.mode("overwrite").parquet(args.output)
     if args.show:
@@ -430,10 +456,12 @@ def _ivf_index(args: argparse.Namespace) -> None:
     append assignment rows and per-batch drift readings.  ``--report``
     prints the drift report (mean assignment cosine vs the build
     reference — the rebuild-staleness instrument).  ``--rebuild-if-drift
-    X`` closes that loop (r8): it reads the LATEST drift row and rebuilds
-    the index from ``--input`` only when drift < X — the conditional
-    maintenance step a scheduled job runs, under the same lock/refusal
-    contract as an unconditional build.  ``--forget ID[,ID...]`` removes
+    X`` closes that loop (r8): it rebuilds the index from ``--input``
+    only when the newest ``--drift-consecutive`` readings ALL sit below
+    X (r9, ADVICE: a sustained drop, so one noisy micro-batch cannot
+    trigger a rebuild that also wipes the drift history) — the
+    conditional maintenance step a scheduled job runs, under the same
+    lock/refusal contract as an unconditional build.  ``--forget ID[,ID...]`` removes
     the vec_ids' index rows (same stream-stopped lock contract as the
     dedup stores).
     """
@@ -466,12 +494,19 @@ def _ivf_index(args: argparse.Namespace) -> None:
                 f"no codebook under {args.output} — --rebuild-if-drift "
                 "operates on a built ivf-index output root (build first)"
             )
-        # Latest drift reading decides (a sustained drop is what the
-        # metric means; the newest batch is the current distribution).
+        # A SUSTAINED drop is what the metric means (drift_report's
+        # docstring), so one noisy micro-batch dipping below the
+        # threshold must not trigger a full rebuild and (via the
+        # batch-0 reset) wipe the drift history (ADVICE r8 low): the
+        # newest min(--drift-consecutive, available) readings must ALL
+        # sit below the threshold.  A fresh stream with fewer readings
+        # than K decides on what exists — its whole history IS the
+        # sustained signal so far.
+        k = max(1, args.drift_consecutive)
         last = (
             similarity.drift_report(spark, args.output)
             .orderBy(F.desc("batch_id"))
-            .limit(1)
+            .limit(k)
             .collect()
         )
         if not last:
@@ -484,26 +519,38 @@ def _ivf_index(args: argparse.Namespace) -> None:
                 "build); nothing to rebuild"
             )
             return
-        drift = float(last[0]["drift"])
-        if drift >= args.rebuild_if_drift:
+        drifts = [float(r["drift"]) for r in last]
+        healthy = [d for d in drifts if d >= args.rebuild_if_drift]
+        if healthy:
             print(
-                f"drift {drift:.4f} >= threshold {args.rebuild_if_drift}: "
-                "codebook still fits the arriving vectors — no rebuild"
+                f"drift {drifts[0]:.4f} (latest of {len(drifts)} checked): "
+                f"not {len(drifts)} consecutive readings below threshold "
+                f"{args.rebuild_if_drift} — no rebuild"
             )
             return
         # Reuse the ORIGINAL build's refinement depth unless --iters is
         # explicitly given (r8 review catch: a scheduled maintenance run
         # that omitted --iters would otherwise silently downgrade a
         # refined codebook to the seed and re-baseline drift against the
-        # degraded artifact).
+        # degraded artifact).  A pre-build_meta index has UNKNOWN depth
+        # (ADVICE r8 low: it may have been refined) — refuse rather than
+        # guess.
         iters = (
             args.iters
             if args.iters is not None
             else similarity.build_iters(spark, args.output)
         )
+        if iters is None:
+            raise SystemExit(
+                f"{args.output} predates the build_meta record, so its "
+                "original k-means depth is unknown — pass --iters "
+                "explicitly to rebuild (omitting it could silently "
+                "downgrade a refined codebook to the seed)"
+            )
         print(
-            f"drift {drift:.4f} < threshold {args.rebuild_if_drift}: "
-            f"rebuilding the index (stale codebook; iters={iters})"
+            f"drift {drifts[0]:.4f} < threshold {args.rebuild_if_drift} "
+            f"for the latest {len(drifts)} reading(s): rebuilding the "
+            f"index (stale codebook; iters={iters})"
         )
         similarity.build_ivf_index(
             spark.read.parquet(args.input), args.output, iters=iters,
@@ -620,14 +667,35 @@ def main(argv: list[str] | None = None) -> None:
             )
         if name == "dedup-purge":
             sp.add_argument(
+                "--compact", action="store_true",
+                help="offline delta-history compaction instead of running "
+                "the job: fold every delta partition under <output>/purge "
+                "into one snapshot partition at the current max batch_id "
+                "and drop the older ones — bounds the read-time fold for "
+                "a long-lived --emit-deltas stream.  Stream must be "
+                "stopped (same lock/uncommitted-checkpoint contract as "
+                "--forget); the resumed stream appends above the "
+                "snapshot.  In-stream alternative: --compact-every.",
+            )
+            sp.add_argument(
+                "--compact-every", type=int, default=None, metavar="N",
+                help="streaming + --emit-deltas only: fold the committed "
+                "delta history into a snapshot partition every N batches, "
+                "keeping the fold's input at most N+1 partitions at any "
+                "stream age",
+            )
+            sp.add_argument(
                 "--emit-deltas", action="store_true",
-                help="streaming only: emit rows for TOUCHED clusters per "
-                "batch (updated reps, one-time singletons, tombstones "
-                "for absorbed former reps) instead of the complete purge "
-                "table — the O(changed) emission shape for large "
-                "corpora; the current table is the fold of the deltas "
-                "(latest row per doc, n_members > 0).  Incompatible "
-                "with --horizon-batches.",
+                help="streaming only: emit changed rows per batch "
+                "(updated reps, one-time singletons, tombstones for "
+                "absorbed or aged-out former reps) instead of the "
+                "complete purge table — the O(changed) emission shape "
+                "for large corpora; the current table is the fold of "
+                "the deltas (latest row per doc, n_members > 0).  "
+                "Composes with --horizon-batches (tombstones express "
+                "the window's retractions) and --compact-every — "
+                "together the fully bounded mode: O(window) state, "
+                "O(changed) writes, O(N) fold.",
             )
         if name == "dedup-flags":
             sp.add_argument(
@@ -665,11 +733,19 @@ def main(argv: list[str] | None = None) -> None:
             )
             sp.add_argument(
                 "--rebuild-if-drift", type=float, default=None, metavar="X",
-                help="conditional rebuild: read the LATEST drift row and "
-                "rebuild the index from --input only when drift < X "
+                help="conditional rebuild: rebuild the index from --input "
+                "only when the newest --drift-consecutive readings are "
+                "ALL below X — a sustained drop, not one noisy batch "
                 "(no drift rows yet = nothing stale = no-op; same lock/"
                 "refusal contract as an unconditional build).  The "
                 "maintenance step that closes the drift-report loop.",
+            )
+            sp.add_argument(
+                "--drift-consecutive", type=int, default=3, metavar="K",
+                help="how many consecutive below-threshold drift readings "
+                "--rebuild-if-drift requires (default 3; a stream with "
+                "fewer readings decides on all of them — its whole "
+                "history is the sustained signal so far)",
             )
             sp.add_argument(
                 "--forget", default=None, metavar="ID[,ID...]",

@@ -19,6 +19,7 @@ per-row sequential folds — every operator here has a full DuckDB oracle.
 from __future__ import annotations
 
 import math
+import threading
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -41,17 +42,36 @@ COSINE_DUP = 0.4
 #: plans.  Long-lived sessions processing many DIFFERENT corpora should call
 #: :func:`release_cached` (or ``spark.catalog.clearCache()``, which bench.py
 #: does between queries) so executor storage does not grow without bound.
-_CACHED: list[DataFrame] = []
+#:
+#: The registry is PER-THREAD (ADVICE r8 low): every mark/release pair in
+#: the repo runs on the thread that persisted (a stream's per-batch release
+#: lives inside the same ``foreachBatch`` call; tests and bench release on
+#: the operator's own thread), and Structured Streaming gives each query
+#: its own execution thread — so with concurrent streams in one session a
+#: scoped release can only ever drop frames ITS OWN stream persisted,
+#: never interleave with another's.  The one contract this imposes:
+#: release on the thread that ran the operator (true at every call site;
+#: a thread that exits without releasing leaks only until clearCache).
+_TLS = threading.local()
+
+
+def _frames() -> list[DataFrame]:
+    frames = getattr(_TLS, "frames", None)
+    if frames is None:
+        frames = _TLS.frames = []
+    return frames
 
 
 def _persist(df: DataFrame) -> DataFrame:
     df.persist()
-    _CACHED.append(df)
+    _frames().append(df)
     return df
 
 
 def release_cached(since: int = 0) -> None:
-    """Unpersist every frame the dedup operators have cached.
+    """Unpersist every frame the dedup operators have cached ON THIS
+    THREAD (see the ``_TLS`` note: the registry is per-thread, so
+    concurrent streams cannot clobber each other's caches).
 
     The explicit release handle for long-lived sessions: calling this after
     consuming an operator's output frees executor storage without nuking
@@ -60,18 +80,18 @@ def release_cached(since: int = 0) -> None:
 
     ``since`` scopes the release to frames persisted AFTER a
     :func:`cached_mark` snapshot — what a long-running stream uses to
-    drop its own batch's frames without clobbering caches another
-    operator or stream in the same session is still using (r8 review
-    catch).
+    drop its own batch's frames without releasing the ones a caller on
+    the same thread is still using (r8 review catch).
     """
-    while len(_CACHED) > since:
-        _CACHED.pop().unpersist()
+    frames = _frames()
+    while len(frames) > since:
+        frames.pop().unpersist()
 
 
 def cached_mark() -> int:
-    """Current length of the operator cache registry; pass to
+    """Current length of this thread's operator cache registry; pass to
     ``release_cached(since=mark)`` for a scoped release."""
-    return len(_CACHED)
+    return len(_frames())
 
 
 # --- exact -------------------------------------------------------------------

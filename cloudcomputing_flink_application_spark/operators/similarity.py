@@ -35,6 +35,7 @@ carry full value-hash oracles.
 from __future__ import annotations
 
 import math
+import threading
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -102,23 +103,34 @@ def _auto_subk_for(embeddings: DataFrame) -> int:
     return auto_subk(int(row["n"]), max(int(row["nl"] or 0), 1))
 
 #: Frames persisted by the operators below — same caching contract as
-#: ``operators.dedup._CACHED``: operators return lazy frames, so release
-#: happens via :func:`release_cached` (targeted) or
-#: ``spark.catalog.clearCache()`` (what bench.py does per run), never inside
-#: the operator itself.
-_CACHED: list[DataFrame] = []
+#: ``operators.dedup``: operators return lazy frames, so release happens
+#: via :func:`release_cached` (targeted) or ``spark.catalog.clearCache()``
+#: (what bench.py does per run), never inside the operator itself.  Like
+#: dedup's, the registry is PER-THREAD (ADVICE r8 low): release on the
+#: thread that ran the operator, and concurrent streams/operators in one
+#: session can never drop each other's caches.
+_TLS = threading.local()
+
+
+def _frames() -> list[DataFrame]:
+    frames = getattr(_TLS, "frames", None)
+    if frames is None:
+        frames = _TLS.frames = []
+    return frames
 
 
 def _persist(df: DataFrame) -> DataFrame:
     df.persist()
-    _CACHED.append(df)
+    _frames().append(df)
     return df
 
 
 def release_cached() -> None:
-    """Unpersist every frame the similarity operators have cached."""
-    while _CACHED:
-        _CACHED.pop().unpersist()
+    """Unpersist every frame the similarity operators have cached on this
+    thread (per-thread registry — see the ``_TLS`` note)."""
+    frames = _frames()
+    while frames:
+        frames.pop().unpersist()
 
 
 def _dot(u: Column, v: Column) -> Column:
@@ -920,16 +932,19 @@ def build_ivf_index(
     _release_forget_locks(spark, [asg_dir])
 
 
-def build_iters(spark, index_root: str) -> int:
+def build_iters(spark, index_root: str) -> int | None:
     """The k-means refinement depth the index at ``index_root`` was built
     with — what a maintenance rebuild must reuse so a refined codebook is
-    never silently downgraded to the seed.  Returns 0 for an index
-    predating the ``build_meta`` artifact (which WAS built with the
-    iters=0 default)."""
+    never silently downgraded to the seed.  Returns ``None`` for an index
+    predating the ``build_meta`` artifact: its build depth is UNKNOWN — it
+    may have been built with an explicit ``--iters > 0`` (ADVICE r8 low:
+    assuming 0 here would silently downgrade exactly the refined codebook
+    this record exists to protect).  Callers must require an explicit
+    depth in that case (the CLI does)."""
     import os
 
     if not os.path.isdir(f"{index_root}/build_meta"):
-        return 0
+        return None
     return int(spark.read.parquet(f"{index_root}/build_meta").first()["iters"])
 
 

@@ -524,6 +524,47 @@ def test_rebuild_if_drift_preserves_refinement_depth(spark, tmp_path, capsys):
     assert similarity.build_iters(spark, root) == 0
 
 
+def test_rebuild_if_drift_requires_sustained_drop(spark, tmp_path, capsys):
+    # ADVICE r9: one noisy micro-batch dipping below the threshold must
+    # NOT trigger a rebuild (which would also wipe the drift history) —
+    # the newest --drift-consecutive readings must ALL be below.
+    from tests.conftest import TESTDATA
+
+    emb = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+    build_in = str(tmp_path / "build_in")
+    emb.filter("vec_id <= 300").write.parquet(build_in)
+    root = str(tmp_path / "index")
+    cli.main(["ivf-index", "--input", build_in, "--output", root])
+
+    def cb_set(path):
+        return {(r.cluster, r.label, tuple(r.cemb))
+                for r in spark.read.parquet(path).collect()}
+
+    cb0 = cb_set(f"{root}/codebook")
+    # fabricate drift history in the stream's own store layout: two
+    # HEALTHY readings (exactly the build reference -> drift = 1.0),
+    # then one NOISY dip (a tenth of the reference sum -> drift ~ 0.1)
+    # as the LATEST reading
+    ref = spark.read.parquet(f"{root}/ref_stats").first()
+    n, s = int(ref["n_vecs"]), int(ref["sum_ccos_q"])
+    for batch_id, sum_q in ((1, s), (2, s), (3, s // 10)):
+        spark.createDataFrame(
+            [(n, sum_q)], "n_vecs LONG, sum_ccos_q LONG"
+        ).write.parquet(f"{root}/drift/batch_id={batch_id}")
+
+    # default K=3: latest readings are (0.1, 1.0, 1.0) -> not sustained
+    cli.main(["ivf-index", "--input", build_in, "--output", root,
+              "--rebuild-if-drift", "0.9"])
+    assert "no rebuild" in capsys.readouterr().out
+    assert cb_set(f"{root}/codebook") == cb0
+    assert spark.read.parquet(f"{root}/drift").count() == 3  # history kept
+
+    # K=1 reproduces the latest-row rule: the dip alone triggers
+    cli.main(["ivf-index", "--input", build_in, "--output", root,
+              "--rebuild-if-drift", "0.9", "--drift-consecutive", "1"])
+    assert "rebuilding" in capsys.readouterr().out
+
+
 def test_dedup_purge_cli_emit_deltas(spark, tmp_path):
     # --emit-deltas: the fold of the streamed deltas equals the batch
     # operator; batch mode refuses the flag loudly.
@@ -549,8 +590,48 @@ def test_dedup_purge_cli_emit_deltas(spark, tmp_path):
     with pytest.raises(SystemExit, match="streaming-only"):
         cli.main(["dedup-purge", "--input", d_in,
                   "--output", str(tmp_path / "b"), "--emit-deltas"])
-    # the horizon conflict is a clean pre-Spark SystemExit too
-    with pytest.raises(SystemExit, match="incompatible"):
+    # --compact flag conflicts are clean pre-Spark SystemExits too
+    with pytest.raises(SystemExit, match="streaming-only"):
         cli.main(["dedup-purge", "--input", d_in,
-                  "--output", str(tmp_path / "b2"), "--streaming",
-                  "--emit-deltas", "--horizon-batches", "2"])
+                  "--output", str(tmp_path / "b2"), "--compact-every", "2"])
+    with pytest.raises(SystemExit, match="requires --emit-deltas"):
+        cli.main(["dedup-purge", "--input", d_in,
+                  "--output", str(tmp_path / "b3"), "--streaming",
+                  "--compact-every", "2"])
+
+
+def test_dedup_purge_cli_compact_and_horizon_delta(spark, tmp_path):
+    # The composed shell surface (r9): horizon + deltas + in-stream
+    # compaction in one run, then offline --compact squeezes the history
+    # to one snapshot whose fold is the last window's table.
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        purge_table_from_deltas,
+    )
+    from tests.conftest import TESTDATA, rows_set
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(80)
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+    out = str(tmp_path / "out")
+    cli.main(["dedup-purge", "--input", d_in, "--output", out,
+              "--streaming", "--emit-deltas", "--horizon-batches", "2",
+              "--compact-every", "2"])
+    expected = rows_set(minhash_purge_dedup(spark.read.parquet(d_in)))
+    assert rows_set(purge_table_from_deltas(spark, f"{out}/purge")) == expected
+    cli.main(["dedup-purge", "--input", d_in, "--output", out, "--compact"])
+    parts = {
+        int(r.batch_id)
+        for r in spark.read.parquet(f"{out}/purge")
+        .select("batch_id").distinct().collect()
+    }
+    assert len(parts) == 1
+    assert rows_set(purge_table_from_deltas(spark, f"{out}/purge")) == expected
+    # --compact on a root that never streamed fails loudly
+    import pytest
+
+    with pytest.raises(SystemExit, match="no emitted output"):
+        cli.main(["dedup-purge", "--input", d_in,
+                  "--output", str(tmp_path / "never"), "--compact"])

@@ -270,11 +270,13 @@ def test_release_cached_unpersists_registry(spark):
     )
     dedup.minhash_lsh_dedup(docs).count()
     dedup.simhash_dedup(docs).count()
-    assert dedup._CACHED, "operators registered no persisted frames"
-    assert any(f.storageLevel.useMemory for f in dedup._CACHED)
-    cached = list(dedup._CACHED)
+    # the registry is per-thread (r9): this thread ran the operators, so
+    # this thread's list holds their frames
+    assert dedup._frames(), "operators registered no persisted frames"
+    assert any(f.storageLevel.useMemory for f in dedup._frames())
+    cached = list(dedup._frames())
     dedup.release_cached()
-    assert not dedup._CACHED
+    assert not dedup._frames()
     assert all(not f.storageLevel.useMemory for f in cached)
     # targeted release: the unrelated frame is still cached
     assert other.storageLevel.useMemory
@@ -457,9 +459,9 @@ def test_ivf_supplied_codebook_not_persisted(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     try:
         cb = similarity.refined_codebook(emb, 1)
-        before = len(similarity._CACHED)
+        before = len(similarity._frames())
         similarity.cosine_topk_ivf(emb, codebook=cb).collect()
-        assert len(similarity._CACHED) == before
+        assert len(similarity._frames()) == before
         assert cb.storageLevel.useMemory is False
     finally:
         similarity.release_cached()
