@@ -665,6 +665,7 @@ def run_purge_dedup_stream(
     state_dir: str,
     horizon_batches: int | None = None,
     emit: str = "full",
+    compact_every: int | None = None,
 ):
     """Incremental MinHash-LSH PURGE over a document stream — the streaming
     twin of ``operators.dedup.minhash_purge_dedup``, completing the
@@ -720,24 +721,43 @@ def run_purge_dedup_stream(
     pinned in tests/test_streaming.py, including a chain whose canonical
     doc ages out so cluster leadership passes to a younger survivor.
 
-    ``emit="delta"`` (r8, unbounded mode only) switches the OUTPUT from
-    the complete purge table per batch to rows for TOUCHED clusters only
-    (``purge_delta_from_edges``: updated rep rows, one-time singleton
-    rows, tombstones for absorbed former reps) — the emission shape the
-    r8 purge-batch decomposition motivated (SCALING.md): the full form's
+    ``emit="delta"`` (r8) switches the OUTPUT from the complete purge
+    table per batch to changed rows only.  In unbounded mode the delta
+    comes straight from the edge closure (``purge_delta_from_edges``:
+    updated rep rows for TOUCHED clusters, one-time singleton rows,
+    tombstones for absorbed former reps) — the emission shape the r8
+    purge-batch decomposition motivated (SCALING.md): the full form's
     per-batch O(corpus) terms are exactly the re-emission of unchanged
-    clusters.  The current table is the fold of the deltas
+    clusters.  In HORIZON mode (composable since r9 — r8 VERDICT #3:
+    the old refusal claimed append-only deltas cannot express the window
+    recompute's retractions, but a tombstone IS a retraction) the delta
+    is the plain table diff (``_table_delta``): the current window's
+    purge table vs the fold of the committed deltas — aged-out docs and
+    displaced reps get tombstones, everything else emits only on change.
+    Either way the current table is the fold of the deltas
     (:func:`purge_table_from_deltas`; fold == batch operator pinned in
-    tests/test_streaming.py, including a cross-batch cluster merge whose
-    displaced rep gets a tombstone).  Horizon mode refuses the flag: a
-    bounded-window recompute RETRACTS on aging, which append-only deltas
-    cannot express.  Switching ``emit`` on an existing checkpoint is not
-    supported (like switching ``horizon_batches``): a full-mode prefix
-    never tombstoned its displaced reps, so a delta fold over the mixed
-    output would resurrect their stale rows — start delta mode with a
-    fresh checkpoint and output dir.  Compliance deletion against a
-    delta output MUST pass ``purge_dir`` to :func:`forget_docs` (the
-    fold keeps forgotten rows alive otherwise; the CLI does this).
+    tests/test_streaming.py for both modes, including a cross-batch
+    cluster merge whose displaced rep gets a tombstone and a horizon
+    chain whose aged-out canonical gets one).  Switching ``emit`` on an
+    existing checkpoint is not supported (like switching
+    ``horizon_batches``): a full-mode prefix never tombstoned its
+    displaced reps, so a delta fold over the mixed output would
+    resurrect their stale rows — start delta mode with a fresh
+    checkpoint and output dir.  Compliance deletion against a delta
+    output MUST pass ``purge_dir`` to :func:`forget_docs` (the fold
+    keeps forgotten rows alive otherwise; the CLI does this).
+
+    ``compact_every=N`` (r9, delta mode only) bounds the last unbounded
+    term delta mode left (r8 VERDICT #1): without it the read-time fold
+    replays every delta partition since stream start.  Every N batches,
+    at batch start, the committed delta history folds into ONE snapshot
+    partition at its own max batch_id (``_compact_delta_partitions`` —
+    the same fold-compatible shape ``_heal_purge_output`` writes), so
+    the fold's input is at most N+1 partitions at any stream age.
+    fold == batch across compactions is property-pinned at every prefix
+    (tests/test_properties.py) and end-to-end with forget interleaved
+    (tests/test_streaming.py); :func:`compact_purge_deltas` is the
+    offline, stream-stopped equivalent.
     """
     from cloudcomputing_flink_application_spark.operators.dedup import (
         _token_sets,
@@ -753,19 +773,32 @@ def run_purge_dedup_stream(
     _check_horizon(horizon_batches)
     if emit not in ("full", "delta"):
         raise ValueError(f"emit must be 'full' or 'delta', got {emit!r}")
-    if emit == "delta" and horizon_batches is not None:
-        raise ValueError(
-            "emit='delta' requires unbounded mode: the horizon window "
-            "recompute retracts state on aging, which append-only deltas "
-            "cannot express — use emit='full' with horizon_batches"
-        )
+    if compact_every is not None:
+        if emit != "delta":
+            raise ValueError(
+                "compact_every applies to emit='delta' only (a full-mode "
+                "partition is already the complete table; consumers read "
+                "the last one)"
+            )
+        if compact_every < 1:
+            raise ValueError(
+                f"compact_every must be >= 1 (got {compact_every}); "
+                "omit it to keep the full delta history"
+            )
     bands_dir = f"{state_dir}/bands"
     toksets_dir = f"{state_dir}/toksets"
     edges_dir = f"{state_dir}/edges"
     stats_dir = f"{state_dir}/docstats"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        _forget_guard(spark, [bands_dir, toksets_dir, edges_dir, stats_dir])
+        # output_dir in the guard list (r9): compaction swaps it through
+        # the staging/backup dance, so batch start must heal a half-done
+        # swap — and an offline compact_purge_deltas locks it, which this
+        # guard turns into a loud stream refusal instead of interleaved
+        # writes.
+        _forget_guard(
+            spark, [bands_dir, toksets_dir, edges_dir, stats_dir, output_dir]
+        )
         if batch_id == 0:
             for d in (output_dir, bands_dir, toksets_dir, edges_dir, stats_dir):
                 _prune_stale_batch_partitions(spark, d)
@@ -774,6 +807,19 @@ def run_purge_dedup_stream(
                 _prune_batch_partitions_before(
                     spark, d, batch_id - horizon_batches
                 )
+        if (
+            compact_every is not None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+            and _committed_batch_data_exists(spark, output_dir)
+        ):
+            # In-stream compaction, at batch START so only COMMITTED
+            # partitions (< batch_id) fold — a crashed prior attempt of
+            # THIS batch may have left its own partition, which the
+            # below= cutoff excludes (it is rewritten later this call).
+            # Idempotent under replay: folding a snapshot yields the
+            # snapshot.
+            _compact_delta_partitions(spark, output_dir, below=batch_id)
         # tokenize ONCE per micro-batch: the persisted token sets feed both
         # the band pipeline and the jaccard verify (mirrors the batch
         # twin's shared-tokset plan)
@@ -818,12 +864,44 @@ def run_purge_dedup_stream(
                     star_edges_from_bands(wb), wtoks
                 ).select("doc_id", "rep")
                 purge = purge_from_edges(window_edges, all_stats)
-                _write_batch_partition(purge, batch_id, output_dir)
-                _write_batch_partition(
-                    b.select("doc_id", "band", "key"), batch_id, bands_dir
-                )
-                _write_batch_partition(toks, batch_id, toksets_dir)
-                _write_batch_partition(batch_stats, batch_id, stats_dir)
+                locals_cached = []
+                try:
+                    if emit == "delta":
+                        # horizon x delta (r9, r8 VERDICT #3): the window
+                        # recompute RETRACTS rows on aging — and a
+                        # tombstone IS a retraction, so the delta is the
+                        # plain table diff: current window table vs the
+                        # fold of the committed deltas.  Both sides are
+                        # O(window) (the horizon's bound), read/written
+                        # once -> persisted for the diff's two branches.
+                        # With compact_every the fold input is bounded
+                        # too — the fully bounded mode: O(window) state,
+                        # O(changed) writes, O(compact_every) fold.
+                        purge = purge.persist()
+                        prev = (
+                            purge_table_from_deltas(
+                                spark, output_dir, below=batch_id
+                            )
+                            if _committed_batch_data_exists(spark, output_dir)
+                            else spark.createDataFrame(
+                                [],
+                                "doc_id LONG, n_members LONG, "
+                                "chars_saved LONG",
+                            )
+                        ).persist()
+                        locals_cached = [purge, prev]
+                        out_rows = _table_delta(purge, prev)
+                    else:
+                        out_rows = purge
+                    _write_batch_partition(out_rows, batch_id, output_dir)
+                    _write_batch_partition(
+                        b.select("doc_id", "band", "key"), batch_id, bands_dir
+                    )
+                    _write_batch_partition(toks, batch_id, toksets_dir)
+                    _write_batch_partition(batch_stats, batch_id, stats_dir)
+                finally:
+                    for df in locals_cached:
+                        df.unpersist()
                 return
             have_state = _committed_batch_data_exists(spark, bands_dir)
             if have_state:
@@ -1062,10 +1140,14 @@ def _latest_numbered(spark, path: str) -> int:
     return best
 
 
-def purge_table_from_deltas(spark, output_dir: str) -> DataFrame:
+def purge_table_from_deltas(
+    spark, output_dir: str, below: int | None = None
+) -> DataFrame:
     """The current purge table from a ``run_purge_dedup_stream(...,
     emit="delta")`` output: latest row per doc_id across the batch
-    partitions, tombstones (``n_members = 0``) dropped.
+    partitions, tombstones (``n_members = 0``) dropped.  ``below``
+    restricts the fold to partitions with ``batch_id < below`` (the
+    in-stream compactor's committed-only window; consumers omit it).
 
     Equals :func:`operators.dedup.purge_from_edges` over the same
     accumulated edges/stats — i.e. the full-emission stream's last
@@ -1074,8 +1156,16 @@ def purge_table_from_deltas(spark, output_dir: str) -> DataFrame:
     Scale: ``max_by`` under a groupBy is a map-side partial aggregate
     keyed by doc_id (no window, no whole-store sort); the fold is what a
     consumer runs ONCE at read time, against per-batch emissions that
-    stopped costing O(corpus) each."""
+    stopped costing O(corpus) each.  The fold's INPUT is every delta
+    partition since stream start — unbounded in stream age (the r8 open
+    end) — unless the history is compacted: a snapshot partition is
+    fold-compatible (latest-row rule: future deltas override it, never
+    the reverse), so :func:`compact_purge_deltas` (or the stream's
+    ``compact_every``) keeps the replay bounded without changing this
+    function."""
     rows = spark.read.parquet(output_dir)
+    if below is not None:
+        rows = rows.filter(F.col("batch_id") < F.lit(below))
     latest = rows.groupBy("doc_id").agg(
         F.max_by(F.struct("n_members", "chars_saved"), "batch_id").alias("_m")
     )
@@ -1086,14 +1176,99 @@ def purge_table_from_deltas(spark, output_dir: str) -> DataFrame:
     )
 
 
-def _max_batch_partition(spark, path: str) -> int:
-    """Highest ``batch_id=K`` partition under ``path`` (-1 if none)."""
+def _table_delta(cur: DataFrame, prev: DataFrame) -> DataFrame:
+    """The delta rows that turn the folded ``prev`` purge table into
+    ``cur``: cur's new/changed rows (full-row anti-join) plus a
+    ``(doc_id, 0, 0)`` tombstone for every doc present in prev but absent
+    from cur — the retraction shape horizon aging needs (a doc whose
+    window expired, or a rep displaced by the recompute).  Feeding the
+    fold with these reproduces cur exactly: unchanged docs keep their
+    prev row (== cur row), changed docs get a higher-batch override,
+    absent docs fold to their tombstone.  Both inputs are purge tables
+    over a horizon window — O(window) rows — so the two anti-joins are
+    bounded by exactly what the horizon promises to bound."""
+    changed = cur.join(
+        prev, ["doc_id", "n_members", "chars_saved"], "left_anti"
+    )
+    gone = prev.join(cur.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit(0).cast("long").alias("n_members"),
+        F.lit(0).cast("long").alias("chars_saved"),
+    )
+    return changed.unionByName(gone)
+
+
+def _compact_delta_partitions(
+    spark, output_dir: str, below: int | None = None
+) -> None:
+    """Fold the delta partitions (all of them, or those with
+    ``batch_id < below``) into ONE snapshot partition at the highest
+    folded batch_id, dropping the older partitions.
+
+    Correctness rests on the fold's latest-row-per-doc rule: the snapshot
+    holds exactly the live rows the folded history resolves to, docs whose
+    latest folded row was a tombstone have NO snapshot row (same as
+    "dropped by the fold"), and every future delta lands at a strictly
+    higher batch_id, so fold(snapshot ∪ later deltas) == fold(full
+    history) — pinned across a compaction in tests/test_properties.py and
+    end-to-end in tests/test_streaming.py.  Crash-safe via the same
+    staging-dir + rename-to-backup swap as the forget rewrites
+    (:func:`_replace_dir`); a half-done swap heals at the next
+    :func:`_recover_swap` (batch start or re-run)."""
+    snap_id = _max_batch_partition(spark, output_dir, below=below)
+    if snap_id < 0:
+        return
+    table = purge_table_from_deltas(spark, output_dir, below=below).withColumn(
+        "batch_id", F.lit(snap_id)
+    )
+    tmp = output_dir.rstrip("/") + ".forget_tmp"
+    table.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    _replace_dir(spark, tmp, output_dir)
+
+
+def compact_purge_deltas(spark, output_dir: str, checkpoint_dir: str | None) -> None:
+    """Offline compaction of a delta-mode purge output (run while the
+    stream is STOPPED): replaces the whole delta history with one
+    fold-equivalent snapshot partition at the current max batch_id, so
+    the read-time fold's input stops growing with stream age — the delta
+    mode's last unbounded term (r8 VERDICT #1).  The resumed stream
+    appends at strictly higher batch_ids, so the fold contract is
+    untouched; ``forget_docs(purge_dir=...)``'s heal writes the same
+    snapshot shape, and compacting after a heal is a no-op fold of one
+    partition.  The stream-owned alternative is
+    ``run_purge_dedup_stream(..., compact_every=N)``.
+
+    Same safety contract as the forget rewrites: a sibling lock on the
+    output dir (the stream's per-batch guard refuses while it exists, so
+    a concurrently resumed stream can never interleave), refusal while
+    the checkpoint shows an uncommitted micro-batch (its replay would
+    dynamic-overwrite the snapshot partition from pre-compaction rows),
+    and the rename-to-backup swap for crash recovery."""
+    created = _acquire_forget_locks(spark, [output_dir])
+    try:
+        _refuse_uncommitted(spark, checkpoint_dir)
+    except Exception:
+        _release_forget_locks(spark, created)
+        raise
+    _recover_swap(spark, output_dir)
+    if _committed_batch_data_exists(spark, output_dir):
+        _compact_delta_partitions(spark, output_dir)
+    _release_forget_locks(spark, [output_dir])
+
+
+def _max_batch_partition(spark, path: str, below: int | None = None) -> int:
+    """Highest ``batch_id=K`` partition under ``path`` (-1 if none);
+    ``below`` restricts to K < below (the compactor's committed-only
+    window — a crashed attempt of the CURRENT batch may have left its own
+    partition, which must not become the snapshot id)."""
     jvm = spark._jvm
     pattern = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/batch_id=*")
     fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
     best = -1
     for st in fs.globStatus(pattern) or []:
-        best = max(best, int(st.getPath().getName().split("=", 1)[1]))
+        k = int(st.getPath().getName().split("=", 1)[1])
+        if below is None or k < below:
+            best = max(best, k)
     return best
 
 
@@ -1250,6 +1425,17 @@ def forget_docs(
                     # no explanation; r8 review catch).  The state is
                     # mid-batch-inconsistent: resume the stream so the
                     # in-flight batch commits, then re-run this forget.
+                    # Release the locks THIS call created first (ADVICE
+                    # r8 medium): no further rewrite happens in this
+                    # call, and the advised recovery — resume the stream
+                    # so the in-flight batch commits — is impossible
+                    # while _forget_guard sees our locks.  The rewrites
+                    # above were per-store consistent anti-joins and the
+                    # re-run repeats them idempotently (and removes the
+                    # replayed batch's re-written forgotten rows).  A
+                    # crashed PRIOR forget's locks (not in ``created``)
+                    # stay: its stores may be half-rewritten.
+                    _release_forget_locks(spark, created)
                     raise RuntimeError(
                         f"store inconsistency: {bands_dir} has committed "
                         f"data but {toksets_dir} does not — a stream "

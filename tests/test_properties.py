@@ -376,7 +376,35 @@ def test_delta_fold_matches_full_at_every_prefix(spark, batch_sizes, data):
     def frame(rows, schema):
         return spark.createDataFrame(rows, schema)
 
-    latest: dict[int, tuple] = {}
+    # The delta history as the OUTPUT DIR holds it: (batch_id, rows)
+    # partitions.  fold/compact below mirror purge_table_from_deltas /
+    # _compact_delta_partitions exactly (latest row per doc across
+    # partitions, tombstones dropped; compaction = live rows of the
+    # folded prefix as ONE partition at the prefix's max batch_id) — the
+    # file-level parity of this model is pinned end-to-end in
+    # tests/test_streaming.py::test_purge_delta_compaction_bounds_history.
+    def fold(history):
+        latest: dict[int, tuple] = {}
+        for _, rows in sorted(history, key=lambda t: t[0]):
+            for d, m, c in rows:
+                latest[d] = (m, c)
+        return {(d, m, c) for d, (m, c) in latest.items() if m > 0}
+
+    def compact(history, below):
+        pre = [(b, r) for b, r in history if b < below]
+        post = [(b, r) for b, r in history if b >= below]
+        if not pre:
+            return history
+        snap_id = max(b for b, _ in pre)
+        return [(snap_id, sorted(fold(pre)))] + post
+
+    # r9: compaction must be fold-transparent at EVERY point — draw one
+    # batch index after which the history is compacted, and keep
+    # asserting fold == batch operator at every later prefix too.
+    compact_after = data.draw(
+        st.integers(0, len(batches) - 1), label="compact_after"
+    )
+    history: list[tuple[int, list]] = []
     seen_docs: list[int] = []
     try:
         for b_idx, batch in enumerate(batches):
@@ -387,15 +415,24 @@ def test_delta_fold_matches_full_at_every_prefix(spark, batch_sizes, data):
             e_rows = [(u, v) for (u, v, bi) in edges if bi <= b_idx]
             e = frame(e_rows or [], "u LONG, v LONG")
             new = frame([(d,) for d in batch], "doc_id LONG")
-            for r in purge_delta_from_edges(e, stats, new).collect():
-                latest[r.doc_id] = (r.n_members, r.chars_saved)
-            folded = {
-                (d, m, c) for d, (m, c) in latest.items() if m > 0
-            }
+            history.append(
+                (
+                    b_idx,
+                    [
+                        (r.doc_id, r.n_members, r.chars_saved)
+                        for r in purge_delta_from_edges(e, stats, new).collect()
+                    ],
+                )
+            )
             expected = {
                 (r.doc_id, r.n_members, r.chars_saved)
                 for r in purge_from_edges(e, stats).collect()
             }
-            assert folded == expected, (b_idx, batches, e_rows)
+            assert fold(history) == expected, (b_idx, batches, e_rows)
+            if b_idx == compact_after:
+                history = compact(history, below=b_idx + 1)
+                assert fold(history) == expected, (
+                    "compaction changed the fold", b_idx, batches, e_rows,
+                )
     finally:
         release_cached()

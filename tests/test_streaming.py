@@ -935,6 +935,103 @@ def test_purge_stream_horizon_window_recompute(spark, tmp_path):
         assert kept == [1, 2], store
 
 
+@pytest.mark.parametrize("compact_every", [None, 2])
+def test_purge_stream_horizon_delta_composition(spark, tmp_path, compact_every):
+    # r9 (r8 VERDICT #3): horizon x delta — bounded STATE and bounded
+    # WRITES together.  The old refusal claimed append-only deltas cannot
+    # express the window recompute's retractions; tombstones are exactly
+    # that retraction.  Same aging-chain fixture as the window-recompute
+    # test: after every batch, the FOLD of the deltas must equal the
+    # batch operator over that batch's window union — including batch 2,
+    # where canonical doc 1 ages out (tombstone) and leadership passes to
+    # doc 3.  compact_every=2 composes in the same run (the fully
+    # bounded mode); prefix folds BELOW the snapshot id are intentionally
+    # coarsened away by compaction, so that variant asserts from the
+    # snapshot up.
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+
+    import pyspark.sql.types as T
+
+    BASE = (
+        "the river cuts through the old valley where tall pines lean over "
+        "granite ledges and cold water folds around mossy stones while "
+        "swallows trace wide arcs under a pale morning sky before rain"
+    )
+    batches = [
+        [(1, BASE), (2, "a short unrelated note about city schedules and maps")],
+        [(3, BASE + " alpha")],
+        [(4, BASE + " beta")],
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    d_in = str(tmp_path / "docs_in")
+    frames = []
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame([(i_, t, len(t)) for i_, t in rows], schema)
+        frames.append(df)
+        df.coalesce(1).write.parquet(f"{d_in}/f{i}")
+        for root, _, files in os.walk(f"{d_in}/f{i}"):
+            for f in files:
+                os.utime(f"{root}/{f}", (1_700_000_000 + i,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out = str(tmp_path / "purge_out")
+    HORIZON = 1
+    q = jobs.run_purge_dedup_stream(
+        spark, stream, out, str(tmp_path / "chk"), str(tmp_path / "state"),
+        horizon_batches=HORIZON, emit="delta", compact_every=compact_every,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # fold at every (surviving) prefix == purge-within-horizon at that
+    # batch; with compaction the snapshot (at batch 1) replaces prefixes
+    # below it, so assertions start there
+    first_checkable = 0 if compact_every is None else 1
+    for b, _ in enumerate(frames):
+        if b < first_checkable:
+            continue
+        window = frames[max(0, b - HORIZON) : b + 1]
+        union = window[0]
+        for w in window[1:]:
+            union = union.unionByName(w)
+        folded = rows_set(jobs.purge_table_from_deltas(spark, out, below=b + 1))
+        assert folded == rows_set(minhash_purge_dedup(union)), f"batch {b}"
+    raw = spark.read.parquet(out)
+    parts = {int(r.batch_id) for r in raw.select("batch_id").distinct().collect()}
+    if compact_every is not None:
+        # compaction at batch 2 folded partitions {0,1} into snapshot@1:
+        # the history stays bounded and partition 2 is the delta against
+        # that snapshot
+        assert parts == {1, 2}
+    else:
+        assert parts == {0, 1, 2}
+    # the narrative: batch 2's delta tombstones the aged-out docs 1 and 2
+    # and hands leadership to doc 3
+    d2 = {
+        (r.doc_id, r.n_members, r.chars_saved)
+        for r in raw.filter(F.col("batch_id") == 2).collect()
+    }
+    assert (1, 0, 0) in d2 and (2, 0, 0) in d2  # aged-out retractions
+    assert any(d == 3 and m == 2 for d, m, _ in d2)  # the new leader
+    # final fold: only the last window's table survives
+    final = rows_set(jobs.purge_table_from_deltas(spark, out))
+    assert {r[0] for r in final} == {3}
+
+
 def test_horizon_batches_validated_on_all_jobs(spark, tmp_path):
     # horizon_batches=0 (or negative) would silently disable every
     # cross-batch probe while pruning state at/ahead of the current
@@ -1901,18 +1998,13 @@ def test_purge_stream_delta_emission_folds_to_batch(spark, tmp_path):
     assert out.filter(F.col("n_members") == 0).count() > 0
 
 
-def test_purge_stream_delta_refuses_horizon_and_bad_emit(spark, tmp_path):
+def test_purge_stream_refuses_bad_emit(spark, tmp_path):
     import pytest
 
     docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
     d_in = str(tmp_path / "in")
     docs.limit(10).write.parquet(d_in)
     stream = spark.readStream.schema(docs.schema).parquet(d_in)
-    with pytest.raises(ValueError, match="unbounded"):
-        jobs.run_purge_dedup_stream(
-            spark, stream, str(tmp_path / "o"), str(tmp_path / "c"),
-            str(tmp_path / "s"), horizon_batches=2, emit="delta",
-        )
     with pytest.raises(ValueError, match="emit"):
         jobs.run_purge_dedup_stream(
             spark, stream, str(tmp_path / "o"), str(tmp_path / "c"),
@@ -1990,6 +2082,160 @@ def test_forget_docs_heals_delta_output(spark, tmp_path):
         q.stop()
     fold2 = rows_set(jobs.purge_table_from_deltas(spark, out))
     assert fold2 == rows_set(minhash_purge_dedup(survivors.unionByName(fresh)))
+
+
+def test_purge_delta_compaction_bounds_history(spark, tmp_path):
+    # r9 (r8 VERDICT #1): the delta fold's input was the only term still
+    # growing with stream AGE.  compact_every folds the committed history
+    # into a snapshot partition in-stream; compact_purge_deltas does it
+    # offline.  fold == batch must hold through in-stream compaction,
+    # offline compaction, a forget (heal), and a resumed stream.
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+
+    raw = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").filter(
+        "doc_id < 200"
+    )
+    dups = raw.filter(raw.doc_id < 40).withColumn("doc_id", raw.doc_id + 100_000)
+    d_in = str(tmp_path / "in")
+    _write = lambda i, df: (  # noqa: E731
+        df.coalesce(1).write.parquet(f"{d_in}/f{i}"),
+        [os.utime(f"{r}/{f}", (1_700_000_000 + i,) * 2)
+         for r, _, fs in os.walk(f"{d_in}/f{i}") for f in fs],
+    )
+    # four batches: base corpus split in three, duplicates last (so the
+    # final batch emits tombstones across clusters the snapshot holds)
+    _write(0, raw.filter("doc_id < 70"))
+    _write(1, raw.filter("doc_id >= 70 AND doc_id < 140"))
+    _write(2, raw.filter("doc_id >= 140"))
+    _write(3, dups)
+    out = str(tmp_path / "purge_out")
+    chk = str(tmp_path / "chk")
+    state = str(tmp_path / "state")
+
+    def start():
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d_in}/*")
+        )
+        return jobs.run_purge_dedup_stream(
+            spark, stream, out, chk, state, emit="delta", compact_every=2
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    docs = raw.unionByName(dups)
+    assert rows_set(jobs.purge_table_from_deltas(spark, out)) == rows_set(
+        minhash_purge_dedup(docs)
+    )
+    # compaction at batch 2 folded partitions {0,1} into a snapshot at 1:
+    # the dir holds at most compact_every+1 partitions, not one per batch
+    parts = {
+        int(r.batch_id)
+        for r in spark.read.parquet(out).select("batch_id").distinct().collect()
+    }
+    assert parts == {1, 2, 3}
+
+    # offline compaction squeezes the history to ONE snapshot partition
+    jobs.compact_purge_deltas(spark, out, chk)
+    assert not os.path.exists(f"{out}.forget_lock")
+    compacted = spark.read.parquet(out)
+    assert {
+        int(r.batch_id)
+        for r in compacted.select("batch_id").distinct().collect()
+    } == {3}
+    assert compacted.filter(F.col("n_members") == 0).count() == 0  # live only
+    assert rows_set(jobs.purge_table_from_deltas(spark, out)) == rows_set(
+        minhash_purge_dedup(docs)
+    )
+
+    # forget -> heal -> compact stays a fixed point of the fold
+    fold_now = rows_set(jobs.purge_table_from_deltas(spark, out))
+    victim = next(r[0] for r in sorted(fold_now) if r[1] > 1)
+    jobs.forget_docs(spark, state, [victim], chk, purge_dir=out)
+    survivors = docs.filter(docs.doc_id != victim)
+    jobs.compact_purge_deltas(spark, out, chk)
+    assert rows_set(jobs.purge_table_from_deltas(spark, out)) == rows_set(
+        minhash_purge_dedup(survivors)
+    )
+
+    # resumed stream appends ABOVE the snapshot; the fold keeps working
+    fresh = raw.filter(raw.doc_id < 15).withColumn(
+        "doc_id", raw.doc_id + 200_000
+    )
+    _write(4, fresh)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert rows_set(jobs.purge_table_from_deltas(spark, out)) == rows_set(
+        minhash_purge_dedup(survivors.unionByName(fresh))
+    )
+
+
+def test_compact_purge_deltas_refusals(spark, tmp_path):
+    # The compactor shares the forget contract: an uncommitted micro-batch
+    # in the checkpoint refuses (and releases the locks IT created); a
+    # compact lock on the output wedges the stream loudly.
+    import pytest
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(40)
+    d_in = str(tmp_path / "in")
+    docs.write.parquet(d_in)
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    stream = spark.readStream.schema(docs.schema).parquet(d_in)
+    q = jobs.run_purge_dedup_stream(
+        spark, stream, out, chk, str(tmp_path / "state"), emit="delta"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # fabricate an uncommitted batch: offsets ahead of commits
+    offsets = sorted(os.listdir(f"{chk}/offsets"))
+    latest = max(int(x) for x in offsets if x.isdigit())
+    with open(f"{chk}/offsets/{latest + 1}", "w") as fh:
+        fh.write("{}")
+    with pytest.raises(RuntimeError, match="uncommitted"):
+        jobs.compact_purge_deltas(spark, out, chk)
+    assert not os.path.exists(f"{out}.forget_lock")  # released on refusal
+    os.remove(f"{chk}/offsets/{latest + 1}")
+
+    # a held lock makes the stream refuse at batch start
+    open(f"{out}.forget_lock", "w").close()
+    stream2 = spark.readStream.schema(docs.schema).parquet(d_in)
+    q = jobs.run_purge_dedup_stream(
+        spark, stream2, out, str(tmp_path / "chk2"), str(tmp_path / "state2"),
+        emit="delta",
+    )
+    with pytest.raises(Exception, match="forget-lock present"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    os.remove(f"{out}.forget_lock")
+
+    # parameter validation: compact_every needs delta mode and >= 1
+    stream3 = spark.readStream.schema(docs.schema).parquet(d_in)
+    with pytest.raises(ValueError, match="delta"):
+        jobs.run_purge_dedup_stream(
+            spark, stream3, str(tmp_path / "o3"), str(tmp_path / "c3"),
+            str(tmp_path / "s3"), compact_every=2,
+        )
+    with pytest.raises(ValueError, match="compact_every"):
+        jobs.run_purge_dedup_stream(
+            spark, stream3, str(tmp_path / "o4"), str(tmp_path / "c4"),
+            str(tmp_path / "s4"), emit="delta", compact_every=0,
+        )
 
 
 def test_forget_docs_heals_horizon_output_via_rederived_edges(spark, tmp_path):
