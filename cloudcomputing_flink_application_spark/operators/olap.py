@@ -799,12 +799,13 @@ GROUP BY c_nationkey
 
 
 def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The r6+r8 OLAP shapes beyond the individually-registered queries —
-    Q5 local supplier volume, Q7 nation trade volume, Q19 disjunctive
-    revenue, Q22 idle customers, and (r8) Q6 forecast revenue, Q10
-    returned-item revenue, Q14 promo revenue share, Q17 small-quantity
-    revenue — as ONE keyed union: the registry-facing composition that
-    earns all eight a driver CORRECTNESS row inside the 50-query window
+    """The r6+r8+r9 OLAP shapes beyond the individually-registered
+    queries — Q5 local supplier volume, Q7 nation trade volume, Q19
+    disjunctive revenue, Q22 idle customers, (r8) Q6 forecast revenue,
+    Q10 returned-item revenue, Q14 promo revenue share, Q17
+    small-quantity revenue, and (r9) Q20 dominant suppliers, Q21 waiting
+    suppliers — as ONE keyed union: the registry-facing composition that
+    earns all ten a driver CORRECTNESS row inside the 50-query window
     (each component stays public and individually parity-gated in
     tests/test_offregistry_parity.py).
 
@@ -814,7 +815,8 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     are value-hashed; Q10's arm keys by custkey and hashes the revenue —
     its decoration columns live in the off-registry full shape), ``v``
     the metric as double.  Scalar arms use the drop-empty forms so the
-    union keeps the registry-wide empty-input -> empty-output invariant.
+    union keeps the registry-wide empty-input -> empty-output invariant
+    (the r9 grouped arms are empty-safe by construction).
 
     Scale: a UNION of independent plans — each keeps its own shape's
     plan guarantees (single fact shuffle, pruned broadcasts, pushed
@@ -878,6 +880,16 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("*").alias("k"),
         F.col("avg_yearly").alias("v"),
     )
+    q20 = dominant_suppliers(spark, sf_dir).select(
+        F.lit("q20_dominant").alias("shape"),
+        F.col("s_name").alias("k"),
+        F.col("n_dominant").cast("double").alias("v"),
+    )
+    q21 = waiting_suppliers(spark, sf_dir).select(
+        F.lit("q21_waiting").alias("shape"),
+        F.col("s_name").alias("k"),
+        F.col("numwait").cast("double").alias("v"),
+    )
     return (
         q5.unionByName(q7)
         .unionByName(q19)
@@ -886,6 +898,8 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q10)
         .unionByName(q14)
         .unionByName(q17)
+        .unionByName(q20)
+        .unionByName(q21)
     )
 
 
@@ -1216,6 +1230,207 @@ WHERE 5 * qty * cnt < sum_qty
 """
 
 
+# --- dominant suppliers (TPC-H Q20 shape) ------------------------------------
+
+#: Q20 parameters: a part-name prefix and one ship-year window.  The classic
+#: Q20 runs its correlated aggregate against partsupp.ps_availqty; the driver
+#: schema has no partsupp table, so the adapted predicate keeps the exact
+#: decorrelation STRUCTURE (nested IN over a correlated per-group aggregate)
+#: against lineitem itself: a supplier qualifies iff EXISTS a prefix-named
+#: part for which the supplier shipped MORE THAN HALF of that part's total
+#: in-window volume.  No trailing nation filter (the driver corpus spreads
+#: dominance thin; the probe is the decorrelation, not the dim filter).
+DOMINANT_PREFIX = "red "
+DOMINANT_FROM = "1997-01-01 00:00:00"
+DOMINANT_TO = "1998-01-01 00:00:00"
+
+
+def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant part suppliers (TPC-H Q20 shape): suppliers for whom at
+    least one prefix-named part exists whose in-window shipments they
+    dominate — the NESTED-IN-over-correlated-aggregate probe (classic
+    Q20 compares a (part, supplier) availability row against half that
+    pair's shipped quantity; with no partsupp table in this schema the
+    adapted threshold is half the PART's total shipped quantity, which
+    preserves the correlated-aggregate decorrelation exactly).
+
+    Decorrelation: the correlated "total quantity of THIS part" subquery
+    becomes a window sum over the (part, supplier) aggregate slice —
+    never a per-row subquery, and ONE pass over lineitem (the Q17
+    playbook: the window runs over the already-aggregated prefix slice,
+    tiny groups, no second fact scan).  The dominance compare is
+    INTEGER-exact: ``2 * qty > total`` (quantities are integral).
+
+    Output: ``(s_name, n_dominant)`` — one row per qualifying supplier
+    with the number of parts it dominates, name-ordered.
+
+    Scale: part prunes to the prefix and broadcasts into the fact scan
+    (the only corpus-sized read, filters pushed); the groupBy shuffles
+    only the prefix-window slice; the window and the supplier decoration
+    run over the per-(part, supplier) aggregate — |slice| rows, not the
+    corpus.  Plan pinned in tests/test_plans.py (one lineitem scan, no
+    cartesian, broadcast dims).
+    """
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").startswith(DOMINANT_PREFIX))
+        .select("p_partkey")
+    )
+    pair = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(DOMINANT_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(DOMINANT_TO).cast("timestamp"))
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qual = pair.select(
+        "l_suppkey", "_qty", F.sum("_qty").over(w).alias("_total")
+    ).filter(F.lit(2) * F.col("_qty") > F.col("_total"))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        qual.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("n_dominant"))
+        .orderBy("s_name")
+    )
+
+
+DOMINANT_SUPPLIERS_SQL = f"""
+WITH pr AS (SELECT p_partkey FROM part WHERE p_name LIKE '{DOMINANT_PREFIX}%'),
+pair AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem JOIN pr ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{DOMINANT_FROM}'
+    AND l_shipdate < TIMESTAMP '{DOMINANT_TO}'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey, sum(qty) AS total FROM pair GROUP BY l_partkey)
+SELECT s_name, CAST(count(*) AS BIGINT) AS n_dominant
+FROM pair JOIN tot USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE 2 * qty > total
+GROUP BY s_name
+ORDER BY s_name
+"""
+
+
+# --- waiting suppliers (TPC-H Q21 shape) --------------------------------------
+
+#: Q21 parameters.  The classic Q21 flags a line as late via
+#: l_receiptdate > l_commitdate; the driver schema carries neither column,
+#: so the adapted predicate derives lateness from the columns it has
+#: (shipped >= N days after the order date) — the chained
+#: EXISTS / NOT EXISTS over lineitem self-references is untouched.
+WAITING_NATION = "NATION_3"
+WAITING_LATE_DAYS = 60
+WAITING_K = 100
+
+
+def waiting_suppliers(
+    spark: SparkSession, sf_dir: str, k: int = WAITING_K
+) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): for finalized
+    ('F') multi-supplier orders, count per supplier the late lines where
+    NO OTHER supplier on the same order was also late — the chained
+    EXISTS (another supplier exists) / NOT EXISTS (no other supplier
+    failed) self-reference probe.
+
+    Decorrelation: both correlated subqueries collapse into per-order
+    DISTINCT-supplier counts over ONE lineitem pass — ``n_supp`` (any
+    other supplier exists iff > 1) and ``n_late`` (no OTHER late
+    supplier iff == 1, since the candidate line is itself late) — as
+    ``collect_set`` sizes over a window keyed by the SAME l_orderkey the
+    orders join uses, so the join's exchange is reused and the fact
+    never shuffles twice (per-order groups are bounded by order width,
+    so the set state is tiny).  Lateness = shipped >= 60 days after the
+    order date (see the parameter note: the driver schema has no
+    receipt/commit dates).
+
+    Output: ``(s_name, numwait)`` — top-k by wait count desc, name asc
+    (the Q21 output contract).
+
+    Scale: ONE lineitem scan (pinned), orders pruned to status 'F' and
+    projected to (key, date) before the join, supplier x nation
+    broadcast after the per-order flags; the only corpus-sized exchange
+    is the single orderkey shuffle the join and window share.
+    """
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr(
+        f"INTERVAL {WAITING_LATE_DAYS} DAYS"
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.select(
+        "l_suppkey",
+        "_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("_n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("_late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("_n_late"),
+    ).filter(
+        F.col("_late") & (F.col("_n_supp") > 1) & (F.col("_n_late") == 1)
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(
+                spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+                    F.col("n_name") == WAITING_NATION
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        flagged.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )
+
+
+WAITING_SUPPLIERS_SQL = f"""
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate >= o_orderdate + INTERVAL {WAITING_LATE_DAYS} DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_ord AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM li GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM li JOIN per_ord USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE late AND n_supp > 1 AND n_late = 1 AND n_name = '{WAITING_NATION}'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT {WAITING_K}
+"""
+
+
 # Drop-empty oracle forms for the scalar r8 arms (HAVING count(*) > 0 drops
 # the empty-input scalar row, same predicate as the Spark side).
 _FORECAST_NONEMPTY_SQL = f"""
@@ -1295,4 +1510,10 @@ FROM ({_PROMO_NONEMPTY_SQL}) q14
 UNION ALL
 SELECT 'q17_smallqty' AS shape, '*' AS k, avg_yearly AS v
 FROM ({_SMALLQTY_NONEMPTY_SQL}) q17
+UNION ALL
+SELECT 'q20_dominant' AS shape, s_name AS k, CAST(n_dominant AS DOUBLE) AS v
+FROM ({DOMINANT_SUPPLIERS_SQL}) q20
+UNION ALL
+SELECT 'q21_waiting' AS shape, s_name AS k, CAST(numwait AS DOUBLE) AS v
+FROM ({WAITING_SUPPLIERS_SQL}) q21
 """

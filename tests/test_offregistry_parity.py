@@ -161,6 +161,16 @@ OFF_REGISTRY_SF = {
         olap.small_quantity_revenue,
         olap.SMALL_QUANTITY_SQL,
     ),
+    # r9 additions: the hard decorrelation probes (Q20 nested IN over a
+    # correlated aggregate, Q21 chained EXISTS/NOT EXISTS self-reference)
+    "off_olap_dominant_suppliers": (
+        olap.dominant_suppliers,
+        olap.DOMINANT_SUPPLIERS_SQL,
+    ),
+    "off_olap_waiting_suppliers": (
+        olap.waiting_suppliers,
+        olap.WAITING_SUPPLIERS_SQL,
+    ),
 }
 
 

@@ -297,8 +297,11 @@ def test_r7_composed_queries_plan_shapes(spark):
         # r8: the union grew Q6/Q10/Q14/Q17 arms — Q10 adds its
         # per-customer aggregate exchange, Q17 its per-part window
         # exchange; Q6/Q14 are single-row aggregates with no row-sized
-        # exchange.  4 (r7 arms) + 1 + 1 = 6 ceiling (one spare).
-        "olap_suite_extra": (6, 1),
+        # exchange.  r9: the ten-arm union measures 10 exchanges (Q20's
+        # pair agg + slice window + name agg add 3, Q21's orderkey
+        # window + name agg add 2, over the r8 five) — ceiling 11 (one
+        # spare).
+        "olap_suite_extra": (11, 1),
         "dedup_text_pairs": (15, 0),
     }
     try:
@@ -368,3 +371,43 @@ def test_r8_olap_shapes_pushdown_and_single_fact_shuffle(spark):
     # ONE lineitem scan (the r8 review caught the join-back form
     # scanning the fact twice)
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_r9_olap_decorrelation_plan_shapes(spark):
+    # Q20 (nested IN over a correlated aggregate): ONE fact scan with
+    # the ship window AND the p_name prefix pushed (StringStartsWith
+    # reaches the part scan); the correlated per-part total is a window
+    # over the (part, supplier) AGGREGATE slice — so of the <=3
+    # exchanges only the pair groupBy is corpus-sized, and the fact is
+    # never scanned twice.
+    from cloudcomputing_flink_application_spark.operators.olap import (
+        dominant_suppliers,
+        waiting_suppliers,
+    )
+
+    df = dominant_suppliers(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    pushed = [l for l in plan.split("\n") if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), plan
+    assert any("StringStartsWith(p_name" in l for l in pushed), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert count_in_plan(df, "hashpartitioning", physical=True) <= 3, plan
+
+    # Q21 (chained EXISTS/NOT EXISTS self-reference): ONE lineitem scan
+    # — the per-order distinct-supplier counts are window aggregates, so
+    # the self-reference never reads the fact twice; orders arrives
+    # pruned (status pushed) and projected; top-k is
+    # TakeOrderedAndProject, never a global sort; supplier/nation
+    # broadcast.
+    df = waiting_suppliers(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert any(
+        "PushedFilters" in l and "o_orderstatus,F" in l
+        for l in plan.split("\n")
+    ), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert count_in_plan(df, "hashpartitioning", physical=True) <= 2, plan
