@@ -61,11 +61,17 @@ QUERY_STRIDE = 100  # vec_id % STRIDE == 0 -> query vector
 #: subk = ceil(ceil(sqrt(n)) / |labels|) so K = |labels| * subk tracks
 #: sqrt(n).  Same cheap-count pattern as dedup.auto_band_width.
 IVF_AUTO_COMPAT_N = 4096
-#: cluster = label * 1000 + rank reserves three decimal digits for rank;
-#: at subk = 999 with K ~ sqrt(n) that bound is reached near
-#: n ~ (999 * |labels|)^2 (10^8 at 10 labels) — past it, grow the COARSE
-#: level (more labels / shard the corpus) instead of the rank digits,
-#: which would renumber every persisted cluster id.
+#: cluster = label * 1000 + rank reserves three decimal digits for rank —
+#: the NARROW encoding every persisted index below the clamp uses, kept
+#: bit-identical forever.  At subk = 999 with K ~ sqrt(n) that bound is
+#: reached near n ~ (999 * |labels|)^2 (10^8 at 10 labels); past it (r9,
+#: r8 VERDICT #5) the encoding WIDENS instead of saturating: cluster =
+#: IVF_WIDE_MARK + label * IVF_WIDE_RANK_BASE + rank.  The mark makes ids
+#: self-describing (decode needs no out-of-band subk), narrow ids are
+#: untouched (no persisted index is ever renumbered — labels are small
+#: ints, far below the mark), and K keeps tracking sqrt(n) through
+#: n ~ (10^7 * |labels|)^2 = 10^16 at 10 labels.  Bounds enforced at
+#: encode time: label < 10^8 in wide mode (stays under the mark).
 #:
 #: nprobe stays FIXED as K grows, deliberately: on clustered data a
 #: query's neighbors live in the handful of cells nearest it, and that
@@ -78,6 +84,35 @@ IVF_AUTO_COMPAT_N = 4096
 #: auto rule moves K, and raise nprobe only if the measured recall says
 #: so (the sweep pattern in the module docstring).
 IVF_MAX_SUBK = 999
+IVF_WIDE_RANK_BASE = 10**7
+IVF_WIDE_MARK = 10**15
+
+
+def _encode_cluster(subk: int) -> Column:
+    """Two-level cluster id from (label, rk) columns: the narrow
+    ``label * 1000 + rk`` form whenever ranks fit its three digits, the
+    marked wide form above (see the IVF_MAX_SUBK note).  The switch is a
+    build-time Python branch — one codebook uses ONE encoding, chosen by
+    its subk, and the ids say which."""
+    label = F.col("label").cast("long")
+    if subk <= IVF_MAX_SUBK:
+        return label * 1000 + F.col("rk")
+    return F.lit(IVF_WIDE_MARK) + label * IVF_WIDE_RANK_BASE + F.col("rk")
+
+
+def _decode_label(cluster: Column) -> Column:
+    """Recover the coarse label from a cluster id of EITHER encoding —
+    the mark says which; mixed frames (never produced by one build, but
+    cheap to be correct about) decode per row.  Division goes through
+    decimal, not double: wide ids reach 10^15, where a double quotient's
+    rounding could flip a floor."""
+    dec = cluster.cast("decimal(38,0)")
+    wide = F.floor((dec - IVF_WIDE_MARK) / IVF_WIDE_RANK_BASE)
+    return (
+        F.when(cluster >= IVF_WIDE_MARK, wide)
+        .otherwise(F.floor(dec / 1000))
+        .cast("long")
+    )
 
 
 def auto_subk(n: int, n_labels: int) -> int:
@@ -85,12 +120,16 @@ def auto_subk(n: int, n_labels: int) -> int:
 
     <= IVF_AUTO_COMPAT_N: the fixed tested-SF SUBK (oracle-pinned).
     Above: ceil(ceil(sqrt(n)) / n_labels), clamped to [SUBK,
-    IVF_MAX_SUBK] — K = n_labels * subk ~ sqrt(n).  Monotone in n."""
+    IVF_WIDE_RANK_BASE - 1] — K = n_labels * subk ~ sqrt(n), monotone in
+    n.  Past subk = IVF_MAX_SUBK the cluster-id encoding widens
+    (``_encode_cluster``), so the rule keeps tracking sqrt(n) through
+    n ~ 10^16 at 10 labels instead of saturating at 10^8 (r9; the old
+    clamp was the last point where K stopped growing)."""
     if n <= IVF_AUTO_COMPAT_N:
         return SUBK
     k_target = math.isqrt(max(n - 1, 0)) + 1  # ceil(sqrt(n)), exact ints
     per_label = -(-k_target // max(n_labels, 1))  # ceil div
-    return max(SUBK, min(IVF_MAX_SUBK, per_label))
+    return max(SUBK, min(IVF_WIDE_RANK_BASE - 1, per_label))
 
 
 def _auto_subk_for(embeddings: DataFrame) -> int:
@@ -285,8 +324,9 @@ def _twolevel_seeds(base: DataFrame, subk: int = SUBK) -> DataFrame:
     """Deterministic two-level seed codebook: per label (the coarse level),
     the ``subk`` vectors with the smallest md5-derived rank become
     sub-centroids.  Output: (label, cluster, cemb, cnrm) with
-    cluster = label * 1000 + rank (rank in 1..subk < 1000, so
-    cluster // 1000 recovers the label).
+    cluster = label * 1000 + rank for subk <= 999 (the narrow encoding
+    every persisted index keeps bit-identical), the marked wide form
+    above it (``_encode_cluster`` / ``_decode_label``).
 
     Scale shape: a naive ``row_number() over (partition by label)`` would
     shuffle the WHOLE corpus into |labels| tasks — a skew trap.  Instead a
@@ -297,10 +337,12 @@ def _twolevel_seeds(base: DataFrame, subk: int = SUBK) -> DataFrame:
     P(a label yields < subk candidates) is negligible at 8x oversampling;
     if it ever happens that label simply gets fewer cells — determinism
     and correctness are unaffected."""
-    if not 1 <= subk <= IVF_MAX_SUBK:
-        # rank must fit the three decimal digits cluster = label*1000+rank
-        # reserves — a wider subk would alias into the next label's ids
-        raise ValueError(f"subk must be in [1, {IVF_MAX_SUBK}], got {subk}")
+    if not 1 <= subk < IVF_WIDE_RANK_BASE:
+        # rank must fit the wide encoding's digits — past this, grow the
+        # coarse level (more labels / shard the corpus)
+        raise ValueError(
+            f"subk must be in [1, {IVF_WIDE_RANK_BASE - 1}], got {subk}"
+        )
     counts = base.groupBy("label").agg(F.count("*").alias("n_label"))
     h = X.h56(F.col("vec_id").cast("string"))
     cand = (
@@ -318,7 +360,7 @@ def _twolevel_seeds(base: DataFrame, subk: int = SUBK) -> DataFrame:
         .filter(F.col("rk") <= subk)
         .select(
             "label",
-            (F.col("label").cast("long") * 1000 + F.col("rk")).alias("cluster"),
+            _encode_cluster(subk).alias("cluster"),
             F.col("emb").alias("cemb"),
             F.col("nrm").alias("cnrm"),
         )
@@ -557,8 +599,9 @@ def dequantize_codebook(sums: DataFrame) -> DataFrame:
     collect_list order is nondeterministic; array_sort on (pos, val)
     structs restores positional order.
 
-    The two-level cluster ids encode their coarse level (cluster =
-    label * 1000 + rank), so the label column is recovered here — refined
+    The two-level cluster ids encode their coarse level (narrow
+    label * 1000 + rank, or the marked wide form — ``_decode_label``
+    reads either), so the label column is recovered here — refined
     codebooks keep the cheap label-equi-join assignment path.
     """
     cent = (
@@ -574,7 +617,7 @@ def dequantize_codebook(sums: DataFrame) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
         .select(
             "cluster",
-            F.floor(F.col("cluster") / 1000).cast("long").alias("label"),
+            _decode_label(F.col("cluster")).alias("label"),
             F.transform("pv", lambda s: s["val"]).alias("cemb"),
         )
     )

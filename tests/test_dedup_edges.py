@@ -546,11 +546,24 @@ def test_ivf_auto_subk_rule():
     assert similarity.auto_subk(1_000_000, 50) == 20  # K = 1000
     # Floor: a huge label count never shrinks subk below the tested SUBK.
     assert similarity.auto_subk(10_000, 1000) == similarity.SUBK
-    # Clamp: rank must fit cluster = label*1000 + rank's three digits.
-    assert similarity.auto_subk(10**12, 10) == similarity.IVF_MAX_SUBK
-    # Monotone: more data never shrinks the codebook.
+    # r9: K keeps tracking sqrt(n) PAST the old narrow-encoding clamp
+    # (subk=999 at n~10^8/10 labels) — the encoding widens instead.
+    assert similarity.auto_subk(10**8, 10) == 1000  # K = 10^4 = sqrt(10^8)
+    assert similarity.auto_subk(10**12, 10) == 100_000  # K = 10^6
+    # The wide encoding's own bound is the new (far) clamp.
+    assert (
+        similarity.auto_subk(10**18, 1) == similarity.IVF_WIDE_RANK_BASE - 1
+    )
+    # Monotone: more data never shrinks the codebook — including across
+    # the narrow->wide encoding boundary.
     ks = [similarity.auto_subk(n, 10) for n in range(1, 10**6, 9973)]
     assert ks == sorted(ks)
+    ks_boundary = [
+        similarity.auto_subk(n, 10)
+        for n in range(9 * 10**7, 11 * 10**7, 10**6)
+    ]
+    assert ks_boundary == sorted(ks_boundary)
+    assert min(ks_boundary) < 1000 < max(ks_boundary)
 
 
 def test_ivf_subk_out_of_range_raises(spark, sf_dir):
@@ -558,7 +571,60 @@ def test_ivf_subk_out_of_range_raises(spark, sf_dir):
     with pytest.raises(ValueError, match="subk"):
         similarity.ivf_codebook(embs, subk=0).count()
     with pytest.raises(ValueError, match="subk"):
-        similarity.ivf_codebook(embs, subk=1000).count()
+        similarity.ivf_codebook(
+            embs, subk=similarity.IVF_WIDE_RANK_BASE
+        ).count()
+
+
+def test_ivf_wide_cluster_encoding_roundtrip(spark, sf_dir):
+    # r9 (r8 VERDICT #5): past subk=999 the cluster ids switch to the
+    # marked wide encoding — self-describing, non-aliasing, decodable,
+    # and narrow ids (every persisted index) stay bit-identical.
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = similarity._normed(embs)
+    wide = similarity._twolevel_seeds(base, 1200).select(
+        "label",
+        "cluster",
+        similarity._decode_label(F.col("cluster")).alias("lab2"),
+    )
+    rows = wide.collect()
+    assert rows
+    assert all(r.cluster >= similarity.IVF_WIDE_MARK for r in rows)
+    assert len({r.cluster for r in rows}) == len(rows)  # no aliasing
+    assert all(r.label == r.lab2 for r in rows)  # decode recovers labels
+    narrow = similarity._twolevel_seeds(base, similarity.SUBK).select(
+        "label",
+        "cluster",
+        similarity._decode_label(F.col("cluster")).alias("lab2"),
+    )
+    nrows = narrow.collect()
+    assert all(
+        r.cluster < similarity.IVF_WIDE_MARK and r.label == r.lab2
+        for r in nrows
+    )
+    # the one downstream decoder (dequantize_codebook's label recovery)
+    # reads a wide id correctly, so k-means refinement keeps the cheap
+    # label-equi assignment path above the clamp
+    wid = (
+        similarity.IVF_WIDE_MARK
+        + 7 * similarity.IVF_WIDE_RANK_BASE
+        + 1234
+    )
+    sums = spark.createDataFrame(
+        [(wid, 0, 2, 2 * similarity.KMEANS_SCALE), (wid, 1, 2, 0)],
+        "cluster LONG, pos INT, n_members LONG, sum_q LONG",
+    )
+    cb = similarity.dequantize_codebook(sums).collect()
+    assert len(cb) == 1 and cb[0].label == 7 and cb[0].cemb == [1.0, 0.0]
+    # and a wide codebook drives the full IVF search end-to-end
+    wide_cb = similarity._twolevel_seeds(base, 1200).persist()
+    try:
+        out = similarity.cosine_topk_ivf(embs, codebook=wide_cb)
+        assert out.count() > 0
+    finally:
+        wide_cb.unpersist()
 
 
 def test_ivf_auto_matches_fixed_at_tested_sf(spark, sf_dir):
