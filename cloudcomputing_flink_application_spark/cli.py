@@ -236,6 +236,18 @@ def _dedup_purge(args: argparse.Namespace) -> None:
             "--compact-every requires --emit-deltas (a full-mode "
             "partition is already the complete table)"
         )
+    if args.compact and (
+        args.streaming
+        or args.forget
+        or args.emit_deltas
+        or args.compact_every is not None
+    ):
+        # --compact would otherwise swallow the other mode silently
+        # (compact-and-exit, stream/forget never run — r9 review catch)
+        raise SystemExit(
+            "--compact is a standalone maintenance action on a stopped "
+            "stream's output root; run it with no other mode flags"
+        )
     spark = get_spark(app_name="dedup-purge")
     if args.compact:
         import os
@@ -498,10 +510,13 @@ def _ivf_index(args: argparse.Namespace) -> None:
         # docstring), so one noisy micro-batch dipping below the
         # threshold must not trigger a full rebuild and (via the
         # batch-0 reset) wipe the drift history (ADVICE r8 low): the
-        # newest min(--drift-consecutive, available) readings must ALL
-        # sit below the threshold.  A fresh stream with fewer readings
-        # than K decides on what exists — its whole history IS the
-        # sustained signal so far.
+        # newest --drift-consecutive readings must ALL sit below the
+        # threshold, and FEWER than that many readings is not enough
+        # evidence — no rebuild.  The strict count matters most right
+        # AFTER a rebuild (r9 review catch): the rebuild wipes the
+        # drift history, so a decide-on-available rule would let the
+        # next single noisy batch trigger another rebuild — a churn
+        # loop on noisy data, exactly what the flag exists to prevent.
         k = max(1, args.drift_consecutive)
         last = (
             similarity.drift_report(spark, args.output)
@@ -517,6 +532,13 @@ def _ivf_index(args: argparse.Namespace) -> None:
             print(
                 "no drift readings yet (no stream batch since the last "
                 "build); nothing to rebuild"
+            )
+            return
+        if len(last) < k:
+            print(
+                f"only {len(last)} drift reading(s) since the last build "
+                f"(need {k} consecutive below {args.rebuild_if_drift}): "
+                "not enough evidence of a sustained drop — no rebuild"
             )
             return
         drifts = [float(r["drift"]) for r in last]
@@ -743,9 +765,12 @@ def main(argv: list[str] | None = None) -> None:
             sp.add_argument(
                 "--drift-consecutive", type=int, default=3, metavar="K",
                 help="how many consecutive below-threshold drift readings "
-                "--rebuild-if-drift requires (default 3; a stream with "
-                "fewer readings decides on all of them — its whole "
-                "history is the sustained signal so far)",
+                "--rebuild-if-drift requires (default 3).  Fewer "
+                "readings than K = not enough evidence, no rebuild — "
+                "in particular right after a rebuild (which resets the "
+                "drift history), so a single noisy batch can never "
+                "start a rebuild-churn loop.  K=1 restores the "
+                "latest-reading rule.",
             )
             sp.add_argument(
                 "--forget", default=None, metavar="ID[,ID...]",

@@ -70,8 +70,9 @@ IVF_AUTO_COMPAT_N = 4096
 #: self-describing (decode needs no out-of-band subk), narrow ids are
 #: untouched (no persisted index is ever renumbered — labels are small
 #: ints, far below the mark), and K keeps tracking sqrt(n) through
-#: n ~ (10^7 * |labels|)^2 = 10^16 at 10 labels.  Bounds enforced at
-#: encode time: label < 10^8 in wide mode (stays under the mark).
+#: n ~ (10^7 * |labels|)^2 = 10^16 at 10 labels.  Label bounds are
+#: enforced per row at encode time (``_encode_cluster`` raises):
+#: label < 10^11 narrow (ids stay under the mark), < 10^8 wide.
 #:
 #: nprobe stays FIXED as K grows, deliberately: on clustered data a
 #: query's neighbors live in the handful of cells nearest it, and that
@@ -93,26 +94,51 @@ def _encode_cluster(subk: int) -> Column:
     ``label * 1000 + rk`` form whenever ranks fit its three digits, the
     marked wide form above (see the IVF_MAX_SUBK note).  The switch is a
     build-time Python branch — one codebook uses ONE encoding, chosen by
-    its subk, and the ids say which."""
+    its subk, and the ids say which.  The label bound each encoding
+    needs (narrow ids must stay under the wide mark, wide ids must not
+    collide across labels) is ENFORCED per row via raise_error — the
+    driver corpora use small-int labels, but a future labeler violating
+    the bound must fail loudly, not misdecode."""
     label = F.col("label").cast("long")
     if subk <= IVF_MAX_SUBK:
-        return label * 1000 + F.col("rk")
-    return F.lit(IVF_WIDE_MARK) + label * IVF_WIDE_RANK_BASE + F.col("rk")
+        encoded = label * 1000 + F.col("rk")
+        bound = 10**11  # label*1000+999 < 10^15 with margin
+    else:
+        encoded = F.lit(IVF_WIDE_MARK) + label * IVF_WIDE_RANK_BASE + F.col("rk")
+        bound = 10**8  # label*10^7 + rank stays under the mark
+    return F.when((label >= 0) & (label < bound), encoded).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"label out of range for the cluster-id encoding "
+                    f"(need 0 <= label < {bound}): "
+                ),
+                label.cast("string"),
+            )
+        )
+    )
+
+
+def _exact_div(col: Column, base: int) -> Column:
+    """Exact integer quotient of a non-negative long column: subtract the
+    remainder, THEN divide — the numerator becomes an exact multiple of
+    ``base``, and (for our magnitudes, < 2^53) the double division of
+    exactly-representable operands whose true quotient is an integer is
+    exact.  A plain decimal floor-divide is NOT safe here: Spark resolves
+    decimal(38,0)/int to decimal(38,6), which rounds HALF_UP at six
+    places BEFORE the floor — empirically, rank 9,999,995 of 10^7 rounds
+    the quotient up and decodes to label+1 (r9 review catch)."""
+    return ((col - col % base) / base).cast("long")
 
 
 def _decode_label(cluster: Column) -> Column:
     """Recover the coarse label from a cluster id of EITHER encoding —
     the mark says which; mixed frames (never produced by one build, but
-    cheap to be correct about) decode per row.  Division goes through
-    decimal, not double: wide ids reach 10^15, where a double quotient's
-    rounding could flip a floor."""
-    dec = cluster.cast("decimal(38,0)")
-    wide = F.floor((dec - IVF_WIDE_MARK) / IVF_WIDE_RANK_BASE)
-    return (
-        F.when(cluster >= IVF_WIDE_MARK, wide)
-        .otherwise(F.floor(dec / 1000))
-        .cast("long")
-    )
+    cheap to be correct about) decode per row."""
+    return F.when(
+        cluster >= IVF_WIDE_MARK,
+        _exact_div(cluster - IVF_WIDE_MARK, IVF_WIDE_RANK_BASE),
+    ).otherwise(_exact_div(cluster, 1000))
 
 
 def auto_subk(n: int, n_labels: int) -> int:

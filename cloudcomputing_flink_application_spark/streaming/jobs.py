@@ -802,6 +802,15 @@ def run_purge_dedup_stream(
         if batch_id == 0:
             for d in (output_dir, bands_dir, toksets_dir, edges_dir, stats_dir):
                 _prune_stale_batch_partitions(spark, d)
+            # Record the emission mode next to the output (sibling marker,
+            # like the locks — survives swaps): offline compaction folds
+            # latest-row-per-doc, which is WRONG over full-mode partitions
+            # (they never tombstone displaced reps — the fold would
+            # resurrect their stale rows and the swap would destroy the
+            # valid per-batch tables), so compact_purge_deltas refuses
+            # without this marker (r9 review catch).  A fresh-checkpoint
+            # full-mode rerun over an old delta root clears it.
+            _set_delta_marker(spark, output_dir, emit == "delta")
         elif horizon_batches is not None:
             for d in (bands_dir, toksets_dir, stats_dir):
                 _prune_batch_partitions_before(
@@ -1176,6 +1185,21 @@ def purge_table_from_deltas(
     )
 
 
+def _delta_marker_path(output_dir: str) -> str:
+    """Sibling marker recording that ``output_dir`` holds DELTA emissions
+    (written by the stream's batch 0) — what offline compaction checks
+    before folding, since a fold over full-mode partitions is wrong."""
+    return output_dir.rstrip("/") + ".emit_delta"
+
+
+def _set_delta_marker(spark, output_dir: str, is_delta: bool) -> None:
+    fs, p = _fs_path(spark, _delta_marker_path(output_dir))
+    if is_delta:
+        fs.createNewFile(p)  # idempotent: false return when present is fine
+    elif fs.exists(p):
+        fs.delete(p, False)
+
+
 def _table_delta(cur: DataFrame, prev: DataFrame) -> DataFrame:
     """The delta rows that turn the folded ``prev`` purge table into
     ``cur``: cur's new/changed rows (full-row anti-join) plus a
@@ -1243,11 +1267,26 @@ def compact_purge_deltas(spark, output_dir: str, checkpoint_dir: str | None) -> 
     a concurrently resumed stream can never interleave), refusal while
     the checkpoint shows an uncommitted micro-batch (its replay would
     dynamic-overwrite the snapshot partition from pre-compaction rows),
-    and the rename-to-backup swap for crash recovery."""
+    refusal unless the output carries the ``.emit_delta`` mode marker
+    (folding FULL-mode partitions would resurrect displaced reps — r9
+    review catch), and the rename-to-backup swap for crash recovery."""
     created = _acquire_forget_locks(spark, [output_dir])
     try:
         _refuse_uncommitted(spark, checkpoint_dir)
+        if not _hadoop_path_exists(spark, _delta_marker_path(output_dir)):
+            raise RuntimeError(
+                f"{output_dir} is not marked as a delta-mode output "
+                "(no .emit_delta sibling): a latest-row fold over "
+                "FULL-mode partitions would resurrect displaced reps' "
+                "stale rows and destroy the valid per-batch tables.  "
+                "Compaction applies to emit='delta' streams only (the "
+                "marker is written by the stream's batch 0; a pre-r9 "
+                "delta root can be marked by touching the file after "
+                "verifying its mode)."
+            )
     except Exception:
+        # refusal before any rewrite: release only the locks THIS call
+        # created (a crashed prior compaction's lock must stay)
         _release_forget_locks(spark, created)
         raise
     _recover_swap(spark, output_dir)

@@ -695,6 +695,147 @@ def bench_purge_decompose(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_purge_head_order(spark) -> dict:
+    """r9 (r8 VERDICT #2): the purge-decompose bench ran full BEFORE
+    delta in one warm JVM, so delta's ~25% head-batch win carried a
+    warm-start confound (SCALING.md recorded it honestly).  Here the
+    order is CONTROLLED: four runs in one session — full, delta, delta,
+    full — so each mode occupies one early and one late position and
+    JVM/codegen warm-up cancels to first order in the per-mode means.
+    Head = first 5 batches (where the corpus-sized terms delta removes
+    are smallest and the confound loomed largest), tail = last 5
+    (where the r8 tail-parity claim lives)."""
+    import tempfile
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        run_purge_dedup_stream,
+    )
+
+    src = build_stream_batches(
+        spark, n_batches=30, reps_per_batch=4, name="stream_batches_grow"
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_purge_order_")
+
+    def run_mode(emit: str, root: str) -> list[int]:
+        stream = (
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = run_purge_dedup_stream(
+            spark, stream, f"{root}/out", f"{root}/chk", f"{root}/state",
+            emit=emit,
+        )
+        try:
+            q.processAllAvailable()
+            return _per_batch_ms(q)
+        finally:
+            q.stop()
+
+    def head(ms):
+        return sum(ms[:5]) / max(1, len(ms[:5]))
+
+    def tail(ms):
+        return sum(ms[-5:]) / max(1, len(ms[-5:]))
+
+    try:
+        order = (
+            ("full", "p1_full"),
+            ("delta", "p2_delta"),
+            ("delta", "p3_delta"),
+            ("full", "p4_full"),
+        )
+        runs = {}
+        for emit, sub in order:
+            runs[sub] = run_mode(emit, f"{tmp}/{sub}")
+        full_head = (head(runs["p1_full"]) + head(runs["p4_full"])) / 2
+        delta_head = (head(runs["p2_delta"]) + head(runs["p3_delta"])) / 2
+        full_tail = (tail(runs["p1_full"]) + tail(runs["p4_full"])) / 2
+        delta_tail = (tail(runs["p2_delta"]) + tail(runs["p3_delta"])) / 2
+        return {
+            "head_ms_by_position": {k: round(head(v)) for k, v in runs.items()},
+            "tail_ms_by_position": {k: round(tail(v)) for k, v in runs.items()},
+            "full_head_ms": round(full_head),
+            "delta_head_ms": round(delta_head),
+            "delta_over_full_head": round(delta_head / (full_head or 1), 2),
+            "full_tail_ms": round(full_tail),
+            "delta_tail_ms": round(delta_tail),
+            "delta_over_full_tail": round(delta_tail / (full_tail or 1), 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_fold_compaction(spark) -> dict:
+    """r9 (r8 VERDICT #1 'done' row): the read-time fold's cost against
+    the delta-history length, with and without compaction.  A 30-batch
+    delta stream leaves 30 partitions; the fold is timed over growing
+    prefixes (10/20/30 partitions — the with-stream-age growth the
+    compactor exists to stop), then the history is compacted to ONE
+    snapshot partition and the fold re-timed.  Done = the post-compaction
+    fold sits at (or below) the shortest-prefix cost while the
+    uncompacted curve grows, and the folded table is IDENTICAL."""
+    import tempfile
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        compact_purge_deltas,
+        purge_table_from_deltas,
+        run_purge_dedup_stream,
+    )
+
+    src = build_stream_batches(
+        spark, n_batches=30, reps_per_batch=4, name="stream_batches_grow"
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_fold_compact_")
+    out, chk, state = f"{tmp}/out", f"{tmp}/chk", f"{tmp}/state"
+
+    def fold_time(below=None) -> float:
+        times = []
+        for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
+            spark.catalog.clearCache()
+            dedup.release_cached()
+            times.append(
+                timed(lambda: purge_table_from_deltas(spark, out, below).count())
+            )
+        return round(min(times[1:]), 3)
+
+    try:
+        stream = (
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = run_purge_dedup_stream(spark, stream, out, chk, state, emit="delta")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        by_prefix = {k: fold_time(below=k) for k in (10, 20, 30)}
+        before_rows = {
+            tuple(r) for r in purge_table_from_deltas(spark, out).collect()
+        }
+        compact_purge_deltas(spark, out, chk)
+        after = fold_time()
+        after_rows = {
+            tuple(r) for r in purge_table_from_deltas(spark, out).collect()
+        }
+        return {
+            "fold_sec_by_history": by_prefix,
+            "fold_sec_after_compaction": after,
+            "identical_after_compaction": before_rows == after_rows,
+            # measured, not asserted: a compactor regression that leaves
+            # extra partitions must show up in the recorded row
+            "n_partitions_after": spark.read.parquet(out)
+            .select("batch_id")
+            .distinct()
+            .count(),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_extra_grow(spark) -> dict:
     """MinHash pairs-vs-clusters on the CLUSTER-GROWTH (suffix) corpora:
     dup clusters widen ~s, so pair output grows ~s² by construction —
@@ -714,7 +855,7 @@ def bench_extra_grow(spark) -> dict:
     }
 
 
-def build_tpch_replicas(spark) -> None:
+def build_tpch_replicas(spark, scales=SCALES) -> None:
     """Fact-growth TPC-H corpora (r8): lineitem/orders replicated with
     offset order keys while the DIMENSIONS stay fixed — the realistic
     scale axis (a warehouse accumulates orders; customers/parts/nations
@@ -724,7 +865,7 @@ def build_tpch_replicas(spark) -> None:
     grows s-fold — exactly what stresses the one-fact-shuffle claims."""
     import shutil as _sh
 
-    for s in SCALES:
+    for s in scales:
         root = WORK / f"tpch_x{s}"
         if (root / "lineitem.parquet").exists():
             continue
@@ -782,6 +923,52 @@ def bench_olap(spark) -> dict:
         "fact_growth": _bench_op_table(
             spark, ops, lambda s: (str(WORK / f"tpch_x{s}"),)
         )
+    }
+
+
+def bench_olap_100x(spark) -> dict:
+    """r9 (r8 VERDICT #6): one 100x point for a flat family.  Every r8
+    exponent stops at 10x (6M fact rows); the brief's question is 100x.
+    The two cheapest flat shapes — Q1 (full-scan grouped agg, one
+    row-sized exchange) and Q6 (join-free pushdown scan, no exchange) —
+    run over a 60M-row lineitem replica corpus (dimensions fixed, the
+    same fact-growth axis as bench_olap).  Expected ~1.0 exponents: both
+    plans are one scan + map-side partial aggregation, so time should
+    track bytes scanned; the corpus footprint is recorded because at
+    this size the scan is I/O-bound and the page cache matters."""
+    from cloudcomputing_flink_application_spark.operators import olap
+
+    build_tpch_replicas(spark, scales=(1, 100))
+    ops = {
+        "olap_pricing_summary": lambda d: olap.pricing_summary(spark, d).count(),
+        "olap_forecast_revenue": lambda d: olap.forecast_revenue(
+            spark, d
+        ).count(),
+    }
+    results: dict = {}
+    for name, fn in ops.items():
+        by = {}
+        for s in (1, 100):
+            d = str(WORK / f"tpch_x{s}")
+            times = []
+            for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
+                spark.catalog.clearCache()
+                dedup.release_cached()
+                times.append(timed(lambda: fn(d)))
+            by[s] = round(min(times[1:]), 3)
+        results[name] = {
+            "sec": by,
+            "exponent_vs_1x": round(
+                math.log(by[100] / by[1]) / math.log(100), 2
+            ),
+        }
+    li100 = WORK / "tpch_x100" / "lineitem.parquet"
+    footprint = sum(f.stat().st_size for f in li100.rglob("*") if f.is_file())
+    rows = spark.read.parquet(str(li100)).count()
+    return {
+        "ops": results,
+        "lineitem_rows_x100": rows,
+        "lineitem_bytes_x100": footprint,
     }
 
 
@@ -901,6 +1088,15 @@ def main() -> None:
         return
     if section == "olap":
         print(json.dumps({"olap": bench_olap(spark)}))
+        return
+    if section == "olap-100x":
+        print(json.dumps({"olap_100x": bench_olap_100x(spark)}))
+        return
+    if section == "purge-order":
+        print(json.dumps({"purge_order": bench_purge_head_order(spark)}))
+        return
+    if section == "fold-compact":
+        print(json.dumps({"fold_compact": bench_fold_compaction(spark)}))
         return
     if section == "composed":
         print(json.dumps({"composed": bench_composed(spark)}))

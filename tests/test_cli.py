@@ -466,10 +466,17 @@ def test_ivf_index_cli_rebuild_if_drift(spark, tmp_path, capsys):
     assert "no rebuild" in capsys.readouterr().out
     assert cb_set(f"{root}/codebook") == cb0
 
-    # stale-triggers: a threshold above the reading forces the rebuild
-    # path deterministically (drift ~ 0.47 < 0.9)
+    # with only ONE reading the default K=3 refuses (not enough
+    # evidence of a sustained drop — the post-rebuild churn guard)
     cli.main(["ivf-index", "--input", arrive_in, "--output", root,
               "--rebuild-if-drift", "0.9"])
+    assert "not enough evidence" in capsys.readouterr().out
+    assert cb_set(f"{root}/codebook") == cb0
+    # stale-triggers: a threshold above the reading forces the rebuild
+    # path deterministically (drift ~ 0.47 < 0.9; K=1 = the
+    # latest-reading rule)
+    cli.main(["ivf-index", "--input", arrive_in, "--output", root,
+              "--rebuild-if-drift", "0.9", "--drift-consecutive", "1"])
     assert "rebuilding" in capsys.readouterr().out
     # rebuilt FROM --input: batch-0 assignments are the arrive set only,
     # stale stream partitions dropped, drift store cleared
@@ -506,7 +513,7 @@ def test_rebuild_if_drift_preserves_refinement_depth(spark, tmp_path, capsys):
               "--streaming"])
     # force the rebuild path; --iters omitted -> stored depth reused
     cli.main(["ivf-index", "--input", arrive_in, "--output", root,
-              "--rebuild-if-drift", "0.99"])
+              "--rebuild-if-drift", "0.99", "--drift-consecutive", "1"])
     out = capsys.readouterr().out
     assert "rebuilding" in out and "iters=1" in out
     assert similarity.build_iters(spark, root) == 1
@@ -519,7 +526,8 @@ def test_rebuild_if_drift_preserves_refinement_depth(spark, tmp_path, capsys):
     cli.main(["ivf-index", "--input", arrive_in, "--output", root,
               "--streaming"])
     cli.main(["ivf-index", "--input", arrive_in, "--output", root,
-              "--rebuild-if-drift", "0.99", "--iters", "0"])
+              "--rebuild-if-drift", "0.99", "--iters", "0",
+              "--drift-consecutive", "1"])
     assert "iters=0" in capsys.readouterr().out
     assert similarity.build_iters(spark, root) == 0
 
@@ -598,6 +606,16 @@ def test_dedup_purge_cli_emit_deltas(spark, tmp_path):
         cli.main(["dedup-purge", "--input", d_in,
                   "--output", str(tmp_path / "b3"), "--streaming",
                   "--compact-every", "2"])
+    # --compact is standalone: combined with another mode it would
+    # silently swallow that mode (compact-and-exit)
+    with pytest.raises(SystemExit, match="standalone"):
+        cli.main(["dedup-purge", "--input", d_in,
+                  "--output", str(tmp_path / "b4"), "--streaming",
+                  "--emit-deltas", "--compact"])
+    with pytest.raises(SystemExit, match="standalone"):
+        cli.main(["dedup-purge", "--input", d_in,
+                  "--output", str(tmp_path / "b5"), "--forget", "1",
+                  "--compact"])
 
 
 def test_dedup_purge_cli_compact_and_horizon_delta(spark, tmp_path):

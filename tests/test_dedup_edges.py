@@ -627,6 +627,58 @@ def test_ivf_wide_cluster_encoding_roundtrip(spark, sf_dir):
         wide_cb.unpersist()
 
 
+def test_ivf_decode_exact_at_rank_boundaries(spark):
+    # The r9 review's empirical catch: decimal(38,0)/int resolves to
+    # decimal(38,6), which rounds HALF_UP at six places BEFORE the floor,
+    # so ranks >= 9,999,995 of base 10^7 decoded to label+1.  The decoder
+    # now subtracts the remainder before dividing (exact in doubles at
+    # these magnitudes) — pin the boundary ranks on both encodings.
+    from pyspark.sql import functions as F
+
+    B, M = similarity.IVF_WIDE_RANK_BASE, similarity.IVF_WIDE_MARK
+    cases = [
+        (M + 7 * B + 1, 7),
+        (M + 7 * B + (B - 5), 7),      # the rank that used to misdecode
+        (M + 7 * B + (B - 1), 7),      # max encodable rank
+        (M + 99_999_999 * B + (B - 1), 99_999_999),  # max wide label
+        (7 * 1000 + 999, 7),           # narrow boundary rank
+        (10**11 * 1000 - 1, 10**11 - 1),  # max narrow id, still < mark
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "cluster LONG")
+    got = df.select(
+        "cluster", similarity._decode_label(F.col("cluster")).alias("lab")
+    ).collect()
+    expect = dict(cases)
+    assert all(r.lab == expect[r.cluster] for r in got), got
+
+
+def test_ivf_encode_rejects_out_of_range_labels(spark):
+    # The encoding's label bounds are enforced per row (a labeler change
+    # emitting huge labels must fail loudly, not misdecode): narrow ids
+    # must stay under the wide mark, wide labels under 10^8.
+    import pytest
+    from pyspark.sql import functions as F
+
+    def seeds_for(label, subk):
+        base = spark.createDataFrame(
+            [(1, label, [1.0, 0.0]), (2, label, [0.0, 1.0])],
+            "vec_id LONG, label LONG, emb ARRAY<DOUBLE>",
+        ).withColumn("nrm", F.lit(1.0))
+        return similarity._twolevel_seeds(base, subk)
+
+    # materialize the cluster column itself — a bare count() lets
+    # Catalyst prune the raising projection away
+    def clusters(df):
+        return [r.cluster for r in df.select("cluster").collect()]
+
+    assert clusters(seeds_for(10**11 - 1, similarity.SUBK))
+    with pytest.raises(Exception, match="label out of range"):
+        clusters(seeds_for(10**11, similarity.SUBK))
+    assert clusters(seeds_for(10**8 - 1, 1200))
+    with pytest.raises(Exception, match="label out of range"):
+        clusters(seeds_for(10**8, 1200))
+
+
 def test_ivf_auto_matches_fixed_at_tested_sf(spark, sf_dir):
     # At the tested SFs the auto default must produce the EXACT codebook
     # of the fixed SUBK layout (the oracle-hash-unchanged contract).

@@ -2200,6 +2200,8 @@ def test_compact_purge_deltas_refusals(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+    # the delta stream recorded its emission mode next to the output
+    assert os.path.exists(f"{out}.emit_delta")
     # fabricate an uncommitted batch: offsets ahead of commits
     offsets = sorted(os.listdir(f"{chk}/offsets"))
     latest = max(int(x) for x in offsets if x.isdigit())
@@ -2209,6 +2211,24 @@ def test_compact_purge_deltas_refusals(spark, tmp_path):
         jobs.compact_purge_deltas(spark, out, chk)
     assert not os.path.exists(f"{out}.forget_lock")  # released on refusal
     os.remove(f"{chk}/offsets/{latest + 1}")
+
+    # a FULL-mode output refuses compaction: its partitions never
+    # tombstone displaced reps, so a latest-row fold would resurrect
+    # them — the .emit_delta marker is the gate (r9 review catch)
+    out_f = str(tmp_path / "out_full")
+    chk_f = str(tmp_path / "chk_full")
+    stream_f = spark.readStream.schema(docs.schema).parquet(d_in)
+    q = jobs.run_purge_dedup_stream(
+        spark, stream_f, out_f, chk_f, str(tmp_path / "state_full")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert not os.path.exists(f"{out_f}.emit_delta")
+    with pytest.raises(RuntimeError, match="delta-mode"):
+        jobs.compact_purge_deltas(spark, out_f, chk_f)
+    assert not os.path.exists(f"{out_f}.forget_lock")  # released on refusal
 
     # a held lock makes the stream refuse at batch start
     open(f"{out}.forget_lock", "w").close()
