@@ -804,8 +804,8 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunctive revenue, Q22 idle customers, (r8) Q6 forecast revenue,
     Q10 returned-item revenue, Q14 promo revenue share, Q17
     small-quantity revenue, and (r9) Q20 dominant suppliers, Q21 waiting
-    suppliers — as ONE keyed union: the registry-facing composition that
-    earns all ten a driver CORRECTNESS row inside the 50-query window
+    suppliers, Q8 national market share — as ONE keyed union: the registry-facing composition that
+    earns all eleven a driver CORRECTNESS row inside the 50-query window
     (each component stays public and individually parity-gated in
     tests/test_offregistry_parity.py).
 
@@ -890,6 +890,11 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_name").alias("k"),
         F.col("numwait").cast("double").alias("v"),
     )
+    q8 = market_share(spark, sf_dir).select(
+        F.lit("q8_mktshare").alias("shape"),
+        F.col("o_year").cast("string").alias("k"),
+        F.col("mkt_share").alias("v"),
+    )
     return (
         q5.unionByName(q7)
         .unionByName(q19)
@@ -900,6 +905,7 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q17)
         .unionByName(q20)
         .unionByName(q21)
+        .unionByName(q8)
     )
 
 
@@ -1431,6 +1437,129 @@ LIMIT {WAITING_K}
 """
 
 
+# --- national market share (TPC-H Q8 shape) -----------------------------------
+
+#: Q8 parameters: one region's customers, one part type, a two-year order
+#: window, and the supplier nation whose revenue share is measured.
+MKT_REGION = "ASIA"
+MKT_TYPE = "PROMO"
+MKT_NATION = "NATION_13"
+MKT_FROM = "1996-01-01 00:00:00"
+MKT_TO = "1998-01-01 00:00:00"
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): of the revenue from one
+    part type sold to one region's customers over two years, the share
+    supplied by one nation, per order year — the deepest star in the
+    suite (seven tables, nation joined TWICE: customer side and supplier
+    side) with a nested conditional aggregate.
+
+    Output: ``(o_year, mkt_share)`` — one row per order year in the
+    window, share as the exact-integer revenue ratio cast to double
+    (both engines divide the same two exact long sums, so the hash is
+    stable).
+
+    Scale: lineitem joins orders on the order key — the ONE fact-fact
+    shuffle — after both are pruned (type semi-filter broadcast into the
+    lineitem scan; date window pushed to the orders scan); every other
+    table (part keys, region-filtered customer keys, the two nation
+    decorations) broadcasts.  The final aggregate is two rows.  Plan
+    pinned in tests/test_plans.py (one scan of each fact, pushdown on
+    both, no cartesian).
+    """
+    part_k = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_type") == MKT_TYPE)
+        .select("p_partkey")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == MKT_REGION
+    )
+    cust_in_region = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("_supp_nation"))
+    )
+    orders_w = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(MKT_FROM).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(MKT_TO).cast("timestamp"))
+        )
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    )
+    rev_q = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    joined = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(F.broadcast(part_k), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders_w, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("o_year", "_supp_nation", rev_q.alias("_rev_q"))
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("_supp_nation") == MKT_NATION, F.col("_rev_q")
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("_rev_q").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+MARKET_SHARE_SQL = f"""
+WITH all_nations AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_q,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{MKT_REGION}' AND p_type = '{MKT_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{MKT_FROM}'
+    AND o_orderdate < TIMESTAMP '{MKT_TO}'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = '{MKT_NATION}' THEN rev_q ELSE 0 END)
+            AS DOUBLE) / sum(rev_q) AS mkt_share
+FROM all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
 # Drop-empty oracle forms for the scalar r8 arms (HAVING count(*) > 0 drops
 # the empty-input scalar row, same predicate as the Spark side).
 _FORECAST_NONEMPTY_SQL = f"""
@@ -1516,4 +1645,7 @@ FROM ({DOMINANT_SUPPLIERS_SQL}) q20
 UNION ALL
 SELECT 'q21_waiting' AS shape, s_name AS k, CAST(numwait AS DOUBLE) AS v
 FROM ({WAITING_SUPPLIERS_SQL}) q21
+UNION ALL
+SELECT 'q8_mktshare' AS shape, CAST(o_year AS VARCHAR) AS k, mkt_share AS v
+FROM ({MARKET_SHARE_SQL}) q8
 """

@@ -385,8 +385,9 @@ REGISTRY: dict[str, Query] = {
     ),
     "olap_suite_extra": Query(
         lambda s, d: olap.suite_extra(olap_confs(s), d), olap.SUITE_EXTRA_SQL,
-        "keyed union of the four r6 OLAP shapes: Q5 local supplier volume, "
-        "Q7 nation trade volume, Q19 disjunctive revenue, Q22 idle customers",
+        "keyed union of the extra TPC-H shapes: Q5/Q7/Q19/Q22 (r6), "
+        "Q6/Q10/Q14/Q17 (r8), Q8/Q20/Q21 (r9 — market share + the two "
+        "hard decorrelation probes)",
     ),
     # --- time-series compositions over events ---
     "ts_asof_join": Query(

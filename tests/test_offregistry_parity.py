@@ -171,6 +171,11 @@ OFF_REGISTRY_SF = {
         olap.waiting_suppliers,
         olap.WAITING_SUPPLIERS_SQL,
     ),
+    # r9 bonus: the deepest star (seven tables, nation joined twice)
+    "off_olap_market_share": (
+        olap.market_share,
+        olap.MARKET_SHARE_SQL,
+    ),
 }
 
 

@@ -297,11 +297,12 @@ def test_r7_composed_queries_plan_shapes(spark):
         # r8: the union grew Q6/Q10/Q14/Q17 arms — Q10 adds its
         # per-customer aggregate exchange, Q17 its per-part window
         # exchange; Q6/Q14 are single-row aggregates with no row-sized
-        # exchange.  r9: the ten-arm union measures 10 exchanges (Q20's
-        # pair agg + slice window + name agg add 3, Q21's orderkey
-        # window + name agg add 2, over the r8 five) — ceiling 11 (one
-        # spare).
-        "olap_suite_extra": (11, 1),
+        # exchange.  r9: the eleven-arm union measures 13 exchanges
+        # (Q20's pair agg + slice window + name agg add 3, Q21's
+        # orderkey window + name agg add 2, Q8's fact-fact orderkey
+        # join (both sides) + year agg add 3, over the r8 five) —
+        # ceiling 14 (one spare).
+        "olap_suite_extra": (14, 1),
         "dedup_text_pairs": (15, 0),
     }
     try:
@@ -411,3 +412,22 @@ def test_r9_olap_decorrelation_plan_shapes(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert count_in_plan(df, "hashpartitioning", physical=True) <= 2, plan
+
+    # Q8 (seven-table star, nation joined twice): one scan of EACH fact,
+    # type filter broadcast into lineitem, date window pushed to orders,
+    # everything else broadcast; the only exchanges are the fact-fact
+    # orderkey join (one hash partitioning per side — neither fact is
+    # broadcastable at scale) and the two-row year aggregate.
+    from cloudcomputing_flink_application_spark.operators.olap import (
+        market_share,
+    )
+
+    df = market_share(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert any(
+        "PushedFilters" in l and "o_orderdate" in l for l in plan.split("\n")
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+    assert count_in_plan(df, "hashpartitioning", physical=True) <= 3, plan
