@@ -804,8 +804,10 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunctive revenue, Q22 idle customers, (r8) Q6 forecast revenue,
     Q10 returned-item revenue, Q14 promo revenue share, Q17
     small-quantity revenue, and (r9) Q20 dominant suppliers, Q21 waiting
-    suppliers, Q8 national market share — as ONE keyed union: the registry-facing composition that
-    earns all eleven a driver CORRECTNESS row inside the 50-query window
+    suppliers, Q8 national market share, and (r9b) Q15 top supplier, Q16
+    supplier-per-part counts, Q9 nation profit — as ONE keyed union: the
+    registry-facing composition that
+    earns all fourteen a driver CORRECTNESS row inside the 50-query window
     (each component stays public and individually parity-gated in
     tests/test_offregistry_parity.py).
 
@@ -895,6 +897,23 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_year").cast("string").alias("k"),
         F.col("mkt_share").alias("v"),
     )
+    q15 = top_supplier(spark, sf_dir).select(
+        F.lit("q15_topsupp").alias("shape"),
+        F.col("s_name").alias("k"),
+        F.col("total_revenue").alias("v"),
+    )
+    q16 = supplier_counts(spark, sf_dir).select(
+        F.lit("q16_suppcnt").alias("shape"),
+        F.concat_ws(
+            "|", "p_brand", "p_type", F.col("p_size").cast("string")
+        ).alias("k"),
+        F.col("supplier_cnt").cast("double").alias("v"),
+    )
+    q9 = nation_profit(spark, sf_dir).select(
+        F.lit("q9_profit").alias("shape"),
+        F.concat_ws("|", "nation", F.col("o_year").cast("string")).alias("k"),
+        F.col("sum_profit").alias("v"),
+    )
     return (
         q5.unionByName(q7)
         .unionByName(q19)
@@ -906,6 +925,9 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(q20)
         .unionByName(q21)
         .unionByName(q8)
+        .unionByName(q15)
+        .unionByName(q16)
+        .unionByName(q9)
     )
 
 
@@ -1560,6 +1582,239 @@ ORDER BY o_year
 """
 
 
+# --- top supplier (TPC-H Q15 shape) -------------------------------------------
+
+#: Q15 parameters: the classic three-month revenue window.
+TOPSUPP_FROM = "1996-01-01 00:00:00"
+TOPSUPP_TO = "1996-04-01 00:00:00"
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by three-month revenue (TPC-H Q15 shape): the
+    scalar-MAX-subquery probe — suppliers whose windowed revenue equals
+    the maximum over ALL suppliers' windowed revenue (ties all emit, the
+    Q15 contract).
+
+    Decorrelation: the classic form computes the ``revenue0`` view twice
+    (once per supplier, once under ``max()``).  Here ``revenue0`` is
+    computed ONCE from a single fact scan and the global max runs as an
+    empty-partition window over it — the window input is the per-supplier
+    aggregate, O(|suppliers|) rows (dimension-sized, the same class as
+    broadcasting the supplier table), so the single-partition exchange is
+    bounded by the dimension, never the corpus.  Revenue is the exact
+    integer cent-percent sum; ties compare exactly.
+
+    Output: ``(s_name, total_revenue)`` — revenue in dollars, name-ordered.
+
+    Scale: ONE lineitem scan (pinned), ship window pushed; one corpus-sized
+    exchange (the suppkey aggregate); supplier names broadcast.
+    """
+    rev_q = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    rev = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(TOPSUPP_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(TOPSUPP_TO).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev_q).alias("_rev_q"))
+    )
+    top = rev.select(
+        "l_suppkey",
+        "_rev_q",
+        F.max("_rev_q").over(Window.partitionBy()).alias("_max_q"),
+    ).filter(F.col("_rev_q") == F.col("_max_q"))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        top.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_name",
+            (F.col("_rev_q").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_name")
+    )
+
+
+TOP_SUPPLIER_SQL = f"""
+WITH revenue0 AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_q
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOPSUPP_FROM}'
+    AND l_shipdate < TIMESTAMP '{TOPSUPP_TO}'
+  GROUP BY l_suppkey
+)
+SELECT s_name, CAST(rev_q AS DOUBLE) / 10000.0 AS total_revenue
+FROM revenue0 JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_q = (SELECT max(rev_q) FROM revenue0)
+ORDER BY s_name
+"""
+
+
+# --- parts-supplier relationship (TPC-H Q16 shape) ----------------------------
+
+#: Q16 parameters.  The classic Q16 counts DISTINCT partsupp suppliers per
+#: part attribute group, excluding one brand, a type family, and suppliers
+#: with complaints in s_comment; the driver schema has neither partsupp nor
+#: comment columns, so the supplier relation comes from lineitem (who
+#: actually shipped the part) and the complaint exclusion becomes the
+#: negative-balance suppliers — the COUNT(DISTINCT)-with-NOT-IN structure
+#: is untouched.
+SUPPCNT_EXCL_BRAND = "Brand#4"
+SUPPCNT_EXCL_TYPE = "MEDIUM"
+SUPPCNT_SIZES = (1, 5, 9, 14, 19, 23, 36, 45)
+
+
+def supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-per-part-attribute counts (TPC-H Q16 shape): how many
+    DISTINCT suppliers ship parts of each (brand, type, size) group in a
+    size slice, excluding one brand, one type family, and blacklisted
+    (negative-balance) suppliers via NOT IN — the count-distinct +
+    anti-join probe (see the parameter note for the schema adaptation).
+
+    Output: ``(p_brand, p_type, p_size, supplier_cnt)`` ordered by count
+    desc then attributes — the Q16 output contract.
+
+    Scale: part prunes to the size slice minus the excluded brand/type and
+    broadcasts into the single fact scan; the NOT IN subquery is a tiny
+    broadcast LEFT ANTI (never a shuffle); the distinct count aggregates
+    over (attrs, suppkey) pairs — bounded by |parts| x |suppliers|, not
+    the corpus.  Plan pinned in tests/test_plans.py.
+    """
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(
+            (F.col("p_brand") != SUPPCNT_EXCL_BRAND)
+            & (F.col("p_type") != SUPPCNT_EXCL_TYPE)
+            & F.col("p_size").isin(*SUPPCNT_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    blacklisted = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(blacklisted),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+SUPPLIER_COUNTS_SQL = f"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{SUPPCNT_EXCL_BRAND}'
+  AND p_type <> '{SUPPCNT_EXCL_TYPE}'
+  AND p_size IN {SUPPCNT_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --- product-type profit (TPC-H Q9 shape) -------------------------------------
+
+#: Q9 parameters.  The classic Q9 prices cost from partsupp.ps_supplycost;
+#: with no partsupp table the per-unit cost proxy is p_retailprice — the
+#: shape (name-substring part filter, supplier-nation decoration, order-year
+#: fact-fact join, profit = revenue minus quantity-priced cost, grouped by
+#: (nation, year)) is untouched.
+PROFIT_NAME_PART = "bolt"
+
+
+def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by nation and year (TPC-H Q9 shape): for parts
+    whose name contains a substring, profit per supplier nation per order
+    year, where profit = discounted revenue minus quantity times the
+    per-unit cost proxy (see the parameter note) — all in exact integer
+    cent-percent arithmetic, divided once for display.
+
+    Output: ``(nation, o_year, sum_profit)`` ordered nation asc, year desc
+    (the Q9 output contract).
+
+    Scale: part prunes on the pushed name-substring filter and broadcasts
+    its (key, cost) pairs into the fact scan; supplier x nation broadcasts;
+    the orderkey join against the pruned orders projection is the one
+    fact-fact exchange (same class as Q8's, pinned); the final aggregate is
+    |nations| x |years| rows.
+    """
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_name").contains(PROFIT_NAME_PART))
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100)
+            .cast("long")
+            .alias("_cost_c"),
+        )
+    )
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(
+                spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders_y = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    profit_q = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    ) - F.col("l_quantity").cast("long") * F.col("_cost_c") * F.lit(100)
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders_y, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(
+            (F.sum(profit_q).cast("double") / 10000.0).alias("sum_profit")
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+NATION_PROFIT_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                - CAST(l_quantity AS BIGINT)
+                  * CAST(round(p_retailprice * 100) AS BIGINT) * 100)
+            AS DOUBLE) / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%{PROFIT_NAME_PART}%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
 # Drop-empty oracle forms for the scalar r8 arms (HAVING count(*) > 0 drops
 # the empty-input scalar row, same predicate as the Spark side).
 _FORECAST_NONEMPTY_SQL = f"""
@@ -1648,4 +1903,16 @@ FROM ({WAITING_SUPPLIERS_SQL}) q21
 UNION ALL
 SELECT 'q8_mktshare' AS shape, CAST(o_year AS VARCHAR) AS k, mkt_share AS v
 FROM ({MARKET_SHARE_SQL}) q8
+UNION ALL
+SELECT 'q15_topsupp' AS shape, s_name AS k, total_revenue AS v
+FROM ({TOP_SUPPLIER_SQL}) q15
+UNION ALL
+SELECT 'q16_suppcnt' AS shape,
+       p_brand || '|' || p_type || '|' || CAST(p_size AS VARCHAR) AS k,
+       CAST(supplier_cnt AS DOUBLE) AS v
+FROM ({SUPPLIER_COUNTS_SQL}) q16
+UNION ALL
+SELECT 'q9_profit' AS shape,
+       nation || '|' || CAST(o_year AS VARCHAR) AS k, sum_profit AS v
+FROM ({NATION_PROFIT_SQL}) q9
 """

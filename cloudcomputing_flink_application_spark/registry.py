@@ -386,8 +386,9 @@ REGISTRY: dict[str, Query] = {
     "olap_suite_extra": Query(
         lambda s, d: olap.suite_extra(olap_confs(s), d), olap.SUITE_EXTRA_SQL,
         "keyed union of the extra TPC-H shapes: Q5/Q7/Q19/Q22 (r6), "
-        "Q6/Q10/Q14/Q17 (r8), Q8/Q20/Q21 (r9 — market share + the two "
-        "hard decorrelation probes)",
+        "Q6/Q10/Q14/Q17 (r8), Q8/Q9/Q15/Q16/Q20/Q21 (r9 — market share, "
+        "the two hard decorrelation probes, scalar-max, count-distinct "
+        "anti-join, and profit shapes)",
     ),
     # --- time-series compositions over events ---
     "ts_asof_join": Query(

@@ -176,6 +176,19 @@ OFF_REGISTRY_SF = {
         olap.market_share,
         olap.MARKET_SHARE_SQL,
     ),
+    # r9b: the scalar-max, count-distinct-anti-join, and profit shapes
+    "off_olap_top_supplier": (
+        olap.top_supplier,
+        olap.TOP_SUPPLIER_SQL,
+    ),
+    "off_olap_supplier_counts": (
+        olap.supplier_counts,
+        olap.SUPPLIER_COUNTS_SQL,
+    ),
+    "off_olap_nation_profit": (
+        olap.nation_profit,
+        olap.NATION_PROFIT_SQL,
+    ),
 }
 
 

@@ -297,12 +297,13 @@ def test_r7_composed_queries_plan_shapes(spark):
         # r8: the union grew Q6/Q10/Q14/Q17 arms — Q10 adds its
         # per-customer aggregate exchange, Q17 its per-part window
         # exchange; Q6/Q14 are single-row aggregates with no row-sized
-        # exchange.  r9: the eleven-arm union measures 13 exchanges
-        # (Q20's pair agg + slice window + name agg add 3, Q21's
-        # orderkey window + name agg add 2, Q8's fact-fact orderkey
-        # join (both sides) + year agg add 3, over the r8 five) —
-        # ceiling 14 (one spare).
-        "olap_suite_extra": (14, 1),
+        # exchange.  r9: the fourteen-arm union measures 17 exchanges
+        # (over the r8 five: Q20's pair agg + slice window + name agg,
+        # Q21's orderkey window + name agg, Q8's fact-fact orderkey
+        # join + year agg, Q15's suppkey agg, Q16's two-phase distinct
+        # agg, Q9's fact-fact join + (nation,year) agg) — ceiling 18
+        # (one spare).
+        "olap_suite_extra": (18, 1),
         "dedup_text_pairs": (15, 0),
     }
     try:
@@ -428,6 +429,51 @@ def test_r9_olap_decorrelation_plan_shapes(spark):
     assert plan.count("orders.parquet") == 1, plan
     assert any(
         "PushedFilters" in l and "o_orderdate" in l for l in plan.split("\n")
+    ), plan
+    assert "CartesianProduct" not in plan, plan
+    assert count_in_plan(df, "hashpartitioning", physical=True) <= 3, plan
+
+
+def test_r9b_olap_shapes_plan_pins(spark):
+    from cloudcomputing_flink_application_spark.operators.olap import (
+        nation_profit,
+        supplier_counts,
+        top_supplier,
+    )
+
+    # Q15 (scalar-max subquery): revenue0 computed ONCE — one lineitem
+    # scan, ship window pushed; the global max is an empty-partition
+    # window over the dimension-sized per-supplier aggregate (a
+    # SinglePartition exchange, never a hash shuffle); supplier broadcast.
+    df = top_supplier(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert any(
+        "PushedFilters" in l and "l_shipdate" in l for l in plan.split("\n")
+    ), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert count_in_plan(df, "hashpartitioning", physical=True) <= 1, plan
+
+    # Q16 (count-distinct + NOT IN): part slice broadcast into the one
+    # fact scan, blacklist as a broadcast LEFT ANTI (never a shuffle),
+    # distinct aggregation's two-phase exchange only.
+    df = supplier_counts(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert count_in_plan(df, "hashpartitioning", physical=True) <= 2, plan
+
+    # Q9 (profit star): name-substring filter pushed to the part scan,
+    # part/supplier/nation broadcast, the orderkey fact-fact join (both
+    # sides exchange) + the tiny (nation, year) aggregate.
+    df = nation_profit(spark, SF)
+    plan = physical_plan(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert plan.count("orders.parquet") == 1, plan
+    assert any(
+        "StringContains(p_name" in l for l in plan.split("\n")
     ), plan
     assert "CartesianProduct" not in plan, plan
     assert count_in_plan(df, "hashpartitioning", physical=True) <= 3, plan
