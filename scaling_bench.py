@@ -767,6 +767,97 @@ def bench_purge_head_order(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_bounded_mode(spark) -> dict:
+    """r9: the fully bounded deployment mode (horizon + delta +
+    compact_every — the composition r8 refused and r9 shipped) measured
+    against delta-only on the same 30-batch grow corpus.  Three claims,
+    one number each: (1) per-batch cost is FLAT (tail/head ~ 1) because
+    the horizon recompute touches O(window) state while delta-only's
+    closure grows with the corpus; (2) the fold input is BOUNDED — the
+    in-stream compactor holds the partition count near compact_every
+    while delta-only accumulates one per batch forever; (3) the
+    read-time fold cost tracks the partition count.  For (1) the
+    tail/head ratio is confounded for BOUNDED mode — its head batches
+    see a still-filling window — so the steady-state growth number is
+    tail/mid, with mid = batches 13..17 (window full from batch 10).
+    Run order is delta-only first, bounded second, so the warm-start
+    confound (measured ~4-6% by the purge-order bench above) works in
+    bounded's favor; the per-batch LEVEL gap it could manufacture is an
+    order of magnitude smaller than the observed one, and the partition
+    counts and ratios are ordering-independent."""
+    import tempfile
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        purge_table_from_deltas,
+        run_purge_dedup_stream,
+    )
+
+    src = build_stream_batches(
+        spark, n_batches=30, reps_per_batch=4, name="stream_batches_grow"
+    )
+    tmp = tempfile.mkdtemp(prefix="sg_bounded_")
+
+    def run_mode(root: str, **kw) -> list[int]:
+        stream = (
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = run_purge_dedup_stream(
+            spark, stream, f"{root}/out", f"{root}/chk", f"{root}/state",
+            emit="delta", **kw,
+        )
+        try:
+            q.processAllAvailable()
+            return _per_batch_ms(q)
+        finally:
+            q.stop()
+
+    def fold_stats(out: str) -> dict:
+        times = []
+        for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
+            spark.catalog.clearCache()
+            dedup.release_cached()
+            times.append(
+                timed(lambda: purge_table_from_deltas(spark, out).count())
+            )
+        return {
+            "n_delta_partitions": spark.read.parquet(out)
+            .select("batch_id")
+            .distinct()
+            .count(),
+            "fold_sec": round(min(times[1:]), 3),
+        }
+
+    def mean(ms):
+        return sum(ms) / max(1, len(ms))
+
+    try:
+        modes = {
+            "delta_only": run_mode(f"{tmp}/d"),
+            "bounded": run_mode(
+                f"{tmp}/b", horizon_batches=10, compact_every=10
+            ),
+        }
+        result = {}
+        for name, per_batch in modes.items():
+            head = mean(per_batch[:5])
+            mid = mean(per_batch[12:17])
+            tail = mean(per_batch[-5:])
+            result[name] = {
+                "head_mean_ms": round(head),
+                "mid_mean_ms": round(mid),
+                "tail_mean_ms": round(tail),
+                "tail_over_head": round(tail / (head or 1), 2),
+                "tail_over_mid": round(tail / (mid or 1), 2),
+                **fold_stats(f"{tmp}/{name[0]}/out"),
+            }
+        return result
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_fold_compaction(spark) -> dict:
     """r9 (r8 VERDICT #1 'done' row): the read-time fold's cost against
     the delta-history length, with and without compaction.  A 30-batch
@@ -921,6 +1012,34 @@ def bench_olap(spark) -> dict:
     }
     return {
         "fact_growth": _bench_op_table(
+            spark, ops, lambda s: (str(WORK / f"tpch_x{s}"),)
+        )
+    }
+
+
+def bench_olap_join(spark) -> dict:
+    """r9b: every measured OLAP exponent so far rides a broadcast-dims
+    plan — the fact-growth axis never exercised a corpus-sized SHUFFLE.
+    The three fact-fact shapes close that: Q8 (market share — the
+    orderkey join of two pruned facts), Q9 (profit star — same join,
+    unpruned orders), Q21 (waiting suppliers — the orderkey join whose
+    exchange the self-reference window REUSES).  Both facts replicate
+    s-fold, so these rows measure how the hash-shuffle term itself
+    scales; expected ~linear (shuffle volume tracks rows), and any
+    super-linearity here is the first genuine scale risk in the
+    family."""
+    from cloudcomputing_flink_application_spark.operators import olap
+
+    build_tpch_replicas(spark)
+    ops = {
+        "olap_market_share": lambda d: olap.market_share(spark, d).count(),
+        "olap_nation_profit": lambda d: olap.nation_profit(spark, d).count(),
+        "olap_waiting_suppliers": lambda d: olap.waiting_suppliers(
+            spark, d
+        ).count(),
+    }
+    return {
+        "fact_join_growth": _bench_op_table(
             spark, ops, lambda s: (str(WORK / f"tpch_x{s}"),)
         )
     }
@@ -1092,11 +1211,17 @@ def main() -> None:
     if section == "olap-100x":
         print(json.dumps({"olap_100x": bench_olap_100x(spark)}))
         return
+    if section == "olap-join":
+        print(json.dumps({"olap_join": bench_olap_join(spark)}))
+        return
     if section == "purge-order":
         print(json.dumps({"purge_order": bench_purge_head_order(spark)}))
         return
     if section == "fold-compact":
         print(json.dumps({"fold_compact": bench_fold_compaction(spark)}))
+        return
+    if section == "bounded-mode":
+        print(json.dumps({"bounded_mode": bench_bounded_mode(spark)}))
         return
     if section == "composed":
         print(json.dumps({"composed": bench_composed(spark)}))
