@@ -843,32 +843,38 @@ FROM totals LEFT JOIN hits USING (query_id)
 
 
 def topk_methods(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
-    """Brute-force and IVF cosine top-k as ONE method-keyed union — the
-    registry-facing composition (r7 consolidation; both components stay
-    public and individually parity-gated in
+    """Brute-force, IVF, and PQ-ADC top-k as ONE method-keyed union — the
+    registry-facing composition (r7 consolidation + the r9 PQ arm; every
+    component stays public and individually parity-gated in
     tests/test_offregistry_parity.py).
 
-    Output: ``(method, query_id, neighbor_id, rank, cos)`` with method in
-    {'brute', 'ivf'}.  The union adds no exchange; each branch keeps its
-    own plan (broadcast query set + map-side WindowGroupLimit for brute,
-    codebook-pruned candidate scan for IVF).
+    Output: ``(method, query_id, neighbor_id, rank, score)`` with method
+    in {'brute', 'ivf', 'pq'}.  ``score`` is each method's own ranking
+    metric — exact cosine for brute/ivf, the unnormalized ADC dot
+    approximation for pq (the arms rank by different quantities BY
+    DESIGN; that is what the union exposes for side-by-side evaluation).
+    The union adds no exchange; each branch keeps its own plan (broadcast
+    query set + map-side partial top-k for brute, codebook-pruned
+    candidate scan for IVF, scan-fused code lookup for PQ).
     """
     brute = cosine_topk(embeddings, k).select(
-        F.lit("brute").alias("method"), "query_id", "neighbor_id", "rank", "cos"
+        F.lit("brute").alias("method"), "query_id", "neighbor_id", "rank",
+        F.col("cos").alias("score"),
     )
     ivf = cosine_topk_ivf(embeddings, k=k).select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank", "cos"
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank",
+        F.col("cos").alias("score"),
     )
-    return brute.unionByName(ivf)
+    pq = pq_topk(embeddings, k=k).select(
+        F.lit("pq").alias("method"), "query_id", "neighbor_id", "rank",
+        F.col("adc").alias("score"),
+    )
+    return brute.unionByName(ivf).unionByName(pq)
 
 
-TOPK_METHODS_SQL = f"""
-SELECT 'brute' AS method, query_id, neighbor_id, rank, cos
-FROM ({COSINE_TOPK_SQL}) b
-UNION ALL
-SELECT 'ivf' AS method, query_id, neighbor_id, rank, cos
-FROM ({COSINE_TOPK_IVF_SQL}) i
-"""
+# NOTE: TOPK_METHODS_SQL is assigned at the END of this module (after the
+# PQ oracle CTEs it composes), same late-assignment pattern as
+# olap.SUITE_EXTRA_SQL.
 
 
 # --- IVF index lifecycle (r7) ------------------------------------------------
@@ -1071,3 +1077,710 @@ def drift_report(spark, index_root: str) -> DataFrame:
             (mean / ref_mean).alias("drift"),
         )
     )
+
+
+# --- Product quantization (r9) ------------------------------------------------
+#
+# The missing rung of the 100 TB embedding ladder.  int8 quantization
+# (``quantize_embeddings``) compresses 4x; PQ compresses dim*4 bytes to
+# PQ_M bytes (64-dim float32 -> 8 bytes = 32x), which is what makes a
+# 10^10-vector index FIT at all: 10^10 x 64 x 4 B = 2.5 TB of raw floats
+# vs 80 GB of PQ codes — the difference between an index that must stream
+# from object storage and one that sits in cluster RAM.  Search runs over
+# the codes via ADC (asymmetric distance computation): the query stays
+# exact, each candidate costs PQ_M table lookups + adds instead of a
+# dim-wide dot product.
+#
+# Anatomy (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — public literature):
+#   train: split each vector into PQ_M contiguous subvectors; per
+#          subspace, k-means PQ_KSUB centroids.
+#   encode: per subspace, the id of the nearest centroid — PQ_M small
+#          ints per vector.
+#   search: per query, a LUT of dot(q_sub, centroid) per (sub, code)
+#          (PQ_M x PQ_KSUB doubles — tiny); score every candidate as
+#          sum_m LUT[m][code_m] and take top-k.
+#
+# Spark shapes, in the module's house style:
+#   - training is the ``ivf_kmeans_codebook`` pattern per subspace:
+#     deterministic hash-sampled seeds, Lloyd updates with EXACT integer
+#     sums (KMEANS_SCALE), empty cells carry their previous centroid
+#     forward so the code space stays dense 0..C-1.
+#   - encode is SCAN-FUSED: the whole codebook packs into ONE broadcast
+#     row (array<array<array<double>>>), and the per-vector argmin is a
+#     column-level fold — zero shuffles with an explicit codebook, the
+#     map-only job a 100 TB encode pass must be.
+#   - ADC search reuses the broadcast-queries plan of ``cosine_topk``:
+#     queries carry their LUT as a nested array; the only shuffle is the
+#     final per-query top-k window.
+#
+# Every double both engines compare is produced by the sequential-fold
+# dot (proven bit-identical to DuckDB's list_dot_product in
+# tests/test_functions.py) or exact integer arithmetic, so all four PQ
+# operators carry full value-hash oracles.
+
+PQ_M = 8  # subspaces (embedding dim must divide evenly)
+PQ_KSUB = 16  # centroids per subspace: 4-bit codes at tested SFs.  At
+# production scale this is 256 (byte codes); like SUBK it is a knob, not
+# a hidden constant — memory is PQ_M*log2(KSUB) bits/vector and training
+# cost is linear in it, so the pq_recall_report prices any change.
+PQ_SHORTLIST = 50  # ADC shortlist size for the rerank stage: measured on
+# the clustered fixture (n=800), raw ADC recall@5 is 0.325 — 8-byte codes
+# cannot resolve WITHIN-cluster fine ranking, the textbook PQ limitation —
+# while shortlist-50 + exact rerank reaches recall 1.0 touching only
+# 50 raw vectors per query (tests/test_pq.py pins both sides of that).
+
+
+def _l2sq(u: Column, v: Column) -> Column:
+    """Squared L2 distance via three sequential-fold dots — the exact
+    expression the DuckDB oracles mirror term by term (classic PQ trains
+    under L2; ADC then approximates the DOT PRODUCT with the centroid
+    reproduction)."""
+    return _dot(u, u) - 2 * _dot(u, v) + _dot(v, v)
+
+
+def _pq_slice(emb: Column, sub: Column, m: int) -> Column:
+    """The ``sub``-th of ``m`` contiguous subvectors of ``emb``.  The
+    divisibility guard is per row and loud (raise_error), mirroring
+    ``_encode_cluster``: a corpus whose dim does not divide by m must
+    fail, not silently truncate the tail dimensions."""
+    dsub = F.when(
+        (F.size(emb) > 0) & (F.size(emb) % m == 0),
+        (F.size(emb) / m).cast("int"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding dim must be a positive multiple of m={m}, got "),
+                F.size(emb).cast("string"),
+            )
+        )
+    )
+    return F.slice(emb, sub * dsub + 1, dsub)
+
+
+def _pq_seeds(base: DataFrame, m: int, ksub: int) -> DataFrame:
+    """Deterministic seed codebook: the ``ksub`` vectors with the smallest
+    md5-derived rank seed EVERY subspace with their slices — codes are
+    rk-1, so the code space is dense 0..C-1 by construction (C < ksub
+    only on corpora smaller than ksub).  Same hash-threshold prefilter as
+    ``_twolevel_seeds`` (a global count bounds the candidate set to
+    ~ksub*SEED_OVERSAMPLE rows before the ranking window), except the
+    window is GLOBAL: PQ has no coarse label level, and the prefiltered
+    set is tiny regardless of corpus size, so the single-task window is
+    a few-hundred-row sort, not a skew trap.
+
+    Output: (sub, code, cemb) with dsub-wide centroid slices."""
+    n_total = base.agg(F.count("*").alias("n_total"))
+    cand = (
+        base.join(F.broadcast(n_total), how="cross")
+        .withColumn("h", X.h56(F.col("vec_id").cast("string")))
+        .filter(
+            F.shiftright(F.col("h"), 28) * F.col("n_total")
+            < F.lit(ksub * SEED_OVERSAMPLE * (1 << 28))
+        )
+    )
+    w = Window.orderBy("h", "vec_id")
+    seeds = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ksub)
+        .select((F.col("rk") - 1).cast("int").alias("code"), "emb")
+    )
+    return seeds.select(
+        "code", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "emb"
+    ).select(
+        F.col("sub").cast("int").alias("sub"),
+        "code",
+        _pq_slice(F.col("emb"), F.col("sub"), m).alias("cemb"),
+    )
+
+
+def _pq_subvectors(base: DataFrame, m: int) -> DataFrame:
+    """(vec_id, sub, svec): every vector exploded into its m slices — the
+    TRAINING-side row form (the encode path never explodes; it is
+    scan-fused via the packed codebook)."""
+    return base.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "emb",
+    ).select(
+        "vec_id",
+        F.col("sub").cast("int").alias("sub"),
+        _pq_slice(F.col("emb"), F.col("sub"), m).alias("svec"),
+    )
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Each (vec_id, sub) row -> its nearest centroid under L2 (ties to
+    the lowest code — the exact ordering the oracle's row_number
+    mirrors).  Broadcast equi-join on sub; the per-(vec_id, sub) ranking
+    window adds NO exchange because the corpus is already hash-partitioned
+    on vec_id (``_normed(spread=True)``) and HashPartitioning(vec_id)
+    satisfies ClusteredDistribution(vec_id, sub)."""
+    scored = F.broadcast(codebook).join(subs, "sub").select(
+        "vec_id",
+        "sub",
+        "svec",
+        "code",
+        _l2sq(F.col("svec"), F.col("cemb")).alias("d"),
+    )
+    wa = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
+    return (
+        scored.withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") == 1)
+        .select("vec_id", "sub", "svec", "code")
+    )
+
+
+def _pq_dequantize(stats: DataFrame) -> DataFrame:
+    """(sub, code, pos, n_members, sum_q) Lloyd stats -> (sub, code, cemb)
+    centroids — the ``dequantize_codebook`` pattern per subspace (exact
+    integer sums, one division per element, array_sort for positional
+    order)."""
+    return (
+        stats.select(
+            "sub",
+            "code",
+            "pos",
+            (
+                (F.col("sum_q").cast("double") / F.col("n_members"))
+                / F.lit(float(KMEANS_SCALE))
+            ).alias("val"),
+        )
+        .groupBy("sub", "code")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("pv"))
+        .select("sub", "code", F.transform("pv", lambda s: s["val"]).alias("cemb"))
+    )
+
+
+def _pq_carry_forward(prev: DataFrame, stats: DataFrame) -> DataFrame:
+    """The refined codebook with empty cells carrying their previous
+    centroid forward (classic empty-cluster handling).  This is what
+    keeps the code space DENSE across iterations — the packed encode /
+    LUT paths index arrays positionally, so position i must always mean
+    code i (pinned in tests/test_pq.py)."""
+    refined = _pq_dequantize(stats)
+    kept = prev.join(refined.select("sub", "code"), ["sub", "code"], "left_anti")
+    return refined.unionByName(kept.select("sub", "code", "cemb"))
+
+
+def _pq_train(
+    embeddings: DataFrame, m: int, ksub: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """(codebook, final_stats): ``iters`` Lloyd rounds from the
+    deterministic seeds.  Intermediate codebooks are _persist-ed (each is
+    consumed by the next assignment; <= m*ksub rows), the returned final
+    codebook is the caller's to persist — same ownership contract as
+    ``refined_codebook``."""
+    if iters < 1:
+        raise ValueError(f"pq training needs iters >= 1, got {iters}")
+    base = _normed(embeddings)
+    subs = _pq_subvectors(base, m)
+    cb = _persist(_pq_seeds(base, m, ksub))
+    cb_next, stats = None, None
+    for it in range(iters):
+        asg = _pq_assign(subs, cb)
+        stats = (
+            asg.select("sub", "code", F.posexplode("svec").alias("pos", "val"))
+            .select(
+                "sub",
+                "code",
+                F.col("pos").cast("int").alias("pos"),
+                F.floor(F.col("val") * KMEANS_SCALE).cast("long").alias("q"),
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(
+                F.count("*").cast("long").alias("n_members"),
+                F.sum("q").cast("long").alias("sum_q"),
+            )
+        )
+        cb_next = _pq_carry_forward(cb, stats)
+        if it + 1 < iters:
+            cb = _persist(cb_next)
+    return cb_next, stats
+
+
+def pq_train_stats(
+    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = 1
+) -> DataFrame:
+    """PQ INDEX-BUILD step: the final Lloyd update statistics, all-integer
+    (the ``ivf_kmeans_codebook`` contract per subspace).
+
+    Output: (sub, code, pos, n_members, sum_q) — one row per non-empty
+    centroid element; full value-hash oracle.
+
+    Scale: training at 100 TB runs on a SAMPLE (PQ codebooks converge on
+    ~10^5-10^6 vectors regardless of corpus size — the codebook, not the
+    corpus, is the artifact); the update itself is posexplode -> partial
+    agg into m*ksub*dsub groups, so map-side combine bounds each task's
+    output at the codebook size."""
+    return _pq_train(embeddings, m, ksub, iters)[1]
+
+
+def pq_codebook(
+    embeddings: DataFrame, m: int = PQ_M, ksub: int = PQ_KSUB, iters: int = 1
+) -> DataFrame:
+    """The usable (sub, code, cemb) PQ codebook (refined, empty cells
+    carried forward).  UNpersisted — the artifact a deployment writes to
+    storage and the explicit-codebook form ``pq_encode``/``pq_topk``
+    accept (persist it if you pass it to both)."""
+    return _pq_train(embeddings, m, ksub, iters)[0]
+
+
+def _pq_packed(codebook: DataFrame) -> DataFrame:
+    """The whole codebook as ONE row: cbl[sub][code] = centroid slice
+    (array<array<array<double>>>).  m*ksub*dsub doubles — 8 KiB at the
+    defaults — which is what lets encode/LUT be scan-fused column folds
+    behind a one-row broadcast instead of a join+regroup per subvector.
+    Positional indexing is safe because the code space is dense (seeds +
+    carry-forward; pinned in tests/test_pq.py)."""
+    per_sub = (
+        codebook.groupBy("sub")
+        .agg(F.array_sort(F.collect_list(F.struct("code", "cemb"))).alias("cc"))
+        .select("sub", F.transform("cc", lambda s: s["cemb"]).alias("cl"))
+    )
+    return (
+        per_sub.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "cl"))).alias("sc"))
+        .select(F.transform("sc", lambda s: s["cl"]).alias("cbl"))
+    )
+
+
+def _pq_code_expr(emb: Column, cbl: Column, m: int) -> Column:
+    """codes[sub] for one vector, as a pure column fold: per subspace,
+    argmin code under L2 against the packed codebook (strict < keeps the
+    LOWEST code on exact ties — the same (d asc, code asc) order the
+    training assignment and the oracle's row_number use)."""
+
+    def code_for(mm: Column) -> Column:
+        svec = _pq_slice(emb, mm, m)
+        scored = F.transform(
+            F.element_at(cbl, mm + 1),
+            lambda ce, ci: F.struct(
+                _l2sq(svec, ce).alias("d"), ci.cast("int").alias("c")
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("c")
+            ),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )
+        return best["c"]
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+
+
+def _pq_encoded(
+    base: DataFrame, packed: DataFrame, m: int
+) -> DataFrame:
+    """(vec_id, codes): the scan-fused encode — corpus scan x one-row
+    broadcast, zero exchanges (pinned in tests/test_plans.py)."""
+    return base.join(F.broadcast(packed), how="cross").select(
+        "vec_id", _pq_code_expr(F.col("emb"), F.col("cbl"), m).alias("codes")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-encode the corpus: dim*4 bytes -> m code ints per vector.
+
+    Output: (vec_id, dim, m, code_csv) — codes comma-joined in subspace
+    order (the compact storage row, like ``quantize_embeddings``'s q_csv).
+
+    With an explicit ``codebook`` this is a pure map job (scan + one-row
+    broadcast, zero corpus-side shuffles) — the shape a 100 TB encode
+    pass needs; the default trains one inline (``iters`` Lloyd rounds).
+    ``spread=False`` deliberately: encode has no downstream per-vector
+    window to feed, so the corpus must NOT be repartitioned — at scale
+    parallelism comes from the parquet splits themselves (pinned in
+    tests/test_pq.py::test_encode_explicit_codebook_is_scan_fused)."""
+    base = _normed(embeddings, spread=False)
+    cb = (
+        codebook
+        if codebook is not None
+        else _pq_train(embeddings, m, ksub, iters)[0]
+    )
+    packed = _pq_packed(cb)
+    enc = base.join(F.broadcast(packed), how="cross")
+    codes = _pq_code_expr(F.col("emb"), F.col("cbl"), m)
+    return enc.select(
+        "vec_id",
+        F.size("emb").cast("int").alias("dim"),
+        F.lit(m).cast("int").alias("m"),
+        F.array_join(
+            F.transform(codes, lambda c: c.cast("string")), ","
+        ).alias("code_csv"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = TOPK,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k: approximate dot-product search over PQ codes.
+
+    Per query the LUT (dot of each query slice with each centroid —
+    m x ksub doubles) rides the broadcast; each candidate then costs m
+    array lookups + adds instead of a dim-wide dot, over codes 32x
+    smaller than the raw vectors.  The only shuffle is the final
+    per-query top-k window — the ``cosine_topk`` plan with the per-pair
+    arithmetic collapsed.
+
+    Output: (query_id, neighbor_id, rank, adc) — rank 1..k by
+    (adc desc, neighbor_id asc), self excluded.  ``adc`` is the
+    UNNORMALIZED approximate dot product (ANN semantics: ranks may
+    differ from exact cosine top-k; ``pq_recall_report`` prices exactly
+    that)."""
+    base = _normed(embeddings)
+    cb = (
+        codebook
+        if codebook is not None
+        else _pq_train(embeddings, m, ksub, iters)[0]
+    )
+    # consumed twice (corpus encode + query LUT) — persist, same rationale
+    # as cosine_topk_ivf's codebook cache (one row here).
+    packed = _persist(_pq_packed(cb))
+    enc = _pq_encoded(base, packed, m)
+    queries = (
+        _normed(embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False)
+        .join(F.broadcast(packed), how="cross")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(
+                F.col("cbl"),
+                lambda cl, mm: F.transform(
+                    cl, lambda ce: _dot(_pq_slice(F.col("emb"), mm, m), ce)
+                ),
+            ).alias("lut"),
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(enc, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, mm: acc
+                + F.element_at(
+                    F.element_at(F.col("lut"), mm + 1),
+                    F.element_at(F.col("codes"), mm + 1) + 1,
+                ),
+            ).alias("adc"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
+def pq_topk_rerank(
+    embeddings: DataFrame,
+    k: int = TOPK,
+    shortlist: int = PQ_SHORTLIST,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage PQ search, the production deployment shape: ADC over the
+    32x-compressed codes retrieves a ``shortlist`` per query, then exact
+    cosine reranks ONLY those candidates.
+
+    Why this exists: raw ADC ranks by 8-byte code reproductions, which
+    cannot separate near-identical neighbors — measured recall@5 0.325 on
+    the clustered fixture.  The shortlist absorbs that blur (the true
+    top-k IS in the top-50 by ADC even when its internal order is wrong);
+    rerank restores exact order touching shortlist/n of the raw vectors —
+    at 10^10 vectors the full-precision reads drop from the whole corpus
+    to 50 rows per query.  Measured: recall 1.0 at shortlist=50 on the
+    clustered fixture (pinned in tests/test_pq.py).
+
+    Plan: the shortlist (|queries| x shortlist rows) broadcasts into an
+    equi-join against the corpus on vec_id — the raw-vector side never
+    shuffles; the final per-query window reranks <= shortlist rows.
+
+    Output: (query_id, neighbor_id, rank, cos) — exact cosine over the
+    ADC shortlist, rank 1..k."""
+    if not 1 <= k <= shortlist:
+        raise ValueError(
+            f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}"
+        )
+    short = pq_topk(embeddings, shortlist, m, ksub, iters, codebook).select(
+        "query_id", "neighbor_id"
+    )
+    base = _normed(embeddings)
+    queries = _normed(
+        embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        F.broadcast(short.join(queries, "query_id"))
+        .join(base, F.col("vec_id") == F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qemb"), F.col("emb"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def pq_recall_report(
+    embeddings: DataFrame,
+    k: int = TOPK,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+) -> DataFrame:
+    """Recall@k of RAW ADC-over-codes against the exact baseline — the
+    price tag on PQ's 32x compression (dim*4 bytes -> m bytes at byte
+    codes) BEFORE the rerank stage buys the accuracy back
+    (``pq_topk_rerank``; measured 0.325 -> 1.0 on the clustered fixture).
+    Same shape as ``ivf_recall_report``.
+
+    Output: (query_id, n_exact, n_hits, recall)."""
+    exact = cosine_topk(embeddings, k).select("query_id", "neighbor_id")
+    approx = pq_topk(embeddings, k, m, ksub, iters).select(
+        "query_id", "neighbor_id"
+    )
+    totals = exact.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_exact")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return totals.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_exact")
+        ).alias("recall"),
+    )
+
+
+#: Shared PQ oracle prelude (defaults m=PQ_M, ksub=PQ_KSUB, iters=1):
+#: hash-sampled seed vectors -> per-subspace slices -> one exact-integer
+#: Lloyd round -> carry-forward codebook -> per-(vec, sub) encode.
+#: Mirrors _pq_seeds / _pq_assign / pq_train_stats / _pq_carry_forward /
+#: _pq_code_expr term by term (same L2 expression, same (d, code)
+#: tie-order, same KMEANS_SCALE integer quantization).
+_PQ_DSUB = f"(len(emb) // {PQ_M})"
+_PQ_CTE = f"""
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings
+  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+),
+nt AS (SELECT count(*) AS n_total FROM e),
+cand AS (
+  SELECT vec_id, emb, {X.h56_sql('CAST(vec_id AS VARCHAR)')} AS h
+  FROM e, nt
+  WHERE ({X.h56_sql('CAST(vec_id AS VARCHAR)')} >> 28) * n_total
+        < {PQ_KSUB * SEED_OVERSAMPLE * (1 << 28)}
+),
+seedv AS (
+  SELECT vec_id, emb, row_number() OVER (ORDER BY h, vec_id) AS rk
+  FROM cand
+),
+seeds AS (
+  SELECT s.sub, CAST(rk - 1 AS INT) AS code,
+         list_slice(emb, s.sub * {_PQ_DSUB} + 1, (s.sub + 1) * {_PQ_DSUB}) AS cemb
+  FROM seedv, (SELECT CAST(unnest(range({PQ_M})) AS INT) AS sub) s
+  WHERE rk <= {PQ_KSUB}
+),
+subs AS (
+  SELECT vec_id, s.sub,
+         list_slice(emb, s.sub * {_PQ_DSUB} + 1, (s.sub + 1) * {_PQ_DSUB}) AS svec
+  FROM e, (SELECT CAST(unnest(range({PQ_M})) AS INT) AS sub) s
+),
+asg0 AS (
+  SELECT vec_id, sub, svec, code FROM (
+    SELECT su.vec_id, su.sub, su.svec, c.code,
+           row_number() OVER (
+             PARTITION BY su.vec_id, su.sub
+             ORDER BY list_dot_product(svec, svec)
+                      - 2 * list_dot_product(svec, cemb)
+                      + list_dot_product(cemb, cemb) ASC,
+                      c.code ASC) AS arank
+    FROM subs su JOIN seeds c USING (sub)
+  ) WHERE arank = 1
+),
+stats AS (
+  SELECT sub, code, CAST(u.i - 1 AS INT) AS pos,
+         CAST(count(*) AS BIGINT) AS n_members,
+         CAST(sum(CAST(floor(svec[u.i] * {KMEANS_SCALE}) AS BIGINT)) AS BIGINT)
+           AS sum_q
+  FROM asg0, LATERAL unnest(generate_series(1, len(svec))) AS u(i)
+  GROUP BY sub, code, pos
+),
+refined AS (
+  SELECT sub, code,
+         list((CAST(sum_q AS DOUBLE) / n_members) / {KMEANS_SCALE}
+              ORDER BY pos) AS cemb
+  FROM stats GROUP BY sub, code
+),
+newcb AS (
+  SELECT s.sub, s.code, coalesce(r.cemb, s.cemb) AS cemb
+  FROM seeds s LEFT JOIN refined r USING (sub, code)
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT su.vec_id, su.sub, c.code,
+           row_number() OVER (
+             PARTITION BY su.vec_id, su.sub
+             ORDER BY list_dot_product(svec, svec)
+                      - 2 * list_dot_product(svec, cemb)
+                      + list_dot_product(cemb, cemb) ASC,
+                      c.code ASC) AS arank
+    FROM subs su JOIN newcb c USING (sub)
+  ) WHERE arank = 1
+)"""
+
+
+PQ_TRAIN_STATS_SQL = f"""
+WITH {_PQ_CTE.strip()}
+SELECT sub, code, pos, n_members, sum_q FROM stats
+"""
+
+
+PQ_ENCODE_SQL = f"""
+WITH {_PQ_CTE.strip()}
+SELECT e.vec_id, CAST(len(e.emb) AS INT) AS dim, CAST({PQ_M} AS INT) AS m,
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY sub) AS code_csv
+FROM e JOIN enc ON e.vec_id = enc.vec_id
+GROUP BY e.vec_id, len(e.emb)
+"""
+
+
+_PQ_ONES = "[" + ", ".join(["1.0"] * PQ_M) + "]"
+
+
+def _pq_topk_sql(k: int) -> str:
+    """The ADC top-k oracle parameterized on k — PQ_TOPK_SQL is the
+    registry-default instance; the rerank oracle composes the
+    shortlist-sized one."""
+    return f"""
+WITH {_PQ_CTE.strip()},
+q AS (
+  SELECT vec_id AS query_id, emb AS qemb
+  FROM e WHERE vec_id % {QUERY_STRIDE} = 0
+),
+persub AS (
+  SELECT q.query_id, en.vec_id, en.sub,
+         list_dot_product(
+           list_slice(q.qemb, en.sub * (len(q.qemb) // {PQ_M}) + 1,
+                      (en.sub + 1) * (len(q.qemb) // {PQ_M})),
+           cb.cemb) AS val
+  FROM q, enc en JOIN newcb cb USING (sub, code)
+  WHERE en.vec_id <> q.query_id
+),
+adcs AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(list(val ORDER BY sub), {_PQ_ONES}) AS adc
+  FROM persub GROUP BY query_id, vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, neighbor_id ASC) AS rank
+  FROM adcs
+)
+SELECT query_id, neighbor_id, rank, adc FROM ranked WHERE rank <= {k}
+"""
+
+
+PQ_TOPK_SQL = _pq_topk_sql(TOPK)
+
+
+PQ_TOPK_RERANK_SQL = f"""
+WITH short AS (
+  SELECT query_id, neighbor_id FROM ({_pq_topk_sql(PQ_SHORTLIST)})
+),
+e2 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+),
+q2 AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+  FROM e2 WHERE vec_id % {QUERY_STRIDE} = 0
+),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(qemb, e2.emb) / (qnrm * e2.nrm) AS cos
+  FROM short s JOIN q2 USING (query_id)
+  JOIN e2 ON e2.vec_id = s.neighbor_id
+),
+reranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, rank, cos FROM reranked WHERE rank <= {TOPK}
+"""
+
+
+PQ_RECALL_SQL = f"""
+WITH exact AS (
+  SELECT query_id, neighbor_id FROM ({COSINE_TOPK_SQL})
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM ({PQ_TOPK_SQL})
+),
+totals AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact FROM exact GROUP BY query_id
+),
+hits AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact JOIN approx USING (query_id, neighbor_id)
+  GROUP BY query_id
+)
+SELECT query_id, n_exact,
+       coalesce(n_hits, 0) AS n_hits,
+       CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact AS recall
+FROM totals LEFT JOIN hits USING (query_id)
+"""
+
+
+TOPK_METHODS_SQL = f"""
+SELECT 'brute' AS method, query_id, neighbor_id, rank, cos AS score
+FROM ({COSINE_TOPK_SQL}) b
+UNION ALL
+SELECT 'ivf' AS method, query_id, neighbor_id, rank, cos AS score
+FROM ({COSINE_TOPK_IVF_SQL}) i
+UNION ALL
+SELECT 'pq' AS method, query_id, neighbor_id, rank, adc AS score
+FROM ({PQ_TOPK_SQL}) p
+"""

@@ -264,8 +264,9 @@ REGISTRY: dict[str, Query] = {
     # --- similarity search ---
     "ann_topk": Query(
         _on_embs(similarity.topk_methods), similarity.TOPK_METHODS_SQL,
-        "cosine top-k per query vector, method-keyed union: brute-force "
-        "baseline + IVF-pruned (two-level codebook, recall@5 0.94 at sf0.1)",
+        "top-k per query vector, method-keyed union: brute-force cosine "
+        "baseline + IVF-pruned (two-level codebook) + PQ-ADC over "
+        "32x-compressed codes (r9)",
     ),
     "ann_ivf_recall": Query(
         _on_embs(similarity.ivf_recall_report), similarity.IVF_RECALL_SQL,

@@ -78,6 +78,16 @@ OFF_REGISTRY_EMB = {
         similarity.cosine_topk_ivf,
         similarity.COSINE_TOPK_IVF_SQL,
     ),
+    # r9 product quantization: the pq arm of ann_topk plus the index-build
+    # and evaluation components around it.
+    "off_pq_train_stats": (similarity.pq_train_stats, similarity.PQ_TRAIN_STATS_SQL),
+    "off_pq_encode": (similarity.pq_encode, similarity.PQ_ENCODE_SQL),
+    "off_pq_topk": (similarity.pq_topk, similarity.PQ_TOPK_SQL),
+    "off_pq_topk_rerank": (
+        similarity.pq_topk_rerank,
+        similarity.PQ_TOPK_RERANK_SQL,
+    ),
+    "off_pq_recall": (similarity.pq_recall_report, similarity.PQ_RECALL_SQL),
 }
 
 
