@@ -1194,43 +1194,6 @@ def _pq_seeds(base: DataFrame, m: int, ksub: int) -> DataFrame:
     )
 
 
-def _pq_subvectors(base: DataFrame, m: int) -> DataFrame:
-    """(vec_id, sub, svec): every vector exploded into its m slices — the
-    TRAINING-side row form (the encode path never explodes; it is
-    scan-fused via the packed codebook)."""
-    return base.select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        "emb",
-    ).select(
-        "vec_id",
-        F.col("sub").cast("int").alias("sub"),
-        _pq_slice(F.col("emb"), F.col("sub"), m).alias("svec"),
-    )
-
-
-def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
-    """Each (vec_id, sub) row -> its nearest centroid under L2 (ties to
-    the lowest code — the exact ordering the oracle's row_number
-    mirrors).  Broadcast equi-join on sub; the per-(vec_id, sub) ranking
-    window adds NO exchange because the corpus is already hash-partitioned
-    on vec_id (``_normed(spread=True)``) and HashPartitioning(vec_id)
-    satisfies ClusteredDistribution(vec_id, sub)."""
-    scored = F.broadcast(codebook).join(subs, "sub").select(
-        "vec_id",
-        "sub",
-        "svec",
-        "code",
-        _l2sq(F.col("svec"), F.col("cemb")).alias("d"),
-    )
-    wa = Window.partitionBy("vec_id", "sub").orderBy(F.asc("d"), F.asc("code"))
-    return (
-        scored.withColumn("arank", F.row_number().over(wa))
-        .filter(F.col("arank") == 1)
-        .select("vec_id", "sub", "svec", "code")
-    )
-
-
 def _pq_dequantize(stats: DataFrame) -> DataFrame:
     """(sub, code, pos, n_members, sum_q) Lloyd stats -> (sub, code, cemb)
     centroids — the ``dequantize_codebook`` pattern per subspace (exact
@@ -1270,17 +1233,36 @@ def _pq_train(
     deterministic seeds.  Intermediate codebooks are _persist-ed (each is
     consumed by the next assignment; <= m*ksub rows), the returned final
     codebook is the caller's to persist — same ownership contract as
-    ``refined_codebook``."""
+    ``refined_codebook``.
+
+    Assignment reuses the SCAN-FUSED encode fold (``_pq_code_expr``
+    behind the one-row packed broadcast) rather than a join+rank over
+    (vec_id, sub, code) rows: the row form materializes n*m*ksub
+    intermediate rows per iteration (164M at 80k vectors with byte
+    codes), the fold form keeps the argmin inside the scan and only the
+    n*m*dsub stats explode ever becomes rows — which partial aggregation
+    then collapses to the m*ksub*dsub codebook size map-side.  Same
+    result by construction (the fold's strict-< tie rule IS the
+    (d asc, code asc) rank order; cross-engine parity pinned on the
+    oracle's row_number form)."""
     if iters < 1:
         raise ValueError(f"pq training needs iters >= 1, got {iters}")
     base = _normed(embeddings)
-    subs = _pq_subvectors(base, m)
     cb = _persist(_pq_seeds(base, m, ksub))
     cb_next, stats = None, None
     for it in range(iters):
-        asg = _pq_assign(subs, cb)
+        enc = base.join(F.broadcast(_pq_packed(cb)), how="cross").select(
+            "emb", _pq_code_expr(F.col("emb"), F.col("cbl"), m).alias("codes")
+        )
         stats = (
-            asg.select("sub", "code", F.posexplode("svec").alias("pos", "val"))
+            enc.select("emb", F.posexplode("codes").alias("sub", "code"))
+            .select(
+                F.col("sub").cast("int").alias("sub"),
+                "code",
+                F.posexplode(
+                    _pq_slice(F.col("emb"), F.col("sub"), m)
+                ).alias("pos", "val"),
+            )
             .select(
                 "sub",
                 "code",

@@ -1158,6 +1158,97 @@ def bench_clustered_ann(spark) -> dict:
     return out
 
 
+def bench_pq(spark) -> dict:
+    """Product quantization on the clustered corpora (r9): prices the four
+    PQ stages separately — train (sample-sized at real scale), encode
+    (the pure map pass over the corpus), raw ADC search, and
+    ADC-shortlist + exact rerank — plus both recall numbers.
+
+    What the exponents mean: encode must stay ~linear (scan-fused, no
+    shuffle); brute and ADC both scan |queries| x n pairs (queries are
+    the 1%-stride set, so the PAIR COUNT grows ~s^2 — the exponent is the
+    workload's, not the plan's), and the ratio adc/brute is the constant-
+    factor win of 8 lookups over a 64-wide dot.  The corpus-size win
+    (codes are 32x smaller than raw vectors) shows up as memory, not
+    local wall-clock."""
+    out: dict = {"n_per_x": CLUSTERED_BASE_N, "m": similarity.PQ_M,
+                 "ksub": similarity.PQ_KSUB, "scales": {}}
+    for s in SCALES:
+        e = spark.read.parquet(str(WORK / f"embs_clustered_x{s}.parquet"))
+        cb = similarity.pq_codebook(e)
+        cb.persist().count()
+        entry: dict = {}
+        for name, fn in {
+            "train_sec": lambda: similarity.pq_train_stats(e).count(),
+            "encode_sec": lambda: similarity.pq_encode(e, codebook=cb).count(),
+            "brute_sec": lambda: similarity.cosine_topk(e).count(),
+            "adc_sec": lambda: similarity.pq_topk(e, codebook=cb).count(),
+            "rerank_sec": lambda: similarity.pq_topk_rerank(
+                e, codebook=cb
+            ).count(),
+        }.items():
+            times = []
+            for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
+                spark.catalog.clearCache()
+                similarity.release_cached()
+                cb.persist().count()  # keep the shared codebook resident
+                times.append(timed(fn))
+            entry[name] = round(min(times[1:]), 3)
+        entry["adc_vs_brute"] = round(entry["brute_sec"] / entry["adc_sec"], 2)
+        rec = (
+            similarity.pq_recall_report(e)
+            .agg(F.avg("recall"))
+            .first()[0]
+        )
+        similarity.release_cached()
+        exact = similarity.cosine_topk(e).select("query_id", "neighbor_id")
+        rer = similarity.pq_topk_rerank(e, codebook=cb).select(
+            "query_id", "neighbor_id"
+        )
+        hits = exact.join(rer, ["query_id", "neighbor_id"]).count()
+        total = exact.count()
+        similarity.release_cached()
+        entry["recall_raw_adc"] = round(float(rec), 3)
+        entry["recall_rerank"] = round(hits / total, 3)
+        cb.unpersist()
+        out["scales"][s] = entry
+    # Density-controlled axis: the fixed-cluster sweep above densifies
+    # (50 clusters at every n, so blobs grow 160 -> 1600 members) and
+    # recall falls with DENSITY, not corpus size — this sweep holds
+    # members-per-cluster at 160 while n grows 10x; rerank recall must
+    # stay ~flat (measured 0.44/0.46/0.50).  The production remedies for
+    # dense blobs are a larger shortlist (measured 0.066 -> 0.218 at 4x
+    # shortlist on the 1600-member regime) or near-dup removal BEFORE
+    # indexing — the pipeline's own dedup operators.
+    out["density_controlled"] = {}
+    for s in SCALES:
+        n, c = CLUSTERED_BASE_N * s, 50 * s
+        p = WORK / f"embs_clustered_dens_x{s}.parquet"
+        if not p.exists():
+            write_clustered_embeddings(str(p), n=n, clusters=c)
+        e = spark.read.parquet(str(p))
+        exact = similarity.cosine_topk(e).select("query_id", "neighbor_id")
+        exact.persist()
+        total = exact.count()
+        cb = similarity.pq_codebook(e)
+        cb.persist().count()
+        rer = similarity.pq_topk_rerank(e, codebook=cb).select(
+            "query_id", "neighbor_id"
+        )
+        hits = exact.join(rer, ["query_id", "neighbor_id"]).count()
+        out["density_controlled"][s] = {
+            "n": n,
+            "clusters": c,
+            "members_per_cluster": n // c,
+            "recall_rerank": round(hits / total, 3),
+        }
+        exact.unpersist()
+        cb.unpersist()
+        similarity.release_cached()
+        spark.catalog.clearCache()
+    return out
+
+
 def bench_composed(spark) -> dict:
     """r7 composed registry entries on the 1x/4x/10x corpora: the span
     composition should track the span family (flat — shared persisted
@@ -1189,6 +1280,10 @@ def main() -> None:
     if section == "clustered":
         build_clustered()
         print(json.dumps({"clustered_ann": bench_clustered_ann(spark)}))
+        return
+    if section == "pq":
+        build_clustered()
+        print(json.dumps({"pq": bench_pq(spark)}))
         return
     if section == "extra":
         print(json.dumps({"extra": bench_extra(spark)}))
