@@ -1766,3 +1766,294 @@ UNION ALL
 SELECT 'pq' AS method, query_id, neighbor_id, rank, adc AS score
 FROM ({PQ_TOPK_SQL}) p
 """
+
+
+# --- IVF+PQ composition (r9): the 100 TB search architecture ------------------
+#
+# IVF answers "which vectors do I look at" (probe nprobe of K cells —
+# sub-linear candidates), PQ answers "how cheaply can I look" (m table
+# lookups over codes 32x smaller than the raw floats).  Composed, a
+# query prices at nprobe/K of the corpus x m adds per candidate over an
+# index that fits in RAM — the IVFADC layout of Jégou et al. 2011 and
+# the architecture every production vector store ships.  The stored
+# artifact is ``ivfpq_index``'s (vec_id, cluster, code_csv): search
+# never reads raw vectors except the query set and the rerank shortlist.
+
+
+def ivfpq_index(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+    codebook: DataFrame | None = None,
+    pq_cb: DataFrame | None = None,
+) -> DataFrame:
+    """The IVFADC index rows: every vector's IVF cell + PQ codes.
+
+    One corpus pass computes both: the IVF assignment (label-equi
+    broadcast join + per-vector rank, no extra exchange past the
+    vec_id pre-partitioning) carries ``emb`` to the scan-fused PQ code
+    fold on the same row.  Output: (vec_id, cluster, code_csv) — the
+    rows a deployment writes as the searchable artifact; raw embeddings
+    are cold storage after this.
+
+    ``codebook``/``pq_cb`` override the IVF and PQ codebooks (both the
+    operator-built defaults otherwise) — the lifecycle owns real
+    artifacts."""
+    base = _normed(embeddings)
+    cents = (
+        codebook
+        if codebook is not None
+        else _persist(_twolevel_seeds(base, _auto_subk_for(embeddings)))
+    )
+    pq_codes = (
+        pq_cb if pq_cb is not None else _pq_train(embeddings, m, ksub, iters)[0]
+    )
+    assigned = _assign_to_centroids(base, cents)
+    packed = _pq_packed(pq_codes)
+    return assigned.join(F.broadcast(packed), how="cross").select(
+        "vec_id",
+        "cluster",
+        F.array_join(
+            F.transform(
+                _pq_code_expr(F.col("emb"), F.col("cbl"), m),
+                lambda c: c.cast("string"),
+            ),
+            ",",
+        ).alias("code_csv"),
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    k: int = TOPK,
+    nprobe: int = NPROBE,
+    shortlist: int = PQ_SHORTLIST,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+) -> DataFrame:
+    """IVFADC search: probe nprobe IVF cells, ADC-score ONLY their
+    members over PQ codes, exact-rerank the shortlist.
+
+    Per-query cost: K centroid dots (probing) + ~nprobe*n/K candidates x
+    m lookups (ADC over the probed inverted lists) + shortlist raw-vector
+    dots (rerank) — against brute's n full-width dots.  Every join is a
+    broadcast equi-join (probes on cluster, shortlist on vec_id); the
+    corpus-sized frames never shuffle except the per-query top-k windows.
+
+    Output: (query_id, neighbor_id, rank, cos) — exact cosine over the
+    ADC shortlist of the probed cells (ANN semantics twice over: cell
+    pruning AND code ranking bound what rerank can see; the recall
+    instruments price each stage)."""
+    if not 1 <= k <= shortlist:
+        raise ValueError(
+            f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}"
+        )
+    base = _normed(embeddings)
+    cents = _persist(_twolevel_seeds(base, _auto_subk_for(embeddings)))
+    pq_cb = _pq_train(embeddings, m, ksub, iters)[0]
+    packed = _persist(_pq_packed(pq_cb))
+    index = ivfpq_index(embeddings, m, ksub, iters, codebook=cents, pq_cb=pq_cb)
+    # split code_csv back to ints once, scan-side (the stored artifact is
+    # the csv row; a real deployment would store the array column)
+    coded = index.select(
+        "vec_id",
+        "cluster",
+        F.transform(F.split("code_csv", ","), lambda s: s.cast("int")).alias(
+            "codes"
+        ),
+    )
+    queries = _normed(
+        embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # probing: identical to cosine_topk_ivf (cells ranked by centroid
+    # cosine), then each probe row picks up the query's ADC LUT
+    probe_scored = F.broadcast(cents).join(queries, how="cross").select(
+        "query_id", "qemb", "cluster",
+        (
+            _dot(F.col("cemb"), F.col("qemb"))
+            / (F.col("cnrm") * F.col("qnrm"))
+        ).alias("ccos"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cluster"))
+    probes = (
+        probe_scored.withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "qemb", "cluster")
+        .join(F.broadcast(packed), how="cross")
+        .select(
+            "query_id",
+            "cluster",
+            F.transform(
+                F.col("cbl"),
+                lambda cl, mm: F.transform(
+                    cl, lambda ce: _dot(_pq_slice(F.col("qemb"), mm, m), ce)
+                ),
+            ).alias("lut"),
+        )
+    )
+    # ADC over the probed inverted lists only: broadcast equi-join on
+    # cluster — each query touches nprobe cells' members, nothing else
+    adc_scored = (
+        F.broadcast(probes)
+        .join(coded, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, mm: acc
+                + F.element_at(
+                    F.element_at(F.col("lut"), mm + 1),
+                    F.element_at(F.col("codes"), mm + 1) + 1,
+                ),
+            ).alias("adc"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    short = (
+        adc_scored.withColumn("srank", F.row_number().over(ws))
+        .filter(F.col("srank") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank of the shortlist: the only raw-vector reads besides
+    # the query set
+    rq = _normed(
+        embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    rescored = (
+        F.broadcast(short.join(rq, "query_id"))
+        .join(base, F.col("vec_id") == F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qemb"), F.col("emb"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+#: IVF-side oracle CTEs for the IVFADC composition, renamed i* to compose
+#: with the PQ prelude in one WITH clause (same seed/assignment SQL as
+#: _SEEDS_CTE / COSINE_TOPK_IVF_SQL, over an e2 that keeps label + nrm).
+_IVFPQ_IVF_CTE = f"""
+e2 AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+),
+icounts AS (SELECT label, count(*) AS n_label FROM e2 GROUP BY label),
+icand AS (
+  SELECT e2.label, e2.vec_id, e2.emb, e2.nrm, n_label,
+         {X.h56_sql('CAST(e2.vec_id AS VARCHAR)')} AS h
+  FROM e2 JOIN icounts USING (label)
+),
+iranked AS (
+  SELECT label, vec_id, emb, nrm,
+         row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rk
+  FROM icand
+  WHERE (h >> 28) * n_label < {SUBK * SEED_OVERSAMPLE * (1 << 28)}
+),
+icentroids AS (
+  SELECT label, CAST(label AS BIGINT) * 1000 + rk AS cluster,
+         emb AS cemb, nrm AS cnrm
+  FROM iranked WHERE rk <= {SUBK}
+),
+iasg AS (
+  SELECT e2.vec_id, e2.emb, e2.nrm, c.cluster,
+         row_number() OVER (PARTITION BY e2.vec_id
+                            ORDER BY list_dot_product(cemb, emb) / (cnrm * nrm) DESC,
+                                     c.cluster ASC) AS arank
+  FROM e2 JOIN icentroids c USING (label)
+),
+iassigned AS (
+  SELECT vec_id, emb, nrm, cluster FROM iasg WHERE arank = 1
+)"""
+
+
+IVFPQ_INDEX_SQL = f"""
+WITH {_PQ_CTE.strip()},
+{_IVFPQ_IVF_CTE.strip()}
+SELECT a.vec_id, a.cluster,
+       string_agg(CAST(en.code AS VARCHAR), ',' ORDER BY en.sub) AS code_csv
+FROM iassigned a JOIN enc en ON en.vec_id = a.vec_id
+GROUP BY a.vec_id, a.cluster
+"""
+
+
+IVFPQ_TOPK_SQL = f"""
+WITH {_PQ_CTE.strip()},
+{_IVFPQ_IVF_CTE.strip()},
+q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnrm
+  FROM e2 WHERE vec_id % {QUERY_STRIDE} = 0
+),
+probes AS (
+  SELECT query_id, qemb, cluster
+  FROM (
+    SELECT query_id, qemb, cluster,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY list_dot_product(cemb, qemb) / (cnrm * qnrm) DESC,
+                                       cluster ASC) AS prank
+    FROM q CROSS JOIN icentroids
+  ) WHERE prank <= {NPROBE}
+),
+persub AS (
+  SELECT p.query_id, a.vec_id, en.sub,
+         list_dot_product(
+           list_slice(p.qemb, en.sub * (len(p.qemb) // {PQ_M}) + 1,
+                      (en.sub + 1) * (len(p.qemb) // {PQ_M})),
+           cb.cemb) AS val
+  FROM probes p
+  JOIN iassigned a USING (cluster)
+  JOIN enc en ON en.vec_id = a.vec_id
+  JOIN newcb cb ON cb.sub = en.sub AND cb.code = en.code
+  WHERE a.vec_id <> p.query_id
+),
+adcs AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         list_dot_product(list(val ORDER BY sub), {_PQ_ONES}) AS adc
+  FROM persub GROUP BY query_id, vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc DESC, neighbor_id ASC) AS srank
+    FROM adcs
+  ) WHERE srank <= {PQ_SHORTLIST}
+),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.qemb, e2.emb) / (q.qnrm * e2.nrm) AS cos
+  FROM short s JOIN q USING (query_id)
+  JOIN e2 ON e2.vec_id = s.neighbor_id
+),
+reranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, rank, cos FROM reranked WHERE rank <= {TOPK}
+"""

@@ -1186,6 +1186,9 @@ def bench_pq(spark) -> dict:
             "rerank_sec": lambda: similarity.pq_topk_rerank(
                 e, codebook=cb
             ).count(),
+            # the full IVFADC composition: nprobe-of-K cell pruning THEN
+            # ADC over codes THEN rerank — candidates AND bytes both cut
+            "ivfpq_sec": lambda: similarity.ivfpq_topk(e).count(),
         }.items():
             times = []
             for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
@@ -1236,11 +1239,14 @@ def bench_pq(spark) -> dict:
             "query_id", "neighbor_id"
         )
         hits = exact.join(rer, ["query_id", "neighbor_id"]).count()
+        ivfpq = similarity.ivfpq_topk(e).select("query_id", "neighbor_id")
+        ivfpq_hits = exact.join(ivfpq, ["query_id", "neighbor_id"]).count()
         out["density_controlled"][s] = {
             "n": n,
             "clusters": c,
             "members_per_cluster": n // c,
             "recall_rerank": round(hits / total, 3),
+            "recall_ivfpq": round(ivfpq_hits / total, 3),
         }
         exact.unpersist()
         cb.unpersist()

@@ -87,6 +87,9 @@ OFF_REGISTRY_EMB = {
         similarity.pq_topk_rerank,
         similarity.PQ_TOPK_RERANK_SQL,
     ),
+    # r9 IVFADC composition: IVF cell pruning x PQ code scoring + rerank
+    "off_ivfpq_index": (similarity.ivfpq_index, similarity.IVFPQ_INDEX_SQL),
+    "off_ivfpq_topk": (similarity.ivfpq_topk, similarity.IVFPQ_TOPK_SQL),
     "off_pq_recall": (similarity.pq_recall_report, similarity.PQ_RECALL_SQL),
 }
 

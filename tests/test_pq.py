@@ -177,6 +177,54 @@ def test_pq_empty_input(embs):
     assert S.pq_recall_report(empty).count() == 0
 
 
+def test_ivfpq_index_layout_independent_and_typed(embs):
+    a = {
+        (r.vec_id, r.cluster, r.code_csv)
+        for r in S.ivfpq_index(embs).collect()
+    }
+    b = {
+        (r.vec_id, r.cluster, r.code_csv)
+        for r in S.ivfpq_index(embs.repartition(7)).collect()
+    }
+    assert a == b
+    assert len(a) == embs.count()
+    for _, cluster, csv in a:
+        # narrow IVF encoding at tested SFs + dense PQ codes
+        assert 0 <= cluster < 10**15
+        codes = [int(c) for c in csv.split(",")]
+        assert len(codes) == S.PQ_M
+        assert all(0 <= c < S.PQ_KSUB for c in codes)
+
+
+def test_ivfpq_search_plan_has_no_corpus_shuffle_join(spark, embs):
+    """The IVFADC search claim: the index side is only ever touched via
+    broadcast equi-joins (probes on cluster, shortlist on vec_id) — no
+    sort-merge or shuffled-hash join anywhere in the composed plan; the
+    corpus-sized exchanges are the per-query ranking windows alone."""
+    plan = physical_plan(S.ivfpq_topk(embs))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_recall_on_clustered_embeddings(spark, tmp_path):
+    """Composed recall: cell pruning (nprobe=40 of K=50) stacked on the
+    ADC shortlist still recovers the exact top-k on clustered data at
+    low blob density — the full-architecture operating point."""
+    p = str(tmp_path / "clustered_ivfpq.parquet")
+    fixtures.write_clustered_embeddings(p, n=800)
+    embs = spark.read.parquet(p)
+    exact = S.cosine_topk(embs).select("query_id", "neighbor_id")
+    got = S.ivfpq_topk(embs).select("query_id", "neighbor_id")
+    hits = exact.join(got, ["query_id", "neighbor_id"]).count()
+    assert hits / exact.count() >= 0.9, hits / exact.count()
+
+
+def test_ivfpq_rejects_k_above_shortlist(embs):
+    with pytest.raises(ValueError, match="shortlist"):
+        S.ivfpq_topk(embs, k=10, shortlist=5)
+
+
 def test_ann_topk_union_has_three_methods(embs):
     methods = {
         r.method
