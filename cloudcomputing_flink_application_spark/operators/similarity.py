@@ -1131,14 +1131,6 @@ PQ_SHORTLIST = 50  # ADC shortlist size for the rerank stage: measured on
 # 50 raw vectors per query (tests/test_pq.py pins both sides of that).
 
 
-def _l2sq(u: Column, v: Column) -> Column:
-    """Squared L2 distance via three sequential-fold dots — the exact
-    expression the DuckDB oracles mirror term by term (classic PQ trains
-    under L2; ADC then approximates the DOT PRODUCT with the centroid
-    reproduction)."""
-    return _dot(u, u) - 2 * _dot(u, v) + _dot(v, v)
-
-
 def _pq_slice(emb: Column, sub: Column, m: int) -> Column:
     """The ``sub``-th of ``m`` contiguous subvectors of ``emb``.  The
     divisibility guard is per row and loud (raise_error), mirroring
@@ -1252,7 +1244,10 @@ def _pq_train(
     cb_next, stats = None, None
     for it in range(iters):
         enc = base.join(F.broadcast(_pq_packed(cb)), how="cross").select(
-            "emb", _pq_code_expr(F.col("emb"), F.col("cbl"), m).alias("codes")
+            "emb",
+            _pq_code_expr(
+                F.col("emb"), F.col("cbl"), F.col("ccl"), m
+            ).alias("codes"),
         )
         stats = (
             enc.select("emb", F.posexplode("codes").alias("sub", "code"))
@@ -1310,47 +1305,92 @@ def pq_codebook(
 
 def _pq_packed(codebook: DataFrame) -> DataFrame:
     """The whole codebook as ONE row: cbl[sub][code] = centroid slice
-    (array<array<array<double>>>).  m*ksub*dsub doubles — 8 KiB at the
-    defaults — which is what lets encode/LUT be scan-fused column folds
-    behind a one-row broadcast instead of a join+regroup per subvector.
+    (array<array<array<double>>>) plus ccl[sub][code] = its precomputed
+    self-dot (the constant term of the argmin score — computing it once
+    here instead of per (vector, candidate) removes a third of the
+    encode fold's work).  m*ksub*dsub doubles — 8 KiB at the defaults —
+    which is what lets encode/LUT be scan-fused column folds behind a
+    one-row broadcast instead of a join+regroup per subvector.
     Positional indexing is safe because the code space is dense (seeds +
     carry-forward; pinned in tests/test_pq.py)."""
     per_sub = (
         codebook.groupBy("sub")
         .agg(F.array_sort(F.collect_list(F.struct("code", "cemb"))).alias("cc"))
-        .select("sub", F.transform("cc", lambda s: s["cemb"]).alias("cl"))
+        .select(
+            "sub",
+            F.transform("cc", lambda s: s["cemb"]).alias("cl"),
+            F.transform("cc", lambda s: _dot(s["cemb"], s["cemb"])).alias("c2"),
+        )
     )
     return (
         per_sub.groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "cl"))).alias("sc"))
-        .select(F.transform("sc", lambda s: s["cl"]).alias("cbl"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("sub", "cl", "c2"))
+            ).alias("sc")
+        )
+        .select(
+            F.transform("sc", lambda s: s["cl"]).alias("cbl"),
+            F.transform("sc", lambda s: s["c2"]).alias("ccl"),
+        )
     )
 
 
-def _pq_code_expr(emb: Column, cbl: Column, m: int) -> Column:
-    """codes[sub] for one vector, as a pure column fold: per subspace,
-    argmin code under L2 against the packed codebook (strict < keeps the
-    LOWEST code on exact ties — the same (d asc, code asc) order the
-    training assignment and the oracle's row_number use)."""
+def _pq_subs_expr(emb: Column, m: int) -> Column:
+    """All m slices of one vector as an array-of-arrays — hoisted out of
+    the per-candidate lambdas so each slice is evaluated once per row,
+    not once per (candidate, row) (interpreted higher-order functions do
+    no common-subexpression elimination inside lambdas)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)), lambda mm: _pq_slice(emb, mm, m)
+    )
 
-    def code_for(mm: Column) -> Column:
-        svec = _pq_slice(emb, mm, m)
-        scored = F.transform(
-            F.element_at(cbl, mm + 1),
-            lambda ce, ci: F.struct(
-                _l2sq(svec, ce).alias("d"), ci.cast("int").alias("c")
-            ),
-        )
-        best = F.aggregate(
-            scored,
-            F.struct(
-                F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("c")
-            ),
-            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
-        )
-        return best["c"]
 
-    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+def _let(value: Column, body) -> Column:
+    """Bind ``value`` once and reference it freely inside ``body`` — the
+    let-binding idiom for higher-order functions: interpreted lambdas
+    re-EVALUATE every textual repetition of a subtree, but a lambda
+    VARIABLE is a materialized value, so wrapping the subtree in a
+    one-element array + transform makes repeated references free."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _pq_code_expr(emb: Column, cbl: Column, ccl: Column, m: int) -> Column:
+    """codes[sub] for one vector, as a pure column expression: per
+    subspace, argmin code under L2.  The score is the TWO-term form
+    ``dot(c,c) - 2*dot(s,c)`` (dropping the candidate-constant dot(s,s)
+    — same argmin, a third less fold work, with dot(c,c) precomputed in
+    the packed row); the scores array is let-bound so it is computed
+    ONCE, and the argmin is array_min + array_position — first match
+    wins, which IS the lowest code on exact ties, the same
+    (score asc, code asc) order the oracle's row_number uses.  The
+    oracle computes the identical two-term expression, so the doubles
+    compared are bit-equal across engines."""
+    return F.transform(
+        _pq_subs_expr(emb, m),
+        lambda svec, mm: _let(
+            F.zip_with(
+                F.element_at(cbl, mm + 1),
+                F.element_at(ccl, mm + 1),
+                lambda ce, cc: cc - 2 * _dot(svec, ce),
+            ),
+            lambda scores: (
+                F.array_position(scores, F.array_min(scores)) - 1
+            ).cast("int"),
+        ),
+    )
+
+
+def _pq_lut_expr(emb: Column, cbl: Column, m: int) -> Column:
+    """lut[sub][code] = dot(query_sub, centroid): the ADC lookup table as
+    one nested-array expression.  The query slice is bound once per sub
+    (zip_with lambda variable), not re-sliced per candidate — the same
+    no-CSE-inside-lambdas hazard ``_pq_subs_expr`` exists for."""
+    return F.zip_with(
+        _pq_subs_expr(emb, m),
+        cbl,
+        lambda svec, cl: F.transform(cl, lambda ce: _dot(svec, ce)),
+    )
 
 
 def _pq_encoded(
@@ -1359,7 +1399,8 @@ def _pq_encoded(
     """(vec_id, codes): the scan-fused encode — corpus scan x one-row
     broadcast, zero exchanges (pinned in tests/test_plans.py)."""
     return base.join(F.broadcast(packed), how="cross").select(
-        "vec_id", _pq_code_expr(F.col("emb"), F.col("cbl"), m).alias("codes")
+        "vec_id",
+        _pq_code_expr(F.col("emb"), F.col("cbl"), F.col("ccl"), m).alias("codes"),
     )
 
 
@@ -1390,7 +1431,7 @@ def pq_encode(
     )
     packed = _pq_packed(cb)
     enc = base.join(F.broadcast(packed), how="cross")
-    codes = _pq_code_expr(F.col("emb"), F.col("cbl"), m)
+    codes = _pq_code_expr(F.col("emb"), F.col("cbl"), F.col("ccl"), m)
     return enc.select(
         "vec_id",
         F.size("emb").cast("int").alias("dim"),
@@ -1438,12 +1479,7 @@ def pq_topk(
         .join(F.broadcast(packed), how="cross")
         .select(
             F.col("vec_id").alias("query_id"),
-            F.transform(
-                F.col("cbl"),
-                lambda cl, mm: F.transform(
-                    cl, lambda ce: _dot(_pq_slice(F.col("emb"), mm, m), ce)
-                ),
-            ).alias("lut"),
+            _pq_lut_expr(F.col("emb"), F.col("cbl"), m).alias("lut"),
         )
     )
     scored = (
@@ -1610,9 +1646,8 @@ asg0 AS (
     SELECT su.vec_id, su.sub, su.svec, c.code,
            row_number() OVER (
              PARTITION BY su.vec_id, su.sub
-             ORDER BY list_dot_product(svec, svec)
-                      - 2 * list_dot_product(svec, cemb)
-                      + list_dot_product(cemb, cemb) ASC,
+             ORDER BY list_dot_product(cemb, cemb)
+                      - 2 * list_dot_product(svec, cemb) ASC,
                       c.code ASC) AS arank
     FROM subs su JOIN seeds c USING (sub)
   ) WHERE arank = 1
@@ -1640,9 +1675,8 @@ enc AS (
     SELECT su.vec_id, su.sub, c.code,
            row_number() OVER (
              PARTITION BY su.vec_id, su.sub
-             ORDER BY list_dot_product(svec, svec)
-                      - 2 * list_dot_product(svec, cemb)
-                      + list_dot_product(cemb, cemb) ASC,
+             ORDER BY list_dot_product(cemb, cemb)
+                      - 2 * list_dot_product(svec, cemb) ASC,
                       c.code ASC) AS arank
     FROM subs su JOIN newcb c USING (sub)
   ) WHERE arank = 1
@@ -1816,7 +1850,7 @@ def ivfpq_index(
         "cluster",
         F.array_join(
             F.transform(
-                _pq_code_expr(F.col("emb"), F.col("cbl"), m),
+                _pq_code_expr(F.col("emb"), F.col("cbl"), F.col("ccl"), m),
                 lambda c: c.cast("string"),
             ),
             ",",
@@ -1852,7 +1886,10 @@ def ivfpq_topk(
         )
     base = _normed(embeddings)
     cents = _persist(_twolevel_seeds(base, _auto_subk_for(embeddings)))
-    pq_cb = _pq_train(embeddings, m, ksub, iters)[0]
+    # consumed twice — once by this operator's LUT packing and once by
+    # ivfpq_index's own packing — so an unpersisted codebook would run
+    # the whole Lloyd lineage twice (<= m*ksub rows cached)
+    pq_cb = _persist(_pq_train(embeddings, m, ksub, iters)[0])
     packed = _persist(_pq_packed(pq_cb))
     index = ivfpq_index(embeddings, m, ksub, iters, codebook=cents, pq_cb=pq_cb)
     # split code_csv back to ints once, scan-side (the stored artifact is
@@ -1889,12 +1926,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             "cluster",
-            F.transform(
-                F.col("cbl"),
-                lambda cl, mm: F.transform(
-                    cl, lambda ce: _dot(_pq_slice(F.col("qemb"), mm, m), ce)
-                ),
-            ).alias("lut"),
+            _pq_lut_expr(F.col("qemb"), F.col("cbl"), m).alias("lut"),
         )
     )
     # ADC over the probed inverted lists only: broadcast equi-join on

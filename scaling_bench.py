@@ -1178,17 +1178,29 @@ def bench_pq(spark) -> dict:
         cb = similarity.pq_codebook(e)
         cb.persist().count()
         entry: dict = {}
+        def noop(df):
+            # count() would let Catalyst PRUNE computed columns (an
+            # encode "measurement" that never runs the encode fold);
+            # the noop sink materializes every column, like bench.py
+            df.write.mode("overwrite").format("noop").save()
+
         for name, fn in {
-            "train_sec": lambda: similarity.pq_train_stats(e).count(),
-            "encode_sec": lambda: similarity.pq_encode(e, codebook=cb).count(),
-            "brute_sec": lambda: similarity.cosine_topk(e).count(),
-            "adc_sec": lambda: similarity.pq_topk(e, codebook=cb).count(),
-            "rerank_sec": lambda: similarity.pq_topk_rerank(
-                e, codebook=cb
-            ).count(),
+            "train_sec": lambda: noop(similarity.pq_train_stats(e)),
+            # pq_encode deliberately does NOT repartition (at scale the
+            # parquet splits parallelize the map job); the fixture is ONE
+            # arrow file = one split, so model the multi-split layout
+            # explicitly or the row measures a single core's fold
+            "encode_sec": lambda: noop(
+                similarity.pq_encode(e.repartition(32), codebook=cb)
+            ),
+            "brute_sec": lambda: noop(similarity.cosine_topk(e)),
+            "adc_sec": lambda: noop(similarity.pq_topk(e, codebook=cb)),
+            "rerank_sec": lambda: noop(
+                similarity.pq_topk_rerank(e, codebook=cb)
+            ),
             # the full IVFADC composition: nprobe-of-K cell pruning THEN
             # ADC over codes THEN rerank — candidates AND bytes both cut
-            "ivfpq_sec": lambda: similarity.ivfpq_topk(e).count(),
+            "ivfpq_sec": lambda: noop(similarity.ivfpq_topk(e)),
         }.items():
             times = []
             for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
