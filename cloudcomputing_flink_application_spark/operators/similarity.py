@@ -1311,14 +1311,36 @@ def _pq_packed(codebook: DataFrame) -> DataFrame:
     encode fold's work).  m*ksub*dsub doubles — 8 KiB at the defaults —
     which is what lets encode/LUT be scan-fused column folds behind a
     one-row broadcast instead of a join+regroup per subvector.
-    Positional indexing is safe because the code space is dense (seeds +
-    carry-forward; pinned in tests/test_pq.py)."""
+
+    Positional indexing is VALIDATED, not assumed (r9 review): operator-
+    built codebooks are dense by construction (seeds + carry-forward;
+    pinned in tests/test_pq.py), but this is also the public explicit-
+    codebook path — a stored artifact with a gap (codes {0,2,3} in some
+    sub, or non-contiguous sub ids) would silently encode array
+    POSITIONS as codes, corrupting every downstream join against the
+    codebook.  Both levels raise per element instead (the module's
+    loud-contract convention, like ``_pq_slice``/``_encode_cluster``)."""
     per_sub = (
         codebook.groupBy("sub")
         .agg(F.array_sort(F.collect_list(F.struct("code", "cemb"))).alias("cc"))
         .select(
             "sub",
-            F.transform("cc", lambda s: s["cemb"]).alias("cl"),
+            F.transform(
+                "cc",
+                lambda s, i: F.when(s["code"] == i, s["cemb"]).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "pq codebook codes must be dense 0..C-1 "
+                                "per sub; found code "
+                            ),
+                            s["code"].cast("string"),
+                            F.lit(" at position "),
+                            i.cast("string"),
+                        )
+                    )
+                ),
+            ).alias("cl"),
             F.transform("cc", lambda s: _dot(s["cemb"], s["cemb"])).alias("c2"),
         )
     )
@@ -1330,7 +1352,22 @@ def _pq_packed(codebook: DataFrame) -> DataFrame:
             ).alias("sc")
         )
         .select(
-            F.transform("sc", lambda s: s["cl"]).alias("cbl"),
+            F.transform(
+                "sc",
+                lambda s, i: F.when(s["sub"] == i, s["cl"]).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "pq codebook subs must be contiguous "
+                                "0..m-1; found sub "
+                            ),
+                            s["sub"].cast("string"),
+                            F.lit(" at position "),
+                            i.cast("string"),
+                        )
+                    )
+                ),
+            ).alias("cbl"),
             F.transform("sc", lambda s: s["c2"]).alias("ccl"),
         )
     )
@@ -1397,7 +1434,8 @@ def _pq_encoded(
     base: DataFrame, packed: DataFrame, m: int
 ) -> DataFrame:
     """(vec_id, codes): the scan-fused encode — corpus scan x one-row
-    broadcast, zero exchanges (pinned in tests/test_plans.py)."""
+    broadcast, zero corpus-side exchanges (pinned in
+    tests/test_pq.py::test_encode_explicit_codebook_is_scan_fused)."""
     return base.join(F.broadcast(packed), how="cross").select(
         "vec_id",
         _pq_code_expr(F.col("emb"), F.col("cbl"), F.col("ccl"), m).alias("codes"),
@@ -1576,6 +1614,7 @@ def pq_recall_report(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     iters: int = 1,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of RAW ADC-over-codes against the exact baseline — the
     price tag on PQ's 32x compression (dim*4 bytes -> m bytes at byte
@@ -1583,9 +1622,11 @@ def pq_recall_report(
     (``pq_topk_rerank``; measured 0.325 -> 1.0 on the clustered fixture).
     Same shape as ``ivf_recall_report``.
 
-    Output: (query_id, n_exact, n_hits, recall)."""
+    Output: (query_id, n_exact, n_hits, recall).  ``codebook`` skips the
+    inline training pass (the ``ivf_recall_report(codebook=)`` pattern —
+    evaluating a STORED artifact must not retrain it; r9 review)."""
     exact = cosine_topk(embeddings, k).select("query_id", "neighbor_id")
-    approx = pq_topk(embeddings, k, m, ksub, iters).select(
+    approx = pq_topk(embeddings, k, m, ksub, iters, codebook).select(
         "query_id", "neighbor_id"
     )
     totals = exact.groupBy("query_id").agg(
@@ -1956,16 +1997,10 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
     # exact rerank of the shortlist: the only raw-vector reads besides
-    # the query set
-    rq = _normed(
-        embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("emb").alias("qemb"),
-        F.col("nrm").alias("qnrm"),
-    )
+    # the query set (same ``queries`` frame the probe stage used — ONE
+    # definition, so the probe and rerank query sets cannot diverge)
     rescored = (
-        F.broadcast(short.join(rq, "query_id"))
+        F.broadcast(short.join(queries, "query_id"))
         .join(base, F.col("vec_id") == F.col("neighbor_id"))
         .select(
             "query_id",

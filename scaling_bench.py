@@ -1211,7 +1211,7 @@ def bench_pq(spark) -> dict:
             entry[name] = round(min(times[1:]), 3)
         entry["adc_vs_brute"] = round(entry["brute_sec"] / entry["adc_sec"], 2)
         rec = (
-            similarity.pq_recall_report(e)
+            similarity.pq_recall_report(e, codebook=cb)
             .agg(F.avg("recall"))
             .first()[0]
         )

@@ -160,6 +160,33 @@ def test_encode_explicit_codebook_is_scan_fused(spark, embs):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_gappy_explicit_codebook_fails_loudly(spark, embs):
+    """The packed positional-indexing contract is VALIDATED on the public
+    explicit-codebook path: a stored artifact with a code gap (or
+    non-contiguous subs) must raise, not silently encode array positions
+    as codes (r9 review)."""
+    gappy = spark.createDataFrame(
+        [
+            (sub, code, [float(sub + code + p) for p in range(8)])
+            for sub in range(S.PQ_M)
+            for code in (0, 2, 3)  # code 1 missing
+        ],
+        "sub INT, code INT, cemb ARRAY<DOUBLE>",
+    )
+    with pytest.raises(Exception, match="dense"):
+        S.pq_encode(embs, codebook=gappy).collect()
+    bad_subs = spark.createDataFrame(
+        [
+            (sub, code, [float(sub + code + p) for p in range(8)])
+            for sub in (0, 2, 3, 4, 5, 6, 7, 8)  # sub 1 missing
+            for code in range(4)
+        ],
+        "sub INT, code INT, cemb ARRAY<DOUBLE>",
+    )
+    with pytest.raises(Exception, match="contiguous"):
+        S.pq_encode(embs, codebook=bad_subs).collect()
+
+
 def test_non_divisible_dim_fails_loudly(spark):
     bad = spark.createDataFrame(
         [(1, [1.0] * 63, 0), (2, [2.0] * 63, 1)],
