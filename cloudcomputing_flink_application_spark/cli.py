@@ -614,6 +614,57 @@ def _ivf_index(args: argparse.Namespace) -> None:
         sinks.show(spark.read.parquet(f"{args.output}/ref_stats"))
 
 
+def _pq_index(args: argparse.Namespace) -> None:
+    """The product-quantization artifact surface over an
+    ``embeddings``-shaped parquet input.
+
+    Batch (default) BUILDS the PQ artifact under ``<output>``
+    (pq_codebook / codes / pq_meta — ``similarity.build_pq_index``); the
+    codebook is THE versioned artifact, the codes are the 32x-compressed
+    corpus.  ``--encode-only`` re-runs just the map-job encode pass of
+    ``--input`` against the STORED codebook (the per-corpus step a
+    deployment repeats as data lands; geometry comes from pq_meta so a
+    mismatched m/ksub cannot slip in).  ``--report`` prints the raw-ADC
+    recall report of ``--input`` against the stored codebook — the
+    instrument that says whether this corpus's near-dup blob density
+    needs a bigger rerank shortlist or dedup-before-index (SCALING.md
+    pq)."""
+    from cloudcomputing_flink_application_spark.operators import similarity
+
+    spark = get_spark(app_name="pq-index")
+    if args.encode_only or args.report:
+        params = similarity.pq_build_params(spark, args.output)
+        if params is None:
+            raise SystemExit(
+                f"no pq_meta under {args.output} — --encode-only/--report "
+                "operate on a built pq-index output root (build first)"
+            )
+        cb = similarity.read_pq_codebook(spark, args.output)
+        embs = spark.read.parquet(args.input)
+        if args.report:
+            sinks.show(
+                similarity.pq_recall_report(
+                    embs, m=params["m"], ksub=params["ksub"], codebook=cb
+                )
+            )
+            return
+        similarity.pq_encode(
+            embs, m=params["m"], ksub=params["ksub"], codebook=cb
+        ).write.mode("overwrite").parquet(f"{args.output}/codes")
+        if args.show:
+            sinks.show(spark.read.parquet(f"{args.output}/codes"))
+        return
+    similarity.build_pq_index(
+        spark.read.parquet(args.input),
+        args.output,
+        m=args.m,
+        ksub=args.ksub,
+        iters=args.iters if args.iters is not None else 1,
+    )
+    if args.show:
+        sinks.show(spark.read.parquet(f"{args.output}/codes"))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="cloudcomputing_flink_application_spark")
     sub = p.add_subparsers(dest="job", required=True)
@@ -637,6 +688,9 @@ def main(argv: list[str] | None = None) -> None:
         ("ivf-index", _ivf_index,
          "embeddings-shaped parquet file/dir",
          "index root (codebook / ref_stats / assignments / drift)"),
+        ("pq-index", _pq_index,
+         "embeddings-shaped parquet file/dir",
+         "artifact root (pq_codebook / codes / pq_meta)"),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("--input", required=True, help=in_help)
@@ -779,6 +833,33 @@ def main(argv: list[str] | None = None) -> None:
                 "contract as dedup-purge --forget; drift rows are "
                 "k-anonymous aggregates and stay — full statistical "
                 "erasure = rebuild)",
+            )
+        if name == "pq-index":
+            sp.add_argument(
+                "--m", type=int, default=8,
+                help="subspaces (embedding dim must divide evenly; "
+                "default 8 — codes are m small ints per vector)",
+            )
+            sp.add_argument(
+                "--ksub", type=int, default=16,
+                help="centroids per subspace (default 16 = 4-bit codes; "
+                "256 = byte codes at production scale)",
+            )
+            sp.add_argument(
+                "--iters", type=int, default=None,
+                help="Lloyd refinement iterations for the codebook "
+                "(default 1)",
+            )
+            sp.add_argument(
+                "--encode-only", action="store_true",
+                help="skip training: encode --input against the STORED "
+                "codebook (geometry from pq_meta) and overwrite "
+                "<output>/codes — the repeatable map-job pass",
+            )
+            sp.add_argument(
+                "--report", action="store_true",
+                help="print the raw-ADC recall report of --input against "
+                "the stored codebook instead of building/encoding",
             )
         if name == "span-scrub":
             sp.add_argument(

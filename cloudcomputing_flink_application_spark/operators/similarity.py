@@ -2124,3 +2124,63 @@ reranked AS (
 )
 SELECT query_id, neighbor_id, rank, cos FROM reranked WHERE rank <= {TOPK}
 """
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    index_root: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 1,
+) -> None:
+    """Persist the PQ artifact pair a compressed-embedding deployment
+    versions alongside its data:
+
+    - ``{index_root}/pq_codebook`` — (sub, code, cemb), the trained
+      per-subspace centroids (THE artifact; tiny);
+    - ``{index_root}/codes`` — the encoded corpus (vec_id, dim, m,
+      code_csv), 32x smaller than the raw vectors at the defaults;
+    - ``{index_root}/pq_meta`` — (m, ksub, iters): the build geometry,
+      read back by encode passes so a later corpus cannot be silently
+      encoded with mismatched m/ksub (the ``build_meta`` lesson — r8).
+
+    The codes are encoded against the codebook AS WRITTEN (written
+    first, read back, then encoded) so the on-disk pair is self-
+    consistent even if the in-memory plan would ever change.  Rebuild
+    over an existing root statically overwrites all three (stale codes
+    from the previous codebook must drop, not merge).  No lock fencing:
+    unlike the IVF assignment store, no streaming writer appends to a PQ
+    root yet — the day one does, it takes the same ``.forget_lock``
+    contract the other stores use."""
+    spark = embeddings.sparkSession
+    cb = pq_codebook(embeddings, m, ksub, iters)
+    cb.write.mode("overwrite").parquet(f"{index_root}/pq_codebook")
+    stored = read_pq_codebook(spark, index_root)
+    pq_encode(embeddings, m, ksub, codebook=stored).write.mode(
+        "overwrite"
+    ).parquet(f"{index_root}/codes")
+    spark.createDataFrame(
+        [(int(m), int(ksub), int(iters))], "m INT, ksub INT, iters INT"
+    ).write.mode("overwrite").parquet(f"{index_root}/pq_meta")
+
+
+def read_pq_codebook(spark, index_root: str) -> DataFrame:
+    """Load the persisted PQ codebook, ready for
+    ``pq_encode(..., codebook=...)`` / ``pq_topk`` / ``ivfpq_index`` —
+    the packed validation (dense codes, contiguous subs) still runs on
+    every use, so a hand-edited artifact fails loudly."""
+    return spark.read.parquet(f"{index_root}/pq_codebook")
+
+
+def pq_build_params(spark, index_root: str) -> dict | None:
+    """The geometry the PQ index at ``index_root`` was built with, or
+    ``None`` when no meta exists — callers must refuse to encode against
+    a root they cannot read the geometry of (an m mismatch would slice
+    wrong, a ksub mismatch would train a differently-shaped codebook on
+    the next rebuild)."""
+    import os
+
+    if not os.path.isdir(f"{index_root}/pq_meta"):
+        return None
+    row = spark.read.parquet(f"{index_root}/pq_meta").first()
+    return {"m": int(row["m"]), "ksub": int(row["ksub"]), "iters": int(row["iters"])}

@@ -653,3 +653,51 @@ def test_dedup_purge_cli_compact_and_horizon_delta(spark, tmp_path):
     with pytest.raises(SystemExit, match="no emitted output"):
         cli.main(["dedup-purge", "--input", d_in,
                   "--output", str(tmp_path / "never"), "--compact"])
+
+
+def test_pq_index_cli_build_encode_report(spark, tmp_path, capfd):
+    from cloudcomputing_flink_application_spark.operators import similarity
+    from tests.conftest import TESTDATA
+
+    emb_in = f"{TESTDATA}/sf0.001/embeddings.parquet"
+    root = str(tmp_path / "pqroot")
+    cli.main(["pq-index", "--input", emb_in, "--output", root])
+    import os
+
+    assert sorted(os.listdir(root)) == ["codes", "pq_codebook", "pq_meta"]
+    # codes match the library operator given the STORED codebook
+    stored = similarity.read_pq_codebook(spark, root)
+    expected = {
+        (r.vec_id, r.code_csv)
+        for r in similarity.pq_encode(
+            spark.read.parquet(emb_in), codebook=stored
+        ).collect()
+    }
+    got = {
+        (r.vec_id, r.code_csv)
+        for r in spark.read.parquet(f"{root}/codes").collect()
+    }
+    assert got == expected and len(got) == 500
+    # geometry recorded
+    assert similarity.pq_build_params(spark, root) == {
+        "m": 8, "ksub": 16, "iters": 1
+    }
+    # --encode-only re-encodes against the stored codebook (idempotent
+    # on the same input)
+    cli.main(["pq-index", "--input", emb_in, "--output", root,
+              "--encode-only"])
+    again = {
+        (r.vec_id, r.code_csv)
+        for r in spark.read.parquet(f"{root}/codes").collect()
+    }
+    assert again == expected
+    # --report prints the recall table
+    cli.main(["pq-index", "--input", emb_in, "--output", root, "--report"])
+    assert "recall" in capfd.readouterr().out
+    # both maintenance modes refuse an unbuilt root
+    import pytest
+
+    for flag in ("--encode-only", "--report"):
+        with pytest.raises(SystemExit, match="no pq_meta"):
+            cli.main(["pq-index", "--input", emb_in,
+                      "--output", str(tmp_path / "nothing"), flag])
