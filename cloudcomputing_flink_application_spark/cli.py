@@ -619,19 +619,54 @@ def _pq_index(args: argparse.Namespace) -> None:
     ``embeddings``-shaped parquet input.
 
     Batch (default) BUILDS the PQ artifact under ``<output>``
-    (pq_codebook / codes / pq_meta — ``similarity.build_pq_index``); the
-    codebook is THE versioned artifact, the codes are the 32x-compressed
-    corpus.  ``--encode-only`` re-runs just the map-job encode pass of
-    ``--input`` against the STORED codebook (the per-corpus step a
-    deployment repeats as data lands; geometry comes from pq_meta so a
-    mismatched m/ksub cannot slip in).  ``--report`` prints the raw-ADC
-    recall report of ``--input`` against the stored codebook — the
-    instrument that says whether this corpus's near-dup blob density
-    needs a bigger rerank shortlist or dedup-before-index (SCALING.md
-    pq)."""
+    (pq_codebook / codes/batch_id=0 / pq_meta —
+    ``similarity.build_pq_index``); the codebook is THE versioned
+    artifact, the codes are the 32x-compressed corpus.  ``--streaming``
+    runs ``run_pq_encode_stream`` over the input directory: arriving
+    vectors encode against the stored codebook and append code rows
+    (batch + stream rows form one store; a rebuild fences the stream
+    with the shared lock marker).  ``--encode-only`` re-runs just the
+    map-job encode pass of ``--input`` against the STORED codebook (the
+    per-corpus step a deployment repeats as data lands; geometry comes
+    from pq_meta so a mismatched m/ksub cannot slip in).  ``--report``
+    prints the raw-ADC recall report of ``--input`` against the stored
+    codebook — the instrument that says whether this corpus's near-dup
+    blob density needs a bigger rerank shortlist or dedup-before-index
+    (SCALING.md pq).  ``--forget ID[,ID...]`` removes the vec_ids' code
+    rows under the stream-stopped lock contract."""
     from cloudcomputing_flink_application_spark.operators import similarity
 
     spark = get_spark(app_name="pq-index")
+    if args.forget:
+        import os
+
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            forget_pq_vecs,
+        )
+
+        if not os.path.isdir(f"{args.output}/codes"):
+            raise SystemExit(
+                f"no codes store under {args.output} — --forget operates "
+                "on a built pq-index output root"
+            )
+        ids = [int(x) for x in args.forget.split(",") if x.strip()]
+        forget_pq_vecs(spark, args.output, ids, f"{args.output}/_chk")
+        return
+    if args.streaming:
+        from cloudcomputing_flink_application_spark import schemas
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            run_pq_encode_stream,
+        )
+
+        stream = spark.readStream.schema(schemas.EMBEDDINGS).parquet(args.input)
+        q = run_pq_encode_stream(
+            spark, stream, f"{args.output}/_chk", args.output
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return
     if args.encode_only or args.report:
         params = similarity.pq_build_params(spark, args.output)
         if params is None:
@@ -639,27 +674,33 @@ def _pq_index(args: argparse.Namespace) -> None:
                 f"no pq_meta under {args.output} — --encode-only/--report "
                 "operate on a built pq-index output root (build first)"
             )
-        cb = similarity.read_pq_codebook(spark, args.output)
         embs = spark.read.parquet(args.input)
         if args.report:
             sinks.show(
                 similarity.pq_recall_report(
-                    embs, m=params["m"], ksub=params["ksub"], codebook=cb
+                    embs,
+                    m=params["m"],
+                    ksub=params["ksub"],
+                    codebook=similarity.read_pq_codebook(spark, args.output),
                 )
             )
             return
-        similarity.pq_encode(
-            embs, m=params["m"], ksub=params["ksub"], codebook=cb
-        ).write.mode("overwrite").parquet(f"{args.output}/codes")
+        similarity.replace_pq_codes(
+            embs, args.output, checkpoint_dir=f"{args.output}/_chk"
+        )
         if args.show:
             sinks.show(spark.read.parquet(f"{args.output}/codes"))
         return
+    # Pass the stream checkpoint the --streaming path uses: a rebuild
+    # while it holds an uncommitted batch would let the replay append
+    # old-codebook codes under the new codebook.
     similarity.build_pq_index(
         spark.read.parquet(args.input),
         args.output,
         m=args.m,
         ksub=args.ksub,
         iters=args.iters if args.iters is not None else 1,
+        checkpoint_dir=f"{args.output}/_chk",
     )
     if args.show:
         sinks.show(spark.read.parquet(f"{args.output}/codes"))
@@ -860,6 +901,14 @@ def main(argv: list[str] | None = None) -> None:
                 "--report", action="store_true",
                 help="print the raw-ADC recall report of --input against "
                 "the stored codebook instead of building/encoding",
+            )
+            sp.add_argument(
+                "--forget", default=None, metavar="ID[,ID...]",
+                help="compliance deletion: remove the vec_ids' code rows "
+                "from <output>/codes (stream must be stopped; same lock "
+                "contract as ivf-index --forget; the codebook's centroids "
+                "are k-anonymous aggregates and stay — full statistical "
+                "erasure = rebuild)",
             )
         if name == "span-scrub":
             sp.add_argument(

@@ -2132,36 +2132,125 @@ def build_pq_index(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     iters: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Persist the PQ artifact pair a compressed-embedding deployment
     versions alongside its data:
 
     - ``{index_root}/pq_codebook`` — (sub, code, cemb), the trained
       per-subspace centroids (THE artifact; tiny);
-    - ``{index_root}/codes`` — the encoded corpus (vec_id, dim, m,
-      code_csv), 32x smaller than the raw vectors at the defaults;
+    - ``{index_root}/codes/batch_id=0`` — the encoded build corpus
+      (vec_id, dim, m, code_csv), 32x smaller than the raw vectors at
+      the defaults, in the SAME batch_id-partitioned layout the
+      streaming encoder (``run_pq_encode_stream``) appends to — batch
+      and stream rows form one store, exactly the IVF assignments
+      convention;
     - ``{index_root}/pq_meta`` — (m, ksub, iters): the build geometry,
-      read back by encode passes so a later corpus cannot be silently
-      encoded with mismatched m/ksub (the ``build_meta`` lesson — r8).
+      read back by every later encode pass so a mismatched m/ksub
+      cannot slip in (the ``build_meta`` lesson — r8).
 
     The codes are encoded against the codebook AS WRITTEN (written
     first, read back, then encoded) so the on-disk pair is self-
     consistent even if the in-memory plan would ever change.  Rebuild
-    over an existing root statically overwrites all three (stale codes
-    from the previous codebook must drop, not merge).  No lock fencing:
-    unlike the IVF assignment store, no streaming writer appends to a PQ
-    root yet — the day one does, it takes the same ``.forget_lock``
-    contract the other stores use."""
+    over an existing root is the designed flow and takes the same
+    contract as ``build_ivf_index``: the ``.forget_lock`` marker fences
+    the encode stream (its next batch fails loudly instead of appending
+    OLD-codebook codes under the new codebook), ``checkpoint_dir``
+    refuses while the stream checkpoint holds an uncommitted batch, and
+    the codes store is STATICALLY overwritten (stale stream partitions
+    from the previous codebook drop, not merge)."""
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        _acquire_forget_locks,
+        _refuse_uncommitted,
+        _release_forget_locks,
+    )
+
     spark = embeddings.sparkSession
-    cb = pq_codebook(embeddings, m, ksub, iters)
-    cb.write.mode("overwrite").parquet(f"{index_root}/pq_codebook")
-    stored = read_pq_codebook(spark, index_root)
-    pq_encode(embeddings, m, ksub, codebook=stored).write.mode(
-        "overwrite"
-    ).parquet(f"{index_root}/codes")
-    spark.createDataFrame(
-        [(int(m), int(ksub), int(iters))], "m INT, ksub INT, iters INT"
-    ).write.mode("overwrite").parquet(f"{index_root}/pq_meta")
+    codes_dir = f"{index_root}/codes"
+    created = _acquire_forget_locks(spark, [codes_dir])
+    try:
+        _refuse_uncommitted(spark, checkpoint_dir)
+    except Exception:
+        _release_forget_locks(spark, created)
+        raise
+    mutated = False
+    try:
+        cb = pq_codebook(embeddings, m, ksub, iters)
+        cb.write.mode("overwrite").parquet(f"{index_root}/pq_codebook")
+        mutated = True
+        stored = read_pq_codebook(spark, index_root)
+        (
+            pq_encode(embeddings, m, ksub, codebook=stored)
+            .withColumn("batch_id", F.lit(0))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(codes_dir)
+        )
+        spark.createDataFrame(
+            [(int(m), int(ksub), int(iters))], "m INT, ksub INT, iters INT"
+        ).write.mode("overwrite").parquet(f"{index_root}/pq_meta")
+    except Exception:
+        # post-mutation failure leaves the locks: the artifact pair may
+        # be inconsistent (new codebook, old codes) and the stream must
+        # not run until a re-build completes — same stance as
+        # build_ivf_index
+        if not mutated:
+            _release_forget_locks(spark, created)
+        raise
+    _release_forget_locks(spark, [codes_dir])
+
+
+def replace_pq_codes(
+    embeddings: DataFrame,
+    index_root: str,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Re-run just the encode pass: statically overwrite the codes store
+    (as ``batch_id=0``) with ``embeddings`` encoded against the STORED
+    codebook, geometry from ``pq_meta`` — the repeatable map-job step of
+    the lifecycle, without retraining.  Takes the same lock/refusal
+    contract as the build (it rewrites the store the encode stream
+    appends to); refuses a root without ``pq_meta``."""
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        _acquire_forget_locks,
+        _recover_swap,
+        _refuse_uncommitted,
+        _release_forget_locks,
+        _replace_dir,
+    )
+
+    spark = embeddings.sparkSession
+    params = pq_build_params(spark, index_root)
+    if params is None:
+        raise ValueError(
+            f"no pq_meta under {index_root} — build the PQ artifact first"
+        )
+    codes_dir = f"{index_root}/codes"
+    created = _acquire_forget_locks(spark, [codes_dir])
+    try:
+        _refuse_uncommitted(spark, checkpoint_dir)
+    except Exception:
+        _release_forget_locks(spark, created)
+        raise
+    _recover_swap(spark, codes_dir)
+    # stage-then-swap (the _rewrite_minus pattern): the store being read
+    # is never the write target, and a crash mid-swap heals on the next
+    # lifecycle op via _recover_swap — until then the lock stays
+    tmp = codes_dir.rstrip("/") + ".forget_tmp"
+    (
+        pq_encode(
+            embeddings,
+            m=params["m"],
+            ksub=params["ksub"],
+            codebook=read_pq_codebook(spark, index_root),
+        )
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(tmp)
+    )
+    _replace_dir(spark, tmp, codes_dir)
+    _release_forget_locks(spark, [codes_dir])
 
 
 def read_pq_codebook(spark, index_root: str) -> DataFrame:

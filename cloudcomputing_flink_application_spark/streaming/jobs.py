@@ -1640,6 +1640,93 @@ def _prune_batch_partitions_after(spark, path: str, keep_max: int) -> None:
             fs.delete(st.getPath(), True)
 
 
+def run_pq_encode_stream(
+    spark,
+    embeddings: DataFrame,
+    checkpoint_dir: str,
+    index_root: str,
+):
+    """Incremental PQ encoding — the streaming half of the compressed-
+    embedding lifecycle (``similarity.build_pq_index`` is the batch
+    half): vectors keep arriving, the codebook is a static artifact
+    between rebuilds, and encoding is a per-row map — so each micro-
+    batch encodes against the PERSISTED codebook and appends its codes
+    under ``{index_root}/codes/batch_id=N+1``, the same layout the build
+    pass wrote batch 0 in (one store, idempotent under at-least-once
+    replay via dynamic partition overwrite).
+
+    Geometry (m, ksub) comes from ``pq_meta`` — a stream can never
+    encode with a different slicing than the artifact was built with.
+    Contract (tests/test_pq.py): the accumulated codes store equals
+    ``pq_encode`` over the union of all batches under the same codebook
+    — encoding is per-row against a static artifact, so micro-batching
+    is trivially exact.  Batch-0 prune covers only partitions this
+    stream owns (batch_id >= 1; the build pass's batch 0 is the store's
+    foundation, not stale state).  ``similarity.build_pq_index`` fences
+    this stream with the shared ``.forget_lock`` marker during rebuilds;
+    ``forget_pq_vecs`` deletes rows under the same contract.
+    """
+    from cloudcomputing_flink_application_spark.operators.similarity import (
+        pq_build_params,
+        pq_encode,
+        read_pq_codebook,
+    )
+
+    params = pq_build_params(spark, index_root)
+    if params is None:
+        raise ValueError(
+            f"no pq_meta under {index_root} — build the PQ artifact first "
+            "(similarity.build_pq_index / the pq-index CLI)"
+        )
+    cb = read_pq_codebook(spark, index_root)
+    codes_dir = f"{index_root}/codes"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _forget_guard(spark, [codes_dir])
+        if batch_id == 0:
+            _prune_batch_partitions_after(spark, codes_dir, 0)
+        _write_batch_partition(
+            pq_encode(
+                batch_df, m=params["m"], ksub=params["ksub"], codebook=cb
+            ),
+            batch_id + 1,
+            codes_dir,
+        )
+
+    return (
+        embeddings.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def forget_pq_vecs(
+    spark, index_root: str, vec_ids, checkpoint_dir: str | None
+) -> None:
+    """Compliance deletion from the PQ codes store: remove the given
+    vec_ids' rows — each row is the vector's content-derived code word,
+    per-vector data.  Same locking / uncommitted-checkpoint /
+    crash-recovery contract as ``forget_vecs``; ``run_pq_encode_stream``
+    refuses to start a batch under the lock.  The CODEBOOK stays: its
+    centroids are means over many vectors (k-anonymous aggregates, no
+    per-vector trace); full statistical erasure = rebuild
+    (``build_pq_index`` on the surviving corpus)."""
+    ids = [int(i) for i in vec_ids]
+    if not ids:
+        return
+    codes_dir = f"{index_root}/codes"
+    created = _acquire_forget_locks(spark, [codes_dir])
+    try:
+        _refuse_uncommitted(spark, checkpoint_dir)
+    except Exception:
+        _release_forget_locks(spark, created)
+        raise
+    _recover_swap(spark, codes_dir)
+    ids_df = spark.createDataFrame([(i,) for i in ids], "vec_id LONG")
+    _rewrite_minus(spark, codes_dir, ids_df, key="vec_id")
+    _release_forget_locks(spark, [codes_dir])
+
+
 def forget_vecs(spark, index_root: str, vec_ids, checkpoint_dir: str | None) -> None:
     """Compliance deletion from the IVF index: remove the given vec_ids'
     rows from the assignment store — each row carries the vector's

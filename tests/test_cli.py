@@ -701,3 +701,54 @@ def test_pq_index_cli_build_encode_report(spark, tmp_path, capfd):
         with pytest.raises(SystemExit, match="no pq_meta"):
             cli.main(["pq-index", "--input", emb_in,
                       "--output", str(tmp_path / "nothing"), flag])
+
+
+def test_pq_index_cli_streaming_and_forget(spark, tmp_path):
+    """The PQ lifecycle end to end through the CLI: build from batch A,
+    stream batch B in (codes accumulate in one batch_id-partitioned
+    store), accumulated store == the batch operator over A ∪ B, then
+    --forget removes exactly the named vectors' code rows."""
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.operators import similarity
+    from tests.conftest import TESTDATA
+
+    emb = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+    a_in = str(tmp_path / "a_in")
+    b_in = str(tmp_path / "b_in")
+    emb.filter(F.col("vec_id") < 250).write.parquet(a_in)
+    emb.filter(F.col("vec_id") >= 250).write.parquet(b_in)
+    root = str(tmp_path / "pqroot")
+    cli.main(["pq-index", "--input", a_in, "--output", root])
+    cli.main(["pq-index", "--input", b_in, "--output", root, "--streaming"])
+    stored = similarity.read_pq_codebook(spark, root)
+    expected = {
+        (r.vec_id, r.code_csv)
+        for r in similarity.pq_encode(emb, codebook=stored).collect()
+    }
+    got = {
+        (r.vec_id, r.code_csv)
+        for r in spark.read.parquet(f"{root}/codes").collect()
+    }
+    assert got == expected  # stream == batch under one codebook
+    batches = {
+        int(r.batch_id)
+        for r in spark.read.parquet(f"{root}/codes")
+        .select("batch_id").distinct().collect()
+    }
+    assert 0 in batches and len(batches) >= 2  # build + stream partitions
+    # compliance deletion: exactly the named rows vanish
+    victims = sorted({v for v, _ in got})[:3]
+    cli.main(["pq-index", "--input", a_in, "--output", root,
+              "--forget", ",".join(str(v) for v in victims)])
+    after = {
+        (r.vec_id, r.code_csv)
+        for r in spark.read.parquet(f"{root}/codes").collect()
+    }
+    assert after == {(v, c) for v, c in got if v not in victims}
+    # --forget refuses an unbuilt root
+    import pytest
+
+    with pytest.raises(SystemExit, match="no codes store"):
+        cli.main(["pq-index", "--input", a_in,
+                  "--output", str(tmp_path / "void"), "--forget", "1"])

@@ -258,3 +258,91 @@ def test_ann_topk_union_has_three_methods(embs):
         for r in S.topk_methods(embs).select("method").distinct().collect()
     }
     assert methods == {"brute", "ivf", "pq"}
+
+
+def test_pq_lifecycle_lock_fencing_and_rebuild(spark, tmp_path, embs):
+    """The rebuild/stream contract on the PQ store: a forget lock fences
+    the encode stream (its next batch fails loudly instead of appending
+    old-codebook codes), and a REBUILD statically drops the previous
+    stream's partitions — stale codes from the old codebook never
+    survive under the new one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming import jobs
+
+    root = str(tmp_path / "root")
+    d_in = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    a = embs.filter(F.col("vec_id") < 250)
+    b = embs.filter(F.col("vec_id") >= 250)
+    S.build_pq_index(a, root)
+    b.write.parquet(f"{d_in}/b0.parquet")
+    q = jobs.run_pq_encode_stream(
+        spark,
+        spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+        chk,
+        root,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_all = spark.read.parquet(f"{root}/codes").count()
+    assert n_all == embs.count()
+    # lock fences the stream
+    with open(f"{root}/codes.forget_lock", "w"):
+        pass
+    embs.limit(5).write.parquet(f"{d_in}/b1.parquet")
+    q = jobs.run_pq_encode_stream(
+        spark,
+        spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+        chk,
+        root,
+    )
+    with pytest.raises(Exception, match="forget-lock"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    os.remove(f"{root}/codes.forget_lock")
+    # the refused batch left the checkpoint uncommitted — a rebuild now
+    # must REFUSE (its overwrite + the replay would race); the documented
+    # recovery is to resume the stream so the in-flight batch commits
+    with pytest.raises(RuntimeError, match="uncommitted"):
+        S.build_pq_index(b, root, checkpoint_dir=chk)
+    q = jobs.run_pq_encode_stream(
+        spark,
+        spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+        chk,
+        root,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # now the rebuild proceeds and statically drops the stream partitions
+    S.build_pq_index(b, root, checkpoint_dir=chk)
+    codes = spark.read.parquet(f"{root}/codes")
+    assert codes.count() == b.count()
+    batches = {int(r.batch_id) for r in
+               codes.select("batch_id").distinct().collect()}
+    assert batches == {0}
+    assert not os.path.exists(f"{root}/codes.forget_lock")
+
+
+def test_pq_encode_stream_requires_built_root(spark, tmp_path, embs):
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming import jobs
+
+    d_in = str(tmp_path / "in")
+    embs.limit(5).write.parquet(f"{d_in}/b0.parquet")
+    with pytest.raises(ValueError, match="no pq_meta"):
+        jobs.run_pq_encode_stream(
+            spark,
+            spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+            str(tmp_path / "chk"),
+            str(tmp_path / "nowhere"),
+        )
