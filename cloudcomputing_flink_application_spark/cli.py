@@ -625,10 +625,11 @@ def _pq_index(args: argparse.Namespace) -> None:
     runs ``run_pq_encode_stream`` over the input directory: arriving
     vectors encode against the stored codebook and append code rows
     (batch + stream rows form one store; a rebuild fences the stream
-    with the shared lock marker).  ``--encode-only`` re-runs just the
-    map-job encode pass of ``--input`` against the STORED codebook (the
-    per-corpus step a deployment repeats as data lands; geometry comes
-    from pq_meta so a mismatched m/ksub cannot slip in).  ``--report``
+    with the shared lock marker).  ``--encode-only`` REPLACES the codes
+    store with ``--input`` (the FULL corpus, not just arrivals — those
+    are ``--streaming``'s job) encoded against the STORED codebook,
+    skipping training; geometry comes from pq_meta so a mismatched
+    m/ksub cannot slip in.  ``--report``
     prints the raw-ADC recall report of ``--input`` against the stored
     codebook — the instrument that says whether this corpus's near-dup
     blob density needs a bigger rerank shortlist or dedup-before-index
@@ -644,7 +645,11 @@ def _pq_index(args: argparse.Namespace) -> None:
             forget_pq_vecs,
         )
 
-        if not os.path.isdir(f"{args.output}/codes"):
+        # accept the mid-swap crash state too (codes renamed to
+        # .forget_bak, re-run is the documented recovery —
+        # forget_pq_vecs's _recover_swap restores it; r9 review catch)
+        codes = f"{args.output}/codes"
+        if not (os.path.isdir(codes) or os.path.isdir(codes + ".forget_bak")):
             raise SystemExit(
                 f"no codes store under {args.output} — --forget operates "
                 "on a built pq-index output root"
@@ -658,6 +663,11 @@ def _pq_index(args: argparse.Namespace) -> None:
             run_pq_encode_stream,
         )
 
+        if similarity.pq_build_params(spark, args.output) is None:
+            raise SystemExit(
+                f"no pq_meta under {args.output} — --streaming encodes "
+                "against a built pq-index output root (build first)"
+            )
         stream = spark.readStream.schema(schemas.EMBEDDINGS).parquet(args.input)
         q = run_pq_encode_stream(
             spark, stream, f"{args.output}/_chk", args.output
@@ -893,9 +903,9 @@ def main(argv: list[str] | None = None) -> None:
             )
             sp.add_argument(
                 "--encode-only", action="store_true",
-                help="skip training: encode --input against the STORED "
-                "codebook (geometry from pq_meta) and overwrite "
-                "<output>/codes — the repeatable map-job pass",
+                help="skip training: REPLACE <output>/codes with --input "
+                "(the full corpus, not just arrivals) encoded against "
+                "the STORED codebook (geometry from pq_meta)",
             )
             sp.add_argument(
                 "--report", action="store_true",

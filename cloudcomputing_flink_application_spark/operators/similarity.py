@@ -2173,11 +2173,21 @@ def build_pq_index(
     except Exception:
         _release_forget_locks(spark, created)
         raise
+    # Failure contract (build_ivf_index convention): before the first
+    # artifact write the index is untouched, so an exception (bad input
+    # schema, codebook training failure) releases the lock.  The flag
+    # must flip BEFORE the codebook overwrite begins — mode("overwrite")
+    # deletes the existing dir first, so a mid-write crash has already
+    # destroyed the old codebook and the lock must stay to fence the
+    # encode stream (r9 review catch).  Forcing analysis first keeps
+    # plan-time errors on the released-lock side.
     mutated = False
     try:
         cb = pq_codebook(embeddings, m, ksub, iters)
-        cb.write.mode("overwrite").parquet(f"{index_root}/pq_codebook")
+        plan_ok = cb.schema  # force analysis before any write begins
+        assert plan_ok is not None
         mutated = True
+        cb.write.mode("overwrite").parquet(f"{index_root}/pq_codebook")
         stored = read_pq_codebook(spark, index_root)
         (
             pq_encode(embeddings, m, ksub, codebook=stored)

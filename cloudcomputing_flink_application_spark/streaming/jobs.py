@@ -294,6 +294,31 @@ def _committed_batch_data_exists(spark, path: str) -> bool:
     return matches is not None and len(matches) > 0
 
 
+def _refuse_unpartitioned_store(spark, path: str) -> None:
+    """Refuse to operate on a store whose data files sit at the directory
+    ROOT — the pre-r9 PQ codes layout (written unpartitioned before the
+    store grew its streaming half).  Appending ``batch_id=N`` partitions
+    into such a dir produces a mixed layout Spark's partition discovery
+    rejects ("Conflicting directory structures"), and the anti-join
+    rewrite would silently NO-OP (its committed-data glob matches only
+    ``batch_id=*/part-*``) — a compliance deletion that "succeeds" while
+    every row remains (r9 review catch).  Migration is the store's own
+    encode pass: ``pq-index --encode-only`` over the FULL corpus
+    statically rewrites it batch_id-partitioned."""
+    jvm = spark._jvm
+    pattern = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/part-*")
+    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+    matches = fs.globStatus(pattern)
+    if matches is not None and len(matches) > 0:
+        raise RuntimeError(
+            f"{path} holds data files at the directory root (the "
+            "unpartitioned pre-batch_id layout): mixing layouts would "
+            "wedge the store and an id rewrite would silently no-op.  "
+            "Re-encode the full corpus (pq-index --encode-only) to "
+            "rewrite the store batch_id-partitioned, then re-run."
+        )
+
+
 def _prune_stale_batch_partitions(spark, path: str) -> None:
     """Delete every ``batch_id=*`` partition under ``path``.
 
@@ -1680,6 +1705,7 @@ def run_pq_encode_stream(
         )
     cb = read_pq_codebook(spark, index_root)
     codes_dir = f"{index_root}/codes"
+    _refuse_unpartitioned_store(spark, codes_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         _forget_guard(spark, [codes_dir])
@@ -1718,6 +1744,7 @@ def forget_pq_vecs(
     created = _acquire_forget_locks(spark, [codes_dir])
     try:
         _refuse_uncommitted(spark, checkpoint_dir)
+        _refuse_unpartitioned_store(spark, codes_dir)
     except Exception:
         _release_forget_locks(spark, created)
         raise

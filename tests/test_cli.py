@@ -752,3 +752,51 @@ def test_pq_index_cli_streaming_and_forget(spark, tmp_path):
     with pytest.raises(SystemExit, match="no codes store"):
         cli.main(["pq-index", "--input", a_in,
                   "--output", str(tmp_path / "void"), "--forget", "1"])
+
+
+def test_pq_index_cli_streaming_requires_built_root(spark, tmp_path):
+    """--streaming on a never-built root exits with the CLI's clean
+    usage error, like every sibling branch (r9 review)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tests.conftest import TESTDATA
+
+    emb_in = str(tmp_path / "in")
+    (
+        spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+        .limit(5)
+        .write.parquet(emb_in)
+    )
+    with pytest.raises(SystemExit, match="no pq_meta"):
+        cli.main(["pq-index", "--input", emb_in,
+                  "--output", str(tmp_path / "fresh"), "--streaming"])
+
+
+def test_pq_index_cli_forget_heals_mid_swap_crash(spark, tmp_path):
+    """The documented recovery for a forget killed between the two swap
+    renames (codes -> .forget_bak done, tmp -> codes not) is to re-run
+    the same forget; the CLI precheck must accept that state instead of
+    refusing 'no codes store' (r9 review)."""
+    import os
+
+    from tests.conftest import TESTDATA
+
+    emb_in = str(tmp_path / "in")
+    spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet").filter(
+        "vec_id < 100"
+    ).write.parquet(emb_in)
+    root = str(tmp_path / "pqroot")
+    cli.main(["pq-index", "--input", emb_in, "--output", root])
+    before = spark.read.parquet(f"{root}/codes").count()
+    # simulate the crash state: store renamed to backup, lock left behind
+    os.rename(f"{root}/codes", f"{root}/codes.forget_bak")
+    with open(f"{root}/codes.forget_lock", "w"):
+        pass
+    cli.main(["pq-index", "--input", emb_in, "--output", root,
+              "--forget", "3"])
+    after = spark.read.parquet(f"{root}/codes")
+    assert after.count() == before - 1
+    assert after.filter("vec_id = 3").count() == 0
+    assert not os.path.exists(f"{root}/codes.forget_lock")
+    assert not os.path.exists(f"{root}/codes.forget_bak")

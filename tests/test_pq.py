@@ -346,3 +346,60 @@ def test_pq_encode_stream_requires_built_root(spark, tmp_path, embs):
             str(tmp_path / "chk"),
             str(tmp_path / "nowhere"),
         )
+
+
+def test_pq_legacy_unpartitioned_store_refused(spark, tmp_path, embs):
+    """A pre-r9 codes store (data files at the dir root, no batch_id
+    partitions) must REFUSE the stream and the forget instead of mixing
+    layouts / silently no-opping a compliance deletion (r9 review)."""
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming import jobs
+
+    root = str(tmp_path / "root")
+    a = embs.filter(F.col("vec_id") < 100)
+    S.build_pq_index(a, root)
+    # rewrite the codes store in the legacy unpartitioned layout
+    legacy = S.pq_encode(
+        a, codebook=S.read_pq_codebook(spark, root)
+    ).collect()
+    import shutil
+
+    shutil.rmtree(f"{root}/codes")
+    spark.createDataFrame(legacy).write.parquet(f"{root}/codes")
+    d_in = str(tmp_path / "in")
+    embs.limit(5).write.parquet(f"{d_in}/b0.parquet")
+    with pytest.raises(RuntimeError, match="unpartitioned"):
+        jobs.run_pq_encode_stream(
+            spark,
+            spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+            str(tmp_path / "chk"),
+            root,
+        )
+    with pytest.raises(RuntimeError, match="unpartitioned"):
+        jobs.forget_pq_vecs(spark, root, [1, 2], None)
+    # the refusal released the lock it created, and the store is intact
+    import os
+
+    assert not os.path.exists(f"{root}/codes.forget_lock")
+    assert spark.read.parquet(f"{root}/codes").count() == len(legacy)
+    # the documented migration: --encode-only rewrites it partitioned,
+    # after which both operations proceed
+    S.replace_pq_codes(a, root)
+    jobs.forget_pq_vecs(spark, root, [int(legacy[0].vec_id)], None)
+    after = spark.read.parquet(f"{root}/codes")
+    assert after.count() == len(legacy) - 1
+    assert {int(r.batch_id) for r in after.select("batch_id").distinct().collect()} == {0}
+
+
+def test_build_pq_index_releases_lock_on_plan_failure(spark, tmp_path):
+    """An analysis-time failure (bad input schema) happens before any
+    artifact write, so the lock releases — the stream may keep running
+    against the old artifact (build_ivf_index convention)."""
+    import os
+
+    root = str(tmp_path / "root")
+    bad = spark.createDataFrame([(1, "x")], "vec_id LONG, not_emb STRING")
+    with pytest.raises(Exception):
+        S.build_pq_index(bad, root)
+    assert not os.path.exists(f"{root}/codes.forget_lock")
+    assert not os.path.exists(f"{root}/pq_codebook")
