@@ -475,13 +475,42 @@ def _ivf_index(args: argparse.Namespace) -> None:
     conditional maintenance step a scheduled job runs, under the same
     lock/refusal contract as an unconditional build.  ``--forget ID[,ID...]`` removes
     the vec_ids' index rows (same stream-stopped lock contract as the
-    dedup stores).
+    dedup stores).  ``--compact`` folds the assignment store's stream
+    partitions into one (``compact_batch_store`` — bounds the
+    O(stream-age) file count; rows untouched).
     """
     from pyspark.sql import functions as F
 
     from cloudcomputing_flink_application_spark.operators import similarity
 
+    # flag conflicts exit before Spark startup (the hoisting convention)
+    if args.compact and (
+        args.streaming
+        or args.forget
+        or args.report
+        or args.rebuild_if_drift is not None
+    ):
+        raise SystemExit(
+            "--compact is a standalone maintenance action on a stopped "
+            "stream's index root; run it alone"
+        )
     spark = get_spark(app_name="ivf-index")
+    if args.compact:
+        import os
+
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            compact_batch_store,
+        )
+
+        if not os.path.isdir(f"{args.output}/assignments"):
+            raise SystemExit(
+                f"no index under {args.output} — --compact operates on a "
+                "built ivf-index output root"
+            )
+        compact_batch_store(
+            spark, f"{args.output}/assignments", f"{args.output}/_chk"
+        )
+        return
     if args.forget:
         from cloudcomputing_flink_application_spark.streaming.jobs import forget_vecs
 
@@ -634,10 +663,36 @@ def _pq_index(args: argparse.Namespace) -> None:
     codebook — the instrument that says whether this corpus's near-dup
     blob density needs a bigger rerank shortlist or dedup-before-index
     (SCALING.md pq).  ``--forget ID[,ID...]`` removes the vec_ids' code
-    rows under the stream-stopped lock contract."""
+    rows under the stream-stopped lock contract.  ``--compact`` folds
+    the codes store's stream partitions into one (``compact_batch_store``
+    — bounds the O(stream-age) file count; rows untouched)."""
     from cloudcomputing_flink_application_spark.operators import similarity
 
+    # flag conflicts exit before Spark startup (the hoisting convention)
+    if args.compact and (
+        args.streaming or args.forget or args.report or args.encode_only
+    ):
+        raise SystemExit(
+            "--compact is a standalone maintenance action on a stopped "
+            "stream's pq-index root; run it alone"
+        )
     spark = get_spark(app_name="pq-index")
+    if args.compact:
+        import os
+
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            compact_batch_store,
+        )
+
+        if not os.path.isdir(f"{args.output}/codes"):
+            raise SystemExit(
+                f"no codes store under {args.output} — --compact operates "
+                "on a built pq-index output root"
+            )
+        compact_batch_store(
+            spark, f"{args.output}/codes", f"{args.output}/_chk"
+        )
+        return
     if args.forget:
         import os
 
@@ -885,6 +940,14 @@ def main(argv: list[str] | None = None) -> None:
                 "k-anonymous aggregates and stay — full statistical "
                 "erasure = rebuild)",
             )
+            sp.add_argument(
+                "--compact", action="store_true",
+                help="offline store compaction (stream stopped): fold the "
+                "assignment store's stream partitions (batch_id >= 1) "
+                "into one partition, bounding the O(stream-age) "
+                "directory/file count; rows are untouched, the build's "
+                "batch 0 stays, a resumed stream appends above",
+            )
         if name == "pq-index":
             sp.add_argument(
                 "--m", type=int, default=8,
@@ -919,6 +982,14 @@ def main(argv: list[str] | None = None) -> None:
                 "contract as ivf-index --forget; the codebook's centroids "
                 "are k-anonymous aggregates and stay — full statistical "
                 "erasure = rebuild)",
+            )
+            sp.add_argument(
+                "--compact", action="store_true",
+                help="offline store compaction (stream stopped): fold the "
+                "codes store's stream partitions (batch_id >= 1) into "
+                "one partition, bounding the O(stream-age) directory/"
+                "file count; rows are untouched, the build's batch 0 "
+                "stays, a resumed stream appends above",
             )
         if name == "span-scrub":
             sp.add_argument(

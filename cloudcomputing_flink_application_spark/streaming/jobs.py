@@ -1320,6 +1320,90 @@ def compact_purge_deltas(spark, output_dir: str, checkpoint_dir: str | None) -> 
     _release_forget_locks(spark, [output_dir])
 
 
+def compact_batch_store(spark, store_dir: str, checkpoint_dir: str | None) -> None:
+    """Offline compaction of a batch_id-partitioned APPEND store (the
+    IVF ``assignments`` / PQ ``codes`` layout), run while the encode /
+    assign stream is STOPPED: rewrite all STREAM partitions
+    (``batch_id >= 1``) into ONE partition at the current max batch_id,
+    leaving the build pass's ``batch_id=0`` foundation untouched.
+
+    Rows are untouched — these stores append disjoint per-vector rows,
+    so compaction is pure partition consolidation.  What it bounds is
+    the O(stream-age) directory/file count: after 10^4 micro-batches a
+    reader lists 10^4 partition dirs of small files — the file-count
+    analogue of the purge delta history this round's
+    :func:`compact_purge_deltas` folds (and the last per-batch-growth
+    term in the index stores).
+
+    Invariants preserved:
+
+    - a RESUMED stream (same checkpoint) appends at strictly higher
+      batch_ids, so later appends never collide with the snapshot
+      partition; an uncommitted in-flight batch is refused (its replay
+      would dynamic-overwrite a partition the fold already consumed);
+    - a FRESH-checkpoint stream's batch-0 prune drops the compacted
+      partition exactly as it would have dropped the originals (stream
+      rows re-append from the re-read input — the pre-compaction
+      recovery semantics, unchanged);
+    - forget rewrites (anti-join over the whole store) and every reader
+      see identical rows before and after.
+
+    Same safety contract as the forget rewrites: sibling lock (the
+    stream's per-batch guard refuses while it exists), uncommitted-
+    checkpoint refusal, rename-to-backup swap with
+    :func:`_recover_swap` healing."""
+    created = _acquire_forget_locks(spark, [store_dir])
+    try:
+        if not created:
+            # A pre-existing lock means a forget/build crashed mid-
+            # rewrite.  The forgets treat a re-RUN as the recovery and
+            # release all locks on completion; compaction completing
+            # would release a lock whose pending deletion never
+            # happened — a compliance deletion silently dropped.
+            raise RuntimeError(
+                f"{store_dir} carries a maintenance lock from a crashed "
+                "forget/build — re-run that operation first (its "
+                "completion releases the lock), then compact"
+            )
+        _refuse_uncommitted(spark, checkpoint_dir)
+        _refuse_unpartitioned_store(spark, store_dir)
+    except Exception:
+        _release_forget_locks(spark, created)
+        raise
+    _recover_swap(spark, store_dir)
+    if not _committed_batch_data_exists(spark, store_dir):
+        _release_forget_locks(spark, [store_dir])
+        return
+    snap = _max_batch_partition(spark, store_dir)
+    if snap <= 1:
+        # nothing to fold: only the build foundation and/or one stream
+        # partition
+        _release_forget_locks(spark, [store_dir])
+        return
+    df = spark.read.parquet(store_dir)
+    # Consolidate FILES too, not just partition dirs: per-batch stream
+    # writes leave one small file per micro-batch, and the scan's
+    # bin-packing charges each its open cost — so target one output
+    # file per maxPartitionBytes of store data (the scan-optimal size),
+    # via coalesce (a narrow dependency: compaction stays shuffle-free).
+    fs, p_store = _fs_path(spark, store_dir)
+    store_bytes = fs.getContentSummary(p_store).getLength()
+    max_pb = spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    n_out = max(1, int(store_bytes // max(1, max_pb)) + 1)
+    out = df.coalesce(n_out).withColumn(
+        "batch_id",
+        F.when(F.col("batch_id") <= 0, F.col("batch_id")).otherwise(
+            F.lit(snap)
+        ),
+    )
+    tmp = store_dir.rstrip("/") + ".forget_tmp"
+    out.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    _replace_dir(spark, tmp, store_dir)
+    _release_forget_locks(spark, [store_dir])
+
+
 def _max_batch_partition(spark, path: str, below: int | None = None) -> int:
     """Highest ``batch_id=K`` partition under ``path`` (-1 if none);
     ``below`` restricts to K < below (the compactor's committed-only

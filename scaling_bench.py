@@ -927,6 +927,119 @@ def bench_fold_compaction(spark) -> dict:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_store_compaction(spark) -> dict:
+    """r9: the index stores' O(stream-age) partition/file growth and what
+    ``compact_batch_store`` does to it.  A PQ index is built from the
+    first quarter of the x1 clustered corpus, the rest streams in over
+    30 one-file micro-batches (the codes store ends with 31 partition
+    dirs), and a full-store scan is timed at 10/20/30 stream partitions
+    (prefix stores constructed by copying the final store and dropping
+    higher partitions — exact, since the store is append-only).  Then
+    the 30-batch store is compacted and re-timed.  The wall-clock term
+    is modest locally (31 dirs); the 100 TB argument is the FILE COUNT
+    row — at 10^4 micro-batches a reader lists 10^4 partition dirs per
+    query, and on object storage listing is the dominant metadata cost.
+    Done = rows identical after compaction, file/dir counts collapse to
+    O(1), scan time at-or-below the shortest-prefix cost."""
+    import os
+    import tempfile
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.operators.similarity import (
+        build_pq_index,
+    )
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        compact_batch_store,
+        run_pq_encode_stream,
+    )
+
+    build_clustered()
+    # the stream decodes with schemas.EMBEDDINGS (label INT); the
+    # clustered fixture writes label as long — align at slice-write time
+    embs = spark.read.parquet(str(WORK / "embs_clustered_x1.parquet")).select(
+        "vec_id", "embedding", F.col("label").cast("int").alias("label")
+    )
+    n = embs.count()
+    tmp = tempfile.mkdtemp(prefix="sg_store_compact_")
+    root, src, chk = f"{tmp}/root", f"{tmp}/in", f"{tmp}/chk"
+    n_batches = 30
+    base_n = n // 4
+    per_batch = (n - base_n) // n_batches
+    build_pq_index(embs.filter(F.col("vec_id") < base_n), root)
+    mtime = 1_700_000_000
+    for k in range(n_batches):
+        lo = base_n + k * per_batch
+        hi = n if k == n_batches - 1 else lo + per_batch
+        d = f"{src}/b{k:02d}"
+        embs.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(d)
+        for r, _, fs in os.walk(d):
+            for f in fs:
+                os.utime(os.path.join(r, f), (mtime + k, mtime + k))
+    codes = f"{root}/codes"
+
+    def store_stats(path: str) -> dict:
+        n_dirs = sum(
+            1 for e in os.listdir(path) if e.startswith("batch_id=")
+        )
+        n_files = sum(
+            1
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.startswith("part-")
+        )
+        times = []
+        for _ in range(REPS + 1):
+            spark.catalog.clearCache()
+            times.append(timed(lambda: spark.read.parquet(path).count()))
+        return {
+            "partition_dirs": n_dirs,
+            "data_files": n_files,
+            "scan_sec": round(min(times[1:]), 3),
+        }
+
+    try:
+        stream = (
+            spark.readStream.schema(schemas.EMBEDDINGS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = run_pq_encode_stream(spark, stream, chk, root)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        before_rows = {
+            (r.vec_id, r.code_csv)
+            for r in spark.read.parquet(codes).collect()
+        }
+        by_prefix = {}
+        for keep in (10, 20):
+            pfx = f"{tmp}/codes_{keep}"
+            shutil.copytree(codes, pfx)
+            for e in os.listdir(pfx):
+                if e.startswith("batch_id=") and int(e.split("=")[1]) > keep:
+                    shutil.rmtree(os.path.join(pfx, e))
+            by_prefix[keep] = store_stats(pfx)
+        by_prefix[n_batches] = store_stats(codes)
+        compact_batch_store(spark, codes, chk)
+        after = store_stats(codes)
+        after_rows = {
+            (r.vec_id, r.code_csv)
+            for r in spark.read.parquet(codes).collect()
+        }
+        return {
+            "n_vectors": n,
+            "stream_batches": n_batches,
+            "by_stream_partitions": by_prefix,
+            "after_compaction": after,
+            "identical_after_compaction": before_rows == after_rows,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_extra_grow(spark) -> dict:
     """MinHash pairs-vs-clusters on the CLUSTER-GROWTH (suffix) corpora:
     dup clusters widen ~s, so pair output grows ~s² by construction —
@@ -1329,6 +1442,9 @@ def main() -> None:
         return
     if section == "purge-order":
         print(json.dumps({"purge_order": bench_purge_head_order(spark)}))
+        return
+    if section == "store-compact":
+        print(json.dumps({"store_compact": bench_store_compaction(spark)}))
         return
     if section == "fold-compact":
         print(json.dumps({"fold_compact": bench_fold_compaction(spark)}))

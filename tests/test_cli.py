@@ -800,3 +800,80 @@ def test_pq_index_cli_forget_heals_mid_swap_crash(spark, tmp_path):
     assert after.filter("vec_id = 3").count() == 0
     assert not os.path.exists(f"{root}/codes.forget_lock")
     assert not os.path.exists(f"{root}/codes.forget_bak")
+
+
+def test_ivf_index_cli_compact(spark, tmp_path):
+    """ivf-index --compact folds the assignment store's stream
+    partitions into one: rows identical, drift history untouched, the
+    conflict/unbuilt-root guards fire, and a crashed forget's lock
+    refuses the compaction."""
+    import pytest
+
+    from tests.conftest import TESTDATA
+
+    emb = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+    build_in = str(tmp_path / "build_in")
+    emb.filter("vec_id < 200").write.parquet(build_in)
+    root = str(tmp_path / "index")
+    cli.main(["ivf-index", "--input", build_in, "--output", root])
+    # two stream batches -> assignment partitions {0, 1, 2}
+    arrive = str(tmp_path / "arrive")
+    for lo, hi, name in ((200, 350, "a"), (350, 500, "b")):
+        emb.filter(f"vec_id >= {lo} and vec_id < {hi}").write.parquet(
+            f"{arrive}/{name}.parquet"
+        )
+        cli.main(["ivf-index", "--input", f"{arrive}/*", "--output", root,
+                  "--streaming"])
+    asg_dir = f"{root}/assignments"
+    before = {
+        (r.vec_id, r.cluster)
+        for r in spark.read.parquet(asg_dir).select("vec_id", "cluster").collect()
+    }
+    drift_parts = sorted(
+        int(r.batch_id)
+        for r in spark.read.parquet(f"{root}/drift")
+        .select("batch_id").distinct().collect()
+    )
+    cli.main(["ivf-index", "--input", build_in, "--output", root, "--compact"])
+    asg = spark.read.parquet(asg_dir)
+    assert {
+        (r.vec_id, r.cluster) for r in asg.select("vec_id", "cluster").collect()
+    } == before
+    assert {
+        int(r.batch_id) for r in asg.select("batch_id").distinct().collect()
+    } == {0, 2}
+    # the drift history (the staleness evidence) is untouched
+    assert sorted(
+        int(r.batch_id)
+        for r in spark.read.parquet(f"{root}/drift")
+        .select("batch_id").distinct().collect()
+    ) == drift_parts
+    # conflicts exit before Spark startup; unbuilt roots fail loudly
+    with pytest.raises(SystemExit, match="standalone"):
+        cli.main(["ivf-index", "--input", build_in, "--output", root,
+                  "--compact", "--streaming"])
+    with pytest.raises(SystemExit, match="no index"):
+        cli.main(["ivf-index", "--input", build_in,
+                  "--output", str(tmp_path / "void"), "--compact"])
+    # a crashed maintenance op's lock refuses the compaction
+    with open(f"{asg_dir}.forget_lock", "w"):
+        pass
+    with pytest.raises(RuntimeError, match="crashed"):
+        cli.main(["ivf-index", "--input", build_in, "--output", root,
+                  "--compact"])
+    os.remove(f"{asg_dir}.forget_lock")
+
+
+def test_pq_index_cli_compact_conflicts(tmp_path):
+    """pq-index --compact rejects combination with the other modes
+    before Spark startup."""
+    import pytest
+
+    for other in ("--streaming", "--encode-only", "--report"):
+        with pytest.raises(SystemExit, match="standalone"):
+            cli.main(["pq-index", "--input", str(tmp_path),
+                      "--output", str(tmp_path / "o"), "--compact", other])
+    with pytest.raises(SystemExit, match="standalone"):
+        cli.main(["pq-index", "--input", str(tmp_path),
+                  "--output", str(tmp_path / "o"), "--compact",
+                  "--forget", "1"])

@@ -403,3 +403,72 @@ def test_build_pq_index_releases_lock_on_plan_failure(spark, tmp_path):
         S.build_pq_index(bad, root)
     assert not os.path.exists(f"{root}/codes.forget_lock")
     assert not os.path.exists(f"{root}/pq_codebook")
+
+
+def test_pq_compact_batch_store(spark, tmp_path, embs):
+    """compact_batch_store folds the codes store's stream partitions into
+    one: rows identical, build batch 0 untouched, a resumed stream
+    appends at a strictly higher partition, and a forget after the
+    compaction is still exact."""
+    import os
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming import jobs
+
+    root = str(tmp_path / "root")
+    d_in = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    S.build_pq_index(embs.filter(F.col("vec_id") < 200), root)
+
+    def stream_in(df, name):
+        df.write.parquet(f"{d_in}/{name}")
+        q = jobs.run_pq_encode_stream(
+            spark,
+            spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+            chk,
+            root,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    stream_in(embs.filter("vec_id >= 200 and vec_id < 350"), "b0.parquet")
+    stream_in(embs.filter("vec_id >= 350 and vec_id < 480"), "b1.parquet")
+    before = {
+        (r.vec_id, r.code_csv)
+        for r in spark.read.parquet(f"{root}/codes").collect()
+    }
+    jobs.compact_batch_store(spark, f"{root}/codes", chk)
+    codes = spark.read.parquet(f"{root}/codes")
+    assert {
+        (r.vec_id, r.code_csv) for r in codes.collect()
+    } == before  # rows untouched
+    parts = {int(r.batch_id) for r in codes.select("batch_id").distinct().collect()}
+    assert parts == {0, 2}  # stream partitions folded, foundation kept
+    assert not os.path.exists(f"{root}/codes.forget_lock")
+    # a second compaction is a no-op (snap == only stream partition)
+    jobs.compact_batch_store(spark, f"{root}/codes", chk)
+    assert {
+        (r.vec_id, r.code_csv)
+        for r in spark.read.parquet(f"{root}/codes").collect()
+    } == before
+    # the resumed stream appends strictly above the snapshot partition
+    stream_in(embs.filter("vec_id >= 480 and vec_id < 500"), "b2.parquet")
+    after = spark.read.parquet(f"{root}/codes")
+    parts = {int(r.batch_id) for r in after.select("batch_id").distinct().collect()}
+    assert parts == {0, 2, 3}
+    assert after.count() == len(before) + 20
+    # forget over the compacted store is still exact
+    jobs.forget_pq_vecs(spark, root, [0, 210, 490], None)
+    got = spark.read.parquet(f"{root}/codes")
+    assert got.count() == len(before) + 20 - 3
+    assert got.filter("vec_id in (0, 210, 490)").count() == 0
+    # a pre-existing maintenance lock refuses the compaction (a crashed
+    # forget's pending deletion must not be silently dropped)
+    with open(f"{root}/codes.forget_lock", "w"):
+        pass
+    with pytest.raises(RuntimeError, match="crashed"):
+        jobs.compact_batch_store(spark, f"{root}/codes", chk)
+    assert os.path.exists(f"{root}/codes.forget_lock")  # lock stays
+    os.remove(f"{root}/codes.forget_lock")
