@@ -1949,6 +1949,28 @@ def ivfpq_topk(
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
     )
+    return _ivfpq_search(
+        cents, packed, coded, queries, base, k, nprobe, shortlist, m
+    )
+
+
+def _ivfpq_search(
+    cents: DataFrame,
+    packed: DataFrame,
+    coded: DataFrame,
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    nprobe: int,
+    shortlist: int,
+    m: int,
+) -> DataFrame:
+    """The IVFADC search stages (probe -> ADC -> rerank), shared by the
+    in-memory :func:`ivfpq_topk` and the stored-artifact
+    :func:`ivfpq_topk_from_index` so the two paths cannot diverge:
+    ``cents`` (cluster, cemb, cnrm), ``packed`` (the one-row PQ
+    codebook), ``coded`` (vec_id, cluster, codes), ``queries``
+    (query_id, qemb, qnrm), ``base`` the raw corpus for the rerank."""
     # probing: identical to cosine_topk_ivf (cells ranked by centroid
     # cosine), then each probe row picks up the query's ADC LUT
     probe_scored = F.broadcast(cents).join(queries, how="cross").select(
@@ -2016,6 +2038,75 @@ def ivfpq_topk(
         rescored.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivfpq_topk_from_index(
+    spark,
+    ivf_root: str,
+    pq_root: str,
+    embeddings: DataFrame,
+    k: int = TOPK,
+    nprobe: int = NPROBE,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    """IVFADC search over the STORED artifacts — the production query
+    path: ZERO training at query time.  :func:`ivfpq_topk` prices the
+    composition but retrains both codebooks per call; a deployment
+    builds once (``build_ivf_index`` + ``build_pq_index``, maintained by
+    their encode/assign streams, drift rebuilds, forgets, and
+    compactions) and serves every query batch from the artifacts:
+
+    - the IVF root supplies the coarse codebook (probing) and the
+      assignment store (inverted-list membership);
+    - the PQ root supplies the code codebook (ADC LUTs) and the codes
+      store (the 32x-compressed candidates); geometry (m) from pq_meta,
+      so a query can never slice vectors differently than the codes
+      were built;
+    - ``embeddings`` supplies only the query vectors (``QUERY_STRIDE``)
+      and the rerank shortlist's raw vectors — the cold-storage reads.
+
+    Both roots must be built over the same corpus (vectors present in
+    only one store drop from the candidate inner join).  The one
+    corpus-sized exchange is that assignments-to-codes vec_id join — at
+    deployment scale, bucket BOTH stores by vec_id and it becomes a
+    co-located join; every other index access is a broadcast equi-join,
+    as in :func:`ivfpq_topk` (the search stages are literally shared —
+    :func:`_ivfpq_search`).  Search stages run against whatever rows
+    the stores hold, so stream-appended vectors are searchable
+    immediately and forgotten vectors drop out without a rebuild."""
+    if not 1 <= k <= shortlist:
+        raise ValueError(
+            f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}"
+        )
+    params = pq_build_params(spark, pq_root)
+    if params is None:
+        raise ValueError(
+            f"no pq_meta under {pq_root} — build the PQ artifact first"
+        )
+    m = params["m"]
+    cents = read_codebook(spark, ivf_root)
+    asg = spark.read.parquet(f"{ivf_root}/assignments").select(
+        "vec_id", "cluster"
+    )
+    codes = spark.read.parquet(f"{pq_root}/codes").select(
+        "vec_id",
+        F.transform(F.split("code_csv", ","), lambda s: s.cast("int")).alias(
+            "codes"
+        ),
+    )
+    coded = asg.join(codes, "vec_id")
+    packed = _persist(_pq_packed(read_pq_codebook(spark, pq_root)))
+    base = _normed(embeddings)
+    queries = _normed(
+        embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    return _ivfpq_search(
+        cents, packed, coded, queries, base, k, nprobe, shortlist, m
     )
 
 

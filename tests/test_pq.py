@@ -472,3 +472,37 @@ def test_pq_compact_batch_store(spark, tmp_path, embs):
         jobs.compact_batch_store(spark, f"{root}/codes", chk)
     assert os.path.exists(f"{root}/codes.forget_lock")  # lock stays
     os.remove(f"{root}/codes.forget_lock")
+
+
+def test_ivfpq_topk_from_index_matches_inmemory(spark, tmp_path, embs):
+    """The stored-artifact search path == the in-memory composition when
+    both roots are built from the same corpus at the default geometry
+    (same seeds, same codes, literally shared search stages), and the
+    lifecycle composes: a forgotten vector drops out of the results
+    without a rebuild."""
+    from cloudcomputing_flink_application_spark.streaming import jobs
+
+    ivf_root = str(tmp_path / "ivf")
+    pq_root = str(tmp_path / "pq")
+    S.build_ivf_index(embs, ivf_root, iters=0)
+    S.build_pq_index(embs, pq_root)  # iters=1, ivfpq_topk's default
+    got = {
+        tuple(r)
+        for r in S.ivfpq_topk_from_index(
+            spark, ivf_root, pq_root, embs
+        ).collect()
+    }
+    want = {tuple(r) for r in S.ivfpq_topk(embs).collect()}
+    assert got == want
+    # compliance deletion composes with search: forget a neighbor from
+    # BOTH stores and it disappears from the results, no rebuild
+    victim = next(iter(got))[1]
+    jobs.forget_vecs(spark, ivf_root, [victim], None)
+    jobs.forget_pq_vecs(spark, pq_root, [victim], None)
+    after = S.ivfpq_topk_from_index(spark, ivf_root, pq_root, embs)
+    assert after.filter(F.col("neighbor_id") == victim).count() == 0
+    # an unbuilt PQ root refuses with the lifecycle's error
+    with pytest.raises(ValueError, match="no pq_meta"):
+        S.ivfpq_topk_from_index(
+            spark, ivf_root, str(tmp_path / "void"), embs
+        )
