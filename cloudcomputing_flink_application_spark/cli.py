@@ -771,6 +771,48 @@ def _pq_index(args: argparse.Namespace) -> None:
         sinks.show(spark.read.parquet(f"{args.output}/codes"))
 
 
+def _ivfpq_search_job(args: argparse.Namespace) -> None:
+    """IVFADC search from the STORED artifacts — the production query
+    job: zero training at query time.  ``--ivf-root`` names a built
+    ``ivf-index`` output, ``--pq-root`` a built ``pq-index`` output
+    (both over the same corpus, kept live by their streams / forgets /
+    compactions); ``--input`` supplies the query vectors
+    (vec_id % 100 == 0, the module's query stride) and the rerank
+    shortlist's raw reads.  Writes (query_id, neighbor_id, rank, cos)
+    parquet to ``--output``."""
+    import os
+
+    from cloudcomputing_flink_application_spark.operators import similarity
+
+    spark = get_spark(app_name="ivfpq-search")
+    if not os.path.isdir(f"{args.ivf_root}/codebook"):
+        raise SystemExit(
+            f"no codebook under {args.ivf_root} — --ivf-root must name a "
+            "built ivf-index output root"
+        )
+    if similarity.pq_build_params(spark, args.pq_root) is None:
+        raise SystemExit(
+            f"no pq_meta under {args.pq_root} — --pq-root must name a "
+            "built pq-index output root"
+        )
+    result = similarity.ivfpq_topk_from_index(
+        spark,
+        args.ivf_root,
+        args.pq_root,
+        spark.read.parquet(args.input),
+        k=args.k if args.k is not None else similarity.TOPK,
+        nprobe=args.nprobe if args.nprobe is not None else similarity.NPROBE,
+        shortlist=(
+            args.shortlist
+            if args.shortlist is not None
+            else similarity.PQ_SHORTLIST
+        ),
+    )
+    result.write.mode("overwrite").parquet(args.output)
+    if args.show:
+        sinks.show(spark.read.parquet(args.output))
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="cloudcomputing_flink_application_spark")
     sub = p.add_subparsers(dest="job", required=True)
@@ -797,6 +839,9 @@ def main(argv: list[str] | None = None) -> None:
         ("pq-index", _pq_index,
          "embeddings-shaped parquet file/dir",
          "artifact root (pq_codebook / codes / pq_meta)"),
+        ("ivfpq-search", _ivfpq_search_job,
+         "embeddings-shaped parquet file/dir (queries + rerank vectors)",
+         "output folder (parquet (query_id, neighbor_id, rank, cos))"),
     ):
         sp = sub.add_parser(name)
         sp.add_argument("--input", required=True, help=in_help)
@@ -990,6 +1035,31 @@ def main(argv: list[str] | None = None) -> None:
                 "one partition, bounding the O(stream-age) directory/"
                 "file count; rows are untouched, the build's batch 0 "
                 "stays, a resumed stream appends above",
+            )
+        if name == "ivfpq-search":
+            sp.add_argument(
+                "--ivf-root", required=True,
+                help="a built ivf-index output root (coarse codebook + "
+                "assignment store)",
+            )
+            sp.add_argument(
+                "--pq-root", required=True,
+                help="a built pq-index output root (code codebook + codes "
+                "store; geometry from its pq_meta)",
+            )
+            sp.add_argument(
+                "--k", type=int, default=None,
+                help="neighbors per query (default: the operator's TOPK)",
+            )
+            sp.add_argument(
+                "--nprobe", type=int, default=None,
+                help="IVF cells probed per query (default: the operator's "
+                "NPROBE)",
+            )
+            sp.add_argument(
+                "--shortlist", type=int, default=None,
+                help="ADC shortlist size for the exact rerank (default: "
+                "the operator's PQ_SHORTLIST)",
             )
         if name == "span-scrub":
             sp.add_argument(

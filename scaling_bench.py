@@ -1380,6 +1380,56 @@ def bench_pq(spark) -> dict:
     return out
 
 
+def bench_pq_serve(spark) -> dict:
+    """r9: what serving from the STORED IVFADC artifacts buys at query
+    time.  ``ivfpq_topk`` retrains both codebooks per call (the pricing
+    instrument); ``ivfpq_topk_from_index`` reads the built roots —
+    training amortizes across every query batch.  Timed on the x1/x10
+    clustered corpora (8k/80k vectors): the per-call search from
+    artifacts vs the per-call retrain-and-search, plus the one-time
+    build cost it amortizes."""
+    import tempfile
+
+    build_clustered()
+    out: dict = {}
+    for s in (1, 10):
+        embs = spark.read.parquet(str(WORK / f"embs_clustered_x{s}.parquet"))
+        tmp = tempfile.mkdtemp(prefix=f"sg_pq_serve_x{s}_")
+        ivf_root, pq_root = f"{tmp}/ivf", f"{tmp}/pq"
+        try:
+            build_sec = timed(
+                lambda: (
+                    similarity.build_ivf_index(embs, ivf_root, iters=0),
+                    similarity.build_pq_index(embs, pq_root),
+                )
+            )
+
+            def run(fn):
+                times = []
+                for _ in range(REPS + 1):
+                    spark.catalog.clearCache()
+                    similarity.release_cached()
+                    times.append(timed(lambda: fn().count()))
+                return round(min(times[1:]), 3)
+
+            retrain = run(lambda: similarity.ivfpq_topk(embs))
+            served = run(
+                lambda: similarity.ivfpq_topk_from_index(
+                    spark, ivf_root, pq_root, embs
+                )
+            )
+            out[f"x{s}"] = {
+                "n_vectors": embs.count(),
+                "query_retrain_sec": retrain,
+                "query_from_index_sec": served,
+                "speedup": round(retrain / served, 2),
+                "one_time_build_sec": round(build_sec, 3),
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def bench_composed(spark) -> dict:
     """r7 composed registry entries on the 1x/4x/10x corpora: the span
     composition should track the span family (flat — shared persisted
@@ -1442,6 +1492,9 @@ def main() -> None:
         return
     if section == "purge-order":
         print(json.dumps({"purge_order": bench_purge_head_order(spark)}))
+        return
+    if section == "pq-serve":
+        print(json.dumps({"pq_serve": bench_pq_serve(spark)}))
         return
     if section == "store-compact":
         print(json.dumps({"store_compact": bench_store_compaction(spark)}))

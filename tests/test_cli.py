@@ -877,3 +877,39 @@ def test_pq_index_cli_compact_conflicts(tmp_path):
         cli.main(["pq-index", "--input", str(tmp_path),
                   "--output", str(tmp_path / "o"), "--compact",
                   "--forget", "1"])
+
+
+def test_ivfpq_search_cli(spark, tmp_path):
+    """The production query job end to end: build both index roots, run
+    ivfpq-search, output equals the operator's rows; unbuilt roots fail
+    with the clean usage errors."""
+    import pytest
+
+    from cloudcomputing_flink_application_spark.operators import similarity
+    from tests.conftest import TESTDATA
+
+    emb_in = str(tmp_path / "in")
+    spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet").write.parquet(
+        emb_in
+    )
+    ivf_root = str(tmp_path / "ivf")
+    pq_root = str(tmp_path / "pq")
+    out = str(tmp_path / "out")
+    cli.main(["ivf-index", "--input", emb_in, "--output", ivf_root])
+    cli.main(["pq-index", "--input", emb_in, "--output", pq_root])
+    cli.main(["ivfpq-search", "--input", emb_in, "--output", out,
+              "--ivf-root", ivf_root, "--pq-root", pq_root])
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {
+        tuple(r)
+        for r in similarity.ivfpq_topk_from_index(
+            spark, ivf_root, pq_root, spark.read.parquet(emb_in)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    with pytest.raises(SystemExit, match="no codebook"):
+        cli.main(["ivfpq-search", "--input", emb_in, "--output", out,
+                  "--ivf-root", str(tmp_path / "v1"), "--pq-root", pq_root])
+    with pytest.raises(SystemExit, match="no pq_meta"):
+        cli.main(["ivfpq-search", "--input", emb_in, "--output", out,
+                  "--ivf-root", ivf_root, "--pq-root", str(tmp_path / "v2")])
