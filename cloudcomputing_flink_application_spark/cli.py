@@ -456,6 +456,24 @@ def _span_scrub(args: argparse.Namespace) -> None:
         sinks.show(out)
 
 
+def _compact_store_cli(spark, output: str, subdir: str, what: str) -> None:
+    """The shared --compact handler for the two index-store commands:
+    refuse an unbuilt root, then fold the store's stream partitions
+    (``compact_batch_store``) against the stream's own checkpoint."""
+    import os
+
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        compact_batch_store,
+    )
+
+    if not os.path.isdir(f"{output}/{subdir}"):
+        raise SystemExit(
+            f"no {what} under {output} — --compact operates on a built "
+            "output root"
+        )
+    compact_batch_store(spark, f"{output}/{subdir}", f"{output}/_chk")
+
+
 def _ivf_index(args: argparse.Namespace) -> None:
     """The ANN index lifecycle surface over an ``embeddings``-shaped
     parquet input.
@@ -496,20 +514,7 @@ def _ivf_index(args: argparse.Namespace) -> None:
         )
     spark = get_spark(app_name="ivf-index")
     if args.compact:
-        import os
-
-        from cloudcomputing_flink_application_spark.streaming.jobs import (
-            compact_batch_store,
-        )
-
-        if not os.path.isdir(f"{args.output}/assignments"):
-            raise SystemExit(
-                f"no index under {args.output} — --compact operates on a "
-                "built ivf-index output root"
-            )
-        compact_batch_store(
-            spark, f"{args.output}/assignments", f"{args.output}/_chk"
-        )
+        _compact_store_cli(spark, args.output, "assignments", "index")
         return
     if args.forget:
         from cloudcomputing_flink_application_spark.streaming.jobs import forget_vecs
@@ -678,20 +683,7 @@ def _pq_index(args: argparse.Namespace) -> None:
         )
     spark = get_spark(app_name="pq-index")
     if args.compact:
-        import os
-
-        from cloudcomputing_flink_application_spark.streaming.jobs import (
-            compact_batch_store,
-        )
-
-        if not os.path.isdir(f"{args.output}/codes"):
-            raise SystemExit(
-                f"no codes store under {args.output} — --compact operates "
-                "on a built pq-index output root"
-            )
-        compact_batch_store(
-            spark, f"{args.output}/codes", f"{args.output}/_chk"
-        )
+        _compact_store_cli(spark, args.output, "codes", "codes store")
         return
     if args.forget:
         import os
@@ -790,24 +782,26 @@ def _ivfpq_search_job(args: argparse.Namespace) -> None:
             f"no codebook under {args.ivf_root} — --ivf-root must name a "
             "built ivf-index output root"
         )
-    if similarity.pq_build_params(spark, args.pq_root) is None:
-        raise SystemExit(
-            f"no pq_meta under {args.pq_root} — --pq-root must name a "
-            "built pq-index output root"
+    try:
+        result = similarity.ivfpq_topk_from_index(
+            spark,
+            args.ivf_root,
+            args.pq_root,
+            spark.read.parquet(args.input),
+            k=args.k if args.k is not None else similarity.TOPK,
+            nprobe=(
+                args.nprobe if args.nprobe is not None else similarity.NPROBE
+            ),
+            shortlist=(
+                args.shortlist
+                if args.shortlist is not None
+                else similarity.PQ_SHORTLIST
+            ),
         )
-    result = similarity.ivfpq_topk_from_index(
-        spark,
-        args.ivf_root,
-        args.pq_root,
-        spark.read.parquet(args.input),
-        k=args.k if args.k is not None else similarity.TOPK,
-        nprobe=args.nprobe if args.nprobe is not None else similarity.NPROBE,
-        shortlist=(
-            args.shortlist
-            if args.shortlist is not None
-            else similarity.PQ_SHORTLIST
-        ),
-    )
+    except ValueError as e:
+        # the operator's own precondition errors (unbuilt pq root, bad
+        # k/shortlist) ARE the usage errors — no duplicate pq_meta probe
+        raise SystemExit(str(e))
     result.write.mode("overwrite").parquet(args.output)
     if args.show:
         sinks.show(spark.read.parquet(args.output))

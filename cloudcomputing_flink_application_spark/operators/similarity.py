@@ -952,6 +952,7 @@ def build_ivf_index(
     from cloudcomputing_flink_application_spark.streaming.jobs import (
         _acquire_forget_locks,
         _prune_stale_batch_partitions,
+        _recover_compact,
         _refuse_uncommitted,
         _release_forget_locks,
     )
@@ -964,6 +965,9 @@ def build_ivf_index(
     except Exception:
         _release_forget_locks(spark, created)
         raise
+    # a crashed compaction's state must clear before the static rewrite
+    # (a stale marker would later "finish" over the fresh store)
+    _recover_compact(spark, asg_dir)
     # Failure contract (ADVICE r7 low): before the first artifact write
     # the index is untouched, so an exception (bad input schema, codebook
     # build failure) releases the lock — nothing to heal, the assign
@@ -2086,14 +2090,27 @@ def ivfpq_topk_from_index(
         )
     m = params["m"]
     cents = read_codebook(spark, ivf_root)
-    asg = spark.read.parquet(f"{ivf_root}/assignments").select(
-        "vec_id", "cluster"
+    # dropDuplicates on vec_id: the stores' union-of-arrivals contract
+    # means a vector re-sent in a LATER micro-batch holds rows in two
+    # batch_id partitions (dynamic overwrite dedups only replays of the
+    # SAME batch) — the copies are identical under one codebook, but the
+    # join would multiply them and the duplicate would occupy two ranks
+    # in the output (r9 review catch).  The dedup rides the join's own
+    # vec_id exchange, so it costs no extra shuffle.
+    asg = (
+        spark.read.parquet(f"{ivf_root}/assignments")
+        .select("vec_id", "cluster")
+        .dropDuplicates(["vec_id"])
     )
-    codes = spark.read.parquet(f"{pq_root}/codes").select(
-        "vec_id",
-        F.transform(F.split("code_csv", ","), lambda s: s.cast("int")).alias(
-            "codes"
-        ),
+    codes = (
+        spark.read.parquet(f"{pq_root}/codes")
+        .select(
+            "vec_id",
+            F.transform(
+                F.split("code_csv", ","), lambda s: s.cast("int")
+            ).alias("codes"),
+        )
+        .dropDuplicates(["vec_id"])
     )
     coded = asg.join(codes, "vec_id")
     packed = _persist(_pq_packed(read_pq_codebook(spark, pq_root)))
@@ -2252,6 +2269,7 @@ def build_pq_index(
     from the previous codebook drop, not merge)."""
     from cloudcomputing_flink_application_spark.streaming.jobs import (
         _acquire_forget_locks,
+        _recover_compact,
         _refuse_uncommitted,
         _release_forget_locks,
     )
@@ -2264,6 +2282,9 @@ def build_pq_index(
     except Exception:
         _release_forget_locks(spark, created)
         raise
+    # a crashed compaction's state must clear before the static rewrite
+    # (a stale marker would later "finish" over the fresh store)
+    _recover_compact(spark, codes_dir)
     # Failure contract (build_ivf_index convention): before the first
     # artifact write the index is untouched, so an exception (bad input
     # schema, codebook training failure) releases the lock.  The flag
@@ -2314,6 +2335,7 @@ def replace_pq_codes(
     appends to); refuses a root without ``pq_meta``."""
     from cloudcomputing_flink_application_spark.streaming.jobs import (
         _acquire_forget_locks,
+        _recover_compact,
         _recover_swap,
         _refuse_uncommitted,
         _release_forget_locks,
@@ -2334,6 +2356,10 @@ def replace_pq_codes(
         _release_forget_locks(spark, created)
         raise
     _recover_swap(spark, codes_dir)
+    # a crashed compaction's committed state must roll forward (and its
+    # marker/staging clear) BEFORE this static rewrite — a stale marker
+    # surviving the rewrite would later "finish" over the fresh store
+    _recover_compact(spark, codes_dir)
     # stage-then-swap (the _rewrite_minus pattern): the store being read
     # is never the write target, and a crash mid-swap heals on the next
     # lifecycle op via _recover_swap — until then the lock stays

@@ -1069,17 +1069,45 @@ def _lock_of(store_dir: str) -> str:
     return store_dir.rstrip("/") + ".forget_lock"
 
 
-def _acquire_forget_locks(spark, dirs) -> list[str]:
+def _acquire_forget_locks(spark, dirs, owner: str = "forget/build") -> list[str]:
     """Create each store's lock marker; returns the locks THIS call created
     (an already-present lock means a prior forget crashed mid-rewrite —
     the re-run resumes under it and must not release it on early refusal).
-    """
+
+    ``owner`` is written into the marker (best-effort, after the atomic
+    claim) so a later maintenance op can tell WHOSE crashed lock it is
+    looking at — compaction resumes under its own but must refuse a
+    forget's (r9 review: releasing a crashed forget's lock on completion
+    would drop the pending deletion silently)."""
     created = []
     for d in dirs:
         fs, p = _fs_path(spark, _lock_of(d))
         if fs.createNewFile(p):
+            out = fs.create(p, True)
+            try:
+                out.write(bytearray(owner.encode("utf-8")))
+            finally:
+                out.close()
             created.append(d)
     return created
+
+
+def _lock_owner(spark, store_dir: str) -> str:
+    """The owner tag a lock marker records ('' when absent or written by
+    a pre-r9 build, whose markers are empty)."""
+    fs, p = _fs_path(spark, _lock_of(store_dir))
+    if not fs.exists(p):
+        return ""
+    stream = fs.open(p)
+    try:
+        data = []
+        b = stream.read()
+        while b != -1 and len(data) < 64:
+            data.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8", errors="replace")
 
 
 def _release_forget_locks(spark, dirs) -> None:
@@ -1120,9 +1148,12 @@ def _forget_guard(spark, dirs) -> None:
                 "deletion or index rebuild is in progress or crashed "
                 "mid-rewrite.  Finish it before resuming the stream — "
                 "re-run the same forget (idempotent, heals partial "
-                "state), or, if this lock was left by a crashed "
-                "build_ivf_index, re-run the build (it overwrites the "
-                "half-written artifact and releases the lock)."
+                "state); if this lock was left by a crashed index build, "
+                "re-run the build (it overwrites the half-written "
+                "artifact and releases the lock); if by a crashed "
+                "store compaction (the marker records its owner), "
+                "re-run the compaction (it rolls itself forward or "
+                "back and releases the lock)."
             )
     for d in dirs:
         _recover_swap(spark, d)
@@ -1320,27 +1351,124 @@ def compact_purge_deltas(spark, output_dir: str, checkpoint_dir: str | None) -> 
     _release_forget_locks(spark, [output_dir])
 
 
+def _compact_tmp_of(store_dir: str) -> str:
+    return store_dir.rstrip("/") + ".compact_tmp"
+
+
+def _compact_marker_glob(store_dir: str) -> str:
+    return store_dir.rstrip("/") + ".compact_commit.*"
+
+
+def _stream_partition_dirs(spark, store_dir: str) -> list:
+    """The store's STREAM partition dirs (batch_id >= 1) as FileStatus
+    paths; the build's batch_id=0 foundation is never in the list."""
+    jvm = spark._jvm
+    pattern = jvm.org.apache.hadoop.fs.Path(
+        store_dir.rstrip("/") + "/batch_id=*"
+    )
+    fs = pattern.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for st in fs.globStatus(pattern) or []:
+        if int(st.getPath().getName().split("=", 1)[1]) >= 1:
+            out.append(st.getPath())
+    return out
+
+
+def _finish_compact(spark, store_dir: str, snap: int) -> None:
+    """Complete a committed compaction (the marker exists, so the folded
+    snapshot in ``.compact_tmp`` is complete): delete the store's stream
+    partition dirs, move the snapshot in, drop marker + staging.  Every
+    step is idempotent, so a crash anywhere re-runs to the same end
+    state — the snapshot dir is skipped by the delete loop exactly when
+    it has already been moved (the staging copy is gone)."""
+    fs, _ = _fs_path(spark, store_dir)
+    jvm = spark._jvm
+    p_tmp_snap = jvm.org.apache.hadoop.fs.Path(
+        f"{_compact_tmp_of(store_dir)}/batch_id={snap}"
+    )
+    tmp_snap_exists = fs.exists(p_tmp_snap)
+    for p in _stream_partition_dirs(spark, store_dir):
+        if int(p.getName().split("=", 1)[1]) > snap:
+            continue  # an uncommitted batch's partition: not folded,
+            # left for its replay's dynamic overwrite
+        if not tmp_snap_exists and p.getName() == f"batch_id={snap}":
+            continue  # already the moved-in snapshot
+        fs.delete(p, True)
+    if tmp_snap_exists:
+        fs.rename(
+            p_tmp_snap,
+            jvm.org.apache.hadoop.fs.Path(
+                f"{store_dir.rstrip('/')}/batch_id={snap}"
+            ),
+        )
+    for pat in (_compact_marker_glob(store_dir),):
+        for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
+            fs.delete(st.getPath(), False)
+    _, p_tmp = _fs_path(spark, _compact_tmp_of(store_dir))
+    if fs.exists(p_tmp):
+        fs.delete(p_tmp, True)
+
+
+def _recover_compact(spark, store_dir: str) -> None:
+    """Heal a crashed :func:`compact_batch_store`: with the commit marker
+    present the staged snapshot is complete — roll FORWARD (finish the
+    compaction); without it the staging dir (if any) is an incomplete
+    write — roll BACK (drop it; the store was never touched, since store
+    mutation starts only after the marker).  Called by compaction itself
+    and by every other maintenance op on these stores before it reads
+    them, so a half-compacted store is whole again before any rewrite."""
+    fs, _ = _fs_path(spark, store_dir)
+    jvm = spark._jvm
+    markers = (
+        fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(_compact_marker_glob(store_dir))
+        )
+        or []
+    )
+    if markers:
+        snap = int(markers[0].getPath().getName().rsplit(".", 1)[1])
+        _finish_compact(spark, store_dir, snap)
+        return
+    _, p_tmp = _fs_path(spark, _compact_tmp_of(store_dir))
+    if fs.exists(p_tmp):
+        fs.delete(p_tmp, True)
+
+
 def compact_batch_store(spark, store_dir: str, checkpoint_dir: str | None) -> None:
     """Offline compaction of a batch_id-partitioned APPEND store (the
     IVF ``assignments`` / PQ ``codes`` layout), run while the encode /
-    assign stream is STOPPED: rewrite all STREAM partitions
-    (``batch_id >= 1``) into ONE partition at the current max batch_id,
-    leaving the build pass's ``batch_id=0`` foundation untouched.
+    assign stream is STOPPED: fold all STREAM partitions
+    (``batch_id >= 1``) into ONE partition at the current max batch_id.
+    The build pass's ``batch_id=0`` foundation is never read or
+    rewritten — the scan is partition-pruned to the stream dirs, so a
+    run costs O(stream tail), not O(store) (r9 review catch; on a 100 TB
+    store the foundation is the bulk of the data).
 
     Rows are untouched — these stores append disjoint per-vector rows,
-    so compaction is pure partition consolidation.  What it bounds is
-    the O(stream-age) directory/file count: after 10^4 micro-batches a
-    reader lists 10^4 partition dirs of small files — the file-count
-    analogue of the purge delta history this round's
-    :func:`compact_purge_deltas` folds (and the last per-batch-growth
-    term in the index stores).
+    so compaction is pure layout.  What it bounds is the O(stream-age)
+    directory/file count: after 10^4 micro-batches a reader lists 10^4
+    partition dirs of small files — the file-count analogue of the
+    purge delta history :func:`compact_purge_deltas` folds.  Output
+    files are coalesced to one per ``maxPartitionBytes`` of STREAM data
+    (narrow dependency — no shuffle).  Fewer than two stream partitions
+    is a true no-op (nothing to fold; in particular the state right
+    after a compaction, so a scheduled re-run costs a listing, not a
+    rewrite).
 
     Invariants preserved:
 
     - a RESUMED stream (same checkpoint) appends at strictly higher
       batch_ids, so later appends never collide with the snapshot
-      partition; an uncommitted in-flight batch is refused (its replay
-      would dynamic-overwrite a partition the fold already consumed);
+      partition;
+    - the fold is COMMITTED-BOUNDED: with ``checkpoint_dir`` given,
+      only partitions of committed epochs (batch_id <= latest commit
+      + 1) fold — an uncommitted in-flight batch's partition is left
+      in place for its at-least-once replay to dynamic-overwrite, so
+      compaction never needs to refuse that state (the refusal would
+      be un-followable after a crashed compaction: the stream cannot
+      commit the batch while the compaction's own lock fences it).
+      ``checkpoint_dir=None`` folds everything — the caller asserts no
+      uncommitted batch exists;
     - a FRESH-checkpoint stream's batch-0 prune drops the compacted
       partition exactly as it would have dropped the originals (stream
       rows re-append from the re-read input — the pre-compaction
@@ -1348,59 +1476,86 @@ def compact_batch_store(spark, store_dir: str, checkpoint_dir: str | None) -> No
     - forget rewrites (anti-join over the whole store) and every reader
       see identical rows before and after.
 
-    Same safety contract as the forget rewrites: sibling lock (the
-    stream's per-batch guard refuses while it exists), uncommitted-
-    checkpoint refusal, rename-to-backup swap with
-    :func:`_recover_swap` healing."""
-    created = _acquire_forget_locks(spark, [store_dir])
+    Crash safety is a stage-mark-finish protocol rather than the forget
+    rewrites' whole-dir swap (which would re-rewrite the foundation):
+    the folded snapshot is STAGED outside the store, a commit marker
+    (carrying the snapshot id in its name) is created atomically only
+    after the staging write completes, and only then does store
+    mutation begin.  :func:`_recover_compact` rolls an interrupted run
+    back (no marker: drop staging, store untouched) or forward (marker:
+    every stream row is in the staging snapshot — finish the delete/
+    move).  The lock marker is owner-tagged: compaction RESUMES under
+    its own crashed lock (heal + redo is the recovery, like the
+    forgets), but REFUSES another op's — completing under a crashed
+    forget's lock would release it with the pending deletion silently
+    dropped."""
+    created = _acquire_forget_locks(spark, [store_dir], owner="compact")
     try:
         if not created:
-            # A pre-existing lock means a forget/build crashed mid-
-            # rewrite.  The forgets treat a re-RUN as the recovery and
-            # release all locks on completion; compaction completing
-            # would release a lock whose pending deletion never
-            # happened — a compliance deletion silently dropped.
-            raise RuntimeError(
-                f"{store_dir} carries a maintenance lock from a crashed "
-                "forget/build — re-run that operation first (its "
-                "completion releases the lock), then compact"
-            )
-        _refuse_uncommitted(spark, checkpoint_dir)
+            owner = _lock_owner(spark, store_dir) or "unknown (pre-r9 marker)"
+            if owner != "compact":
+                raise RuntimeError(
+                    f"{store_dir} carries a maintenance lock owned by "
+                    f"'{owner}' (a crashed forget/build/encode) — re-run "
+                    "that operation first (its completion releases the "
+                    "lock), then compact"
+                )
         _refuse_unpartitioned_store(spark, store_dir)
     except Exception:
         _release_forget_locks(spark, created)
         raise
     _recover_swap(spark, store_dir)
-    if not _committed_batch_data_exists(spark, store_dir):
+    _recover_compact(spark, store_dir)
+    stream_dirs = _stream_partition_dirs(spark, store_dir)
+    if checkpoint_dir is not None:
+        # committed-bounded fold: epoch N writes partition N+1, so
+        # partitions above latest_commit+1 belong to an uncommitted
+        # batch — leave them for the replay's dynamic overwrite
+        commit_bound = _latest_numbered(spark, f"{checkpoint_dir}/commits") + 1
+        stream_dirs = [
+            p
+            for p in stream_dirs
+            if int(p.getName().split("=", 1)[1]) <= commit_bound
+        ]
+    if len(stream_dirs) < 2:
+        # nothing to fold (fresh store, or already compacted): a true
+        # no-op — release our lock; a resumed crashed run that healed
+        # down to this state is complete
         _release_forget_locks(spark, [store_dir])
         return
-    snap = _max_batch_partition(spark, store_dir)
-    if snap <= 1:
-        # nothing to fold: only the build foundation and/or one stream
-        # partition
-        _release_forget_locks(spark, [store_dir])
-        return
-    df = spark.read.parquet(store_dir)
-    # Consolidate FILES too, not just partition dirs: per-batch stream
-    # writes leave one small file per micro-batch, and the scan's
-    # bin-packing charges each its open cost — so target one output
-    # file per maxPartitionBytes of store data (the scan-optimal size),
-    # via coalesce (a narrow dependency: compaction stays shuffle-free).
-    fs, p_store = _fs_path(spark, store_dir)
-    store_bytes = fs.getContentSummary(p_store).getLength()
+    snap = max(
+        int(p.getName().split("=", 1)[1]) for p in stream_dirs
+    )
+    fs, _ = _fs_path(spark, store_dir)
+    # partition-pruned: only the foldable stream dirs are scanned (the
+    # upper bound excludes an uncommitted batch's partition)
+    folded = spark.read.parquet(store_dir).filter(
+        (F.col("batch_id") >= 1) & (F.col("batch_id") <= snap)
+    )
+    # one output file per maxPartitionBytes of STREAM data via coalesce
+    # (narrow dependency: compaction stays shuffle-free)
+    stream_bytes = sum(
+        fs.getContentSummary(p).getLength() for p in stream_dirs
+    )
     max_pb = spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
     )
-    n_out = max(1, int(store_bytes // max(1, max_pb)) + 1)
-    out = df.coalesce(n_out).withColumn(
-        "batch_id",
-        F.when(F.col("batch_id") <= 0, F.col("batch_id")).otherwise(
-            F.lit(snap)
-        ),
+    n_out = max(1, int(stream_bytes // max(1, max_pb)) + 1)
+    tmp = _compact_tmp_of(store_dir)
+    (
+        folded.coalesce(n_out)
+        .withColumn("batch_id", F.lit(snap))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(tmp)
     )
-    tmp = store_dir.rstrip("/") + ".forget_tmp"
-    out.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-    _replace_dir(spark, tmp, store_dir)
+    # COMMIT POINT: marker created atomically only after the staging
+    # write returned — from here recovery rolls forward
+    fs_m, p_marker = _fs_path(
+        spark, store_dir.rstrip("/") + f".compact_commit.{snap}"
+    )
+    fs_m.createNewFile(p_marker)
+    _finish_compact(spark, store_dir, snap)
     _release_forget_locks(spark, [store_dir])
 
 
@@ -1833,6 +1988,7 @@ def forget_pq_vecs(
         _release_forget_locks(spark, created)
         raise
     _recover_swap(spark, codes_dir)
+    _recover_compact(spark, codes_dir)  # a crashed compaction rolls forward
     ids_df = spark.createDataFrame([(i,) for i in ids], "vec_id LONG")
     _rewrite_minus(spark, codes_dir, ids_df, key="vec_id")
     _release_forget_locks(spark, [codes_dir])
@@ -1864,6 +2020,7 @@ def forget_vecs(spark, index_root: str, vec_ids, checkpoint_dir: str | None) -> 
         _release_forget_locks(spark, created)
         raise
     _recover_swap(spark, asg_dir)
+    _recover_compact(spark, asg_dir)  # a crashed compaction rolls forward
     ids_df = spark.createDataFrame([(i,) for i in ids], "vec_id LONG")
     _rewrite_minus(spark, asg_dir, ids_df, key="vec_id")
     _release_forget_locks(spark, [asg_dir])

@@ -506,3 +506,177 @@ def test_ivfpq_topk_from_index_matches_inmemory(spark, tmp_path, embs):
         S.ivfpq_topk_from_index(
             spark, ivf_root, str(tmp_path / "void"), embs
         )
+
+
+def test_compact_crash_recovery_and_lock_owners(spark, tmp_path, embs, monkeypatch):
+    """The compaction crash protocol: a crash at the commit point leaves
+    the marker + staged snapshot and the owner-tagged lock; the RE-RUN
+    resumes under its own lock and rolls forward to the identical store.
+    A staging dir WITHOUT the marker rolls back.  Lock ownership: a
+    forget's lock refuses compaction (by name), while a crashed
+    compaction's lock does not block a forget (it heals first)."""
+    import os
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming import jobs
+
+    root = str(tmp_path / "root")
+    d_in = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    S.build_pq_index(embs.filter(F.col("vec_id") < 200), root)
+    for lo, hi, name in ((200, 350, "b0"), (350, 500, "b1")):
+        embs.filter(f"vec_id >= {lo} and vec_id < {hi}").write.parquet(
+            f"{d_in}/{name}.parquet"
+        )
+        q = jobs.run_pq_encode_stream(
+            spark,
+            spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+            chk,
+            root,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    codes = f"{root}/codes"
+    before = {
+        (r.vec_id, r.code_csv) for r in spark.read.parquet(codes).collect()
+    }
+    # crash AT the commit point: marker + staged snapshot exist, store
+    # untouched, lock held by 'compact'
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash after commit marker")
+
+    monkeypatch.setattr(jobs, "_finish_compact", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        jobs.compact_batch_store(spark, codes, chk)
+    monkeypatch.undo()
+    assert os.path.exists(f"{codes}.forget_lock")
+    assert os.path.exists(f"{codes}.compact_tmp")
+    assert any(
+        e.startswith("codes.compact_commit.") for e in os.listdir(root)
+    )
+    assert {
+        (r.vec_id, r.code_csv) for r in spark.read.parquet(codes).collect()
+    } == before  # store untouched pre-mutation
+    # the stream refuses under the crashed compaction's lock
+    embs.limit(3).write.parquet(f"{d_in}/b2.parquet")
+    q = jobs.run_pq_encode_stream(
+        spark,
+        spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+        chk,
+        root,
+    )
+    with pytest.raises(Exception, match="forget-lock"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # the RE-RUN resumes under its own lock and rolls forward
+    jobs.compact_batch_store(spark, codes, chk)
+    after = spark.read.parquet(codes)
+    assert {(r.vec_id, r.code_csv) for r in after.collect()} == before
+    assert {
+        int(r.batch_id) for r in after.select("batch_id").distinct().collect()
+    } == {0, 2}
+    assert not os.path.exists(f"{codes}.forget_lock")
+    assert not os.path.exists(f"{codes}.compact_tmp")
+    assert not any(
+        e.startswith("codes.compact_commit.") for e in os.listdir(root)
+    )
+    # a stale staging dir with NO marker rolls back (and compaction with
+    # fewer than two stream partitions is a true no-op)
+    os.makedirs(f"{codes}.compact_tmp/batch_id=9")
+    with open(f"{codes}.forget_lock", "w") as fh:
+        fh.write("compact")
+    jobs.compact_batch_store(spark, codes, chk)
+    assert not os.path.exists(f"{codes}.compact_tmp")
+    assert not os.path.exists(f"{codes}.forget_lock")
+    assert {
+        (r.vec_id, r.code_csv) for r in spark.read.parquet(codes).collect()
+    } == before
+    # a FORGET's crashed lock refuses compaction by name...
+    with open(f"{codes}.forget_lock", "w") as fh:
+        fh.write("forget/build")
+    with pytest.raises(RuntimeError, match="owned by 'forget/build'"):
+        jobs.compact_batch_store(spark, codes, chk)
+    assert os.path.exists(f"{codes}.forget_lock")
+    os.remove(f"{codes}.forget_lock")
+    # ...but a crashed compaction's lock does NOT block a forget: it
+    # heals (rolls forward) and proceeds.  Fabricate the commit-point
+    # state again, then forget under it.
+    monkeypatch.setattr(jobs, "_finish_compact", boom)
+    # un-compact first so there is something to fold: stream one more file
+    q = jobs.run_pq_encode_stream(
+        spark,
+        spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+        chk,
+        root,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with pytest.raises(RuntimeError, match="injected"):
+        jobs.compact_batch_store(spark, codes, chk)
+    monkeypatch.undo()
+    pre = spark.read.parquet(codes)
+    n_before_forget = pre.count()
+    # the replayed b2 file re-sent vec_ids 0..2, so those ids hold TWO
+    # rows each (union-of-arrivals contract); the forget removes all
+    n_victim_rows = pre.filter("vec_id in (0, 1)").count()
+    jobs.forget_pq_vecs(spark, root, [0, 1], None)
+    got = spark.read.parquet(codes)
+    assert got.count() == n_before_forget - n_victim_rows
+    assert got.filter("vec_id in (0, 1)").count() == 0
+    assert not os.path.exists(f"{codes}.forget_lock")
+    assert not os.path.exists(f"{codes}.compact_tmp")
+
+
+def test_ivfpq_from_index_dedups_rearrived_vectors(spark, tmp_path, embs):
+    """A vector re-sent in a later micro-batch holds rows in two store
+    partitions (the union-of-arrivals contract); the from-index search
+    must not let the copies occupy two ranks (r9 review catch): every
+    (query_id, neighbor_id) appears once and ranks stay 1..k."""
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming import jobs
+
+    ivf_root = str(tmp_path / "ivf")
+    pq_root = str(tmp_path / "pq")
+    d_in = str(tmp_path / "in")
+    S.build_ivf_index(embs, ivf_root, iters=0)
+    S.build_pq_index(embs, pq_root)
+    # re-send 50 vectors through BOTH stores' streams
+    dup = embs.filter("vec_id < 50")
+    dup.write.parquet(f"{d_in}/again.parquet")
+    for chk, start, root in (
+        (str(tmp_path / "chk_ivf"), jobs.run_ivf_assign_stream, ivf_root),
+        (str(tmp_path / "chk_pq"), jobs.run_pq_encode_stream, pq_root),
+    ):
+        q = start(
+            spark,
+            spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+            chk,
+            root,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # both stores now hold duplicate rows for the re-sent ids
+    asg = spark.read.parquet(f"{ivf_root}/assignments")
+    assert asg.filter("vec_id < 50").count() == 100
+    out = S.ivfpq_topk_from_index(spark, ivf_root, pq_root, embs)
+    pairs = out.groupBy("query_id", "neighbor_id").count()
+    assert pairs.filter("count > 1").count() == 0
+    ranks = {
+        (r.query_id, r.rank) for r in out.select("query_id", "rank").collect()
+    }
+    n_queries = out.select("query_id").distinct().count()
+    assert len(ranks) == n_queries * 5  # ranks 1..k, no duplicates
+    # and the result equals the duplicate-free search exactly
+    clean = {
+        tuple(r)
+        for r in S.ivfpq_topk(embs).collect()
+    }
+    assert {tuple(r) for r in out.collect()} == clean
