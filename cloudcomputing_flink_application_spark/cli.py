@@ -768,10 +768,14 @@ def _ivfpq_search_job(args: argparse.Namespace) -> None:
     job: zero training at query time.  ``--ivf-root`` names a built
     ``ivf-index`` output, ``--pq-root`` a built ``pq-index`` output
     (both over the same corpus, kept live by their streams / forgets /
-    compactions); ``--input`` supplies the query vectors
-    (vec_id % 100 == 0, the module's query stride) and the rerank
-    shortlist's raw reads.  Writes (query_id, neighbor_id, rank, cos)
-    parquet to ``--output``."""
+    compactions).  Batch (default): ``--input`` supplies the query
+    vectors (vec_id % 100 == 0, the module's query stride) and the
+    rerank shortlist's raw reads; writes (query_id, neighbor_id, rank,
+    cos) parquet to ``--output``.  ``--streaming``: ``--input`` is the
+    query STREAM directory (every arriving vector queries), ``--corpus``
+    the rerank raw vectors; each micro-batch is served from the
+    artifacts as they stand (``run_ivfpq_search_stream``) and appends
+    results under ``<output>/batch_id=N``."""
     import os
 
     from cloudcomputing_flink_application_spark.operators import similarity
@@ -782,6 +786,40 @@ def _ivfpq_search_job(args: argparse.Namespace) -> None:
             f"no codebook under {args.ivf_root} — --ivf-root must name a "
             "built ivf-index output root"
         )
+    if args.streaming:
+        from cloudcomputing_flink_application_spark import schemas
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            run_ivfpq_search_stream,
+        )
+
+        if not args.corpus:
+            raise SystemExit(
+                "--streaming requires --corpus (the rerank stage's raw "
+                "vectors; --input becomes the query stream directory)"
+            )
+        stream = spark.readStream.schema(schemas.EMBEDDINGS).parquet(args.input)
+        try:
+            q = run_ivfpq_search_stream(
+                spark,
+                stream,
+                f"{args.output}/_chk",
+                args.output,
+                args.ivf_root,
+                args.pq_root,
+                spark.read.parquet(args.corpus),
+                k=args.k,
+                nprobe=args.nprobe,
+                shortlist=args.shortlist,
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if args.show:
+            sinks.show(spark.read.parquet(args.output))
+        return
     try:
         result = similarity.ivfpq_topk_from_index(
             spark,
@@ -1054,6 +1092,14 @@ def main(argv: list[str] | None = None) -> None:
                 "--shortlist", type=int, default=None,
                 help="ADC shortlist size for the exact rerank (default: "
                 "the operator's PQ_SHORTLIST)",
+            )
+            sp.add_argument(
+                "--corpus", default=None,
+                help="with --streaming: the rerank stage's raw vectors "
+                "(embeddings-shaped parquet; --input becomes the query "
+                "STREAM directory — arriving query vectors are served "
+                "per micro-batch from the stored artifacts, results "
+                "append under <output>/batch_id=N)",
             )
         if name == "span-scrub":
             sp.add_argument(

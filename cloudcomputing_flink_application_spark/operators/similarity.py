@@ -2053,6 +2053,7 @@ def ivfpq_topk_from_index(
     k: int = TOPK,
     nprobe: int = NPROBE,
     shortlist: int = PQ_SHORTLIST,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC search over the STORED artifacts — the production query
     path: ZERO training at query time.  :func:`ivfpq_topk` prices the
@@ -2067,8 +2068,11 @@ def ivfpq_topk_from_index(
       store (the 32x-compressed candidates); geometry (m) from pq_meta,
       so a query can never slice vectors differently than the codes
       were built;
-    - ``embeddings`` supplies only the query vectors (``QUERY_STRIDE``)
-      and the rerank shortlist's raw vectors — the cold-storage reads.
+    - ``embeddings`` supplies the rerank shortlist's raw vectors — the
+      cold-storage reads — and, when no explicit ``queries`` frame is
+      given, the ``QUERY_STRIDE`` query sample; ``queries`` (any
+      embeddings-shaped frame, every row a query, ids need not exist
+      in the corpus) is the production entry point.
 
     Both roots must be built over the same corpus (vectors present in
     only one store drop from the candidate inner join).  The one
@@ -2115,15 +2119,26 @@ def ivfpq_topk_from_index(
     coded = asg.join(codes, "vec_id")
     packed = _persist(_pq_packed(read_pq_codebook(spark, pq_root)))
     base = _normed(embeddings)
-    queries = _normed(
-        embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
-    ).select(
+    # queries: an explicit embeddings-shaped frame (EVERY row queries —
+    # the production shape: arbitrary query vectors, corpus ids not
+    # required), else the module's QUERY_STRIDE sample of the corpus
+    # (the oracle-test shape).  A query whose vec_id matches a corpus
+    # vector still excludes itself, as in every other top-k here.
+    q_src = (
+        _normed(queries, spread=False)
+        if queries is not None
+        else _normed(
+            embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0),
+            spread=False,
+        )
+    )
+    q_frame = q_src.select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
     )
     return _ivfpq_search(
-        cents, packed, coded, queries, base, k, nprobe, shortlist, m
+        cents, packed, coded, q_frame, base, k, nprobe, shortlist, m
     )
 
 

@@ -1965,6 +1965,80 @@ def run_pq_encode_stream(
     )
 
 
+def run_ivfpq_search_stream(
+    spark,
+    queries: DataFrame,
+    checkpoint_dir: str,
+    output_dir: str,
+    ivf_root: str,
+    pq_root: str,
+    corpus: DataFrame,
+    k: int | None = None,
+    nprobe: int | None = None,
+    shortlist: int | None = None,
+):
+    """Serve IVFADC queries as they ARRIVE — the online half of the
+    search story (``ivfpq_topk_from_index`` is the batch half): query
+    vectors stream in, each micro-batch searches the STORED artifacts
+    (zero training, the same shared ``_ivfpq_search`` stages) and
+    appends its results under ``{output_dir}/batch_id=N``.
+
+    The artifacts are read PER BATCH, not captured once at stream
+    start: the index maintenance loop (encode/assign streams, drift
+    rebuilds, forgets, compactions) keeps mutating the roots, and a
+    long-lived serving stream must see those mutations — a forgotten
+    vector stops being returned from the next micro-batch on
+    (compliance deletion reaches the serving path, pinned in tests).
+    ``corpus`` supplies the rerank shortlist's raw vectors, the only
+    raw reads.  Results are idempotent under at-least-once replay via
+    dynamic partition overwrite, like every incremental job here.
+
+    Contract (tests/test_pq.py): each batch's rows == the batch
+    operator with ``queries=`` that batch's frame — search is per-query
+    against shared artifacts, so micro-batching is trivially exact.
+    The stream takes no locks (it is a reader): a concurrent forget's
+    store swap can fail an in-flight batch with a transient read error,
+    and the restarted stream replays it idempotently against the
+    post-forget store."""
+    from cloudcomputing_flink_application_spark.operators.similarity import (
+        NPROBE,
+        PQ_SHORTLIST,
+        TOPK,
+        ivfpq_topk_from_index,
+        pq_build_params,
+    )
+
+    if pq_build_params(spark, pq_root) is None:
+        raise ValueError(
+            f"no pq_meta under {pq_root} — build the PQ artifact first "
+            "(similarity.build_pq_index / the pq-index CLI)"
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            _prune_batch_partitions_after(spark, output_dir, -1)
+        _write_batch_partition(
+            ivfpq_topk_from_index(
+                spark,
+                ivf_root,
+                pq_root,
+                corpus,
+                k=k if k is not None else TOPK,
+                nprobe=nprobe if nprobe is not None else NPROBE,
+                shortlist=shortlist if shortlist is not None else PQ_SHORTLIST,
+                queries=batch_df,
+            ),
+            batch_id,
+            output_dir,
+        )
+
+    return (
+        queries.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def forget_pq_vecs(
     spark, index_root: str, vec_ids, checkpoint_dir: str | None
 ) -> None:

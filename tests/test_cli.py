@@ -913,3 +913,42 @@ def test_ivfpq_search_cli(spark, tmp_path):
     with pytest.raises(SystemExit, match="no pq_meta"):
         cli.main(["ivfpq-search", "--input", emb_in, "--output", out,
                   "--ivf-root", ivf_root, "--pq-root", str(tmp_path / "v2")])
+
+
+def test_ivfpq_search_cli_streaming(spark, tmp_path):
+    """ivfpq-search --streaming: arriving query vectors are served from
+    the stored artifacts per micro-batch; --corpus is required."""
+    import pytest
+
+    from cloudcomputing_flink_application_spark.operators import similarity
+    from tests.conftest import TESTDATA
+
+    emb = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+    corpus_in = str(tmp_path / "corpus")
+    emb.write.parquet(corpus_in)
+    ivf_root = str(tmp_path / "ivf")
+    pq_root = str(tmp_path / "pq")
+    q_in = str(tmp_path / "queries")
+    out = str(tmp_path / "out")
+    cli.main(["ivf-index", "--input", corpus_in, "--output", ivf_root])
+    cli.main(["pq-index", "--input", corpus_in, "--output", pq_root])
+    emb.limit(10).write.parquet(f"{q_in}/q0.parquet")
+    cli.main(["ivfpq-search", "--input", f"{q_in}/*", "--output", out,
+              "--ivf-root", ivf_root, "--pq-root", pq_root,
+              "--corpus", corpus_in, "--streaming"])
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(out).drop("batch_id").collect()
+    }
+    want = {
+        tuple(r)
+        for r in similarity.ivfpq_topk_from_index(
+            spark, ivf_root, pq_root, emb,
+            queries=spark.read.parquet(f"{q_in}/q0.parquet"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    with pytest.raises(SystemExit, match="requires --corpus"):
+        cli.main(["ivfpq-search", "--input", f"{q_in}/*", "--output", out,
+                  "--ivf-root", ivf_root, "--pq-root", pq_root,
+                  "--streaming"])

@@ -680,3 +680,69 @@ def test_ivfpq_from_index_dedups_rearrived_vectors(spark, tmp_path, embs):
         for r in S.ivfpq_topk(embs).collect()
     }
     assert {tuple(r) for r in out.collect()} == clean
+
+
+def test_ivfpq_search_stream_serves_from_live_artifacts(spark, tmp_path, embs):
+    """The online search half: query vectors stream in, every micro-batch
+    is served from the stored artifacts AS THEY STAND — batch N's rows
+    equal the batch operator over that query frame, an explicit external
+    query set (ids not in the corpus) works, and a forget between
+    batches reaches the serving path (the forgotten vector stops being
+    returned, no rebuild)."""
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming import jobs
+
+    ivf_root = str(tmp_path / "ivf")
+    pq_root = str(tmp_path / "pq")
+    d_in = str(tmp_path / "queries")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    S.build_ivf_index(embs, ivf_root, iters=0)
+    S.build_pq_index(embs, pq_root)
+
+    # external query ids (shifted out of the corpus id space)
+    q1 = embs.filter("vec_id < 20").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    q1.write.parquet(f"{d_in}/q1.parquet")
+
+    def run():
+        q = jobs.run_ivfpq_search_stream(
+            spark,
+            spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+            chk,
+            out,
+            ivf_root,
+            pq_root,
+            embs,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run()
+    got1 = {
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .filter("batch_id = 0")
+        .drop("batch_id")
+        .collect()
+    }
+    want1 = {
+        tuple(r)
+        for r in S.ivfpq_topk_from_index(
+            spark, ivf_root, pq_root, embs, queries=spark.read.parquet(f"{d_in}/q1.parquet")
+        ).collect()
+    }
+    assert got1 == want1 and len(got1) == 20 * 5  # every row queries
+    # forget a returned neighbor from both stores, then serve batch 2:
+    # the compliance deletion reaches the serving path immediately
+    victim = next(iter(got1))[1]
+    jobs.forget_vecs(spark, ivf_root, [victim], None)
+    jobs.forget_pq_vecs(spark, pq_root, [victim], None)
+    q1.write.parquet(f"{d_in}/q2.parquet")  # same queries, new batch
+    run()
+    served = spark.read.parquet(out).filter("batch_id = 1")
+    assert served.count() == 20 * 5
+    assert served.filter(F.col("neighbor_id") == victim).count() == 0
