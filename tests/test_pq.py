@@ -746,3 +746,74 @@ def test_ivfpq_search_stream_serves_from_live_artifacts(spark, tmp_path, embs):
     served = spark.read.parquet(out).filter("batch_id = 1")
     assert served.count() == 20 * 5
     assert served.filter(F.col("neighbor_id") == victim).count() == 0
+
+
+def test_recover_compact_every_crash_window(spark, tmp_path, embs):
+    """_recover_compact is exercised at every distinct crash window of
+    the stage-mark-finish protocol, with states fabricated directly on
+    disk: (W1) staged + marker, store untouched; (W2) stream dirs
+    deleted, snapshot not yet moved; (W3) snapshot moved, cleanup
+    pending.  Each recovery must land on the identical folded store."""
+    import glob as globmod
+    import os
+    import shutil
+
+    from cloudcomputing_flink_application_spark.streaming import jobs
+
+    base_root = str(tmp_path / "base")
+    S.build_pq_index(embs.filter(F.col("vec_id") < 150), base_root)
+    # fabricate two stream partitions by copying batch 0's files under
+    # new partition ids with distinct vec_id ranges
+    enc = S.pq_encode(
+        embs.filter("vec_id >= 150 and vec_id < 300"),
+        codebook=S.read_pq_codebook(spark, base_root),
+    )
+    enc.filter("vec_id < 220").withColumn("batch_id", F.lit(1)).write.mode(
+        "append"
+    ).partitionBy("batch_id").parquet(f"{base_root}/codes")
+    enc.filter("vec_id >= 220").withColumn("batch_id", F.lit(2)).write.mode(
+        "append"
+    ).partitionBy("batch_id").parquet(f"{base_root}/codes")
+    want = {
+        (r.vec_id, r.code_csv)
+        for r in spark.read.parquet(f"{base_root}/codes").collect()
+    }
+
+    def fabricate(window: str) -> str:
+        root = str(tmp_path / window)
+        shutil.copytree(base_root, root)
+        codes = f"{root}/codes"
+        tmp = f"{codes}.compact_tmp"
+        # a complete staged snapshot = both stream partitions' files
+        # under one batch_id=2 dir (parquet dirs union their files)
+        os.makedirs(f"{tmp}/batch_id=2")
+        i = 0
+        for src_dir in (f"{codes}/batch_id=1", f"{codes}/batch_id=2"):
+            for f in globmod.glob(f"{src_dir}/part-*"):
+                shutil.copy(f, f"{tmp}/batch_id=2/part-{i:05d}-copy.parquet")
+                i += 1
+        with open(f"{codes}.compact_commit.2", "w"):
+            pass
+        if window in ("w2", "w3"):
+            shutil.rmtree(f"{codes}/batch_id=1")
+            shutil.rmtree(f"{codes}/batch_id=2")
+        if window == "w3":
+            os.rename(f"{tmp}/batch_id=2", f"{codes}/batch_id=2")
+        return root
+
+    for window in ("w1", "w2", "w3"):
+        root = fabricate(window)
+        codes = f"{root}/codes"
+        jobs._recover_compact(spark, codes)
+        got = {
+            (r.vec_id, r.code_csv) for r in spark.read.parquet(codes).collect()
+        }
+        assert got == want, window
+        parts = {
+            int(r.batch_id)
+            for r in spark.read.parquet(codes)
+            .select("batch_id").distinct().collect()
+        }
+        assert parts == {0, 2}, window
+        assert not os.path.exists(f"{codes}.compact_tmp"), window
+        assert not os.path.exists(f"{codes}.compact_commit.2"), window
