@@ -512,6 +512,11 @@ def _ivf_index(args: argparse.Namespace) -> None:
             "--compact is a standalone maintenance action on a stopped "
             "stream's index root; run it alone"
         )
+    if args.drift_horizon is not None and not args.streaming:
+        raise SystemExit(
+            "--drift-horizon is streaming-only (it ages the drift store "
+            "as batches land)"
+        )
     spark = get_spark(app_name="ivf-index")
     if args.compact:
         _compact_store_cli(spark, args.output, "assignments", "index")
@@ -628,7 +633,13 @@ def _ivf_index(args: argparse.Namespace) -> None:
         from cloudcomputing_flink_application_spark import schemas
 
         stream = spark.readStream.schema(schemas.EMBEDDINGS).parquet(args.input)
-        q = run_ivf_assign_stream(spark, stream, f"{args.output}/_chk", args.output)
+        q = run_ivf_assign_stream(
+            spark,
+            stream,
+            f"{args.output}/_chk",
+            args.output,
+            drift_horizon=args.drift_horizon,
+        )
         try:
             q.processAllAvailable()
         finally:
@@ -1024,6 +1035,14 @@ def main(argv: list[str] | None = None) -> None:
                 "into one partition, bounding the O(stream-age) "
                 "directory/file count; rows are untouched, the build's "
                 "batch 0 stays, a resumed stream appends above",
+            )
+            sp.add_argument(
+                "--drift-horizon", type=int, default=None, metavar="N",
+                help="with --streaming: bound the drift store to the "
+                "trailing N readings (it otherwise grows one partition "
+                "per micro-batch forever).  Size N >= the "
+                "--drift-consecutive your --rebuild-if-drift runs use, "
+                "or the rule never has enough readings to fire.",
             )
         if name == "pq-index":
             sp.add_argument(

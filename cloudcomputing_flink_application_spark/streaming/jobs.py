@@ -1825,6 +1825,7 @@ def run_ivf_assign_stream(
     embeddings: DataFrame,
     checkpoint_dir: str,
     index_root: str,
+    drift_horizon: int | None = None,
 ):
     """Incremental IVF index maintenance — the streaming half of the ANN
     lifecycle (``similarity.build_ivf_index`` is the batch half): a 100 TB
@@ -1857,7 +1858,22 @@ def run_ivf_assign_stream(
 
     Batch 0 prune covers only partitions this stream owns (batch_id >= 1;
     the build pass's batch 0 is the index's foundation, not stale state).
-    """
+
+    ``drift_horizon`` bounds the drift store to the trailing N readings
+    — otherwise it grows one partition per micro-batch forever, the
+    same O(stream-age) term the assignment/codes stores shed via
+    compaction.  Safe because the drift rows' only consumers read the
+    NEWEST readings (``--rebuild-if-drift`` requires the newest
+    ``--drift-consecutive``; the report is a staleness instrument, not
+    an audit log), and aged-out rows are k-anonymous per-batch
+    aggregates with no compliance obligation.  Pruning happens at batch
+    START (the ``_prune_batch_partitions_before`` replay contract).
+    Size it >= the ``--drift-consecutive`` your maintenance runs use: a
+    shorter horizon leaves fewer readings than the rebuild rule needs
+    and it (correctly, conservatively) never fires — the CLI help
+    documents the coupling (the two flags live on different
+    invocations, so it cannot be refused mechanically)."""
+    _check_horizon(drift_horizon)
     cb = spark.read.parquet(f"{index_root}/codebook")
     asg_dir = f"{index_root}/assignments"
     drift_dir = f"{index_root}/drift"
@@ -1872,6 +1888,14 @@ def run_ivf_assign_stream(
         if batch_id == 0:
             _prune_batch_partitions_after(spark, asg_dir, 0)
             _prune_stale_batch_partitions(spark, drift_dir)
+        if drift_horizon is not None:
+            # age out drift readings older than the trailing window
+            # (this batch writes partition batch_id + 1; keep it and
+            # its drift_horizon - 1 predecessors) — batch-START prune,
+            # so a replay still sees every partition it needs
+            _prune_batch_partitions_before(
+                spark, drift_dir, batch_id + 2 - drift_horizon
+            )
         rows = assignment_rows(batch_df, F.broadcast(cb)).persist()
         try:
             # stream batches land at batch_id + 1: partition 0 is the

@@ -297,3 +297,66 @@ def test_build_failure_keeps_preexisting_lock(spark, tmp_path):
     with pytest.raises(Exception):
         similarity.build_ivf_index(bad, root)
     assert os.path.exists(f"{root}/assignments.forget_lock")
+
+
+def test_drift_horizon_bounds_the_drift_store(spark, tmp_path):
+    """--drift-horizon ages the drift store to the trailing N readings
+    (the last per-batch-growth term in the index root): partitions
+    beyond the window drop, the surviving readings are bit-identical to
+    the unbounded run's trailing window, assignments are untouched, and
+    the drift report still serves the rebuild rule's newest-K reads."""
+    import pytest
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.operators import similarity
+    from cloudcomputing_flink_application_spark.streaming import jobs
+    from tests.conftest import TESTDATA
+
+    emb = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "idx")
+    d_in = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    similarity.build_ivf_index(emb.filter("vec_id < 200"), root)
+    # four stream batches; horizon 2 keeps only the newest two readings
+    for k, (lo, hi) in enumerate(((200, 275), (275, 350), (350, 425), (425, 500))):
+        emb.filter(f"vec_id >= {lo} and vec_id < {hi}").write.parquet(
+            f"{d_in}/b{k}.parquet"
+        )
+        q = jobs.run_ivf_assign_stream(
+            spark,
+            spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+            chk,
+            root,
+            drift_horizon=2,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    drift_parts = sorted(
+        int(r.batch_id)
+        for r in spark.read.parquet(f"{root}/drift")
+        .select("batch_id").distinct().collect()
+    )
+    assert drift_parts == [3, 4]  # trailing 2 of stream partitions 1..4
+    # assignments keep every batch (the horizon touches only drift)
+    asg_parts = sorted(
+        int(r.batch_id)
+        for r in spark.read.parquet(f"{root}/assignments")
+        .select("batch_id").distinct().collect()
+    )
+    assert asg_parts == [0, 1, 2, 3, 4]
+    assert spark.read.parquet(f"{root}/assignments").count() == emb.count()
+    # the report serves the newest-K rule over the surviving window
+    report = similarity.drift_report(spark, root)
+    assert report.count() == 2
+    assert {int(r.batch_id) for r in report.collect()} == {3, 4}
+    # a meaningless horizon fails fast
+    with pytest.raises(ValueError, match="horizon_batches"):
+        jobs.run_ivf_assign_stream(
+            spark,
+            spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+            chk,
+            root,
+            drift_horizon=0,
+        )

@@ -952,3 +952,32 @@ def test_ivfpq_search_cli_streaming(spark, tmp_path):
         cli.main(["ivfpq-search", "--input", f"{q_in}/*", "--output", out,
                   "--ivf-root", ivf_root, "--pq-root", pq_root,
                   "--streaming"])
+
+
+def test_ivf_index_cli_drift_horizon(spark, tmp_path):
+    """--drift-horizon through the CLI bounds the drift store; without
+    --streaming it exits before Spark startup."""
+    import pytest
+
+    from tests.conftest import TESTDATA
+
+    emb = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+    build_in = str(tmp_path / "build_in")
+    emb.filter("vec_id < 200").write.parquet(build_in)
+    root = str(tmp_path / "index")
+    cli.main(["ivf-index", "--input", build_in, "--output", root])
+    arrive = str(tmp_path / "arrive")
+    for k, (lo, hi) in enumerate(((200, 300), (300, 400), (400, 500))):
+        emb.filter(f"vec_id >= {lo} and vec_id < {hi}").write.parquet(
+            f"{arrive}/b{k}.parquet"
+        )
+        cli.main(["ivf-index", "--input", f"{arrive}/*", "--output", root,
+                  "--streaming", "--drift-horizon", "2"])
+    assert sorted(
+        int(r.batch_id)
+        for r in spark.read.parquet(f"{root}/drift")
+        .select("batch_id").distinct().collect()
+    ) == [2, 3]
+    with pytest.raises(SystemExit, match="streaming-only"):
+        cli.main(["ivf-index", "--input", build_in, "--output", root,
+                  "--drift-horizon", "2"])
