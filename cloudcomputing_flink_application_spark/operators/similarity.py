@@ -190,11 +190,20 @@ def _persist(df: DataFrame) -> DataFrame:
     return df
 
 
-def release_cached() -> None:
-    """Unpersist every frame the similarity operators have cached on this
-    thread (per-thread registry — see the ``_TLS`` note)."""
+def cached_mark() -> int:
+    """The current length of this thread's cache registry — pass to
+    ``release_cached(since=...)`` to release exactly the frames persisted
+    after the mark (the per-micro-batch scoping a long-lived stream
+    needs; the ``dedup.cached_mark`` pattern)."""
+    return len(_frames())
+
+
+def release_cached(since: int = 0) -> None:
+    """Unpersist frames the similarity operators have cached on this
+    thread (per-thread registry — see the ``_TLS`` note), newest first,
+    down to ``since`` (default: all of them)."""
     frames = _frames()
-    while frames:
+    while len(frames) > since:
         frames.pop().unpersist()
 
 
@@ -2045,6 +2054,16 @@ def _ivfpq_search(
     )
 
 
+def _latest_per_vec(store: DataFrame, col: str) -> DataFrame:
+    """``(vec_id, col)`` with the NEWEST batch's value per vec_id — the
+    latest-batch-wins read over a batch_id-partitioned append store.
+    Deterministic for the update path (a re-sent vector with a changed
+    embedding serves its newest row, never an arbitrary copy); a vec_id
+    appearing twice WITHIN one batch with different values is the
+    ingester's data bug and resolves arbitrarily."""
+    return store.groupBy("vec_id").agg(F.max_by(col, "batch_id").alias(col))
+
+
 def ivfpq_topk_from_index(
     spark,
     ivf_root: str,
@@ -2094,41 +2113,50 @@ def ivfpq_topk_from_index(
         )
     m = params["m"]
     cents = read_codebook(spark, ivf_root)
-    # dropDuplicates on vec_id: the stores' union-of-arrivals contract
-    # means a vector re-sent in a LATER micro-batch holds rows in two
-    # batch_id partitions (dynamic overwrite dedups only replays of the
-    # SAME batch) — the copies are identical under one codebook, but the
-    # join would multiply them and the duplicate would occupy two ranks
-    # in the output (r9 review catch).  The dedup rides the join's own
-    # vec_id exchange, so it costs no extra shuffle.
-    asg = (
-        spark.read.parquet(f"{ivf_root}/assignments")
-        .select("vec_id", "cluster")
-        .dropDuplicates(["vec_id"])
+    # Latest-batch-wins per vec_id: the stores' union-of-arrivals
+    # contract means a vector re-sent in a LATER micro-batch holds rows
+    # in two batch_id partitions (dynamic overwrite dedups only replays
+    # of the SAME batch) — the join would multiply the copies and a
+    # duplicate would occupy two ranks in the output (r9 review catch).
+    # max_by(batch_id) rather than an arbitrary dropDuplicates: if the
+    # re-sent vector's EMBEDDING changed, both stores deterministically
+    # serve the newest (cluster, codes) pair instead of each picking a
+    # copy independently — an update path, not just replay armor (r9
+    # review catch #2).  The aggregation rides the join's own vec_id
+    # exchange, so it costs no extra shuffle.
+    asg = _latest_per_vec(
+        spark.read.parquet(f"{ivf_root}/assignments"), "cluster"
     )
-    codes = (
-        spark.read.parquet(f"{pq_root}/codes")
-        .select(
-            "vec_id",
-            F.transform(
-                F.split("code_csv", ","), lambda s: s.cast("int")
-            ).alias("codes"),
-        )
-        .dropDuplicates(["vec_id"])
+    codes = _latest_per_vec(
+        spark.read.parquet(f"{pq_root}/codes"), "code_csv"
+    ).select(
+        "vec_id",
+        F.transform(
+            F.split("code_csv", ","), lambda s: s.cast("int")
+        ).alias("codes"),
     )
     coded = asg.join(codes, "vec_id")
     packed = _persist(_pq_packed(read_pq_codebook(spark, pq_root)))
-    base = _normed(embeddings)
+    # the rerank side needs the same armor: a corpus frame that is the
+    # accumulated arrivals store holds the re-sent vector twice, and the
+    # rerank join would emit the pair at two ranks (duplicate ids with
+    # CONFLICTING embeddings are the caller's data bug — this keeps an
+    # arbitrary copy)
+    base = _normed(embeddings.dropDuplicates(["vec_id"]))
     # queries: an explicit embeddings-shaped frame (EVERY row queries —
     # the production shape: arbitrary query vectors, corpus ids not
     # required), else the module's QUERY_STRIDE sample of the corpus
     # (the oracle-test shape).  A query whose vec_id matches a corpus
     # vector still excludes itself, as in every other top-k here.
+    # duplicate query ids would interleave two candidate sets under one
+    # query_id and collide ranks — same armor as the corpus side
     q_src = (
-        _normed(queries, spread=False)
+        _normed(queries.dropDuplicates(["vec_id"]), spread=False)
         if queries is not None
         else _normed(
-            embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0),
+            embeddings.dropDuplicates(["vec_id"]).filter(
+                F.col("vec_id") % QUERY_STRIDE == 0
+            ),
             spread=False,
         )
     )

@@ -1395,15 +1395,29 @@ def _finish_compact(spark, store_dir: str, snap: int) -> None:
             continue  # already the moved-in snapshot
         fs.delete(p, True)
     if tmp_snap_exists:
-        fs.rename(
+        # a false return is a FAILED rename (the Hadoop API's error
+        # signal): the staging snapshot is the only copy of the folded
+        # rows now that the stream dirs are gone — raise with marker +
+        # staging intact (the recoverable W2 state) instead of falling
+        # through to the cleanup that would delete them (r9 review)
+        if not fs.rename(
             p_tmp_snap,
             jvm.org.apache.hadoop.fs.Path(
                 f"{store_dir.rstrip('/')}/batch_id={snap}"
             ),
+        ):
+            raise IOError(
+                f"rename of the compaction snapshot into {store_dir} "
+                "failed; marker and staging left in place — re-run the "
+                "compaction to roll forward"
+            )
+    for st in (
+        fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(_compact_marker_glob(store_dir))
         )
-    for pat in (_compact_marker_glob(store_dir),):
-        for st in fs.globStatus(jvm.org.apache.hadoop.fs.Path(pat)) or []:
-            fs.delete(st.getPath(), False)
+        or []
+    ):
+        fs.delete(st.getPath(), False)
     _, p_tmp = _fs_path(spark, _compact_tmp_of(store_dir))
     if fs.exists(p_tmp):
         fs.delete(p_tmp, True)
@@ -1492,13 +1506,17 @@ def compact_batch_store(spark, store_dir: str, checkpoint_dir: str | None) -> No
     created = _acquire_forget_locks(spark, [store_dir], owner="compact")
     try:
         if not created:
-            owner = _lock_owner(spark, store_dir) or "unknown (pre-r9 marker)"
+            owner = _lock_owner(spark, store_dir)
             if owner != "compact":
                 raise RuntimeError(
                     f"{store_dir} carries a maintenance lock owned by "
-                    f"'{owner}' (a crashed forget/build/encode) — re-run "
-                    "that operation first (its completion releases the "
-                    "lock), then compact"
+                    f"'{owner or 'unknown'}' — if a forget/build/encode "
+                    "crashed here, re-run it (its completion releases "
+                    "the lock), then compact.  An empty/unknown owner "
+                    "means a pre-r9 marker OR an op that died before "
+                    "tagging its lock: verify no maintenance op is "
+                    "running, then delete the lock file "
+                    f"({_lock_of(store_dir)}) and re-run."
                 )
         _refuse_unpartitioned_store(spark, store_dir)
     except Exception:
@@ -1510,13 +1528,22 @@ def compact_batch_store(spark, store_dir: str, checkpoint_dir: str | None) -> No
     if checkpoint_dir is not None:
         # committed-bounded fold: epoch N writes partition N+1, so
         # partitions above latest_commit+1 belong to an uncommitted
-        # batch — leave them for the replay's dynamic overwrite
-        commit_bound = _latest_numbered(spark, f"{checkpoint_dir}/commits") + 1
-        stream_dirs = [
-            p
-            for p in stream_dirs
-            if int(p.getName().split("=", 1)[1]) <= commit_bound
-        ]
+        # batch — leave them for the replay's dynamic overwrite.  An
+        # ABSENT checkpoint (never streamed, or deleted for a
+        # fresh-checkpoint restart) has nothing in flight: fold
+        # everything, like checkpoint_dir=None — without this check a
+        # deleted checkpoint read as "commit bound 0" and the
+        # compaction silently no-opped forever (r9 review catch).
+        latest_offset = _latest_numbered(spark, f"{checkpoint_dir}/offsets")
+        if latest_offset >= 0:
+            commit_bound = (
+                _latest_numbered(spark, f"{checkpoint_dir}/commits") + 1
+            )
+            stream_dirs = [
+                p
+                for p in stream_dirs
+                if int(p.getName().split("=", 1)[1]) <= commit_bound
+            ]
     if len(stream_dirs) < 2:
         # nothing to fold (fresh store, or already compacted): a true
         # no-op — release our lock; a resumed crashed run that healed
@@ -2037,24 +2064,48 @@ def run_ivfpq_search_stream(
             f"no pq_meta under {pq_root} — build the PQ artifact first "
             "(similarity.build_pq_index / the pq-index CLI)"
         )
+    # validate the search geometry HERE, not in the first micro-batch:
+    # a bad k/shortlist is a usage error and must surface as one, not
+    # as a StreamingQueryException mid-stream (r9 review catch)
+    k_eff = k if k is not None else TOPK
+    shortlist_eff = shortlist if shortlist is not None else PQ_SHORTLIST
+    if not 1 <= k_eff <= shortlist_eff:
+        raise ValueError(
+            f"need 1 <= k <= shortlist, got k={k_eff} "
+            f"shortlist={shortlist_eff}"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from cloudcomputing_flink_application_spark.operators.similarity import (
+            cached_mark,
+            release_cached,
+        )
+
         if batch_id == 0:
             _prune_batch_partitions_after(spark, output_dir, -1)
-        _write_batch_partition(
-            ivfpq_topk_from_index(
-                spark,
-                ivf_root,
-                pq_root,
-                corpus,
-                k=k if k is not None else TOPK,
-                nprobe=nprobe if nprobe is not None else NPROBE,
-                shortlist=shortlist if shortlist is not None else PQ_SHORTLIST,
-                queries=batch_df,
-            ),
-            batch_id,
-            output_dir,
-        )
+        # scoped cache release: each batch's from-index call persists a
+        # fresh packed-codebook frame (reference-unequal per read);
+        # without the mark a long-lived serving stream accumulates one
+        # cached frame per micro-batch forever (the purge stream's
+        # r8 lesson, r9 review catch)
+        mark = cached_mark()
+        try:
+            _write_batch_partition(
+                ivfpq_topk_from_index(
+                    spark,
+                    ivf_root,
+                    pq_root,
+                    corpus,
+                    k=k_eff,
+                    nprobe=nprobe if nprobe is not None else NPROBE,
+                    shortlist=shortlist_eff,
+                    queries=batch_df,
+                ),
+                batch_id,
+                output_dir,
+            )
+        finally:
+            release_cached(since=mark)
 
     return (
         queries.writeStream.foreachBatch(process)

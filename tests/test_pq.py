@@ -817,3 +817,90 @@ def test_recover_compact_every_crash_window(spark, tmp_path, embs):
         assert parts == {0, 2}, window
         assert not os.path.exists(f"{codes}.compact_tmp"), window
         assert not os.path.exists(f"{codes}.compact_commit.2"), window
+
+
+def test_latest_per_vec_update_semantics(spark):
+    """The latest-batch-wins store read: a re-sent vector's NEWEST row is
+    served deterministically (the update path), replay copies of one
+    batch collapse, and untouched vectors pass through."""
+    rows = spark.createDataFrame(
+        [
+            (1, "old", 1),
+            (1, "new", 3),   # vec 1 updated in a later batch
+            (2, "only", 1),
+            (3, "dup", 2),
+            (3, "dup", 2),   # same-batch replay copy
+        ],
+        "vec_id LONG, code_csv STRING, batch_id INT",
+    )
+    got = {
+        (r.vec_id, r.code_csv)
+        for r in S._latest_per_vec(rows, "code_csv").collect()
+    }
+    assert got == {(1, "new"), (2, "only"), (3, "dup")}
+
+
+def test_ivfpq_from_index_dedups_corpus_side(spark, tmp_path, embs):
+    """The rerank/query corpus can be the accumulated arrivals store
+    (duplicate vec_ids): the from-index search output must equal the
+    duplicate-free run — the rerank join must not emit a pair at two
+    ranks (r9 review catch on the first dedup fix)."""
+    ivf_root = str(tmp_path / "ivf")
+    pq_root = str(tmp_path / "pq")
+    S.build_ivf_index(embs, ivf_root, iters=0)
+    S.build_pq_index(embs, pq_root)
+    want = {
+        tuple(r)
+        for r in S.ivfpq_topk_from_index(
+            spark, ivf_root, pq_root, embs
+        ).collect()
+    }
+    dup_corpus = embs.unionByName(embs.filter("vec_id < 100"))
+    got = {
+        tuple(r)
+        for r in S.ivfpq_topk_from_index(
+            spark, ivf_root, pq_root, dup_corpus
+        ).collect()
+    }
+    assert got == want
+
+
+def test_compact_after_checkpoint_reset_folds_everything(spark, tmp_path, embs):
+    """A deleted checkpoint (the fresh-checkpoint restart flow) means
+    nothing is in flight: compaction folds every stream partition
+    instead of silently no-opping on a commit bound of 0 (r9 review
+    catch on the committed-bounded fold)."""
+    import shutil
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming import jobs
+
+    root = str(tmp_path / "root")
+    d_in = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    S.build_pq_index(embs.filter(F.col("vec_id") < 200), root)
+    for k, (lo, hi) in enumerate(((200, 350), (350, 500))):
+        embs.filter(f"vec_id >= {lo} and vec_id < {hi}").write.parquet(
+            f"{d_in}/b{k}.parquet"
+        )
+        q = jobs.run_pq_encode_stream(
+            spark,
+            spark.readStream.schema(schemas.EMBEDDINGS).parquet(f"{d_in}/*"),
+            chk,
+            root,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    before = {
+        (r.vec_id, r.code_csv)
+        for r in spark.read.parquet(f"{root}/codes").collect()
+    }
+    shutil.rmtree(chk)  # the fresh-checkpoint restart flow
+    jobs.compact_batch_store(spark, f"{root}/codes", chk)
+    codes = spark.read.parquet(f"{root}/codes")
+    assert {(r.vec_id, r.code_csv) for r in codes.collect()} == before
+    assert {
+        int(r.batch_id) for r in codes.select("batch_id").distinct().collect()
+    } == {0, 2}
