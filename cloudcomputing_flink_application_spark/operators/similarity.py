@@ -2046,9 +2046,18 @@ def _ivfpq_search(
             ).alias("cos"),
         )
     )
+    # duplicate-id armor where the frame is SMALL (|queries| x shortlist
+    # rows): a duplicated corpus vector or a re-sent query would emit a
+    # (query, neighbor) pair twice here and the copies would occupy two
+    # ranks — merge them BEFORE ranking.  Deduping the corpus-sized
+    # inputs instead shuffles full-width embedding arrays and cost 5x at
+    # 80k vectors (measured, r9 review follow-up); identical copies
+    # collapse exactly, conflicting ones (the caller's data bug) keep an
+    # arbitrary row.  Rides the rank window's own query_id exchange.
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        rescored.withColumn("rank", F.row_number().over(wk))
+        rescored.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
@@ -2135,28 +2144,42 @@ def ivfpq_topk_from_index(
             F.split("code_csv", ","), lambda s: s.cast("int")
         ).alias("codes"),
     )
-    coded = asg.join(codes, "vec_id")
+    # respread before the ADC explode: the latest-wins aggregations feed
+    # AQE a tiny post-shuffle size (80k code rows ~ 2 MB), so it
+    # coalesces everything downstream to a couple of partitions — right
+    # before the stage that expands each code row by |queries| LUT
+    # folds, strangling its parallelism (measured 4-5x at 80k vectors;
+    # AQE-off runs in 9.4 s vs 42 s).  The EXPLICIT partition count
+    # matters: a bare repartition(col) is itself AQE-sized from the
+    # same tiny pre-explode estimate and collapses again — a
+    # user-specified N is the one thing AQE leaves alone.  One narrow
+    # shuffle of the compact code rows, spread on the probe key.
+    spread_n = spark.sparkContext.defaultParallelism
+    coded = asg.join(codes, "vec_id").repartition(spread_n, F.col("cluster"))
     packed = _persist(_pq_packed(read_pq_codebook(spark, pq_root)))
-    # the rerank side needs the same armor: a corpus frame that is the
-    # accumulated arrivals store holds the re-sent vector twice, and the
-    # rerank join would emit the pair at two ranks (duplicate ids with
-    # CONFLICTING embeddings are the caller's data bug — this keeps an
-    # arbitrary copy)
-    base = _normed(embeddings.dropDuplicates(["vec_id"]))
+    # NO corpus-wide dropDuplicates here: shuffling the full-width
+    # embedding arrays to dedup the rerank side cost 5x at 80k vectors
+    # (measured — the r9c pq-serve regression).  Duplicate-id armor for
+    # the rerank/query sides lives where the frames are SMALL: the
+    # post-rerank (query_id, neighbor_id) dedup inside _ivfpq_search.
+    base = _normed(embeddings)
     # queries: an explicit embeddings-shaped frame (EVERY row queries —
     # the production shape: arbitrary query vectors, corpus ids not
     # required), else the module's QUERY_STRIDE sample of the corpus
     # (the oracle-test shape).  A query whose vec_id matches a corpus
     # vector still excludes itself, as in every other top-k here.
-    # duplicate query ids would interleave two candidate sets under one
-    # query_id and collide ranks — same armor as the corpus side
+    # dedup the QUERY side by id — cheap (queries are a query set / the
+    # 1% stride sample, never the corpus) and necessary beyond rank
+    # hygiene: a duplicated query row doubles every probe-ranking row,
+    # so prank <= nprobe would keep half as many DISTINCT cells and the
+    # candidate pool silently shrinks
     q_src = (
         _normed(queries.dropDuplicates(["vec_id"]), spread=False)
         if queries is not None
         else _normed(
-            embeddings.dropDuplicates(["vec_id"]).filter(
+            embeddings.filter(
                 F.col("vec_id") % QUERY_STRIDE == 0
-            ),
+            ).dropDuplicates(["vec_id"]),
             spread=False,
         )
     )
