@@ -1430,6 +1430,79 @@ def bench_pq_serve(spark) -> dict:
     return out
 
 
+def bench_bucket_join(spark) -> dict:
+    """r9: substantiate the deployment claim behind the from-index
+    search's one corpus-sized exchange ("co-bucket both stores by
+    vec_id and it becomes a co-located join").  The assignments and
+    codes stores of the x10 clustered corpus are written twice — as
+    plain parquet paths and as vec_id-bucketed+sorted external tables —
+    and the vec_id equi-join is planned and timed both ways.  The claim
+    is the PLAN property: the bucketed join carries ZERO exchanges and
+    zero sorts (bucket layout satisfies both the partitioning and the
+    ordering requirement), while the path join shuffles both sides.
+    The local timing delta is small (80k rows); at 10^9 rows the two
+    eliminated corpus-wide exchanges ARE the join cost."""
+    import tempfile
+
+    build_clustered()
+    embs = spark.read.parquet(str(WORK / "embs_clustered_x10.parquet"))
+    tmp = tempfile.mkdtemp(prefix="sg_bucket_join_")
+    ivf_root, pq_root = f"{tmp}/ivf", f"{tmp}/pq"
+    out: dict = {}
+    try:
+        similarity.build_ivf_index(embs, ivf_root, iters=0)
+        similarity.build_pq_index(embs, pq_root)
+        asg = spark.read.parquet(f"{ivf_root}/assignments").select(
+            "vec_id", "cluster"
+        )
+        codes = spark.read.parquet(f"{pq_root}/codes").select(
+            "vec_id", "code_csv"
+        )
+
+        def join_stats(a, c, name):
+            j = a.join(c, "vec_id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            times = []
+            for _ in range(REPS + 1):
+                spark.catalog.clearCache()
+                times.append(timed(lambda: j.count()))
+            return {
+                "exchanges": plan.count("Exchange")
+                - plan.count("BroadcastExchange"),
+                "sorts": plan.count("Sort ["),
+                "join_sec": round(min(times[1:]), 3),
+            }
+
+        # disable auto-broadcast for the comparison: at real scale
+        # NEITHER side of a corpus-sized store join fits in a broadcast,
+        # which is exactly when bucketing matters
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out["path_parquet"] = join_stats(asg, codes, "path")
+            n_buckets = 8
+            for name, df in (("b_asg", asg), ("b_codes", codes)):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                (
+                    df.write.bucketBy(n_buckets, "vec_id")
+                    .sortBy("vec_id")
+                    .option("path", f"{tmp}/{name}")
+                    .mode("overwrite")
+                    .saveAsTable(name)
+                )
+            out["bucketed"] = join_stats(
+                spark.table("b_asg"), spark.table("b_codes"), "bucketed"
+            )
+            out["n_buckets"] = n_buckets
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            for name in ("b_asg", "b_codes"):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def bench_composed(spark) -> dict:
     """r7 composed registry entries on the 1x/4x/10x corpora: the span
     composition should track the span family (flat — shared persisted
@@ -1492,6 +1565,9 @@ def main() -> None:
         return
     if section == "purge-order":
         print(json.dumps({"purge_order": bench_purge_head_order(spark)}))
+        return
+    if section == "bucket-join":
+        print(json.dumps({"bucket_join": bench_bucket_join(spark)}))
         return
     if section == "pq-serve":
         print(json.dumps({"pq_serve": bench_pq_serve(spark)}))
