@@ -904,3 +904,19 @@ def test_compact_after_checkpoint_reset_folds_everything(spark, tmp_path, embs):
     assert {
         int(r.batch_id) for r in codes.select("batch_id").distinct().collect()
     } == {0, 2}
+
+
+def test_from_index_respread_pins_explode_parallelism(spark, tmp_path, embs):
+    """The explicit-N respread before the ADC explode must survive in
+    the physical plan (REPARTITION_BY_NUM — the one exchange AQE cannot
+    coalesce): without it AQE sizes the explode stage from the tiny
+    post-aggregation shuffle and strangles its parallelism (measured
+    42 s vs 9.9 s at 80k — SCALING.md pq-serve)."""
+    ivf_root = str(tmp_path / "ivf")
+    pq_root = str(tmp_path / "pq")
+    S.build_ivf_index(embs, ivf_root, iters=0)
+    S.build_pq_index(embs, pq_root)
+    df = S.ivfpq_topk_from_index(spark, ivf_root, pq_root, embs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "hashpartitioning(cluster" in plan, plan
