@@ -1938,6 +1938,8 @@ def ivfpq_topk(
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}"
         )
+    if nprobe < 1:
+        raise ValueError(f"need nprobe >= 1, got {nprobe}")
     base = _normed(embeddings)
     cents = _persist(_twolevel_seeds(base, _auto_subk_for(embeddings)))
     # consumed twice — once by this operator's LUT packing and once by
@@ -2051,12 +2053,17 @@ def _ivfpq_search(
     # (query, neighbor) pair twice here and the copies would occupy two
     # ranks — merge them BEFORE ranking.  Deduping the corpus-sized
     # inputs instead shuffles full-width embedding arrays and cost 5x at
-    # 80k vectors (measured, r9 review follow-up); identical copies
-    # collapse exactly, conflicting ones (the caller's data bug) keep an
-    # arbitrary row.  Rides the rank window's own query_id exchange.
+    # 80k vectors (measured, r9 review follow-up).  max(), not
+    # dropDuplicates: identical copies collapse exactly either way, but
+    # a corpus holding BOTH embeddings of a re-sent vector would rank
+    # nondeterministically under an arbitrary pick (r9 review) — max is
+    # deterministic (the optimistic score; "latest" is not derivable
+    # from a version-less corpus frame, which is the caller's data bug
+    # to begin with).  Rides the rank window's own query_id exchange.
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        rescored.dropDuplicates(["query_id", "neighbor_id"])
+        rescored.groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
@@ -2069,7 +2076,13 @@ def _latest_per_vec(store: DataFrame, col: str) -> DataFrame:
     Deterministic for the update path (a re-sent vector with a changed
     embedding serves its newest row, never an arbitrary copy); a vec_id
     appearing twice WITHIN one batch with different values is the
-    ingester's data bug and resolves arbitrarily."""
+    ingester's data bug and resolves arbitrarily.  A legacy
+    unpartitioned store (no batch_id column — the pre-r9 layout the
+    mutation ops refuse) has no update history to order by, so the read
+    degrades to a plain per-id dedup instead of an unresolved-column
+    AnalysisException (r9 review)."""
+    if "batch_id" not in store.columns:
+        return store.select("vec_id", col).dropDuplicates(["vec_id"])
     return store.groupBy("vec_id").agg(F.max_by(col, "batch_id").alias(col))
 
 
@@ -2099,8 +2112,11 @@ def ivfpq_topk_from_index(
     - ``embeddings`` supplies the rerank shortlist's raw vectors — the
       cold-storage reads — and, when no explicit ``queries`` frame is
       given, the ``QUERY_STRIDE`` query sample; ``queries`` (any
-      embeddings-shaped frame, every row a query, ids need not exist
-      in the corpus) is the production entry point.
+      embeddings-shaped frame, every DISTINCT vec_id a query, ids need
+      not exist in the corpus) is the production entry point.  Query
+      ids must be unique: duplicate ids collapse to one arbitrarily
+      (a duplicated query row would otherwise halve the distinct
+      probed cells).
 
     Both roots must be built over the same corpus (vectors present in
     only one store drop from the candidate inner join).  The one
@@ -2115,6 +2131,10 @@ def ivfpq_topk_from_index(
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}"
         )
+    if nprobe < 1:
+        # nprobe <= 0 filters every probe and silently returns nothing —
+        # a usage error, not an empty corpus (r9 review)
+        raise ValueError(f"need nprobe >= 1, got {nprobe}")
     params = pq_build_params(spark, pq_root)
     if params is None:
         raise ValueError(

@@ -1393,7 +1393,16 @@ def _finish_compact(spark, store_dir: str, snap: int) -> None:
             # left for its replay's dynamic overwrite
         if not tmp_snap_exists and p.getName() == f"batch_id={snap}":
             continue  # already the moved-in snapshot
-        fs.delete(p, True)
+        # a false return is a FAILED delete (same Hadoop boolean
+        # convention as the rename below): proceeding would leave the
+        # partition's rows duplicated in both the original dir and the
+        # snapshot — raise with marker + staging intact (r9 review)
+        if not fs.delete(p, True):
+            raise IOError(
+                f"delete of stream partition {p} failed during "
+                "compaction roll-forward; marker and staging left in "
+                "place — re-run the compaction"
+            )
     if tmp_snap_exists:
         # a false return is a FAILED rename (the Hadoop API's error
         # signal): the staging snapshot is the only copy of the folded
@@ -2069,11 +2078,16 @@ def run_ivfpq_search_stream(
     # as a StreamingQueryException mid-stream (r9 review catch)
     k_eff = k if k is not None else TOPK
     shortlist_eff = shortlist if shortlist is not None else PQ_SHORTLIST
+    nprobe_eff = nprobe if nprobe is not None else NPROBE
     if not 1 <= k_eff <= shortlist_eff:
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k_eff} "
             f"shortlist={shortlist_eff}"
         )
+    if nprobe_eff < 1:
+        # nprobe <= 0 keeps zero probes: every batch would "succeed"
+        # with an empty result forever (r9 review)
+        raise ValueError(f"need nprobe >= 1, got {nprobe_eff}")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from cloudcomputing_flink_application_spark.operators.similarity import (
@@ -2097,7 +2111,7 @@ def run_ivfpq_search_stream(
                     pq_root,
                     corpus,
                     k=k_eff,
-                    nprobe=nprobe if nprobe is not None else NPROBE,
+                    nprobe=nprobe_eff,
                     shortlist=shortlist_eff,
                     queries=batch_df,
                 ),

@@ -1459,7 +1459,7 @@ def bench_bucket_join(spark) -> dict:
             "vec_id", "code_csv"
         )
 
-        def join_stats(a, c, name):
+        def join_stats(a, c):
             j = a.join(c, "vec_id")
             plan = j._jdf.queryExecution().executedPlan().toString()
             times = []
@@ -1479,7 +1479,7 @@ def bench_bucket_join(spark) -> dict:
         prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            out["path_parquet"] = join_stats(asg, codes, "path")
+            out["path_parquet"] = join_stats(asg, codes)
             n_buckets = 8
             for name, df in (("b_asg", asg), ("b_codes", codes)):
                 spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -1491,7 +1491,7 @@ def bench_bucket_join(spark) -> dict:
                     .saveAsTable(name)
                 )
             out["bucketed"] = join_stats(
-                spark.table("b_asg"), spark.table("b_codes"), "bucketed"
+                spark.table("b_asg"), spark.table("b_codes")
             )
             out["n_buckets"] = n_buckets
         finally:

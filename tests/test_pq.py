@@ -920,3 +920,26 @@ def test_from_index_respread_pins_explode_parallelism(spark, tmp_path, embs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan, plan
     assert "hashpartitioning(cluster" in plan, plan
+
+
+def test_ivfpq_geometry_validation_and_legacy_read(spark, tmp_path, embs):
+    """nprobe < 1 is a usage error on both IVFADC entry points (it would
+    silently filter every probe), and _latest_per_vec degrades to a
+    plain per-id dedup on a store without batch_id (the legacy layout)
+    instead of an unresolved-column error."""
+    ivf_root = str(tmp_path / "ivf")
+    pq_root = str(tmp_path / "pq")
+    S.build_ivf_index(embs.limit(100), ivf_root, iters=0)
+    S.build_pq_index(embs.limit(100), pq_root)
+    with pytest.raises(ValueError, match="nprobe"):
+        S.ivfpq_topk(embs, nprobe=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        S.ivfpq_topk_from_index(spark, ivf_root, pq_root, embs, nprobe=0)
+    legacy = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "vec_id LONG, code_csv STRING"
+    )
+    got = {
+        (r.vec_id, r.code_csv)
+        for r in S._latest_per_vec(legacy, "code_csv").collect()
+    }
+    assert got == {(1, "a"), (2, "b")}
