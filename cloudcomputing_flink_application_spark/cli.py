@@ -574,10 +574,21 @@ def _ivf_index(args: argparse.Namespace) -> None:
             )
             return
         if len(last) < k:
+            # The retained count IS the whole store here (limit(k) came
+            # back short), so a drift store pinned below k by the encode
+            # stream's --drift-horizon is visible from this output alone:
+            # the count repeating at the same value < k across scheduled
+            # runs means the horizon is starving the rule (ADVICE r9 —
+            # the two flags live on different invocations, so the
+            # coupling must surface at decision time, not in help text).
             print(
-                f"only {len(last)} drift reading(s) since the last build "
-                f"(need {k} consecutive below {args.rebuild_if_drift}): "
-                "not enough evidence of a sustained drop — no rebuild"
+                f"only {len(last)} drift reading(s) retained since the "
+                f"last build (need {k} consecutive below "
+                f"{args.rebuild_if_drift}): not enough evidence of a "
+                "sustained drop — no rebuild.  If this count stays at "
+                f"{len(last)} across runs, the encode stream's "
+                f"--drift-horizon is below {k} and this rule can never "
+                f"fire — size the horizon >= {k}"
             )
             return
         drifts = [float(r["drift"]) for r in last]
@@ -841,11 +852,9 @@ def _ivfpq_search_job(args: argparse.Namespace) -> None:
             nprobe=(
                 args.nprobe if args.nprobe is not None else similarity.NPROBE
             ),
-            shortlist=(
-                args.shortlist
-                if args.shortlist is not None
-                else similarity.PQ_SHORTLIST
-            ),
+            # None -> auto_shortlist from the stored codes' measured
+            # blob density (r10); an explicit --shortlist pins it
+            shortlist=args.shortlist,
         )
     except ValueError as e:
         # the operator's own precondition errors (unbuilt pq root, bad
@@ -1110,7 +1119,8 @@ def main(argv: list[str] | None = None) -> None:
             sp.add_argument(
                 "--shortlist", type=int, default=None,
                 help="ADC shortlist size for the exact rerank (default: "
-                "the operator's PQ_SHORTLIST)",
+                "auto-sized from the stored codes' measured near-dup "
+                "blob density, floored at the operator's PQ_SHORTLIST)",
             )
             sp.add_argument(
                 "--corpus", default=None,

@@ -1142,6 +1142,71 @@ PQ_SHORTLIST = 50  # ADC shortlist size for the rerank stage: measured on
 # cannot resolve WITHIN-cluster fine ranking, the textbook PQ limitation —
 # while shortlist-50 + exact rerank reaches recall 1.0 touching only
 # 50 raw vectors per query (tests/test_pq.py pins both sides of that).
+#
+# r10: 50 is the FLOOR, not the operating point.  The r9 recall law
+# (SCALING.md pq) measured rerank recall ~ f(shortlist / near-dup blob
+# size) — 0.44 -> 0.066 as blobs densified 160 -> 1600 members at a
+# fixed shortlist-50, restored ~proportionally by a bigger shortlist —
+# so a fixed shortlist was the one scale constant a 100 TB operator had
+# to hand-tune (r9 VERDICT #1).  ``auto_shortlist`` below removes the
+# knob the same way auto_band_width (r6) and auto_subk (r8) removed
+# theirs: derive it from a measured density statistic, compat-pinned at
+# the tested SFs.
+PQ_SHORTLIST_CAP = 8192  # auto-shortlist ceiling: the shortlist frame
+# (|queries| x shortlist rows) broadcasts into the rerank equi-join, so
+# it must stay broadcast-sized no matter what the density estimate says.
+# A corpus whose largest blob exceeds the cap is past what shortlist
+# sizing can absorb (the rerank would read a corpus-scale blob per
+# query); the remedy there is dedup-before-index — this pipeline's own
+# embedding near-dup operators — with ``pq_recall_report`` as the
+# instrument that says so.
+
+
+def auto_shortlist(n: int, top_blob: int) -> int:
+    """Rerank shortlist size for an ``n``-vector corpus whose largest
+    near-duplicate blob holds ``top_blob`` vectors.
+
+    <= IVF_AUTO_COMPAT_N: the fixed tested-SF PQ_SHORTLIST (oracle-
+    pinned, the auto_subk compat pattern — every driver-SF hash is
+    bit-unchanged because every tested corpus sits under the floor).
+    Above: ``top_blob + PQ_SHORTLIST``, clamped to [PQ_SHORTLIST,
+    PQ_SHORTLIST_CAP] — ADC cannot rank WITHIN a blob (its members
+    share code words, so their ADC scores tie), which means the exact
+    rerank can only restore order over candidates the shortlist kept;
+    a shortlist >= the blob keeps the whole blob eligible, and the
+    +PQ_SHORTLIST margin preserves the baseline breadth beyond it.
+    Monotone in ``top_blob``."""
+    if n <= IVF_AUTO_COMPAT_N:
+        return PQ_SHORTLIST
+    return max(PQ_SHORTLIST, min(PQ_SHORTLIST_CAP, int(top_blob) + PQ_SHORTLIST))
+
+
+def _auto_shortlist_for(coded: DataFrame) -> int:
+    """``auto_shortlist`` from one aggregate over a frame of PQ code
+    rows (a ``codes`` column, one row per indexed vector): the corpus
+    size and the top multiplicity of IDENTICAL code words.
+
+    Why code multiplicity is the right density statistic: a near-dup
+    blob's members quantize to the same code word at any practical ksub
+    (measured, SCALING.md pq), so the top multiplicity IS the largest
+    set of candidates ADC cannot separate — the quantity that overflows
+    the shortlist.  Measured on the r9 regimes: 1654 on the
+    1600-member-blob corpus, 167 on the 160-member density-controlled
+    one (blob size recovered within ~4%), where the IVF top-cell
+    occupancy under-reads the blob 2x (779) because K ~ sqrt(n)
+    fragments blobs across cells.  Cost: one partial-agg groupBy that
+    collapses identical codes map-side — tiny on blob-heavy corpora,
+    one narrow pass of m-byte rows on uniform ones; the from-index path
+    estimates from the stored codes (no encode pass)."""
+    row = (
+        coded.groupBy("codes")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("cnt").alias("n"), F.max("cnt").alias("top"))
+        .first()
+    )
+    if row is None or row["n"] is None:
+        return PQ_SHORTLIST
+    return auto_shortlist(int(row["n"]), int(row["top"]))
 
 
 def _pq_slice(emb: Column, sub: Column, m: int) -> Column:
@@ -1561,7 +1626,7 @@ def pq_topk(
 def pq_topk_rerank(
     embeddings: DataFrame,
     k: int = TOPK,
-    shortlist: int = PQ_SHORTLIST,
+    shortlist: int | None = None,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     iters: int = 1,
@@ -1584,13 +1649,30 @@ def pq_topk_rerank(
     equi-join against the corpus on vec_id — the raw-vector side never
     shuffles; the final per-query window reranks <= shortlist rows.
 
+    ``shortlist=None`` (the default) auto-sizes from the corpus's
+    measured near-dup blob density (:func:`auto_shortlist` over the
+    encoded codes — one extra stats pass sharing the search's own
+    encode lineage; a deployment estimates from its stored codes for
+    free).  Compat-pinned: at or below IVF_AUTO_COMPAT_N vectors the
+    fixed PQ_SHORTLIST applies unchanged, so every tested-SF result is
+    bit-identical to an explicit shortlist=PQ_SHORTLIST call.
+
     Output: (query_id, neighbor_id, rank, cos) — exact cosine over the
     ADC shortlist, rank 1..k."""
-    if not 1 <= k <= shortlist:
+    if k < 1 or (shortlist is not None and k > shortlist):
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}"
         )
-    short = pq_topk(embeddings, shortlist, m, ksub, iters, codebook).select(
+    cb = (
+        codebook
+        if codebook is not None
+        else _persist(_pq_train(embeddings, m, ksub, iters)[0])
+    )
+    if shortlist is None:
+        packed = _persist(_pq_packed(cb))
+        enc = _pq_encoded(_normed(embeddings), packed, m)
+        shortlist = max(k, _auto_shortlist_for(enc.select("codes")))
+    short = pq_topk(embeddings, shortlist, m, ksub, iters, cb).select(
         "query_id", "neighbor_id"
     )
     base = _normed(embeddings)
@@ -1916,7 +1998,7 @@ def ivfpq_topk(
     embeddings: DataFrame,
     k: int = TOPK,
     nprobe: int = NPROBE,
-    shortlist: int = PQ_SHORTLIST,
+    shortlist: int | None = None,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     iters: int = 1,
@@ -1933,8 +2015,10 @@ def ivfpq_topk(
     Output: (query_id, neighbor_id, rank, cos) — exact cosine over the
     ADC shortlist of the probed cells (ANN semantics twice over: cell
     pruning AND code ranking bound what rerank can see; the recall
-    instruments price each stage)."""
-    if not 1 <= k <= shortlist:
+    instruments price each stage).  ``shortlist=None`` auto-sizes from
+    the index's own code rows (:func:`auto_shortlist`; compat-pinned at
+    tested SFs)."""
+    if k < 1 or (shortlist is not None and k > shortlist):
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}"
         )
@@ -1957,6 +2041,9 @@ def ivfpq_topk(
             "codes"
         ),
     )
+    if shortlist is None:
+        # the stats pass shares the index lineage the search scans anyway
+        shortlist = max(k, _auto_shortlist_for(coded.select("codes")))
     queries = _normed(
         embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
     ).select(
@@ -2027,9 +2114,33 @@ def _ivfpq_search(
             ).alias("adc"),
         )
     )
+    # pre-shortlist duplicate merge (ADVICE r9): a corpus vector present
+    # twice (duplicate-id input rows — the from-index path already
+    # collapses re-sent vectors via _latest_per_vec, so this guards the
+    # in-memory path and same-batch duplicates) would occupy TWO srank
+    # slots below, silently shrinking the candidate pool under
+    # ``shortlist`` distinct ids.  A groupBy(query_id, neighbor_id) here
+    # would shuffle the candidate frame a second time (its exchange keys
+    # on both columns, the rank window re-exchanges on query_id alone);
+    # instead ride the window's own query_id exchange: sorted by
+    # (neighbor_id, adc desc) within each query, the FIRST row per
+    # neighbor carries max(adc) — the same deterministic optimistic-score
+    # merge the post-rerank dedup uses — and lag() identifies it.  One
+    # extra in-partition sort, zero extra exchanges.
+    wdup = Window.partitionBy("query_id").orderBy(
+        F.asc("neighbor_id"), F.desc("adc")
+    )
+    adc_merged = (
+        adc_scored.withColumn("prev_nb", F.lag("neighbor_id").over(wdup))
+        .filter(
+            F.col("prev_nb").isNull()
+            | (F.col("prev_nb") != F.col("neighbor_id"))
+        )
+        .drop("prev_nb")
+    )
     ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
     short = (
-        adc_scored.withColumn("srank", F.row_number().over(ws))
+        adc_merged.withColumn("srank", F.row_number().over(ws))
         .filter(F.col("srank") <= shortlist)
         .select("query_id", "neighbor_id")
     )
@@ -2093,7 +2204,7 @@ def ivfpq_topk_from_index(
     embeddings: DataFrame,
     k: int = TOPK,
     nprobe: int = NPROBE,
-    shortlist: int = PQ_SHORTLIST,
+    shortlist: int | None = None,
     queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC search over the STORED artifacts — the production query
@@ -2126,8 +2237,13 @@ def ivfpq_topk_from_index(
     as in :func:`ivfpq_topk` (the search stages are literally shared —
     :func:`_ivfpq_search`).  Search stages run against whatever rows
     the stores hold, so stream-appended vectors are searchable
-    immediately and forgotten vectors drop out without a rebuild."""
-    if not 1 <= k <= shortlist:
+    immediately and forgotten vectors drop out without a rebuild.
+
+    ``shortlist=None`` auto-sizes from the STORED code rows — the free
+    path for the density estimate (no encode pass; one aggregate over
+    the compact codes store, re-read per call so the estimate tracks
+    stream appends and forgets like every other stage here)."""
+    if k < 1 or (shortlist is not None and k > shortlist):
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}"
         )
@@ -2164,6 +2280,8 @@ def ivfpq_topk_from_index(
             F.split("code_csv", ","), lambda s: s.cast("int")
         ).alias("codes"),
     )
+    if shortlist is None:
+        shortlist = max(k, _auto_shortlist_for(codes.select("codes")))
     # respread before the ADC explode: the latest-wins aggregations feed
     # AQE a tiny post-shuffle size (80k code rows ~ 2 MB), so it
     # coalesces everything downstream to a couple of partitions — right

@@ -24,6 +24,7 @@ Flink's single JobGraph did internally.
 
 from __future__ import annotations
 
+import time
 from typing import Iterator
 
 import pandas as pd
@@ -1094,20 +1095,39 @@ def _acquire_forget_locks(spark, dirs, owner: str = "forget/build") -> list[str]
 
 def _lock_owner(spark, store_dir: str) -> str:
     """The owner tag a lock marker records ('' when absent or written by
-    a pre-r9 build, whose markers are empty)."""
+    a pre-r9 build, whose markers are empty).
+
+    An empty tag is re-read a few times with a short wait (ADVICE r9):
+    ``_acquire_forget_locks`` claims with an atomic ``createNewFile`` and
+    writes the owner AFTER — portably unavoidable (an HDFS rename cannot
+    overwrite the claim; a local rename-as-claim silently overwrites and
+    breaks mutual exclusion), so a reader racing a LIVE claimer can catch
+    the milliseconds between claim and tag.  The retry outlasts that gap;
+    a marker still empty after it really is pre-r9 or a claimer that died
+    before tagging, which is what callers' error messages describe."""
     fs, p = _fs_path(spark, _lock_of(store_dir))
-    if not fs.exists(p):
-        return ""
-    stream = fs.open(p)
-    try:
-        data = []
-        b = stream.read()
-        while b != -1 and len(data) < 64:
-            data.append(b)
+
+    def read_once() -> str | None:
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            data = []
             b = stream.read()
-    finally:
-        stream.close()
-    return bytes(data).decode("utf-8", errors="replace")
+            while b != -1 and len(data) < 64:
+                data.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        return bytes(data).decode("utf-8", errors="replace")
+
+    owner = read_once()
+    for _ in range(3):
+        if owner:  # tagged (or vanished — released mid-read: '' below)
+            break
+        time.sleep(0.2)
+        owner = read_once()
+    return owner or ""
 
 
 def _release_forget_locks(spark, dirs) -> None:
@@ -2062,7 +2082,6 @@ def run_ivfpq_search_stream(
     post-forget store."""
     from cloudcomputing_flink_application_spark.operators.similarity import (
         NPROBE,
-        PQ_SHORTLIST,
         TOPK,
         ivfpq_topk_from_index,
         pq_build_params,
@@ -2075,11 +2094,16 @@ def run_ivfpq_search_stream(
         )
     # validate the search geometry HERE, not in the first micro-batch:
     # a bad k/shortlist is a usage error and must surface as one, not
-    # as a StreamingQueryException mid-stream (r9 review catch)
+    # as a StreamingQueryException mid-stream (r9 review catch).
+    # shortlist=None stays None: each micro-batch auto-sizes from the
+    # codes store AS IT STANDS (auto_shortlist — the estimate tracks
+    # appends/forgets between batches, like every other search stage),
+    # and auto floors at max(PQ_SHORTLIST, k), so only an explicit
+    # shortlist can conflict with k
     k_eff = k if k is not None else TOPK
-    shortlist_eff = shortlist if shortlist is not None else PQ_SHORTLIST
+    shortlist_eff = shortlist
     nprobe_eff = nprobe if nprobe is not None else NPROBE
-    if not 1 <= k_eff <= shortlist_eff:
+    if k_eff < 1 or (shortlist_eff is not None and k_eff > shortlist_eff):
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k_eff} "
             f"shortlist={shortlist_eff}"

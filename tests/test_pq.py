@@ -943,3 +943,186 @@ def test_ivfpq_geometry_validation_and_legacy_read(spark, tmp_path, embs):
         for r in S._latest_per_vec(legacy, "code_csv").collect()
     }
     assert got == {(1, "a"), (2, "b")}
+
+
+# --- auto-shortlist (r10): density-derived rerank breadth ------------------
+
+
+def test_auto_shortlist_rule():
+    """Compat floor, monotonicity, floor, and cap of the r10 rule that
+    removed the fixed-shortlist knob (the auto_band_width / auto_subk
+    pattern)."""
+    # at or below the compat threshold: the fixed tested-SF constant,
+    # whatever the blob estimate says — every driver-SF hash unchanged
+    assert S.auto_shortlist(1, 1) == S.PQ_SHORTLIST
+    assert S.auto_shortlist(S.IVF_AUTO_COMPAT_N, 10**9) == S.PQ_SHORTLIST
+    # just above: blob + margin, floored at the fixed constant
+    above = S.IVF_AUTO_COMPAT_N + 1
+    assert S.auto_shortlist(above, 0) == S.PQ_SHORTLIST
+    assert S.auto_shortlist(above, 1600) == 1600 + S.PQ_SHORTLIST
+    # monotone in the blob estimate
+    vals = [S.auto_shortlist(above, b) for b in (0, 10, 100, 1000, 10**7)]
+    assert vals == sorted(vals)
+    # capped: the shortlist frame must stay broadcast-sized
+    assert S.auto_shortlist(above, 10**9) == S.PQ_SHORTLIST_CAP
+    assert S.PQ_SHORTLIST <= S.PQ_SHORTLIST_CAP
+
+
+def test_auto_shortlist_estimator_counts_code_multiplicity(spark):
+    """_auto_shortlist_for reads (corpus size, top identical-code
+    multiplicity) from one aggregate over the code rows."""
+    rows = (
+        [([1, 2], )] * 7 + [([3, 4], )] * 2 + [([5, 6], )]
+    )
+    coded = spark.createDataFrame(rows, "codes ARRAY<INT>")
+    # n=10 <= compat floor -> fixed
+    assert S._auto_shortlist_for(coded) == S.PQ_SHORTLIST
+    # replicate the same multiplicity structure past the compat floor:
+    # 600 copies of one code word in a 1000-row frame -> blob=600
+    big = (
+        [([1, 2], )] * 600
+        + [([i, i + 1], ) for i in range(10, 4010)]
+    )
+    coded_big = spark.createDataFrame(big, "codes ARRAY<INT>")
+    assert (
+        S._auto_shortlist_for(coded_big) == 600 + S.PQ_SHORTLIST
+    )
+    # empty frame: the floor, not a crash
+    empty = spark.createDataFrame([], "codes ARRAY<INT>")
+    assert S._auto_shortlist_for(empty) == S.PQ_SHORTLIST
+
+
+def test_auto_shortlist_equals_fixed_below_compat_floor(spark, tmp_path, embs):
+    """Every tested-SF corpus sits under IVF_AUTO_COMPAT_N, so
+    shortlist=None must be BIT-IDENTICAL to the old fixed
+    shortlist=PQ_SHORTLIST call on both the in-memory rerank and the
+    stored-artifact search — the compat pin that keeps every driver
+    oracle hash unchanged."""
+    cb = S.pq_codebook(embs)
+    cb.persist().count()
+    try:
+        fixed = {
+            tuple(r)
+            for r in S.pq_topk_rerank(
+                embs, shortlist=S.PQ_SHORTLIST, codebook=cb
+            ).collect()
+        }
+        auto = {
+            tuple(r)
+            for r in S.pq_topk_rerank(embs, shortlist=None, codebook=cb).collect()
+        }
+        assert auto == fixed
+    finally:
+        cb.unpersist()
+    ivf_root = str(tmp_path / "ivf")
+    pq_root = str(tmp_path / "pq")
+    S.build_ivf_index(embs, ivf_root, iters=0)
+    S.build_pq_index(embs, pq_root)
+    fixed_ix = {
+        tuple(r)
+        for r in S.ivfpq_topk_from_index(
+            spark, ivf_root, pq_root, embs, shortlist=S.PQ_SHORTLIST
+        ).collect()
+    }
+    auto_ix = {
+        tuple(r)
+        for r in S.ivfpq_topk_from_index(
+            spark, ivf_root, pq_root, embs, shortlist=None
+        ).collect()
+    }
+    assert auto_ix == fixed_ix
+
+
+def test_auto_shortlist_restores_dense_blob_recall(spark, tmp_path):
+    """The r9 recall law, closed without a hand knob: on a contended
+    corpus (clusters >= ksub, so cluster members share code words — the
+    regime of the measured 0.44 -> 0.066 collapse) whose blobs outgrow
+    the fixed shortlist-50, auto-sizing from the measured code
+    multiplicity restores rerank recall.
+
+    Measured at this scale (n=6000 > compat, 50 clusters x ~120
+    members): top multiplicity 134 ~ blob size, auto shortlist 184,
+    recall 0.553 (fixed-50) -> 1.0 (auto).  Asserted as bands.
+
+    The documented boundary (SCALING.md pq-auto): a corpus with FEWER
+    distinct regions than ksub per subspace leaves the trained
+    sub-quantizer spare centroids that subdivide even tight blobs, so
+    the multiplicity under-reads there — that degenerate shape (a
+    handful of giant near-dup blobs = the whole corpus is a few
+    documents) is dedup-before-index territory, and pq_recall_report
+    remains the instrument that says so."""
+    p = str(tmp_path / "dense.parquet")
+    fixtures.write_clustered_embeddings(p, n=6000)  # 50 clusters default
+    e = spark.read.parquet(p)
+    cb = S.pq_codebook(e)
+    cb.persist().count()
+    try:
+        exact = S.cosine_topk(e).select("query_id", "neighbor_id")
+        exact.persist()
+        total = exact.count()
+
+        def recall(shortlist):
+            rer = S.pq_topk_rerank(e, shortlist=shortlist, codebook=cb).select(
+                "query_id", "neighbor_id"
+            )
+            return exact.join(rer, ["query_id", "neighbor_id"]).count() / total
+
+        fixed = recall(S.PQ_SHORTLIST)
+        auto = recall(None)
+        # the collapse the law describes (blob ~2.4x the fixed shortlist)
+        assert fixed <= 0.8, fixed
+        # auto restores it: strictly better AND high in absolute terms
+        assert auto >= 0.95, (fixed, auto)
+        assert auto - fixed >= 0.15, (fixed, auto)
+        exact.unpersist()
+    finally:
+        cb.unpersist()
+        S.release_cached()
+
+
+def test_ivfpq_adc_stage_merges_duplicate_candidates(spark, embs):
+    """ADVICE r9: duplicate code rows (a duplicate-id corpus reaching the
+    in-memory path) must not occupy multiple ADC shortlist slots — the
+    pre-shortlist merge keeps max(adc) per (query, neighbor), so the
+    search over a duplicated index equals the duplicate-free run even
+    when the shortlist is tight enough that flooded slots would change
+    the rerank pool."""
+    base = S._normed(embs)
+    cents = S._twolevel_seeds(base, S.SUBK)
+    cents.persist().count()
+    pq_cb = S.pq_codebook(embs)
+    pq_cb.persist().count()
+    try:
+        packed = S._persist(S._pq_packed(pq_cb))
+        coded = S.ivfpq_index(embs, codebook=cents, pq_cb=pq_cb).select(
+            "vec_id",
+            "cluster",
+            F.transform(
+                F.split("code_csv", ","), lambda s: s.cast("int")
+            ).alias("codes"),
+        )
+        coded.persist().count()
+        queries = base.filter(F.col("vec_id") % S.QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+        dup_coded = coded.unionByName(coded.filter("vec_id < 250"))
+        want = {
+            tuple(r)
+            for r in S._ivfpq_search(
+                cents, packed, coded, queries, base, 5, S.NPROBE, 8, S.PQ_M
+            ).collect()
+        }
+        got = {
+            tuple(r)
+            for r in S._ivfpq_search(
+                cents, packed, dup_coded, queries, base, 5, S.NPROBE, 8, S.PQ_M
+            ).collect()
+        }
+        assert got == want
+        coded.unpersist()
+    finally:
+        cents.unpersist()
+        pq_cb.unpersist()
+        S.release_cached()
