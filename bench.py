@@ -12,22 +12,29 @@ query to a single sample).
 Results are materialized with the noop sink — full execution of every
 operator, no driver-side row transfer in the measurement.
 
-Contention sentinel (r6): a fixed-cost data-independent probe job (small
-range -> shuffle -> count, constant work regardless of SF) is timed
-immediately BEFORE the first query and AFTER the last, and both times
-plus their ratio are emitted in the JSON (``sentinel`` key).  A quiet
-machine holds the ratio near 1.0 and the absolute times near the
-BASELINE.md reference value; a contended session (the r4->r5 uniform
-+13% drift signature) shows up directly as an inflated sentinel instead
-of needing a by-hand diff against clean runs.
+Contention sentinel (r6, interleaved r10): a fixed-cost data-independent
+probe job (small range -> shuffle -> count, constant work regardless of
+SF) is timed BEFORE the first query, AFTER the last, and — new in r10 —
+every SENTINEL_EVERY queries in between.  The full probe series is
+emitted in the JSON (``sentinel.series``), so a sustained mid-sweep load
+is machine-flaggable from the record alone: that mode inflated dozens of
+unchanged r9 queries 1.3-1.7x while BOTH endpoint probes read clean
+(r9 VERDICT #1 — the exact blind spot BASELINE.md documents).  Each
+query is judged against the two probes that BRACKET it: ratio =
+max(bracketing probes) / min(all probes); queries whose ratio exceeds
+SUSPECT_RATIO land in the JSON ``suspect`` key and should be re-measured
+on a quiet session before being treated as regressions (same protocol as
+``outliers``).  The probe shape is JIT-warmed hard (3 full rounds)
+before the first recorded sample so the early-session codegen decay the
+r9 record shows (0.276 -> 0.139 s across one sweep) does not read as
+contention on the first segment.
 
 Per-query outlier flag (r7): each median-of-3 query also records its
 run-to-run spread (max/min); spreads > 2x land in the JSON ``outliers``
-key.  This closes the one contention mode the two-point sentinel cannot
-see — a mid-run burst between the probes (the r6 signature: three
-unchanged operators breached their bars while the sentinel read clean).
-An entry in ``outliers`` means that query's record absorbed a burst and
-should be re-measured before being treated as a regression.
+key — a mid-run burst SHORTER than a segment that inflated one run.
+``suspect`` catches the complementary mode: a burst or sustained load
+long enough to straddle a whole segment inflates all three runs evenly
+(spread stays small) but shows in the bracketing probes.
 """
 
 from __future__ import annotations
@@ -38,14 +45,60 @@ import statistics
 import sys
 import time
 
-from cloudcomputing_flink_application_spark.registry import REGISTRY
-from cloudcomputing_flink_application_spark.session import get_spark
-
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 HEAVY_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SEC", "8"))
+SENTINEL_EVERY = int(os.environ.get("SPARK_GRAFT_SENTINEL_EVERY", "8"))
+SUSPECT_RATIO = 1.5
+
+
+def sentinel_suspects(
+    marks: list[tuple[int, float]],
+    names: list[str],
+    threshold: float = SUSPECT_RATIO,
+) -> dict[str, float]:
+    """Queries whose BRACKETING sentinel probes read contended.
+
+    ``marks`` is the probe series as (queries_completed_before_probe,
+    probe_sec); ``names`` the queries in sweep order.  Query i (0-based,
+    so it runs after i queries completed) is bracketed by the last probe
+    at position <= i and the first at position >= i+1; its contention
+    ratio is max(bracket) / ref, where ref is the SECOND-smallest probe
+    — the session's quiet floor.  The raw min is not the reference: a
+    measured quiet sweep still shows the probe drifting 0.198 -> 0.125 s
+    across the session (residual JIT/cache settling past the 3 warm-up
+    rounds), and against the raw min that 1.58x spread false-flags the
+    first segment of a visibly clean run; the second-smallest discards
+    the one luckiest sample while still anchoring to quiet state, and a
+    genuinely contended probe (the r9 mode inflated queries 1.3-1.7x,
+    probes read machine state the same way) clears 1.5x of it.  Ratios
+    above ``threshold`` are returned.  Pure (testable without Spark);
+    bench emits the raw series too so the rule can be re-applied to any
+    past record."""
+    if not marks or not names:
+        return {}
+    ordered = sorted(sec for _, sec in marks)
+    ref = ordered[1] if len(ordered) > 1 else ordered[0]
+    if ref <= 0:
+        return {}
+    out: dict[str, float] = {}
+    for i, name in enumerate(names):
+        before = [sec for pos, sec in marks if pos <= i]
+        after = [sec for pos, sec in marks if pos >= i + 1]
+        bracket = []
+        if before:
+            bracket.append(before[-1])
+        if after:
+            bracket.append(after[0])
+        ratio = max(bracket) / ref
+        if ratio > threshold:
+            out[name] = round(ratio, 2)
+    return out
 
 
 def main() -> None:
+    from cloudcomputing_flink_application_spark.registry import REGISTRY
+    from cloudcomputing_flink_application_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(app_name="cloudcomputing-flink-application-bench")
@@ -69,12 +122,17 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return round(min(samples), 3)
 
-    sentinel_sec()  # JIT/codegen warm-up for the probe shape
-    sentinel_first = sentinel_sec()
+    for _ in range(3):  # hard JIT/codegen warm-up for the probe shape:
+        sentinel_sec()  # the r9 record shows the probe itself speeding
+        # up 2x across a sweep, which would false-flag early segments
+        # against the session min without this
+    marks: list[tuple[int, float]] = [(0, sentinel_sec())]
 
     per_query: dict[str, float] = {}
     outliers: dict[str, float] = {}
-    for name, q in sorted(REGISTRY.items()):
+    names = sorted(REGISTRY)
+    for idx, name in enumerate(names):
+        q = REGISTRY[name]
         t0 = time.perf_counter()
         materialize(q.fn(spark, sf_dir))  # warm-up (JIT, code cache, FS cache)
         warm = time.perf_counter() - t0
@@ -102,11 +160,10 @@ def main() -> None:
             samples += [timed_run() for _ in range(RUNS - 1)]
         per_query[name] = round(statistics.median(samples), 3)
         # Run-to-run spread (max/min): the per-query contention flag the
-        # two-point sentinel cannot provide (r6 VERDICT — a mid-run burst
-        # between the sentinel probes inflated three queries' records
-        # invisibly).  > 2x spread on a median-of-3 means one run was
-        # burst-inflated; the median absorbs ONE outlier, and the JSON now
-        # carries the evidence instead of burying it in stderr.
+        # sentinel series cannot provide at sub-segment granularity (r6
+        # VERDICT — a short burst inflates ONE of the three runs).  > 2x
+        # spread on a median-of-3 means one run was burst-inflated; the
+        # median absorbs ONE outlier, and the JSON carries the evidence.
         if len(samples) > 1 and min(samples) > 0:
             spread = max(samples) / min(samples)
             if spread > 2.0:
@@ -116,8 +173,12 @@ def main() -> None:
             f"runs: {[round(s, 3) for s in samples]})",
             file=sys.stderr,
         )
+        done = idx + 1
+        if done % SENTINEL_EVERY == 0 and done < len(names):
+            marks.append((done, sentinel_sec()))
 
-    sentinel_last = sentinel_sec()
+    marks.append((len(names), sentinel_sec()))
+    suspect = sentinel_suspects(marks, names)
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
         "metric": "wall_sec_total",
@@ -126,13 +187,19 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "sentinel": {
-            "first_sec": sentinel_first,
-            "last_sec": sentinel_last,
-            "drift": round(sentinel_last / sentinel_first, 2)
-            if sentinel_first > 0
+            "first_sec": marks[0][1],
+            "last_sec": marks[-1][1],
+            "drift": round(marks[-1][1] / marks[0][1], 2)
+            if marks[0][1] > 0
             else None,
+            "series": [[pos, sec] for pos, sec in marks],
+            # the suspect rule's quiet floor: second-smallest probe
+            "ref_sec": sorted(sec for _, sec in marks)[1]
+            if len(marks) > 1
+            else marks[0][1],
         },
         "outliers": outliers,
+        "suspect": suspect,
     }))
     spark.stop()
 

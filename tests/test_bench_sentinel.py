@@ -1,0 +1,91 @@
+"""The interleaved-sentinel flagging rule (r10 — closes the r9 bench
+blind spot: a sustained mid-sweep load inflated dozens of unchanged
+queries 1.3-1.7x while both ENDPOINT probes read clean and no per-query
+spread tripped; the per-segment probe series makes that mode
+machine-flaggable from the BENCH record alone).
+
+Pure tests: ``sentinel_suspects`` is deliberately Spark-free so the rule
+can be re-applied to any past record's ``sentinel.series``.
+"""
+
+from __future__ import annotations
+
+from bench import sentinel_suspects
+
+
+def _names(n: int) -> list[str]:
+    return [f"q{i:02d}" for i in range(n)]
+
+
+def test_quiet_session_flags_nothing():
+    marks = [(0, 0.15), (8, 0.14), (16, 0.16), (20, 0.15)]
+    assert sentinel_suspects(marks, _names(20)) == {}
+
+
+def test_measured_quiet_sweep_flags_nothing():
+    # the actual r10 quiet-session series (the probe's residual JIT
+    # settling spreads 1.58x against the raw min — the reason the rule's
+    # reference is the SECOND-smallest probe, not the min)
+    marks = [
+        (0, 0.198), (8, 0.167), (16, 0.167), (24, 0.185),
+        (32, 0.172), (40, 0.152), (48, 0.175), (50, 0.125),
+    ]
+    assert sentinel_suspects(marks, _names(50)) == {}
+
+
+def test_mid_sweep_load_with_clean_endpoints_is_flagged():
+    # the r9 signature: endpoints quiet, the middle segment contended —
+    # the two-point sentinel read drift 1.0 and missed it entirely
+    marks = [(0, 0.15), (8, 0.45), (16, 0.44), (20, 0.15)]
+    got = sentinel_suspects(marks, _names(20))
+    # a hot probe taints BOTH adjacent segments (the probe reads machine
+    # state at the boundary; either neighbor may have absorbed the
+    # load), so with hot probes at 8 and 16 every query is bracketed by
+    # at least one: 0..7 by (0.15, 0.45), 8..15 by (0.45, 0.44), 16..19
+    # by (0.44, 0.15) — deliberately conservative, suspects are
+    # re-measure flags, not verdicts
+    assert set(got) == {f"q{i:02d}" for i in range(20)}, got
+    assert all(r >= 2.9 for r in got.values())
+
+
+def test_bracketing_uses_nearest_probes_only():
+    # contention strictly AFTER the last query of a segment must not
+    # implicate earlier segments: only queries whose bracket includes
+    # the hot probe flag
+    marks = [(0, 0.15), (8, 0.15), (16, 0.60), (20, 0.15)]
+    got = sentinel_suspects(marks, _names(20))
+    # queries 8..15 are bracketed by probes at 8 (0.15) and 16 (0.60);
+    # queries 16..19 by 16 (0.60) and 20 (0.15); queries 0..7 by clean
+    # probes only
+    assert set(got) == {f"q{i:02d}" for i in range(8, 20)}, got
+
+
+def test_reference_is_robust_quiet_floor():
+    # a session uniformly slow relative to nothing flags nothing (all
+    # probes equal => every ratio is 1.0 — the absolute sentinel band in
+    # BASELINE.md covers that mode)
+    uniform = [(0, 0.45), (8, 0.45), (12, 0.45)]
+    assert sentinel_suspects(uniform, _names(12)) == {}
+    # a first probe 3x the steady state is contention, not JIT settling
+    # (measured settling past the warm-up rounds is ~1.6x at worst)
+    decay = [(0, 0.45), (8, 0.15), (12, 0.15)]
+    got = sentinel_suspects(decay, _names(12))
+    assert set(got) == {f"q{i:02d}" for i in range(8)}
+    # one glitchy-fast sample must not drag the reference down: with the
+    # raw min (0.05) every probe would read 3x+; the second-smallest
+    # (0.15) keeps the quiet majority clean
+    glitch = [(0, 0.15), (4, 0.05), (8, 0.16), (12, 0.15)]
+    assert sentinel_suspects(glitch, _names(12)) == {}
+
+
+def test_threshold_boundary_and_empty_inputs():
+    marks = [(0, 0.20), (4, 0.20), (8, 0.30)]  # 0.30/0.20 = 1.5, not >
+    assert sentinel_suspects(marks, _names(8)) == {}
+    marks = [(0, 0.20), (4, 0.20), (8, 0.302)]
+    got = sentinel_suspects(marks, _names(8))
+    assert set(got) == {f"q{i:02d}" for i in range(4, 8)}
+    assert sentinel_suspects([], _names(4)) == {}
+    assert sentinel_suspects([(0, 0.2)], []) == {}
+    # a non-positive reference (clock glitch on the two smallest probes)
+    # disables the rule rather than dividing by zero
+    assert sentinel_suspects([(0, 0.0), (4, 0.0), (8, 0.2)], _names(8)) == {}
