@@ -1162,6 +1162,13 @@ PQ_SHORTLIST_CAP = 8192  # auto-shortlist ceiling: the shortlist frame
 # instrument that says so.
 
 
+#: Sub-cluster salt for the from-index ADC respread (r10): bounds any
+#: one inverted list's share of a task at 1/salt without giving up
+#: per-task cell locality — see the respread comment in
+#: :func:`ivfpq_topk_from_index` for the three-way measurement.
+IVFPQ_SPREAD_SALT = 8
+
+
 def auto_shortlist(n: int, top_blob: int) -> int:
     """Rerank shortlist size for an ``n``-vector corpus whose largest
     near-duplicate blob holds ``top_blob`` vectors.
@@ -2291,9 +2298,27 @@ def ivfpq_topk_from_index(
     # matters: a bare repartition(col) is itself AQE-sized from the
     # same tiny pre-explode estimate and collapses again — a
     # user-specified N is the one thing AQE leaves alone.  One narrow
-    # shuffle of the compact code rows, spread on the probe key.
+    # shuffle of the compact code rows.
+    #
+    # The spread KEY is (cluster, vec_id % IVFPQ_SPREAD_SALT) — both
+    # alternatives measured worse on the r10 skewed-blob bench
+    # (SCALING.md pq-skew).  cluster alone sends each whole inverted
+    # list to ONE task, so a corpus-scale near-dup blob (one cell at
+    # 25% of an 80k corpus) makes its task the straggler: 25-30 s vs
+    # 13-15 s salted.  vec_id alone balances rows but destroys per-task
+    # cell locality — every task touches ~every probed cell's broadcast
+    # probe rows and LUTs — and measured ~1.7x SLOWER than even the
+    # skewed cluster spread (37-45 s).  Salting WITHIN cluster keeps
+    # the working set small (each task holds ~K*salt/N cell fragments)
+    # while capping any one cell's share of a task at 1/salt; on the
+    # unskewed x10 corpus it is also mildly faster (9.4-9.6 s vs
+    # 9.5-11.4 s), so it is the default, not a knob.
     spread_n = spark.sparkContext.defaultParallelism
-    coded = asg.join(codes, "vec_id").repartition(spread_n, F.col("cluster"))
+    coded = asg.join(codes, "vec_id").repartition(
+        spread_n,
+        F.col("cluster"),
+        F.pmod(F.col("vec_id"), F.lit(IVFPQ_SPREAD_SALT)),
+    )
     packed = _persist(_pq_packed(read_pq_codebook(spark, pq_root)))
     # NO corpus-wide dropDuplicates here: shuffling the full-width
     # embedding arrays to dedup the rerank side cost 5x at 80k vectors

@@ -1380,6 +1380,347 @@ def bench_pq(spark) -> dict:
     return out
 
 
+def bench_pq_auto(spark) -> dict:
+    """r10 (VERDICT r9 #1): the auto-shortlist rule measured on the exact
+    regimes of the r9 recall law.  The fixed-50-cluster x10 corpus (80k
+    vectors, 1600-member blobs) is where shortlist-50 rerank recall
+    collapsed to 0.066; the density-controlled x10 corpus (160-member
+    blobs) is the curve it must be restored to (0.44-0.50).  Recorded
+    per regime: the code-multiplicity estimate and the shortlist the
+    rule picks, the stats-pass cost, and rerank recall + wall for
+    fixed-50 vs auto.  The degenerate boundary (a corpus with fewer
+    distinct regions than ksub per subspace leaves the trained
+    sub-quantizer spare centroids that subdivide even tight blobs, so
+    the multiplicity under-reads) is probed explicitly on a 4-blob
+    near-dup corpus — recorded as the rule's documented limit, with
+    dedup-before-index as the remedy there."""
+    build_clustered()
+    corpora = {
+        "blobs_1600": str(WORK / "embs_clustered_x10.parquet"),
+        "density_160": str(WORK / "embs_clustered_dens_x10.parquet"),
+    }
+    p4 = WORK / "embs_neardup_4blob.parquet"
+    if not p4.exists():
+        write_clustered_embeddings(str(p4), n=6000, clusters=4, noise=0.05)
+    corpora["degenerate_4blob"] = str(p4)
+    out: dict = {}
+    for tag, path in corpora.items():
+        e = spark.read.parquet(path)
+        cb = similarity.pq_codebook(e)
+        cb.persist().count()
+        packed = similarity._persist(similarity._pq_packed(cb))
+        enc = similarity._pq_encoded(
+            similarity._normed(e), packed, similarity.PQ_M
+        )
+        t0 = time.time()
+        auto = similarity._auto_shortlist_for(enc.select("codes"))
+        stats_sec = round(time.time() - t0, 3)
+        exact = similarity.cosine_topk(e).select("query_id", "neighbor_id")
+        exact.persist()
+        total = exact.count()
+        entry: dict = {"auto_shortlist": auto, "stats_pass_sec": stats_sec}
+        for label, sl in (("fixed50", similarity.PQ_SHORTLIST), ("auto", None)):
+            t0 = time.time()
+            rer = similarity.pq_topk_rerank(e, shortlist=sl, codebook=cb).select(
+                "query_id", "neighbor_id"
+            )
+            hits = exact.join(rer, ["query_id", "neighbor_id"]).count()
+            entry[label] = {
+                "recall": round(hits / total, 3),
+                "wall_sec": round(time.time() - t0, 3),
+            }
+        # the composed IVFADC path inherits the same default
+        ivfpq = similarity.ivfpq_topk(e).select("query_id", "neighbor_id")
+        hits = exact.join(ivfpq, ["query_id", "neighbor_id"]).count()
+        entry["ivfpq_auto_recall"] = round(hits / total, 3)
+        out[tag] = entry
+        exact.unpersist()
+        cb.unpersist()
+        similarity.release_cached()
+        spark.catalog.clearCache()
+    return out
+
+
+def bench_olap_join_100x(spark) -> dict:
+    """r10 (VERDICT r9 #4): the fact-fact shuffle family's 100x point.
+    The r9 `olap-join` rows stop at 10x (6M lineitem); Q9 carries the
+    suite's worst exponent there (0.18 — neither join input pruned).
+    Q8 (both facts pruned before the orderkey shuffle) and Q9 replicate
+    to the 60M-row corpus the flat family already used (`olap-100x`),
+    dimensions fixed.  Expected: exponents well under 1.0 against the
+    1x base (stage overhead amortizes; the shuffle term itself is
+    ~linear in rows), with the Q9/Q8 gap showing what predicate pruning
+    before a fact-fact shuffle is worth at scale."""
+    from cloudcomputing_flink_application_spark.operators import olap
+
+    build_tpch_replicas(spark, scales=(1, 100))
+    ops = {
+        "olap_market_share_q8": lambda d: olap.market_share(spark, d).count(),
+        "olap_nation_profit_q9": lambda d: olap.nation_profit(
+            spark, d
+        ).count(),
+    }
+    results: dict = {}
+    for name, fn in ops.items():
+        by = {}
+        for s in (1, 100):
+            d = str(WORK / f"tpch_x{s}")
+            times = []
+            for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
+                spark.catalog.clearCache()
+                dedup.release_cached()
+                times.append(timed(lambda: fn(d)))
+            by[s] = round(min(times[1:]), 3)
+        results[name] = {
+            "sec": by,
+            "exponent_vs_1x": round(
+                math.log(by[100] / by[1]) / math.log(100), 2
+            ),
+        }
+    return results
+
+
+def _state_totals(q) -> dict:
+    """State-store footprint from the query's LAST progress record."""
+    for p in reversed(q.recentProgress):
+        prog = p if isinstance(p, dict) else json.loads(p.json)
+        ops = prog.get("stateOperators") or []
+        if ops:
+            return {
+                "state_rows": int(ops[0].get("numRowsTotal", -1)),
+                "state_bytes": int(ops[0].get("memoryUsedBytes", -1)),
+            }
+    return {"state_rows": -1, "state_bytes": -1}
+
+
+def bench_stream_window(spark) -> dict:
+    """r10 (VERDICT r9 #5): the keyed sliding count window
+    (streaming/state.py — the one Python-execution engine component,
+    backing the Q-ACC/Q-SAT/Q-AVGSPD streaming twins) measured on both
+    axes the brief names: keys x rows-per-key.  Per batch the operator
+    does O(rows) Python work (each arriving row forms one window) and
+    holds O(keys * (n-1)) buffered rows of state, so per-batch cost
+    should track TOTAL batch rows regardless of how they split between
+    keys, and the state footprint should track keys alone.  Fixture:
+    synthetic (vid, t, pos) batches, n=4 accident-shape window (emit on
+    four equal positions; 1% of keys are stopped cars so the emit path
+    executes), ONE parquet file per micro-batch."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from cloudcomputing_flink_application_spark.streaming.state import (
+        sliding_count_window,
+    )
+
+    n_batches = 4
+    schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("t", T.LongType()),
+            T.StructField("pos", T.LongType()),
+        ]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("t1", T.LongType()),
+            T.StructField("t2", T.LongType()),
+            T.StructField("pos", T.LongType()),
+        ]
+    )
+
+    def emit(window, row):
+        if len(window) == 4 and len({w[2] for w in window}) == 1:
+            return [(row[0], window[0][1], row[1], row[2])]
+        return []
+
+    def build(keys: int, rows_per_key: int) -> str:
+        name = f"streamwin_k{keys}_r{rows_per_key}"
+        root = WORK / name
+        if all(
+            (root / f"b{k:02d}" / "_SUCCESS").exists()
+            for k in range(n_batches)
+        ):
+            return str(root)
+        shutil.rmtree(root, ignore_errors=True)
+        base = 1_700_000_000
+        for b in range(n_batches):
+            # ascending t per key across batches; every 100th vid is a
+            # stopped car (constant pos) so windows actually emit
+            df = (
+                spark.range(keys)
+                .selectExpr("id AS vid")
+                .join(
+                    spark.range(rows_per_key).selectExpr("id AS i"),
+                    how="cross",
+                )
+                .selectExpr(
+                    "vid",
+                    f"{b} * {rows_per_key} + i AS t",
+                    "CASE WHEN vid % 100 = 0 THEN vid "
+                    f"ELSE vid * 1000 + {b} * {rows_per_key} + i END AS pos",
+                )
+            )
+            d = root / f"b{b:02d}"
+            df.coalesce(1).write.mode("overwrite").parquet(str(d))
+            for r, _, fs in os.walk(d):
+                for f in fs:
+                    os.utime(os.path.join(r, f), (base + b, base + b))
+        return str(root)
+
+    def run(keys: int, rows_per_key: int) -> dict:
+        src = build(keys, rows_per_key)
+        tmp = tempfile.mkdtemp(prefix="sg_streamwin_")
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{src}/*")
+            )
+            windows = sliding_count_window(
+                stream,
+                keys=["vid"],
+                order_col=["t"],
+                buffer_cols=["vid", "t", "pos"],
+                n=4,
+                emit=emit,
+                output_schema=out_schema,
+            )
+            q = (
+                windows.writeStream.format("parquet")
+                .option("path", f"{tmp}/out")
+                .option("checkpointLocation", f"{tmp}/chk")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                ms = _per_batch_ms(q)
+                state = _state_totals(q)
+            finally:
+                q.stop()
+            return {
+                "per_batch_ms": ms,
+                # batch 0 is JIT + empty state; steady state is the tail
+                "steady_ms": round(
+                    sum(ms[1:]) / max(1, len(ms[1:])), 1
+                ),
+                **state,
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    out: dict = {"n": 4, "batches": n_batches, "keys_axis": {}, "rows_axis": {}}
+    for mult in (1, 4, 10):
+        out["keys_axis"][f"x{mult}"] = {
+            "keys": 1000 * mult,
+            "rows_per_key": 10,
+            **run(1000 * mult, 10),
+        }
+    for mult in (1, 4, 10):
+        out["rows_axis"][f"x{mult}"] = {
+            "keys": 1000,
+            "rows_per_key": 10 * mult,
+            **run(1000, 10 * mult),
+        }
+    return out
+
+
+def bench_pq_skew(spark) -> dict:
+    """r10 (VERDICT r9 #6): skewed inverted-list serving.  On a pre-dedup
+    corpus one corpus-scale near-dup blob lands in ONE IVF cell; the ADC
+    stage fans each probed cell's members through a broadcast equi-join
+    whose parallelism is the coded side's explicit respread.  Fixture:
+    80k vectors with a single identical-vector blob at growing share
+    (2.5% / 10% / 25%); indexes built once per share, then
+    `ivfpq_topk_from_index` timed with shortlist PINNED at 50 (isolates
+    the skew axis from the auto-shortlist breadth growth, which is
+    deliberate and measured separately in pq-auto).
+
+    This bench found and fixed the straggler: the original cluster-only
+    spread hashed the whole blob cell into ONE task (24.9-29.9 s at 25%
+    share); uniform vec_id spread measured WORSE (37-45 s — per-task
+    cell-locality loss: every task touches every probed cell's probe
+    rows and LUTs); salting WITHIN cluster ((cluster, vec_id % 8), now
+    the operator default) measures 13.4-15.3 s skewed and 9.4-9.6 s
+    unskewed (vs 9.5-11.4 cluster-only) — per-task cell share capped at
+    1/salt, locality kept."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from cloudcomputing_flink_application_spark.fixtures import (
+        clustered_embedding_rows,
+    )
+
+    shares = (2000, 8000, 20000)
+    total = 80000
+    out: dict = {}
+    for blob in shares:
+        p = WORK / f"embs_skewblob_{blob}.parquet"
+        if not p.exists():
+            rows = clustered_embedding_rows(total - blob)
+            blob_emb = [float(x) for x in rows[0][2]]
+            max_id = max(r[0] for r in rows)
+            data = {
+                "vec_id": [r[0] for r in rows]
+                + [max_id + 1 + j for j in range(blob)],
+                "label": [r[1] for r in rows] + [rows[0][1]] * blob,
+                "embedding": [
+                    [float(x) for x in r[2]] for r in rows
+                ]
+                + [blob_emb] * blob,
+            }
+            pq_mod.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(data["vec_id"], pa.int64()),
+                        "label": pa.array(data["label"], pa.int64()),
+                        "embedding": pa.array(
+                            data["embedding"], pa.list_(pa.float32())
+                        ),
+                    }
+                ),
+                str(p),
+            )
+        embs = spark.read.parquet(str(p))
+        tmp = tempfile.mkdtemp(prefix=f"sg_pq_skew_{blob}_")
+        ivf_root, pq_root = f"{tmp}/ivf", f"{tmp}/pq"
+        try:
+            similarity.build_ivf_index(embs, ivf_root, iters=0)
+            similarity.build_pq_index(embs, pq_root)
+            times = []
+            for _ in range(REPS + 1):
+                spark.catalog.clearCache()
+                similarity.release_cached()
+                times.append(
+                    timed(
+                        lambda: similarity.ivfpq_topk_from_index(
+                            spark,
+                            ivf_root,
+                            pq_root,
+                            embs,
+                            shortlist=similarity.PQ_SHORTLIST,
+                        ).count()
+                    )
+                )
+            out[f"blob_{blob}"] = {
+                "blob_share": round(blob / total, 3),
+                "serve_sec": round(min(times[1:]), 3),
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    base = out[f"blob_{shares[0]}"]["serve_sec"]
+    for blob in shares:
+        out[f"blob_{blob}"]["vs_smallest_blob"] = round(
+            out[f"blob_{blob}"]["serve_sec"] / base, 2
+        )
+    return out
+
+
 def bench_pq_serve(spark) -> dict:
     """r9: what serving from the STORED IVFADC artifacts buys at query
     time.  ``ivfpq_topk`` retrains both codebooks per call (the pricing
@@ -1571,6 +1912,18 @@ def main() -> None:
         return
     if section == "pq-serve":
         print(json.dumps({"pq_serve": bench_pq_serve(spark)}))
+        return
+    if section == "pq-auto":
+        print(json.dumps({"pq_auto": bench_pq_auto(spark)}))
+        return
+    if section == "pq-skew":
+        print(json.dumps({"pq_skew": bench_pq_skew(spark)}))
+        return
+    if section == "olap-join-100x":
+        print(json.dumps({"olap_join_100x": bench_olap_join_100x(spark)}))
+        return
+    if section == "stream-window":
+        print(json.dumps({"stream_window": bench_stream_window(spark)}))
         return
     if section == "store-compact":
         print(json.dumps({"store_compact": bench_store_compaction(spark)}))

@@ -919,7 +919,12 @@ def test_from_index_respread_pins_explode_parallelism(spark, tmp_path, embs):
     df = S.ivfpq_topk_from_index(spark, ivf_root, pq_root, embs)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan, plan
+    # the r10 salted spread key: (cluster, vec_id % salt) — cluster-only
+    # makes a corpus-scale blob's cell one straggler task, vec_id-only
+    # destroys per-task cell locality (both measured worse, SCALING.md
+    # pq-skew)
     assert "hashpartitioning(cluster" in plan, plan
+    assert "pmod(vec_id" in plan, plan
 
 
 def test_ivfpq_geometry_validation_and_legacy_read(spark, tmp_path, embs):
