@@ -77,7 +77,12 @@ def sentinel_suspects(
     if not marks or not names:
         return {}
     ordered = sorted(sec for _, sec in marks)
-    ref = ordered[1] if len(ordered) > 1 else ordered[0]
+    # with fewer than 3 probes there is no "second-quietest within a
+    # quiet majority" to anchor to — fall back to the raw min, else a
+    # 2-probe series (endpoints only: a short sweep, or the mid-sweep
+    # probes disabled) could never flag anything because ref would BE
+    # the larger probe (r10 review)
+    ref = ordered[1] if len(ordered) >= 3 else ordered[0]
     if ref <= 0:
         return {}
     out: dict[str, float] = {}
@@ -174,7 +179,8 @@ def main() -> None:
             file=sys.stderr,
         )
         done = idx + 1
-        if done % SENTINEL_EVERY == 0 and done < len(names):
+        # SENTINEL_EVERY <= 0 = endpoints only (and no modulo-by-zero)
+        if SENTINEL_EVERY > 0 and done % SENTINEL_EVERY == 0 and done < len(names):
             marks.append((done, sentinel_sec()))
 
     marks.append((len(names), sentinel_sec()))
@@ -193,10 +199,11 @@ def main() -> None:
             if marks[0][1] > 0
             else None,
             "series": [[pos, sec] for pos, sec in marks],
-            # the suspect rule's quiet floor: second-smallest probe
+            # the suspect rule's quiet floor: second-smallest probe of a
+            # 3+ series, raw min otherwise (mirrors sentinel_suspects)
             "ref_sec": sorted(sec for _, sec in marks)[1]
-            if len(marks) > 1
-            else marks[0][1],
+            if len(marks) >= 3
+            else min(sec for _, sec in marks),
         },
         "outliers": outliers,
         "suspect": suspect,

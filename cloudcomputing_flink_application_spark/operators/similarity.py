@@ -1676,8 +1676,16 @@ def pq_topk_rerank(
         else _persist(_pq_train(embeddings, m, ksub, iters)[0])
     )
     if shortlist is None:
+        # persist the compact (vec_id, codes) rows BEFORE the estimate's
+        # .first() materializes them: pq_topk below builds the
+        # plan-identical encode lineage, and Spark's cache manager
+        # matches by analyzed plan — so the search's ADC scan reuses
+        # this cache instead of re-running the corpus encode (r10
+        # review: the stats pass otherwise doubled the encode)
         packed = _persist(_pq_packed(cb))
-        enc = _pq_encoded(_normed(embeddings), packed, m)
+        enc = _persist(
+            _pq_encoded(_normed(embeddings), packed, m)
+        )
         shortlist = max(k, _auto_shortlist_for(enc.select("codes")))
     short = pq_topk(embeddings, shortlist, m, ksub, iters, cb).select(
         "query_id", "neighbor_id"
@@ -2049,7 +2057,11 @@ def ivfpq_topk(
         ),
     )
     if shortlist is None:
-        # the stats pass shares the index lineage the search scans anyway
+        # persist the compact index rows first: the estimate's .first()
+        # and the ADC search both consume them, and an unpersisted
+        # lineage would run the assignment-join + encode twice (r10
+        # review)
+        coded = _persist(coded)
         shortlist = max(k, _auto_shortlist_for(coded.select("codes")))
     queries = _normed(
         embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
@@ -2288,6 +2300,12 @@ def ivfpq_topk_from_index(
         ).alias("codes"),
     )
     if shortlist is None:
+        # persist the latest-wins code rows first: the estimate and the
+        # assignments join both consume them, and without the cache the
+        # store-wide latest-wins groupBy would run twice per call — on
+        # EVERY micro-batch of a serving stream (r10 review).  The
+        # serving stream's per-batch release_cached(mark) drops it.
+        codes = _persist(codes)
         shortlist = max(k, _auto_shortlist_for(codes.select("codes")))
     # respread before the ADC explode: the latest-wins aggregations feed
     # AQE a tiny post-shuffle size (80k code rows ~ 2 MB), so it

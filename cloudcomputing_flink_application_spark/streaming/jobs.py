@@ -1123,7 +1123,10 @@ def _lock_owner(spark, store_dir: str) -> str:
 
     owner = read_once()
     for _ in range(3):
-        if owner:  # tagged (or vanished — released mid-read: '' below)
+        if owner is None or owner:
+            # absent (released mid-race — report lock-free immediately,
+            # a tag can never appear on a missing file; r10 review) or
+            # already tagged: no wait either way
             break
         time.sleep(0.2)
         owner = read_once()

@@ -1395,9 +1395,18 @@ def bench_pq_auto(spark) -> dict:
     near-dup corpus — recorded as the rule's documented limit, with
     dedup-before-index as the remedy there."""
     build_clustered()
+    # the density-controlled corpus is otherwise only built by the `pq`
+    # section's loop — build it here too or a fresh .scaling_data dir
+    # loses the whole section to PATH_NOT_FOUND after the expensive
+    # blobs_1600 pass (r10 review); same geometry as bench_pq's s=10 row
+    pdens = WORK / "embs_clustered_dens_x10.parquet"
+    if not pdens.exists():
+        write_clustered_embeddings(
+            str(pdens), n=CLUSTERED_BASE_N * 10, clusters=50 * 10
+        )
     corpora = {
         "blobs_1600": str(WORK / "embs_clustered_x10.parquet"),
-        "density_160": str(WORK / "embs_clustered_dens_x10.parquet"),
+        "density_160": str(pdens),
     }
     p4 = WORK / "embs_neardup_4blob.parquet"
     if not p4.exists():

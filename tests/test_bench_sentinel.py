@@ -78,6 +78,16 @@ def test_reference_is_robust_quiet_floor():
     assert sentinel_suspects(glitch, _names(12)) == {}
 
 
+def test_two_probe_series_falls_back_to_min_reference():
+    # endpoints-only series (short sweep, or mid-sweep probes disabled):
+    # the second-smallest would BE the larger probe and nothing could
+    # ever flag — the reference falls back to the raw min so a 3x
+    # contended endpoint still flags its segment (r10 review)
+    got = sentinel_suspects([(0, 0.45), (4, 0.15)], _names(4))
+    assert set(got) == {f"q{i:02d}" for i in range(4)}
+    assert sentinel_suspects([(0, 0.15), (4, 0.16)], _names(4)) == {}
+
+
 def test_threshold_boundary_and_empty_inputs():
     marks = [(0, 0.20), (4, 0.20), (8, 0.30)]  # 0.30/0.20 = 1.5, not >
     assert sentinel_suspects(marks, _names(8)) == {}
