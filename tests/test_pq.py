@@ -1131,3 +1131,30 @@ def test_ivfpq_adc_stage_merges_duplicate_candidates(spark, embs):
         cents.unpersist()
         pq_cb.unpersist()
         S.release_cached()
+
+
+def test_auto_shortlist_reads_exact_dup_blobs_at_any_geometry(spark, tmp_path):
+    """The boundary's precise scope (SCALING.md pq-auto): EXACT-duplicate
+    blobs produce identical codes no matter how many spare centroids the
+    sub-quantizer has, so the estimator reads them right even in the
+    degenerate few-blob geometry where NOISY blobs under-read (the
+    noise-0.05 counterpart is documented, not pinned — it is the
+    dedup-before-index regime).  Measured: noise-0 4-blob corpus, top
+    multiplicity 1520 on ~1500-member blobs -> auto 1570."""
+    p = str(tmp_path / "exact4.parquet")
+    fixtures.write_clustered_embeddings(p, n=6000, clusters=4, noise=0.0)
+    e = spark.read.parquet(p)
+    cb = S.pq_codebook(e)
+    cb.persist().count()
+    try:
+        enc = S._pq_encoded(
+            S._normed(e), S._persist(S._pq_packed(cb)), S.PQ_M
+        )
+        auto = S._auto_shortlist_for(enc.select("codes"))
+        # blob size ~6000/4 (hash-assigned components are near-even);
+        # the estimate must read the blob, not the floor
+        assert auto >= 1000, auto
+        assert auto <= 2000 + S.PQ_SHORTLIST, auto
+    finally:
+        cb.unpersist()
+        S.release_cached()
