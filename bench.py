@@ -21,13 +21,24 @@ is machine-flaggable from the record alone: that mode inflated dozens of
 unchanged r9 queries 1.3-1.7x while BOTH endpoint probes read clean
 (r9 VERDICT #1 — the exact blind spot BASELINE.md documents).  Each
 query is judged against the two probes that BRACKET it: ratio =
-max(bracketing probes) / min(all probes); queries whose ratio exceeds
-SUSPECT_RATIO land in the JSON ``suspect`` key and should be re-measured
-on a quiet session before being treated as regressions (same protocol as
-``outliers``).  The probe shape is JIT-warmed hard (3 full rounds)
-before the first recorded sample so the early-session codegen decay the
-r9 record shows (0.276 -> 0.139 s across one sweep) does not read as
-contention on the first segment.
+max(bracketing probes) / the series' quiet floor (``_quiet_ref`` — the
+second-smallest probe of a 3+ series, the raw min otherwise); queries
+whose ratio exceeds SUSPECT_RATIO land in the JSON ``suspect`` key and
+should be re-measured on a quiet session before being treated as
+regressions (same protocol as ``outliers``).  The probe shape is
+JIT-warmed hard (3 full rounds) before the first recorded sample so the
+early-session codegen decay the r9 record shows (0.276 -> 0.139 s
+across one sweep) does not read as contention on the first segment.
+
+Residual limit, stated precisely: the quiet floor is self-referenced,
+so a series in which FEWER THAN TWO probes are quiet cannot flag (the
+floor itself reads hot and every ratio collapses toward 1.0).  With the
+default 8-probe series over 50 queries that mode requires ~7 of 8
+segments contended — at which point the ABSOLUTE probe values sit far
+above the clean band BASELINE.md records (~0.10-0.25 s on this
+machine), which is the documented reading rule for it.  The suspect key
+flags relative mid-sweep structure; the absolute band catches
+whole-session load.
 
 Per-query outlier flag (r7): each median-of-3 query also records its
 run-to-run spread (max/min); spreads > 2x land in the JSON ``outliers``
@@ -51,6 +62,18 @@ SENTINEL_EVERY = int(os.environ.get("SPARK_GRAFT_SENTINEL_EVERY", "8"))
 SUSPECT_RATIO = 1.5
 
 
+def _quiet_ref(secs: list[float]) -> float:
+    """The probe series' quiet floor — the ONE definition shared by the
+    suspect rule and the emitted ``sentinel.ref_sec`` (r10 review: two
+    inline copies could drift and corrupt re-analysis of past records).
+    Second-smallest of a 3+ series (robust to one glitchy-fast sample
+    and to residual JIT settling, both measured); raw min below that
+    (a 2-probe endpoints-only series has no quiet majority to anchor
+    to, and second-smallest would BE the larger probe)."""
+    ordered = sorted(secs)
+    return ordered[1] if len(ordered) >= 3 else ordered[0]
+
+
 def sentinel_suspects(
     marks: list[tuple[int, float]],
     names: list[str],
@@ -62,27 +85,21 @@ def sentinel_suspects(
     probe_sec); ``names`` the queries in sweep order.  Query i (0-based,
     so it runs after i queries completed) is bracketed by the last probe
     at position <= i and the first at position >= i+1; its contention
-    ratio is max(bracket) / ref, where ref is the SECOND-smallest probe
-    — the session's quiet floor.  The raw min is not the reference: a
-    measured quiet sweep still shows the probe drifting 0.198 -> 0.125 s
-    across the session (residual JIT/cache settling past the 3 warm-up
-    rounds), and against the raw min that 1.58x spread false-flags the
-    first segment of a visibly clean run; the second-smallest discards
-    the one luckiest sample while still anchoring to quiet state, and a
+    ratio is max(bracket) / :func:`_quiet_ref` of the series.  The raw
+    min is not the reference on a full series: a measured quiet sweep
+    still shows the probe drifting 0.198 -> 0.125 s across the session
+    (residual JIT/cache settling past the 3 warm-up rounds), and
+    against the raw min that 1.58x spread false-flags the first segment
+    of a visibly clean run; the second-smallest discards the one
+    luckiest sample while still anchoring to quiet state, and a
     genuinely contended probe (the r9 mode inflated queries 1.3-1.7x,
     probes read machine state the same way) clears 1.5x of it.  Ratios
     above ``threshold`` are returned.  Pure (testable without Spark);
-    bench emits the raw series too so the rule can be re-applied to any
-    past record."""
+    bench emits the raw series AND ref_sec so the rule can be
+    re-applied to any past record."""
     if not marks or not names:
         return {}
-    ordered = sorted(sec for _, sec in marks)
-    # with fewer than 3 probes there is no "second-quietest within a
-    # quiet majority" to anchor to — fall back to the raw min, else a
-    # 2-probe series (endpoints only: a short sweep, or the mid-sweep
-    # probes disabled) could never flag anything because ref would BE
-    # the larger probe (r10 review)
-    ref = ordered[1] if len(ordered) >= 3 else ordered[0]
+    ref = _quiet_ref([sec for _, sec in marks])
     if ref <= 0:
         return {}
     out: dict[str, float] = {}
@@ -199,11 +216,7 @@ def main() -> None:
             if marks[0][1] > 0
             else None,
             "series": [[pos, sec] for pos, sec in marks],
-            # the suspect rule's quiet floor: second-smallest probe of a
-            # 3+ series, raw min otherwise (mirrors sentinel_suspects)
-            "ref_sec": sorted(sec for _, sec in marks)[1]
-            if len(marks) >= 3
-            else min(sec for _, sec in marks),
+            "ref_sec": _quiet_ref([sec for _, sec in marks]),
         },
         "outliers": outliers,
         "suspect": suspect,

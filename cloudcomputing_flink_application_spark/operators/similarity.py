@@ -1664,6 +1664,16 @@ def pq_topk_rerank(
     fixed PQ_SHORTLIST applies unchanged, so every tested-SF result is
     bit-identical to an explicit shortlist=PQ_SHORTLIST call.
 
+    Duplicate-id contract (shared by every IN-MEMORY search operator
+    here — cosine_topk, cosine_topk_ivf, pq_topk, this one): the caller
+    supplies a corpus with unique vec_ids; a duplicated id occupies two
+    ranks/shortlist slots in ALL arms alike (keeping the method union
+    consistent).  The STORE-BACKED path absorbs duplicates instead —
+    accumulated-arrival stores legitimately hold re-sent vectors, so
+    ``ivfpq_topk_from_index``/``_ivfpq_search`` dedup at every stage
+    (latest-wins store reads, the ADC-stage pair merge, the post-rerank
+    max merge).
+
     Output: (query_id, neighbor_id, rank, cos) — exact cosine over the
     ADC shortlist, rank 1..k."""
     if k < 1 or (shortlist is not None and k > shortlist):

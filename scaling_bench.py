@@ -1214,6 +1214,20 @@ def build_clustered() -> None:
             write_clustered_embeddings(str(p), CLUSTERED_BASE_N * s)
 
 
+def _density_corpus(s: int) -> str:
+    """The density-controlled corpus for scale ``s`` (clusters grow with
+    n, members-per-cluster constant at CLUSTERED_BASE_N/50 = 160).  ONE
+    definition shared by bench_pq's density loop and bench_pq_auto
+    (r10 review: two path-exists-guarded copy-pasted builds could
+    silently serve each other stale geometry)."""
+    p = WORK / f"embs_clustered_dens_x{s}.parquet"
+    if not p.exists():
+        write_clustered_embeddings(
+            str(p), n=CLUSTERED_BASE_N * s, clusters=50 * s
+        )
+    return str(p)
+
+
 def timed(fn) -> float:
     t0 = time.time()
     fn()
@@ -1308,12 +1322,22 @@ def bench_pq(spark) -> dict:
             ),
             "brute_sec": lambda: noop(similarity.cosine_topk(e)),
             "adc_sec": lambda: noop(similarity.pq_topk(e, codebook=cb)),
+            # shortlist PINNED at the fixed 50 (r10): the operator
+            # default became auto_shortlist and every corpus here is
+            # past the compat floor — unpinned, this section could no
+            # longer reproduce its own recorded rows or the recall-law
+            # collapse that pq-auto uses as its baseline; the
+            # auto-vintage walls/recalls are pq-auto's rows
             "rerank_sec": lambda: noop(
-                similarity.pq_topk_rerank(e, codebook=cb)
+                similarity.pq_topk_rerank(
+                    e, shortlist=similarity.PQ_SHORTLIST, codebook=cb
+                )
             ),
             # the full IVFADC composition: nprobe-of-K cell pruning THEN
             # ADC over codes THEN rerank — candidates AND bytes both cut
-            "ivfpq_sec": lambda: noop(similarity.ivfpq_topk(e)),
+            "ivfpq_sec": lambda: noop(
+                similarity.ivfpq_topk(e, shortlist=similarity.PQ_SHORTLIST)
+            ),
         }.items():
             times = []
             for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
@@ -1330,9 +1354,9 @@ def bench_pq(spark) -> dict:
         )
         similarity.release_cached()
         exact = similarity.cosine_topk(e).select("query_id", "neighbor_id")
-        rer = similarity.pq_topk_rerank(e, codebook=cb).select(
-            "query_id", "neighbor_id"
-        )
+        rer = similarity.pq_topk_rerank(
+            e, shortlist=similarity.PQ_SHORTLIST, codebook=cb
+        ).select("query_id", "neighbor_id")
         hits = exact.join(rer, ["query_id", "neighbor_id"]).count()
         total = exact.count()
         similarity.release_cached()
@@ -1350,21 +1374,21 @@ def bench_pq(spark) -> dict:
     # indexing — the pipeline's own dedup operators.
     out["density_controlled"] = {}
     for s in SCALES:
+        e = spark.read.parquet(_density_corpus(s))
         n, c = CLUSTERED_BASE_N * s, 50 * s
-        p = WORK / f"embs_clustered_dens_x{s}.parquet"
-        if not p.exists():
-            write_clustered_embeddings(str(p), n=n, clusters=c)
-        e = spark.read.parquet(str(p))
         exact = similarity.cosine_topk(e).select("query_id", "neighbor_id")
         exact.persist()
         total = exact.count()
         cb = similarity.pq_codebook(e)
         cb.persist().count()
-        rer = similarity.pq_topk_rerank(e, codebook=cb).select(
-            "query_id", "neighbor_id"
-        )
+        # shortlist pinned at 50, like the table above (auto = pq-auto)
+        rer = similarity.pq_topk_rerank(
+            e, shortlist=similarity.PQ_SHORTLIST, codebook=cb
+        ).select("query_id", "neighbor_id")
         hits = exact.join(rer, ["query_id", "neighbor_id"]).count()
-        ivfpq = similarity.ivfpq_topk(e).select("query_id", "neighbor_id")
+        ivfpq = similarity.ivfpq_topk(
+            e, shortlist=similarity.PQ_SHORTLIST
+        ).select("query_id", "neighbor_id")
         ivfpq_hits = exact.join(ivfpq, ["query_id", "neighbor_id"]).count()
         out["density_controlled"][s] = {
             "n": n,
@@ -1395,18 +1419,13 @@ def bench_pq_auto(spark) -> dict:
     near-dup corpus — recorded as the rule's documented limit, with
     dedup-before-index as the remedy there."""
     build_clustered()
-    # the density-controlled corpus is otherwise only built by the `pq`
-    # section's loop — build it here too or a fresh .scaling_data dir
-    # loses the whole section to PATH_NOT_FOUND after the expensive
-    # blobs_1600 pass (r10 review); same geometry as bench_pq's s=10 row
-    pdens = WORK / "embs_clustered_dens_x10.parquet"
-    if not pdens.exists():
-        write_clustered_embeddings(
-            str(pdens), n=CLUSTERED_BASE_N * 10, clusters=50 * 10
-        )
     corpora = {
         "blobs_1600": str(WORK / "embs_clustered_x10.parquet"),
-        "density_160": str(pdens),
+        # shared builder with bench_pq's density loop — a fresh
+        # .scaling_data dir must not lose the section to PATH_NOT_FOUND
+        # after the expensive blobs_1600 pass, and the two sections must
+        # measure the SAME geometry (r10 review, both findings)
+        "density_160": _density_corpus(10),
     }
     p4 = WORK / "embs_neardup_4blob.parquet"
     if not p4.exists():
@@ -1622,17 +1641,23 @@ def bench_stream_window(spark) -> dict:
             shutil.rmtree(tmp, ignore_errors=True)
 
     out: dict = {"n": 4, "batches": n_batches, "keys_axis": {}, "rows_axis": {}}
+    # the (1k keys, 10 rows/key) base point is SHARED between the axes —
+    # measured once and referenced twice, so the table cannot show two
+    # different numbers for the same workload and read as an axis
+    # difference (r10 review: the first run recorded 1344 vs 1202 ms for
+    # the identical config — pure run-to-run noise)
+    base = run(1000, 10)
     for mult in (1, 4, 10):
         out["keys_axis"][f"x{mult}"] = {
             "keys": 1000 * mult,
             "rows_per_key": 10,
-            **run(1000 * mult, 10),
+            **(base if mult == 1 else run(1000 * mult, 10)),
         }
     for mult in (1, 4, 10):
         out["rows_axis"][f"x{mult}"] = {
             "keys": 1000,
             "rows_per_key": 10 * mult,
-            **run(1000, 10 * mult),
+            **(base if mult == 1 else run(1000, 10 * mult)),
         }
     return out
 
