@@ -698,6 +698,7 @@ def _pq_index(args: argparse.Namespace) -> None:
     # flag conflicts exit before Spark startup (the hoisting convention)
     if args.compact and (
         args.streaming or args.forget or args.report or args.encode_only
+        or args.shortlist_report
     ):
         raise SystemExit(
             "--compact is a standalone maintenance action on a stopped "
@@ -706,6 +707,13 @@ def _pq_index(args: argparse.Namespace) -> None:
     spark = get_spark(app_name="pq-index")
     if args.compact:
         _compact_store_cli(spark, args.output, "codes", "codes store")
+        return
+    if args.shortlist_report:
+        # read-only instrument over the stored codes — no --input needed
+        try:
+            sinks.show(similarity.shortlist_report(spark, args.output))
+        except ValueError as e:
+            raise SystemExit(str(e))
         return
     if args.forget:
         import os
@@ -1074,6 +1082,14 @@ def main(argv: list[str] | None = None) -> None:
                 help="skip training: REPLACE <output>/codes with --input "
                 "(the full corpus, not just arrivals) encoded against "
                 "the STORED codebook (geometry from pq_meta)",
+            )
+            sp.add_argument(
+                "--shortlist-report", action="store_true",
+                help="print the auto-shortlist decision over the STORED "
+                "codes (n_vectors, top_blob, shortlist, compat_pinned, "
+                "clamped) — clamped=true means the largest near-dup blob "
+                "outgrew PQ_SHORTLIST_CAP and the corpus needs "
+                "dedup-before-index; --input is ignored",
             )
             sp.add_argument(
                 "--report", action="store_true",

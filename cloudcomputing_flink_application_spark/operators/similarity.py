@@ -2645,6 +2645,44 @@ def read_pq_codebook(spark, index_root: str) -> DataFrame:
     return spark.read.parquet(f"{index_root}/pq_codebook")
 
 
+def shortlist_report(spark, pq_root: str) -> DataFrame:
+    """One-row instrument for the auto-shortlist decision over a built
+    PQ root's CURRENT codes store (latest-wins, like every serving
+    read): ``(n_vectors, top_blob, shortlist, compat_pinned, clamped)``.
+
+    This is the observability half of :func:`auto_shortlist` — the rule
+    itself runs silently inside every default-shortlist search, and its
+    one lossy edge is the PQ_SHORTLIST_CAP clamp: a blob bigger than the
+    cap serves with a shortlist it has outgrown, and recall degrades
+    with nothing in the query output saying so.  ``clamped=true`` here
+    IS that signal — the corpus is past what shortlist sizing absorbs
+    and needs dedup-before-index (run ``pq_recall_report`` to price the
+    damage).  ``compat_pinned=true`` means the corpus sits at or below
+    IVF_AUTO_COMPAT_N and the fixed tested-SF shortlist applies.
+    Cost: the same one aggregate the auto rule runs at query time."""
+    if pq_build_params(spark, pq_root) is None:
+        raise ValueError(
+            f"no pq_meta under {pq_root} — build the PQ artifact first"
+        )
+    codes = _latest_per_vec(spark.read.parquet(f"{pq_root}/codes"), "code_csv")
+    row = (
+        codes.groupBy("code_csv")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("cnt").alias("n"), F.max("cnt").alias("top"))
+        .first()
+    )
+    n = int(row["n"] or 0)
+    top = int(row["top"] or 0)
+    sl = auto_shortlist(n, top)
+    return spark.createDataFrame(
+        [(n, top, sl,
+          n <= IVF_AUTO_COMPAT_N,
+          n > IVF_AUTO_COMPAT_N and top + PQ_SHORTLIST > PQ_SHORTLIST_CAP)],
+        "n_vectors LONG, top_blob LONG, shortlist INT, "
+        "compat_pinned BOOLEAN, clamped BOOLEAN",
+    )
+
+
 def pq_build_params(spark, index_root: str) -> dict | None:
     """The geometry the PQ index at ``index_root`` was built with, or
     ``None`` when no meta exists — callers must refuse to encode against

@@ -694,10 +694,17 @@ def test_pq_index_cli_build_encode_report(spark, tmp_path, capfd):
     # --report prints the recall table
     cli.main(["pq-index", "--input", emb_in, "--output", root, "--report"])
     assert "recall" in capfd.readouterr().out
-    # both maintenance modes refuse an unbuilt root
+    # --shortlist-report prints the auto-shortlist decision over the
+    # stored codes (r10): compat-pinned at this SF, not clamped
+    cli.main(["pq-index", "--input", emb_in, "--output", root,
+              "--shortlist-report"])
+    out = capfd.readouterr().out
+    assert "top_blob" in out and "clamped" in out
+    assert "false" in out  # clamped=false rendered
+    # all maintenance modes refuse an unbuilt root
     import pytest
 
-    for flag in ("--encode-only", "--report"):
+    for flag in ("--encode-only", "--report", "--shortlist-report"):
         with pytest.raises(SystemExit, match="no pq_meta"):
             cli.main(["pq-index", "--input", emb_in,
                       "--output", str(tmp_path / "nothing"), flag])

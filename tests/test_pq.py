@@ -1158,3 +1158,52 @@ def test_auto_shortlist_reads_exact_dup_blobs_at_any_geometry(spark, tmp_path):
     finally:
         cb.unpersist()
         S.release_cached()
+
+
+def test_shortlist_report_reads_the_stored_codes(spark, tmp_path, embs):
+    """The observability half of auto_shortlist (r10): one row over the
+    pq root's latest-wins codes store — compat-pinned at tested SFs, the
+    blob estimate visible, and the cap clamp SIGNALED (the one lossy
+    edge: a blob past PQ_SHORTLIST_CAP serves with a shortlist it has
+    outgrown, and only this report says so)."""
+    pq_root = str(tmp_path / "pq")
+    S.build_pq_index(embs, pq_root)
+    row = S.shortlist_report(spark, pq_root).first()
+    assert row.n_vectors == embs.count()
+    assert row.compat_pinned and not row.clamped
+    assert row.shortlist == S.PQ_SHORTLIST
+    # fabricate stores past the compat floor (the report reads only
+    # codes + pq_meta, both plain parquet): a 600-blob among uniques...
+    blob_root = str(tmp_path / "blob")
+    spark.read.parquet(f"{pq_root}/pq_meta").write.parquet(
+        f"{blob_root}/pq_meta"
+    )
+    spark.range(5000).selectExpr(
+        "id AS vec_id",
+        "CASE WHEN id < 600 THEN 'b' ELSE CAST(id AS STRING) END "
+        "AS code_csv",
+        "CAST(0 AS LONG) AS batch_id",
+    ).write.partitionBy("batch_id").parquet(f"{blob_root}/codes")
+    row = S.shortlist_report(spark, blob_root).first()
+    assert (row.n_vectors, row.top_blob) == (5000, 600)
+    assert row.shortlist == 600 + S.PQ_SHORTLIST
+    assert not row.compat_pinned and not row.clamped
+    # ...and a blob past the cap: clamped=true is the dedup-before-index
+    # signal
+    cap_root = str(tmp_path / "cap")
+    spark.read.parquet(f"{pq_root}/pq_meta").write.parquet(
+        f"{cap_root}/pq_meta"
+    )
+    spark.range(9000).selectExpr(
+        "id AS vec_id",
+        "CASE WHEN id < 8500 THEN 'b' ELSE CAST(id AS STRING) END "
+        "AS code_csv",
+        "CAST(0 AS LONG) AS batch_id",
+    ).write.partitionBy("batch_id").parquet(f"{cap_root}/codes")
+    row = S.shortlist_report(spark, cap_root).first()
+    assert row.top_blob == 8500
+    assert row.shortlist == S.PQ_SHORTLIST_CAP
+    assert row.clamped
+    # an unbuilt root is a usage error, like every other artifact reader
+    with pytest.raises(ValueError, match="pq_meta"):
+        S.shortlist_report(spark, str(tmp_path / "nowhere"))
