@@ -704,6 +704,16 @@ def _pq_index(args: argparse.Namespace) -> None:
             "--compact is a standalone maintenance action on a stopped "
             "stream's pq-index root; run it alone"
         )
+    if args.shortlist_report and (
+        args.streaming or args.forget or args.report or args.encode_only
+    ):
+        # dispatched first below, so combined flags would silently skip
+        # the other action — including a --forget compliance deletion
+        # (r10 review); refuse instead
+        raise SystemExit(
+            "--shortlist-report is a read-only standalone report; "
+            "run it alone"
+        )
     spark = get_spark(app_name="pq-index")
     if args.compact:
         _compact_store_cli(spark, args.output, "codes", "codes store")

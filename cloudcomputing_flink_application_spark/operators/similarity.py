@@ -1188,6 +1188,24 @@ def auto_shortlist(n: int, top_blob: int) -> int:
     return max(PQ_SHORTLIST, min(PQ_SHORTLIST_CAP, int(top_blob) + PQ_SHORTLIST))
 
 
+def _code_blob_stats(coded: DataFrame, col: str = "codes") -> tuple[int, int]:
+    """(corpus size, top multiplicity of identical code words) from one
+    partial-agg pass over PQ code rows — the ONE aggregate behind both
+    the live auto-shortlist rule and :func:`shortlist_report` (r10
+    review: two inline copies could drift).  ``col`` is the code column
+    — the array form in the search paths, the stored ``code_csv``
+    string in the report (identical multiplicities either way)."""
+    row = (
+        coded.groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("cnt").alias("n"), F.max("cnt").alias("top"))
+        .first()
+    )
+    if row is None or row["n"] is None:
+        return (0, 0)
+    return (int(row["n"]), int(row["top"]))
+
+
 def _auto_shortlist_for(coded: DataFrame) -> int:
     """``auto_shortlist`` from one aggregate over a frame of PQ code
     rows (a ``codes`` column, one row per indexed vector): the corpus
@@ -1205,15 +1223,10 @@ def _auto_shortlist_for(coded: DataFrame) -> int:
     collapses identical codes map-side — tiny on blob-heavy corpora,
     one narrow pass of m-byte rows on uniform ones; the from-index path
     estimates from the stored codes (no encode pass)."""
-    row = (
-        coded.groupBy("codes")
-        .agg(F.count("*").alias("cnt"))
-        .agg(F.sum("cnt").alias("n"), F.max("cnt").alias("top"))
-        .first()
-    )
-    if row is None or row["n"] is None:
+    n, top = _code_blob_stats(coded)
+    if n == 0:
         return PQ_SHORTLIST
-    return auto_shortlist(int(row["n"]), int(row["top"]))
+    return auto_shortlist(n, top)
 
 
 def _pq_slice(emb: Column, sub: Column, m: int) -> Column:
@@ -2660,20 +2673,28 @@ def shortlist_report(spark, pq_root: str) -> DataFrame:
     damage).  ``compat_pinned=true`` means the corpus sits at or below
     IVF_AUTO_COMPAT_N and the fixed tested-SF shortlist applies.
     Cost: the same one aggregate the auto rule runs at query time."""
+    import os
+
     if pq_build_params(spark, pq_root) is None:
         raise ValueError(
             f"no pq_meta under {pq_root} — build the PQ artifact first"
         )
+    if not os.path.isdir(f"{pq_root}/codes"):
+        # pq_meta present but codes missing = the mid-forget crash state
+        # (codes renamed to .forget_bak between _replace_dir's renames);
+        # a raw PATH_NOT_FOUND here would escape the CLI's usage-error
+        # handling (r10 review)
+        raise ValueError(
+            f"no codes store under {pq_root} — if a forget crashed "
+            "mid-rewrite, re-run it (its recovery restores the store), "
+            "then report"
+        )
     codes = _latest_per_vec(spark.read.parquet(f"{pq_root}/codes"), "code_csv")
-    row = (
-        codes.groupBy("code_csv")
-        .agg(F.count("*").alias("cnt"))
-        .agg(F.sum("cnt").alias("n"), F.max("cnt").alias("top"))
-        .first()
-    )
-    n = int(row["n"] or 0)
-    top = int(row["top"] or 0)
+    n, top = _code_blob_stats(codes, "code_csv")
     sl = auto_shortlist(n, top)
+    # clamped = the rule WOULD have sized past the cap (top + the
+    # PQ_SHORTLIST margin — auto_shortlist's own formula — exceeds it);
+    # the cap test in tests/test_pq.py pins this against the live rule
     return spark.createDataFrame(
         [(n, top, sl,
           n <= IVF_AUTO_COMPAT_N,

@@ -1787,10 +1787,18 @@ def bench_pq_serve(spark) -> dict:
                     times.append(timed(lambda: fn().count()))
                 return round(min(times[1:]), 3)
 
-            retrain = run(lambda: similarity.ivfpq_topk(embs))
+            # shortlist pinned at 50 like bench_pq/bench_pq_skew: the
+            # auto default would re-vintage these recorded rows (and
+            # add the stats pass to both arms); pq-auto prices auto
+            retrain = run(
+                lambda: similarity.ivfpq_topk(
+                    embs, shortlist=similarity.PQ_SHORTLIST
+                )
+            )
             served = run(
                 lambda: similarity.ivfpq_topk_from_index(
-                    spark, ivf_root, pq_root, embs
+                    spark, ivf_root, pq_root, embs,
+                    shortlist=similarity.PQ_SHORTLIST,
                 )
             )
             out[f"x{s}"] = {

@@ -694,6 +694,15 @@ def test_pq_index_cli_build_encode_report(spark, tmp_path, capfd):
     # --report prints the recall table
     cli.main(["pq-index", "--input", emb_in, "--output", root, "--report"])
     assert "recall" in capfd.readouterr().out
+    import pytest
+
+    # --shortlist-report is read-only standalone: combined with an
+    # ACTION flag it is dispatched first and would silently swallow the
+    # action — including a --forget compliance deletion (r10 review);
+    # the conflict is a clean pre-Spark SystemExit
+    with pytest.raises(SystemExit, match="standalone"):
+        cli.main(["pq-index", "--input", emb_in, "--output", root,
+                  "--forget", "1", "--shortlist-report"])
     # --shortlist-report prints the auto-shortlist decision over the
     # stored codes (r10): compat-pinned at this SF, not clamped
     cli.main(["pq-index", "--input", emb_in, "--output", root,
