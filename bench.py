@@ -26,9 +26,12 @@ second-smallest probe of a 3+ series, the raw min otherwise); queries
 whose ratio exceeds SUSPECT_RATIO land in the JSON ``suspect`` key and
 should be re-measured on a quiet session before being treated as
 regressions (same protocol as ``outliers``).  The probe shape is
-JIT-warmed hard (3 full rounds) before the first recorded sample so the
-early-session codegen decay the r9 record shows (0.276 -> 0.139 s
-across one sweep) does not read as contention on the first segment.
+JIT-warmed ADAPTIVELY before the first recorded sample — rounds of the
+probe until two consecutive readings agree within 15% (bounded at 6) —
+so the early-session codegen decay the r9 record shows (0.276 ->
+0.139 s across one sweep) does not read as contention on the first
+segment; a fixed 3-round warm-up left two of four r10 sessions still
+decaying into their first segment.
 
 Residual limit, stated precisely: the quiet floor is self-referenced,
 so a series in which FEWER THAN TWO probes are quiet cannot flag (the
@@ -60,6 +63,17 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 HEAVY_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SEC", "8"))
 SENTINEL_EVERY = int(os.environ.get("SPARK_GRAFT_SENTINEL_EVERY", "8"))
 SUSPECT_RATIO = 1.5
+#: A probe inside the initial MONOTONE-DECAY prefix of the series is
+#: treated as JIT/cache settling rather than contention — but only up
+#: to this multiple of the quiet floor.  Measured settling spans the
+#: whole envelope below ~2x floor even after an adaptive warm-up (the
+#: probe keeps improving across minutes of JVM activity, not probe
+#: repetitions: 0.249 -> 0.115 s across one QUIET r10 sweep), so
+#: without the exemption every slow-settling quiet session flags its
+#: first segment and the flag's precision collapses.  A decaying start
+#: ABOVE the allowance still flags (that magnitude is outside the
+#: observed settling envelope — contention that happens to be fading).
+SETTLING_ALLOWANCE = 2.5
 
 
 def _quiet_ref(secs: list[float]) -> float:
@@ -99,19 +113,47 @@ def sentinel_suspects(
     re-applied to any past record."""
     if not marks or not names:
         return {}
-    ref = _quiet_ref([sec for _, sec in marks])
+    secs = [sec for _, sec in marks]
+    ref = _quiet_ref(secs)
     if ref <= 0:
         return {}
+    # settling exemption: the longest non-increasing (5% tolerance)
+    # prefix that stays under SETTLING_ALLOWANCE x ref reads as
+    # JIT/cache settling — its probes contribute no "hot" evidence
+    # (they still shape the floor via _quiet_ref).  A prefix probe
+    # ABOVE the allowance, or any probe after the first increase, is
+    # fair game.  Accepted residual: early contention that decays
+    # monotonically INSIDE the settling envelope is indistinguishable
+    # probe-side and will not flag — the absolute clean band in
+    # BASELINE.md is the reading rule for that mode.
+    settle_end = 0
+    while (
+        settle_end + 1 < len(secs)
+        and secs[settle_end + 1] <= secs[settle_end] * 1.05
+    ):
+        settle_end += 1
+    exempt = {
+        i
+        for i in range(settle_end + 1)
+        if secs[i] <= SETTLING_ALLOWANCE * ref
+    }
     out: dict[str, float] = {}
     for i, name in enumerate(names):
-        before = [sec for pos, sec in marks if pos <= i]
-        after = [sec for pos, sec in marks if pos >= i + 1]
         bracket = []
+        before = [
+            (j, sec) for j, (pos, sec) in enumerate(marks) if pos <= i
+        ]
+        after = [
+            (j, sec) for j, (pos, sec) in enumerate(marks) if pos >= i + 1
+        ]
         if before:
             bracket.append(before[-1])
         if after:
             bracket.append(after[0])
-        ratio = max(bracket) / ref
+        hot = [sec for j, sec in bracket if j not in exempt]
+        if not hot:
+            continue
+        ratio = max(hot) / ref
         if ratio > threshold:
             out[name] = round(ratio, 2)
     return out
@@ -144,10 +186,19 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return round(min(samples), 3)
 
-    for _ in range(3):  # hard JIT/codegen warm-up for the probe shape:
-        sentinel_sec()  # the r9 record shows the probe itself speeding
-        # up 2x across a sweep, which would false-flag early segments
-        # against the session min without this
+    # JIT/codegen warm-up for the probe shape, ADAPTIVE (r10): a fixed
+    # 3 rounds left two of four r10 sessions with a still-decaying first
+    # probe (0.28 settling to 0.164 mid-sweep) that flagged their first
+    # segments; warm until two consecutive readings agree within 15%
+    # (bounded at 6 rounds).  A genuinely loaded machine stabilizes at
+    # its loaded plateau instead — then the sweep's own quieter probes
+    # become the floor and the early segments flag, which is correct.
+    prev = sentinel_sec()
+    for _ in range(5):
+        cur = sentinel_sec()
+        if cur <= prev * 1.15 and prev <= cur * 1.15:
+            break
+        prev = cur
     marks: list[tuple[int, float]] = [(0, sentinel_sec())]
 
     per_query: dict[str, float] = {}

@@ -99,3 +99,36 @@ def test_threshold_boundary_and_empty_inputs():
     # a non-positive reference (clock glitch on the two smallest probes)
     # disables the rule rather than dividing by zero
     assert sentinel_suspects([(0, 0.0), (4, 0.0), (8, 0.2)], _names(8)) == {}
+
+
+def test_settling_prefix_is_exempt_within_allowance():
+    # the r10 quiet run whose probe settled 0.249 -> 0.115 ACROSS the
+    # sweep (monotone within 5% tolerance for six probes): without the
+    # settling exemption the first segment flags at 2.04x on a visibly
+    # quiet session, collapsing the flag's precision
+    marks = [
+        (0, 0.249), (8, 0.172), (16, 0.131), (24, 0.135),
+        (32, 0.137), (40, 0.122), (48, 0.115), (50, 0.133),
+    ]
+    assert sentinel_suspects(marks, _names(50)) == {}
+
+
+def test_decaying_start_above_allowance_still_flags():
+    # a 4x first probe fading monotonically is OUTSIDE the measured
+    # settling envelope (SETTLING_ALLOWANCE x floor) — contention that
+    # happens to be decaying, not JIT
+    marks = [(0, 0.60), (8, 0.40), (16, 0.15), (20, 0.15)]
+    got = sentinel_suspects(marks, _names(20))
+    # probes 0 (4x) and 1 (2.7x) both exceed the allowance; every query
+    # they bracket flags
+    assert set(got) == {f"q{i:02d}" for i in range(16)}, got
+
+
+def test_mid_sweep_bump_after_settling_prefix_flags():
+    # the settling exemption must not shield a bump AFTER the decay:
+    # the first increase ends the prefix
+    marks = [(0, 0.24), (8, 0.17), (16, 0.45), (24, 0.15), (28, 0.15)]
+    got = sentinel_suspects(marks, _names(28))
+    # probe 2 (0.45) is past the prefix -> queries 8..23 flag; queries
+    # 0..7 are bracketed by exempt probes only -> clean
+    assert set(got) == {f"q{i:02d}" for i in range(8, 24)}, got
