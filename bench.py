@@ -43,6 +43,14 @@ machine), which is the documented reading rule for it.  The suspect key
 flags relative mid-sweep structure; the absolute band catches
 whole-session load.
 
+Whole-session check (r11): the probe rules flag per-segment structure,
+but the r10 record's +10% session-wide inflation sat under all of them
+(probes clean, spreads small).  ``diffuse_contention`` compares the
+sweep total against the BASELINE.md row sum over the queries both sides
+know; total > 1.15x with a CLEAN probe series emits the JSON
+``diffuse`` record — diffuse sub-threshold contention, re-run before
+re-recording any baseline from the record.
+
 Per-query outlier flag (r7): each median-of-3 query also records its
 run-to-run spread (max/min); spreads > 2x land in the JSON ``outliers``
 key — a mid-run burst SHORTER than a segment that inflated one run.
@@ -132,6 +140,15 @@ def sentinel_suspects(
         and secs[settle_end + 1] <= secs[settle_end] * 1.05
     ):
         settle_end += 1
+    # net-direction guard (r11, ADVICE r10): the per-step 5% tolerance
+    # alone also accepts a slowly RAMPING load (+<=5%/step is "non-
+    # increasing" by the letter of the rule), so the prefix must also
+    # end at or below its own start — shrink it until it does.  A
+    # jittery genuine decay (0.25, 0.26, 0.20, 0.15) keeps its full
+    # prefix (the end is below the start); a monotone ramp shrinks to
+    # the first probe and contributes hot evidence as it should.
+    while settle_end > 0 and secs[settle_end] > secs[0]:
+        settle_end -= 1
     exempt = {
         i
         for i in range(settle_end + 1)
@@ -157,6 +174,62 @@ def sentinel_suspects(
         if ratio > threshold:
             out[name] = round(ratio, 2)
     return out
+
+
+def baseline_rows(path: str = "BASELINE.md") -> dict[str, float]:
+    """Per-query baseline seconds parsed from BASELINE.md's table
+    (``| query | sf | sec | config | status |`` rows; the ``**total**``
+    summary row and headers are skipped).  Missing/unreadable file or
+    unparsable rows degrade to {} / omission — the whole-session check
+    is advisory and must never break a bench run."""
+    out: dict[str, float] = {}
+    try:
+        with open(path, encoding="utf-8") as fh:
+            lines = fh.read().splitlines()
+    except OSError:
+        return out
+    for ln in lines:
+        parts = [p.strip() for p in ln.split("|")]
+        if len(parts) < 5 or not parts[1] or "*" in parts[1]:
+            continue
+        try:
+            out[parts[1]] = float(parts[3])
+        except ValueError:
+            continue
+    return out
+
+
+def diffuse_contention(
+    per_query: dict[str, float],
+    baselines: dict[str, float],
+    suspect: dict[str, float],
+    threshold: float = 1.15,
+) -> dict[str, float] | None:
+    """Whole-session drift check (r11, VERDICT r10 #7): the suspect rule
+    flags per-segment structure (bracketing probes > 1.5x floor), but
+    r10's own +10% session-wide inflation sailed under it — dozens of
+    queries mildly inflated, every probe inside the clean band.  This
+    closes that arithmetic: if the sweep total exceeds ``threshold`` x
+    the baseline sum (over the queries both sides know) WHILE the probe
+    series reads clean, the record is flagged as diffuse contention —
+    re-run on a quiet session before re-recording any baseline from it.
+    With suspect non-empty the session already self-flagged (the
+    per-segment evidence is strictly stronger), so this stays None.
+    Pure; returns {"ratio", "total_sec", "baseline_sec"} or None."""
+    if suspect:
+        return None
+    covered = {n: s for n, s in per_query.items() if n in baselines}
+    if not covered:
+        return None
+    base = sum(baselines[n] for n in covered)
+    total = sum(covered.values())
+    if base <= 0 or total <= threshold * base:
+        return None
+    return {
+        "ratio": round(total / base, 2),
+        "total_sec": round(total, 3),
+        "baseline_sec": round(base, 3),
+    }
 
 
 def main() -> None:
@@ -253,6 +326,16 @@ def main() -> None:
 
     marks.append((len(names), sentinel_sec()))
     suspect = sentinel_suspects(marks, names)
+    # BASELINE.md rows are sf0.1 measurements — at any other SF the sum
+    # comparison is meaningless (a bigger SF would always "flag"), so
+    # the whole-session check only arms at the recorded scale.
+    diffuse = diffuse_contention(
+        per_query,
+        baseline_rows(os.path.join(os.path.dirname(__file__), "BASELINE.md"))
+        if abs(sf - 0.1) < 1e-9
+        else {},
+        suspect,
+    )
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
         "metric": "wall_sec_total",
@@ -271,6 +354,7 @@ def main() -> None:
         },
         "outliers": outliers,
         "suspect": suspect,
+        "diffuse": diffuse,
     }))
     spark.stop()
 

@@ -714,6 +714,19 @@ def _pq_index(args: argparse.Namespace) -> None:
             "--shortlist-report is a read-only standalone report; "
             "run it alone"
         )
+    # --input is per-mode for this job (ADVICE r10): the build,
+    # --streaming, --encode-only, and --report paths read it; the
+    # maintenance/report modes (--compact, --shortlist-report, --forget)
+    # operate on the stored artifact alone.  Validated here, before
+    # Spark startup, like the flag conflicts above.
+    if args.input is None and not (
+        args.compact or args.shortlist_report or args.forget
+    ):
+        raise SystemExit(
+            "--input is required for this mode (it supplies the vectors "
+            "to train/encode/report on); only --shortlist-report, "
+            "--compact and --forget run without it"
+        )
     spark = get_spark(app_name="pq-index")
     if args.compact:
         _compact_store_cli(spark, args.output, "codes", "codes store")
@@ -914,7 +927,13 @@ def main(argv: list[str] | None = None) -> None:
          "output folder (parquet (query_id, neighbor_id, rank, cos))"),
     ):
         sp = sub.add_parser(name)
-        sp.add_argument("--input", required=True, help=in_help)
+        # pq-index has standalone maintenance/report modes that never
+        # read --input (--shortlist-report, --compact, --forget), so it
+        # validates presence per-mode in _pq_index instead of forcing a
+        # dummy path on report-only invocations (ADVICE r10).
+        sp.add_argument(
+            "--input", required=(name != "pq-index"), help=in_help
+        )
         sp.add_argument("--output", required=True, help=out_help)
         sp.add_argument("--show", action="store_true", help="also print to stdout")
         sp.add_argument(

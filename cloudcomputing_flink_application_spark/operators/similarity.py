@@ -1693,12 +1693,17 @@ def pq_topk_rerank(
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}"
         )
-    cb = (
-        codebook
-        if codebook is not None
-        else _persist(_pq_train(embeddings, m, ksub, iters)[0])
-    )
+    cb = codebook
     if shortlist is None:
+        if cb is None:
+            # The auto-size stats pass and the search below must share
+            # ONE trained codebook and its encode lineage, so train and
+            # persist it here.  Scoped to this branch (ADVICE r10): the
+            # explicit-shortlist path never reads the codebook in this
+            # function — it passes straight through to pq_topk, which
+            # trains unpersisted — and persisting per call leaked one
+            # cached frame per repeat caller without release_cached().
+            cb = _persist(_pq_train(embeddings, m, ksub, iters)[0])
         # persist the compact (vec_id, codes) rows BEFORE the estimate's
         # .first() materializes them: pq_topk below builds the
         # plan-identical encode lineage, and Spark's cache manager

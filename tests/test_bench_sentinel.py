@@ -10,7 +10,9 @@ can be re-applied to any past record's ``sentinel.series``.
 
 from __future__ import annotations
 
-from bench import sentinel_suspects
+import os
+
+from bench import baseline_rows, diffuse_contention, sentinel_suspects
 
 
 def _names(n: int) -> list[str]:
@@ -132,3 +134,64 @@ def test_mid_sweep_bump_after_settling_prefix_flags():
     # probe 2 (0.45) is past the prefix -> queries 8..23 flag; queries
     # 0..7 are bracketed by exempt probes only -> clean
     assert set(got) == {f"q{i:02d}" for i in range(8, 24)}, got
+
+
+def test_ramping_load_is_not_settling():
+    # ADVICE r10 (net-direction guard): each step of a slow RAMP is
+    # within the 5% "non-increasing" tolerance, but the series RISES —
+    # it must not be exempted as settling decay.  Here the load climbs
+    # 0.20 -> 0.31 (every probe but the first exceeds 1.5x the 0.20
+    # floor); without the guard the whole ramp was prefix-exempt and
+    # nothing flagged.
+    marks = [
+        (0, 0.20), (8, 0.205), (16, 0.215), (24, 0.225),
+        (32, 0.31), (36, 0.20),
+    ]
+    # second-smallest floor = 0.20; probe 4 (0.31) reads 1.55x
+    got = sentinel_suspects(marks, _names(36))
+    assert set(got) == {f"q{i:02d}" for i in range(24, 36)}, got
+
+
+def test_jittery_genuine_decay_keeps_its_exemption():
+    # the net-direction guard must not break the real settling shape: a
+    # decay with one +4%-jitter step still ENDS below its start, so the
+    # full prefix stays exempt (0.50/0.52 are 2.0/2.08x the 0.25 floor
+    # — inside the allowance, previously green, must stay green)
+    marks = [(0, 0.50), (8, 0.52), (16, 0.40), (24, 0.30), (28, 0.25)]
+    assert sentinel_suspects(marks, _names(28)) == {}
+
+
+def test_diffuse_contention_rule():
+    # VERDICT r10 #7: the +10% whole-session drift that sails under the
+    # per-segment rules.  Clean probes + total > 1.15x baseline sum =>
+    # a diffuse record; suspect non-empty or total inside the band =>
+    # None.
+    base = {"a": 1.0, "b": 2.0, "c": 4.0}
+    quiet = {"a": 1.05, "b": 2.1, "c": 4.2}          # 1.05x
+    hot = {"a": 1.3, "b": 2.5, "c": 5.0}             # ~1.26x, no one query 2x
+    assert diffuse_contention(quiet, base, {}) is None
+    got = diffuse_contention(hot, base, {})
+    assert got is not None and got["ratio"] == 1.26
+    assert got["total_sec"] == 8.8 and got["baseline_sec"] == 7.0
+    # the per-segment evidence is stronger — suspect suppresses diffuse
+    assert diffuse_contention(hot, base, {"a": 1.8}) is None
+    # unknown queries (no baseline row yet) are excluded on both sides
+    got = diffuse_contention({**hot, "new_q": 9.9}, base, {})
+    assert got is not None and got["total_sec"] == 8.8
+    # exact threshold is not a breach; empty overlap disables the rule
+    assert diffuse_contention({"a": 1.15}, {"a": 1.0}, {}) is None
+    assert diffuse_contention({"zz": 1.0}, base, {}) is None
+    assert diffuse_contention({}, base, {}) is None
+
+
+def test_baseline_rows_parses_the_real_table():
+    path = os.path.join(os.path.dirname(__file__), "..", "BASELINE.md")
+    rows = baseline_rows(path)
+    # the real file: 50 registry rows, total/header rows skipped
+    assert len(rows) == 50, sorted(rows)
+    assert rows["q_speed"] == 0.44
+    assert rows["ann_ivf_recall"] == 2.39
+    assert "total" not in rows and "query" not in rows
+    assert all(v > 0 for v in rows.values())
+    # unreadable file degrades to {} (advisory rule, never breaks bench)
+    assert baseline_rows("/nonexistent/BASELINE.md") == {}

@@ -895,6 +895,26 @@ def test_pq_index_cli_compact_conflicts(tmp_path):
                   "--forget", "1"])
 
 
+def test_pq_index_input_is_per_mode(tmp_path, capfd):
+    """--input is validated per mode (ADVICE r10): the modes that read
+    vectors refuse a missing --input with a pre-Spark SystemExit; the
+    artifact-only modes (--shortlist-report here) run without one — no
+    more dummy path on report-only invocations."""
+    import pytest
+
+    out = str(tmp_path / "o")
+    # reads-vectors modes refuse cleanly (build, then each flag mode)
+    with pytest.raises(SystemExit, match="--input is required"):
+        cli.main(["pq-index", "--output", out])
+    for flag in ("--streaming", "--encode-only", "--report"):
+        with pytest.raises(SystemExit, match="--input is required"):
+            cli.main(["pq-index", "--output", out, flag])
+    # artifact-only mode proceeds past argparse AND the per-mode check
+    # without --input (fails later only because the root is unbuilt)
+    with pytest.raises(SystemExit, match="no stored codes|no pq_meta|codes"):
+        cli.main(["pq-index", "--output", out, "--shortlist-report"])
+
+
 def test_ivfpq_search_cli(spark, tmp_path):
     """The production query job end to end: build both index roots, run
     ivfpq-search, output equals the operator's rows; unbuilt roots fail
