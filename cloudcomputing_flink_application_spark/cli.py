@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 
+from cloudcomputing_flink_application_spark.operators.dedup import EMB_NEARDUP_COS
 from cloudcomputing_flink_application_spark.operators.taxi import (
     congestion_daily,
     saturated_vendors,
@@ -714,6 +715,19 @@ def _pq_index(args: argparse.Namespace) -> None:
             "--shortlist-report is a read-only standalone report; "
             "run it alone"
         )
+    if (args.dedup_first or args.dedup_cos is not None) and (
+        args.streaming or args.forget or args.report or args.encode_only
+        or args.compact or args.shortlist_report
+    ):
+        # the purge changes WHICH vectors exist, so it only composes
+        # with training a fresh artifact: encoding/streaming against a
+        # stored codebook must see the same corpus the store accumulates
+        raise SystemExit(
+            "--dedup-first (and --dedup-cos) apply to the build mode "
+            "only — dedup the corpus, then train/encode from survivors"
+        )
+    if args.dedup_cos is not None and not args.dedup_first:
+        raise SystemExit("--dedup-cos requires --dedup-first")
     # --input is per-mode for this job (ADVICE r10): the build,
     # --streaming, --encode-only, and --report paths read it; the
     # maintenance/report modes (--compact, --shortlist-report, --forget)
@@ -801,11 +815,21 @@ def _pq_index(args: argparse.Namespace) -> None:
         if args.show:
             sinks.show(spark.read.parquet(f"{args.output}/codes"))
         return
+    corpus = spark.read.parquet(args.input)
+    if args.dedup_first:
+        from cloudcomputing_flink_application_spark.operators import dedup
+
+        corpus = dedup.embedding_purge_dedup(
+            corpus,
+            cos_dup=(
+                args.dedup_cos if args.dedup_cos is not None else EMB_NEARDUP_COS
+            ),
+        )
     # Pass the stream checkpoint the --streaming path uses: a rebuild
     # while it holds an uncommitted batch would let the replay append
     # old-codebook codes under the new codebook.
     similarity.build_pq_index(
-        spark.read.parquet(args.input),
+        corpus,
         args.output,
         m=args.m,
         ksub=args.ksub,
@@ -1105,6 +1129,20 @@ def main(argv: list[str] | None = None) -> None:
                 "--iters", type=int, default=None,
                 help="Lloyd refinement iterations for the codebook "
                 "(default 1)",
+            )
+            sp.add_argument(
+                "--dedup-first", action="store_true",
+                help="purge near-duplicate vectors before training/"
+                "encoding (embedding_purge_dedup: LSH star edges -> "
+                "cosine verify -> connected components, one survivor "
+                "per blob) — the composed remedy for a clamped "
+                "shortlist (--shortlist-report clamped=true) and the "
+                "degenerate sub-ksub geometry; build mode only",
+            )
+            sp.add_argument(
+                "--dedup-cos", type=float, default=None, metavar="C",
+                help="near-dup cosine bar for --dedup-first "
+                "(default %.2f)" % EMB_NEARDUP_COS,
             )
             sp.add_argument(
                 "--encode-only", action="store_true",

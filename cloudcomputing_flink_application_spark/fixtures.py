@@ -41,6 +41,7 @@ def clustered_embedding_rows(
     clusters: int = MIX_CLUSTERS,
     noise: float = MIX_NOISE,
     id_offset: int = 0,
+    cent_seed: str = "mixcent",
 ) -> list[tuple[int, int, list[float]]]:
     """(vec_id, label, embedding) rows drawn from a hash-seeded mixture.
 
@@ -68,8 +69,12 @@ def clustered_embedding_rows(
     so replicas share the SAME cluster geometry with fresh members (a
     bigger corpus of the same distribution, not duplicated points).
     """
+    # ``cent_seed`` gives a composed fixture its OWN centroid space: a
+    # blob file built with clusters=1 otherwise sits exactly ON the
+    # background's cluster-0 centroid (both hash "mixcent:0"), quietly
+    # entangling the two populations (r11 dedup-first fixture catch).
     cents = [
-        _hash_unit(f"mixcent:{c}", dim) for c in range(clusters)
+        _hash_unit(f"{cent_seed}:{c}", dim) for c in range(clusters)
     ]
     rows = []
     for i in range(n):
@@ -87,13 +92,17 @@ def write_clustered_embeddings(
     dim: int = MIX_DIM,
     clusters: int = MIX_CLUSTERS,
     noise: float = MIX_NOISE,
+    id_offset: int = 0,
+    cent_seed: str = "mixcent",
 ) -> None:
     """Write the mixture corpus as parquet with the driver ``embeddings``
-    schema (vec_id long, label long, embedding list<float>)."""
+    schema (vec_id long, label long, embedding list<float>).  With
+    ``id_offset`` the file composes with others into one directory-read
+    corpus (disjoint vec_id ranges — the blob-on-background fixtures)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = clustered_embedding_rows(n, dim, clusters, noise)
+    rows = clustered_embedding_rows(n, dim, clusters, noise, id_offset, cent_seed)
     table = pa.table(
         {
             "vec_id": pa.array([r[0] for r in rows], pa.int64()),

@@ -1523,6 +1523,7 @@ def embedding_lsh_dedup(
     dim: int = HP_DIM,
     planes: int | None = None,
     bands: int = HP_BANDS,
+    cos_dup: float = COSINE_DUP,
 ) -> DataFrame:
     """Near-dup pairs by cosine, blocked by random-hyperplane LSH.
 
@@ -1573,42 +1574,8 @@ def embedding_lsh_dedup(
             f"band width ({planes // bands} bits) must be <= 63: "
             f"band keys are signed longs"
         )
-    nparts = embeddings.sparkSession.sparkContext.defaultParallelism
-    dot = lambda u, v: F.aggregate(  # noqa: E731
-        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    e = embeddings.repartition(nparts).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-    )
-    norms = e.select(
-        "vec_id", "emb", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm")
-    ).filter(F.col("nrm") > 0)
-    rows_per_band = planes // bands
-    bits = [
-        F.when(dot(F.col("emb"), F.array(*[F.lit(v) for v in _hp_plane(p, dim)])) >= 0,
-               F.lit(1)).otherwise(F.lit(0))
-        for p in range(planes)
-    ]
-    band_keys = [
-        sum(
-            (bits[b * rows_per_band + i].cast("long") * (1 << (rows_per_band - 1 - i))
-             for i in range(rows_per_band)),
-            start=F.lit(0).cast("long"),
-        )
-        for b in range(bands)
-    ]
-    band_rows = norms.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_keys[b].alias("key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", "bk.band", "bk.key")
+    norms = _hp_norms(embeddings)
+    band_rows = _hp_band_rows(norms, dim, planes, bands)
     cands = (
         band_rows.alias("a")
         .join(
@@ -1620,15 +1587,180 @@ def embedding_lsh_dedup(
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = norms.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("_ea"), F.col("nrm").alias("_na"))
-    eb = norms.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("_eb"), F.col("nrm").alias("_nb"))
-    scored = cands.join(ea, "vec_a").join(eb, "vec_b").select(
-        "vec_a",
-        "vec_b",
-        (dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
+    # ``cos_dup`` defaults to the registry's oracle-pinned COSINE_DUP;
+    # dedup-before-index callers pass a real near-dup threshold instead
+    # (r11 — the same banding, a different verify bar).
+    return _cosine_verified(cands, norms, "vec_a", "vec_b", cos_dup)
+
+
+def _emb_dot(u, v):
+    """Sequential per-row fold — bit-identical to DuckDB's
+    ``list_dot_product`` (tests/test_functions.py), the property every
+    LSH bit below inherits."""
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    # Barrier: one cosine per candidate, never inlined into a join condition.
-    return filter_after_barrier(scored, "vec_a", F.col("cos") > COSINE_DUP)
+
+
+def _hp_norms(embeddings: DataFrame) -> DataFrame:
+    """``(vec_id, emb double[], nrm)`` with zero-norm rows dropped — the
+    shared prologue of the hyperplane family.  CPU-heavy pair compute on
+    byte-small input: repartition before the projection so prep and
+    probe both use full parallelism (see ngram_jaccard_dedup)."""
+    nparts = embeddings.sparkSession.sparkContext.defaultParallelism
+    e = embeddings.repartition(nparts).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    return e.select(
+        "vec_id", "emb", F.sqrt(_emb_dot(F.col("emb"), F.col("emb"))).alias("nrm")
+    ).filter(F.col("nrm") > 0)
+
+
+def _hp_band_rows(
+    norms: DataFrame, dim: int, planes: int, bands: int
+) -> DataFrame:
+    """``(vec_id, band, key)`` hyperplane-LSH bucket rows — the ONE
+    definition of the signature layout, shared by the all-pairs analysis
+    operator (``embedding_lsh_dedup``) and the star-edge purge path
+    (``embedding_purge_dedup``), so the two can never block on
+    different buckets."""
+    rows_per_band = planes // bands
+    bits = [
+        F.when(
+            _emb_dot(
+                F.col("emb"), F.array(*[F.lit(v) for v in _hp_plane(p, dim)])
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for p in range(planes)
+    ]
+    band_keys = [
+        sum(
+            (bits[b * rows_per_band + i].cast("long") * (1 << (rows_per_band - 1 - i))
+             for i in range(rows_per_band)),
+            start=F.lit(0).cast("long"),
+        )
+        for b in range(bands)
+    ]
+    return norms.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_keys[b].alias("key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+
+
+def _cosine_verified(
+    cands: DataFrame, norms: DataFrame, left: str, right: str, cos_dup: float
+) -> DataFrame:
+    """Exact-cosine verify of id-pair candidates ``(left, right)``
+    against a ``_hp_norms`` frame; keeps pairs with cos > ``cos_dup``
+    (output: left, right, cos).  Barrier: one cosine per candidate,
+    never inlined into a join condition."""
+    ea = norms.select(
+        F.col("vec_id").alias(left), F.col("emb").alias("_ea"), F.col("nrm").alias("_na")
+    )
+    eb = norms.select(
+        F.col("vec_id").alias(right), F.col("emb").alias("_eb"), F.col("nrm").alias("_nb")
+    )
+    scored = cands.join(ea, left).join(eb, right).select(
+        left,
+        right,
+        (_emb_dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
+    )
+    return filter_after_barrier(scored, left, F.col("cos") > cos_dup)
+
+
+#: Default cosine bar for dedup-before-index (r11): the registry's
+#: COSINE_DUP (0.4) is an oracle-scale ANALYSIS threshold; purging
+#: vectors for an index must only collapse genuine near-duplicates, or
+#: the index forgets real neighbors.  0.95 is the bar SCALING.md's pq
+#: sections use for "near-dup blob" throughout; at p = 1 - acos(.95)/pi
+#: = 0.90 per plane, 4-bit bands keep per-band collision p^4 = 0.66 —
+#: four bands miss a true pair with prob (1-.66)^4 < 2%, and exact
+#: duplicates collide in every band at any width.
+EMB_NEARDUP_COS = 0.95
+
+
+def embedding_purge_dedup(
+    embeddings: DataFrame,
+    cos_dup: float = EMB_NEARDUP_COS,
+    dim: int = HP_DIM,
+) -> DataFrame:
+    """SURVIVOR vectors after near-duplicate purge: one representative
+    (the min vec_id) per near-dup component, singletons untouched — the
+    embedding twin of ``minhash_purge_dedup``'s survivor semantics, and
+    the composed remedy both lossy PQ edges name (similarity.py: the
+    ``auto_shortlist`` cap clamp, where a blob past PQ_SHORTLIST_CAP
+    serves with a shortlist it has outgrown, and the degenerate
+    sub-ksub geometry SCALING.md pq-auto bounds).  Exposed as
+    ``pq-index --dedup-first``.
+
+    Pipeline: hyperplane-LSH band rows (the ``_hp_band_rows`` layout
+    the analysis operator shares, auto_band_width growing banding with
+    n) -> CHAIN candidates per bucket (each member links to its
+    vec_id-predecessor — O(n x bands) edges, never O(bucket²) pairs)
+    -> exact cosine verify at a REAL near-dup bar (``cos_dup``, default
+    EMB_NEARDUP_COS — not the analysis-scale COSINE_DUP) ->
+    alternating-star connected components (O(log n) rounds) -> one
+    vec_id-keyed anti-join of the non-root members.
+
+    Why CHAINS and not the minhash family's bucket-min star: embedding
+    band keys are far coarser than minhash signatures (16-bit keys vs
+    hashed token-set bands), so a blob's bucket routinely also catches
+    unrelated vectors — and under a star, ONE unrelated member with a
+    smaller id poisons the whole bucket (every blob member links only
+    to it, every link fails the cosine verify, the blob never
+    connects; measured on the 800-blob fixture: 458 of 800 left
+    unlinked).  A chain loses only the two links adjacent to each
+    impostor, and the blob's members stay mutually connected; splits
+    need the SAME id-gap broken in all ``bands`` bands at once.
+
+    Straggler bound (the pq-skew lesson): a corpus-scale blob is ONE
+    bucket, and a bucket-wide window sort would put the whole blob in
+    one task.  The chain is therefore two-level with a ~sqrt(n) id
+    salt: level 0 chains within (band, key, vec_id % s), level 1
+    chains each salt group's min across the bucket — every window
+    partition is bounded by ~sqrt(n) rows whatever the blob share,
+    and the two levels connect exactly what one chain would.
+
+    Output: the input rows (schema unchanged) minus purged near-dups —
+    feed straight into ``build_pq_index``/``build_ivf_index``."""
+    n = embeddings.count()
+    if n == 0:
+        return embeddings
+    planes = auto_band_width(n) * HP_BANDS
+    norms = _hp_norms(embeddings)
+    rows = _hp_band_rows(norms, dim, planes, HP_BANDS).withColumn(
+        "salt", F.pmod("vec_id", F.lit(int(math.ceil(math.sqrt(n)))))
+    )
+    w0 = Window.partitionBy("band", "key", "salt").orderBy("vec_id")
+    chain0 = rows.withColumn("rep", F.lag("vec_id").over(w0))
+    mins = rows.groupBy("band", "key", "salt").agg(
+        F.min("vec_id").alias("vec_id")
+    )
+    w1 = Window.partitionBy("band", "key").orderBy("vec_id")
+    chain1 = mins.withColumn("rep", F.lag("vec_id").over(w1))
+    cand = (
+        chain0.select("vec_id", "rep")
+        .unionByName(chain1.select("vec_id", "rep"))
+        .filter(F.col("rep").isNotNull())
+        .distinct()
+    )
+    edges = _cosine_verified(cand, norms, "vec_id", "rep", cos_dup).select(
+        F.col("vec_id").alias("u"), F.col("rep").alias("v")
+    )
+    # (node, root) holds one row per NON-root member of every component;
+    # roots and singletons never appear — exactly the purge set.
+    purged = connected_components(edges).select(F.col("node").alias("vec_id"))
+    return embeddings.join(purged, "vec_id", "left_anti")
 
 
 def _embedding_lsh_sql() -> str:

@@ -1188,6 +1188,63 @@ def auto_shortlist(n: int, top_blob: int) -> int:
     return max(PQ_SHORTLIST, min(PQ_SHORTLIST_CAP, int(top_blob) + PQ_SHORTLIST))
 
 
+#: Cells probed beyond a blob's measured spread (auto_nprobe): the +1
+#: keeps at least one non-blob cell eligible even when the blob's cells
+#: fill the probe budget exactly.
+NPROBE_BLOB_MARGIN = 1
+
+
+def auto_nprobe(n: int, blob_cells: int) -> int:
+    """Probe count for an ``n``-vector corpus whose largest near-dup
+    blob spans ``blob_cells`` DISTINCT IVF cells — the serving twin of
+    :func:`auto_shortlist` (r11, VERDICT r10 #4).
+
+    <= IVF_AUTO_COMPAT_N: the fixed tested-SF NPROBE (oracle-pinned,
+    the same compat pattern as every other auto rule).  Above: NPROBE
+    stays the FLOOR — the module's measured doctrine holds (on
+    clustered data the neighborhood geometry, not K, sets the needed
+    probe count; recall held 1.00 as K grew with fixed 40) — and the
+    blob term raises it only when the measured spread says the floor
+    cannot cover a blob: K ~ sqrt(n) gives each label ~sqrt(n)/|labels|
+    sub-centroids, and a near-dup blob's members spread across ITS
+    label's cells (the sub-quantizer subdivides the noise ball), so
+    past n ~ (40 * |labels|)^2 a blob-member query's true top-k spans
+    more cells than 40 probes can reach — the exact failure
+    auto_shortlist fixed one stage later.  Monotone in ``blob_cells``;
+    never below the measured floor, so corpora without blob spread keep
+    the current recall at the current scan fraction."""
+    if n <= IVF_AUTO_COMPAT_N:
+        return NPROBE
+    return max(NPROBE, int(blob_cells) + NPROBE_BLOB_MARGIN)
+
+
+def _blob_stats(coded: DataFrame) -> tuple[int, int, int]:
+    """(n, top_blob, blob_cells) from ONE partial-agg pass over
+    (cluster, codes) index rows: corpus size, the top multiplicity of
+    identical code words (:func:`auto_shortlist`'s statistic), and the
+    DISTINCT IVF cells that top code word's rows span
+    (:func:`auto_nprobe`'s).  The fused form of :func:`_code_blob_stats`
+    for frames that carry the cluster column — the IVFADC paths make
+    both auto decisions from one aggregate instead of two passes.
+    Ties on multiplicity resolve to the larger cell spread (max of the
+    (cnt, cells) struct — deterministic, and the conservative probe)."""
+    row = (
+        coded.groupBy("codes")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("cluster").alias("cells"),
+        )
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.max(F.struct("cnt", "cells")).alias("top"),
+        )
+        .first()
+    )
+    if row is None or row["n"] is None:
+        return (0, 0, 0)
+    return (int(row["n"]), int(row["top"]["cnt"]), int(row["top"]["cells"]))
+
+
 def _code_blob_stats(coded: DataFrame, col: str = "codes") -> tuple[int, int]:
     """(corpus size, top multiplicity of identical code words) from one
     partial-agg pass over PQ code rows — the ONE aggregate behind both
@@ -2040,7 +2097,7 @@ def ivfpq_index(
 def ivfpq_topk(
     embeddings: DataFrame,
     k: int = TOPK,
-    nprobe: int = NPROBE,
+    nprobe: int | None = None,
     shortlist: int | None = None,
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
@@ -2059,13 +2116,15 @@ def ivfpq_topk(
     ADC shortlist of the probed cells (ANN semantics twice over: cell
     pruning AND code ranking bound what rerank can see; the recall
     instruments price each stage).  ``shortlist=None`` auto-sizes from
-    the index's own code rows (:func:`auto_shortlist`; compat-pinned at
-    tested SFs)."""
+    the index's own code rows (:func:`auto_shortlist`) and
+    ``nprobe=None`` from the top blob's measured cell spread
+    (:func:`auto_nprobe`) — one fused stats pass (:func:`_blob_stats`),
+    both compat-pinned at tested SFs."""
     if k < 1 or (shortlist is not None and k > shortlist):
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}"
         )
-    if nprobe < 1:
+    if nprobe is not None and nprobe < 1:
         raise ValueError(f"need nprobe >= 1, got {nprobe}")
     base = _normed(embeddings)
     cents = _persist(_twolevel_seeds(base, _auto_subk_for(embeddings)))
@@ -2084,13 +2143,22 @@ def ivfpq_topk(
             "codes"
         ),
     )
-    if shortlist is None:
+    if shortlist is None or nprobe is None:
         # persist the compact index rows first: the estimate's .first()
         # and the ADC search both consume them, and an unpersisted
         # lineage would run the assignment-join + encode twice (r10
-        # review)
+        # review); both auto decisions read the ONE fused stats pass
         coded = _persist(coded)
-        shortlist = max(k, _auto_shortlist_for(coded.select("codes")))
+        n_corpus, top_blob, blob_cells = _blob_stats(coded)
+        if shortlist is None:
+            shortlist = max(
+                k,
+                auto_shortlist(n_corpus, top_blob)
+                if n_corpus
+                else PQ_SHORTLIST,
+            )
+        if nprobe is None:
+            nprobe = auto_nprobe(n_corpus, blob_cells)
     queries = _normed(
         embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
     ).select(
@@ -2250,7 +2318,7 @@ def ivfpq_topk_from_index(
     pq_root: str,
     embeddings: DataFrame,
     k: int = TOPK,
-    nprobe: int = NPROBE,
+    nprobe: int | None = None,
     shortlist: int | None = None,
     queries: DataFrame | None = None,
 ) -> DataFrame:
@@ -2286,15 +2354,17 @@ def ivfpq_topk_from_index(
     the stores hold, so stream-appended vectors are searchable
     immediately and forgotten vectors drop out without a rebuild.
 
-    ``shortlist=None`` auto-sizes from the STORED code rows — the free
-    path for the density estimate (no encode pass; one aggregate over
-    the compact codes store, re-read per call so the estimate tracks
-    stream appends and forgets like every other stage here)."""
+    ``shortlist=None`` auto-sizes from the STORED code rows and
+    ``nprobe=None`` from the top blob's measured cell spread — the free
+    path for both density estimates (no encode pass; ONE fused
+    aggregate over the joined index rows the search scans anyway,
+    re-read per call so the estimates track stream appends and forgets
+    like every other stage here)."""
     if k < 1 or (shortlist is not None and k > shortlist):
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}"
         )
-    if nprobe < 1:
+    if nprobe is not None and nprobe < 1:
         # nprobe <= 0 filters every probe and silently returns nothing —
         # a usage error, not an empty corpus (r9 review)
         raise ValueError(f"need nprobe >= 1, got {nprobe}")
@@ -2327,14 +2397,6 @@ def ivfpq_topk_from_index(
             F.split("code_csv", ","), lambda s: s.cast("int")
         ).alias("codes"),
     )
-    if shortlist is None:
-        # persist the latest-wins code rows first: the estimate and the
-        # assignments join both consume them, and without the cache the
-        # store-wide latest-wins groupBy would run twice per call — on
-        # EVERY micro-batch of a serving stream (r10 review).  The
-        # serving stream's per-batch release_cached(mark) drops it.
-        codes = _persist(codes)
-        shortlist = max(k, _auto_shortlist_for(codes.select("codes")))
     # respread before the ADC explode: the latest-wins aggregations feed
     # AQE a tiny post-shuffle size (80k code rows ~ 2 MB), so it
     # coalesces everything downstream to a couple of partitions — right
@@ -2365,6 +2427,27 @@ def ivfpq_topk_from_index(
         F.col("cluster"),
         F.pmod(F.col("vec_id"), F.lit(IVFPQ_SPREAD_SALT)),
     )
+    if shortlist is None or nprobe is None:
+        # persist the joined, respread index rows first: the stats pass
+        # and the ADC search both consume them, and without the cache
+        # the latest-wins groupBys + join would run twice per call — on
+        # EVERY micro-batch of a serving stream (r10 review).  The
+        # serving stream's per-batch release_cached(mark) drops it.
+        # (r11: the estimate moved from the codes store alone to the
+        # JOINED rows so nprobe can read the blob's cell spread in the
+        # same pass; both-store membership is already the serving
+        # contract, so the multiplicity statistic is unchanged.)
+        coded = _persist(coded)
+        n_corpus, top_blob, blob_cells = _blob_stats(coded)
+        if shortlist is None:
+            shortlist = max(
+                k,
+                auto_shortlist(n_corpus, top_blob)
+                if n_corpus
+                else PQ_SHORTLIST,
+            )
+        if nprobe is None:
+            nprobe = auto_nprobe(n_corpus, blob_cells)
     packed = _persist(_pq_packed(read_pq_codebook(spark, pq_root)))
     # NO corpus-wide dropDuplicates here: shuffling the full-width
     # embedding arrays to dedup the rerank side cost 5x at 80k vectors

@@ -1043,6 +1043,15 @@ def _replace_dir(spark, src: str, dst: str) -> None:
         raise IOError(f"rename {src} -> {dst} failed")
     if fs.exists(p_bak):
         fs.delete(p_bak, True)
+    # Invalidate any CACHED reader of the swapped store: a session that
+    # persisted a frame over this path (the from-index search persists
+    # its joined index rows for the auto-sizing stats pass) would
+    # otherwise keep serving the pre-swap rows — a forgotten vector
+    # reappearing in search results is a compliance bug, not just
+    # staleness (r11: surfaced the day BOTH store reads landed in one
+    # persisted frame; before that the fresh half of the inner join
+    # masked the cached half).
+    spark.catalog.refreshByPath(dst)
 
 
 def _recover_swap(spark, dst: str) -> None:
@@ -1453,6 +1462,10 @@ def _finish_compact(spark, store_dir: str, snap: int) -> None:
     _, p_tmp = _fs_path(spark, _compact_tmp_of(store_dir))
     if fs.exists(p_tmp):
         fs.delete(p_tmp, True)
+    # same cached-reader invalidation as _replace_dir: the fold replaced
+    # the stream partitions' files, so a frame persisted over this path
+    # must not keep serving (or recompute from) the deleted ones
+    spark.catalog.refreshByPath(store_dir)
 
 
 def _recover_compact(spark, store_dir: str) -> None:

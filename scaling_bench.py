@@ -1469,6 +1469,106 @@ def bench_pq_auto(spark) -> dict:
     return out
 
 
+def bench_pq_dedup(spark) -> dict:
+    """r11 (VERDICT r10 #2): dedup-before-index measured as the one
+    command it now is (``pq-index --dedup-first`` =
+    ``embedding_purge_dedup`` -> ``build_pq_index``), on the two lossy
+    edges it remedies:
+
+    - ``degenerate_4blob`` — the pq-auto boundary corpus (6000 vectors
+      = four noise-0.05 near-dup blobs; the sub-ksub geometry where the
+      multiplicity estimate under-reads and auto-shortlist recall stays
+      collapsed at 0.060).  The honest reading after purge: the corpus
+      WAS four documents — the index serves four vectors exactly.
+    - ``clamped_blob`` — a 9000-member noise-0.05 blob on the standard
+      72k background, at the REAL constants (top multiplicity past
+      PQ_SHORTLIST_CAP=8192): the build reads clamped=true, blob-local
+      rerank recall degrades to ~cap/blob, and the purged rebuild reads
+      clamped=false with recall restored on the survivor corpus.
+
+    Recorded per regime: the shortlist_report rows before/after, the
+    purge wall + survivor count, and auto-shortlist rerank recall
+    before/after (blob-local too, where the blob is a subset)."""
+    import os
+
+    out: dict = {}
+    p4 = WORK / "embs_neardup_4blob.parquet"
+    if not p4.exists():
+        write_clustered_embeddings(str(p4), n=6000, clusters=4, noise=0.05)
+    pc = WORK / "embs_clamped_blob"
+    if not pc.exists():
+        os.makedirs(pc)
+        write_clustered_embeddings(str(pc / "bg.parquet"), n=72000)
+        write_clustered_embeddings(
+            str(pc / "blob.parquet"),
+            n=9000,
+            clusters=1,
+            noise=0.05,
+            id_offset=72000,
+            cent_seed="blobcent",
+        )
+
+    def report_row(corpus, root) -> dict:
+        similarity.build_pq_index(corpus, root)
+        r = similarity.shortlist_report(spark, root).first()
+        return {
+            "n_vectors": r.n_vectors,
+            "top_blob": r.top_blob,
+            "shortlist": r.shortlist,
+            "clamped": r.clamped,
+        }
+
+    def auto_recall(corpus, min_query: int | None = None) -> float:
+        cb = similarity.pq_codebook(corpus)
+        cb.persist().count()
+        try:
+            exact = similarity.cosine_topk(corpus).select(
+                "query_id", "neighbor_id"
+            )
+            if min_query is not None:
+                exact = exact.filter(F.col("query_id") >= min_query)
+            exact.persist()
+            total = exact.count()
+            if total == 0:
+                return float("nan")
+            rer = similarity.pq_topk_rerank(
+                corpus, shortlist=None, codebook=cb
+            ).select("query_id", "neighbor_id")
+            hits = exact.join(rer, ["query_id", "neighbor_id"]).count()
+            exact.unpersist()
+            return round(hits / total, 3)
+        finally:
+            cb.unpersist()
+            similarity.release_cached()
+            spark.catalog.clearCache()
+
+    for tag, path, blob_floor in (
+        ("degenerate_4blob", str(p4), None),
+        ("clamped_blob", str(pc), 72000),
+    ):
+        e = spark.read.parquet(path)
+        entry: dict = {"before": report_row(e, str(WORK / f"pqd_{tag}_pre"))}
+        entry["before"]["recall_auto"] = auto_recall(e)
+        if blob_floor is not None:
+            entry["before"]["recall_auto_blob"] = auto_recall(e, blob_floor)
+        t0 = time.time()
+        surv = dedup.embedding_purge_dedup(e)
+        n_surv = surv.count()
+        entry["purge"] = {
+            "wall_sec": round(time.time() - t0, 3),
+            "survivors": n_surv,
+        }
+        surv_path = str(WORK / f"pqd_{tag}_survivors.parquet")
+        surv.write.mode("overwrite").parquet(surv_path)
+        surv = spark.read.parquet(surv_path)
+        entry["after"] = report_row(surv, str(WORK / f"pqd_{tag}_post"))
+        entry["after"]["recall_auto"] = auto_recall(surv)
+        out[tag] = entry
+        dedup.release_cached()
+        spark.catalog.clearCache()
+    return out
+
+
 def bench_olap_join_100x(spark) -> dict:
     """r10 (VERDICT r9 #4): the fact-fact shuffle family's 100x point.
     The r9 `olap-join` rows stop at 10x (6M lineitem); Q9 carries the
@@ -1957,6 +2057,9 @@ def main() -> None:
         return
     if section == "pq-auto":
         print(json.dumps({"pq_auto": bench_pq_auto(spark)}))
+        return
+    if section == "pq-dedup":
+        print(json.dumps({"pq_dedup": bench_pq_dedup(spark)}))
         return
     if section == "pq-skew":
         print(json.dumps({"pq_skew": bench_pq_skew(spark)}))

@@ -690,3 +690,43 @@ def test_ivf_auto_matches_fixed_at_tested_sf(spark, sf_dir):
         )
     )
     assert auto == fixed and len(auto) > 0
+
+
+def test_embedding_purge_dedup_semantics(spark):
+    """embedding_purge_dedup (r11, dedup-before-index): one survivor —
+    the min vec_id — per near-dup component, singletons untouched,
+    schema unchanged, and the cos bar is the caller's (the default
+    EMB_NEARDUP_COS, a REAL near-dup bar, not the analysis-scale
+    COSINE_DUP)."""
+    from pyspark.sql import functions as F
+
+    # two exact-dup blobs ({1,2,3} on x, {10,11} on y), two singletons;
+    # exact dups collide in every LSH band at any width, so recall here
+    # is deterministic, not probabilistic
+    rows = (
+        [(i, 0, [1.0, 0.0, 0.0, 0.0]) for i in (1, 2, 3)]
+        + [(i, 1, [0.0, 1.0, 0.0, 0.0]) for i in (10, 11)]
+        + [(20, 2, [0.0, 0.0, 1.0, 0.0]), (21, 3, [0.0, 0.0, 0.0, 1.0])]
+    )
+    embs = spark.createDataFrame(
+        rows, "vec_id LONG, label LONG, embedding ARRAY<FLOAT>"
+    )
+    got = dedup.embedding_purge_dedup(embs, dim=4)
+    assert got.schema == embs.schema
+    assert {r.vec_id for r in got.collect()} == {1, 10, 20, 21}
+    # a sub-bar pair survives intact: orthogonal-ish vectors share no
+    # component at 0.95 even when banding collides them
+    mixed = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0, 0.0, 0.0]),
+            (2, 0, [0.9, 0.4358898943540674, 0.0, 0.0]),  # cos = .9 < .95
+        ],
+        "vec_id LONG, label LONG, embedding ARRAY<FLOAT>",
+    )
+    kept = dedup.embedding_purge_dedup(mixed, dim=4)
+    assert kept.count() == 2
+    # ...and the same pair purges under a lower bar
+    low = dedup.embedding_purge_dedup(mixed, cos_dup=0.8, dim=4)
+    assert [r.vec_id for r in low.collect()] == [1]
+    # empty input short-circuits
+    assert dedup.embedding_purge_dedup(embs.limit(0), dim=4).count() == 0

@@ -1036,6 +1036,17 @@ def test_auto_shortlist_equals_fixed_below_compat_floor(spark, tmp_path, embs):
         ).collect()
     }
     assert auto_ix == fixed_ix
+    # nprobe has the same compat pin (r11 auto_nprobe): the full-auto
+    # call must equal the old fixed (NPROBE, PQ_SHORTLIST) call at
+    # tested SFs
+    both_fixed = {
+        tuple(r)
+        for r in S.ivfpq_topk_from_index(
+            spark, ivf_root, pq_root, embs,
+            nprobe=S.NPROBE, shortlist=S.PQ_SHORTLIST,
+        ).collect()
+    }
+    assert both_fixed == fixed_ix
 
 
 def test_auto_shortlist_restores_dense_blob_recall(spark, tmp_path):
@@ -1207,3 +1218,234 @@ def test_shortlist_report_reads_the_stored_codes(spark, tmp_path, embs):
     # an unbuilt root is a usage error, like every other artifact reader
     with pytest.raises(ValueError, match="pq_meta"):
         S.shortlist_report(spark, str(tmp_path / "nowhere"))
+
+
+def test_dedup_first_unclamps_and_restores_recall(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #2 — the composed remedy both lossy PQ edges name,
+    as ONE command: a corpus whose near-dup blob outgrows
+    PQ_SHORTLIST_CAP builds clamped (``--shortlist-report`` says so and
+    blob-local rerank recall degrades blob-share-style), and the same
+    build with ``--dedup-first`` collapses the blob to its min-id
+    survivor, reads clamped=false, and recall over the survivor corpus
+    returns to the unclamped regime.
+
+    Scaled down via the rule's own constants (cap 200, compat floor 256
+    — the rule is pure arithmetic over (n, top_blob), so small
+    constants exercise the identical code path the 8192 cap does; the
+    real-scale measurement is SCALING.md pq-dedup): 6000 background
+    vectors (50 clusters, the standard mixture) + an 800-member
+    noise-0.05 blob at ~12% mass share — low enough that the trained
+    sub-quantizers stay on the background and the blob shares one code
+    word (measured top multiplicity 733; at >50% share the k-means
+    mass pulls sub-centroids INTO the noise ball and the estimate
+    under-reads — the documented degenerate geometry).  ADC ties the
+    whole blob, the clamped shortlist keeps the 200 lowest ids, and a
+    blob query's true top-5 (noise-ranked, uniform over members)
+    survives with p ~ 1/4 — so the degradation is asserted on the BLOB
+    queries, where it lives."""
+    from cloudcomputing_flink_application_spark import cli
+    from cloudcomputing_flink_application_spark.operators import dedup
+
+    monkeypatch.setattr(S, "PQ_SHORTLIST_CAP", 200)
+    monkeypatch.setattr(S, "IVF_AUTO_COMPAT_N", 256)
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    fixtures.write_clustered_embeddings(str(corpus_dir / "bg.parquet"), n=6000)
+    fixtures.write_clustered_embeddings(
+        str(corpus_dir / "blob.parquet"),
+        n=800,
+        clusters=1,
+        noise=0.05,
+        id_offset=6000,
+        cent_seed="blobcent",  # own centroid — not ON background cluster 0
+    )
+    e = spark.read.parquet(str(corpus_dir))
+
+    def recall(corpus, root, min_query=0):
+        cb = S.read_pq_codebook(spark, root)
+        cb.persist().count()
+        try:
+            exact = S.cosine_topk(corpus).select("query_id", "neighbor_id")
+            exact = exact.filter(F.col("query_id") >= min_query)
+            exact.persist()
+            total = exact.count()
+            rer = S.pq_topk_rerank(corpus, shortlist=None, codebook=cb).select(
+                "query_id", "neighbor_id"
+            )
+            hits = exact.join(rer, ["query_id", "neighbor_id"]).count()
+            exact.unpersist()
+            return hits / total
+        finally:
+            cb.unpersist()
+            S.release_cached()
+
+    # clamped build: the report signals, blob-local recall degrades
+    root = str(tmp_path / "pq")
+    cli.main(["pq-index", "--input", str(corpus_dir), "--output", root])
+    row = S.shortlist_report(spark, root).first()
+    assert row.clamped and row.top_blob >= 600, row
+    assert row.shortlist == 200
+    before_blob = recall(e, root, min_query=6000)
+    assert before_blob <= 0.6, before_blob
+
+    # the one-command remedy
+    root2 = str(tmp_path / "pq_dedup")
+    cli.main(
+        ["pq-index", "--input", str(corpus_dir), "--output", root2,
+         "--dedup-first"]
+    )
+    row2 = S.shortlist_report(spark, root2).first()
+    assert not row2.clamped, row2
+    survivors = dedup.embedding_purge_dedup(e)
+    n_surv = survivors.count()
+    # the blob collapsed to its min-id survivor (plus at most a few
+    # LSH-fragmented stragglers); the background survives modulo the
+    # handful of its own chance >0.95 pairs (legitimate near-dups by
+    # the bar — measured 5 of 6000 on this seed)
+    blob_surv = survivors.filter("vec_id >= 6000").count()
+    assert 1 <= blob_surv <= 5, blob_surv
+    assert 5950 <= n_surv <= 6050, n_surv
+    assert row2.n_vectors == n_surv
+    assert survivors.filter("vec_id == 6000").count() == 1
+    after = recall(survivors, root2)
+    assert after >= 0.9 and after > before_blob, (before_blob, after)
+
+    # --dedup-first composes with the build only; --dedup-cos needs it
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="build mode only"):
+        cli.main(["pq-index", "--input", str(corpus_dir), "--output", root,
+                  "--dedup-first", "--encode-only"])
+    with _pytest.raises(SystemExit, match="requires --dedup-first"):
+        cli.main(["pq-index", "--input", str(corpus_dir), "--output", root,
+                  "--dedup-cos", "0.9"])
+
+
+def test_auto_nprobe_rule():
+    """auto_nprobe (r11, VERDICT r10 #4) — the serving twin of
+    auto_shortlist: compat floor, the measured-NPROBE floor above it,
+    monotone in the blob's cell spread."""
+    # at or below the compat threshold: the fixed tested-SF probe count,
+    # whatever the spread says (oracle hashes pinned)
+    assert S.auto_nprobe(S.IVF_AUTO_COMPAT_N, 10**6) == S.NPROBE
+    assert S.auto_nprobe(0, 0) == S.NPROBE
+    above = S.IVF_AUTO_COMPAT_N + 1
+    # above: NPROBE stays the floor — a spread the floor covers changes
+    # nothing (recall >= current at the current scan fraction)
+    assert S.auto_nprobe(above, 0) == S.NPROBE
+    assert S.auto_nprobe(above, S.NPROBE - 1) == S.NPROBE
+    # a blob spanning more cells than the floor raises the probe count
+    # past its spread (+ the margin)
+    assert S.auto_nprobe(above, S.NPROBE) == S.NPROBE + 1
+    assert S.auto_nprobe(above, 100) == 100 + S.NPROBE_BLOB_MARGIN
+    # monotone
+    spreads = [0, 10, 40, 41, 100, 10**4]
+    probes = [S.auto_nprobe(above, c) for c in spreads]
+    assert probes == sorted(probes)
+
+
+def test_blob_stats_fused_aggregate(spark):
+    """_blob_stats: one pass -> (n, top multiplicity, the top code's
+    DISTINCT cell spread); multiplicity ties resolve to the larger
+    spread (the conservative probe)."""
+    rows = (
+        # blob code 'b': 4 rows across 3 cells
+        [(i, 10 + (i % 3), ["b"]) for i in range(4)]
+        # code 'c': 4 rows in 1 cell (ties blob 'b' on multiplicity)
+        + [(100 + i, 50, ["c"]) for i in range(4)]
+        # singleton
+        + [(200, 60, ["z"])]
+    )
+    coded = spark.createDataFrame(
+        rows, "vec_id LONG, cluster LONG, codes ARRAY<STRING>"
+    )
+    assert S._blob_stats(coded) == (9, 4, 3)
+    assert S._blob_stats(coded.limit(0)) == (0, 0, 0)
+
+
+def test_auto_nprobe_restores_fragmented_blob_recall(spark, tmp_path, monkeypatch):
+    """The failure auto_nprobe exists for, demonstrated end to end: with
+    K ~ sqrt(n) each label owns ~sqrt(n)/|labels| sub-centroids, and a
+    near-dup blob's members SPREAD across its label's cells (the
+    sub-quantizer subdivides the noise ball) — so past
+    n ~ (NPROBE * |labels|)^2 a blob-member query's true top-k spans
+    more cells than the fixed 40 probes reach, the exact cell-pruning
+    twin of the r9 shortlist collapse.  Geometry scaled down via an
+    explicit subk=400 codebook (the rule is arithmetic over the measured
+    spread; real-constant onset needs n > 4M at 50 labels): 12000
+    background vectors (50 clusters) + a 1500-member noise-.05 blob
+    under ONE label -> the blob spreads over ~342 of its label's cells,
+    sharing one PQ code word (11% mass share — the estimate-true
+    regime; at 23% the trained sub-quantizer already subdivides the
+    noise ball and the estimate under-reads, the documented boundary),
+    so _blob_stats reads the spread and auto_nprobe probes past it."""
+    monkeypatch.setattr(S, "IVF_AUTO_COMPAT_N", 256)
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    fixtures.write_clustered_embeddings(str(corpus_dir / "bg.parquet"), n=12000)
+    fixtures.write_clustered_embeddings(
+        str(corpus_dir / "blob.parquet"),
+        n=1500,
+        clusters=1,
+        noise=0.05,
+        id_offset=12000,
+        cent_seed="blobcent",
+    )
+    e = spark.read.parquet(str(corpus_dir))
+    base = S._normed(e)
+    cents = S._persist(S._twolevel_seeds(base, 400))
+    pq_cb = S._persist(S._pq_train(e, S.PQ_M, S.PQ_KSUB, 1)[0])
+    try:
+        packed = S._persist(S._pq_packed(pq_cb))
+        coded = S._persist(
+            S.ivfpq_index(e, codebook=cents, pq_cb=pq_cb).select(
+                "vec_id",
+                "cluster",
+                F.transform(
+                    F.split("code_csv", ","), lambda s: s.cast("int")
+                ).alias("codes"),
+            )
+        )
+        n_corpus, top_blob, blob_cells = S._blob_stats(coded)
+        assert n_corpus == 13500
+        # the blob shares one code word (estimate-true regime) and
+        # spreads over most of its label's 60 cells
+        assert top_blob >= 1200, top_blob
+        assert 250 <= blob_cells <= 400, blob_cells
+        auto = S.auto_nprobe(n_corpus, blob_cells)
+        assert auto == blob_cells + S.NPROBE_BLOB_MARGIN
+
+        queries = base.filter(
+            (F.col("vec_id") % S.QUERY_STRIDE == 0) & (F.col("vec_id") >= 12000)
+        ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("nrm").alias("qnrm"),
+        )
+        exact = S.cosine_topk(e).select("query_id", "neighbor_id").filter(
+            F.col("query_id") >= 12000
+        )
+        exact.persist()
+        total = exact.count()
+        shortlist = S.auto_shortlist(n_corpus, top_blob)
+
+        def recall(nprobe):
+            got = S._ivfpq_search(
+                cents, packed, coded, queries, base, S.TOPK, nprobe,
+                shortlist, S.PQ_M,
+            ).select("query_id", "neighbor_id")
+            return exact.join(got, ["query_id", "neighbor_id"]).count() / total
+
+        fixed = recall(S.NPROBE)
+        restored = recall(auto)
+        # 40 probes reach a 342-cell blob only through the probe-rank/
+        # neighbor-rank correlation (both follow noise alignment), which
+        # decays with spread: measured 0.987 at 51 cells, 0.707 at 342 —
+        # the collapse onset; auto covers the measured spread
+        assert fixed <= 0.85, fixed
+        assert restored >= 0.95, (fixed, restored)
+        assert restored - fixed >= 0.1, (fixed, restored)
+        exact.unpersist()
+    finally:
+        S.release_cached()
+        spark.catalog.clearCache()
