@@ -194,6 +194,144 @@ def _corpus_clean(args: argparse.Namespace) -> None:
         sinks.show(out)
 
 
+def _train_data(args: argparse.Namespace) -> None:
+    """The end-to-end training-data job (``pipeline.training_prep``):
+    clean -> near-dup purge -> sequence packing -> content-addressed
+    shards, over a ``documents``-shaped parquet input.
+
+    Batch (default): one composed plan writes the prep rows to
+    ``<output>/prep`` and, with ``--shards N``, the shard store to
+    ``<output>/shards`` (``write_training_shards`` keyed by ``pack_id``,
+    so a packed sequence always lands whole in one shard).
+
+    ``--streaming``: incremental state maintenance — the clean stream
+    (flags + survivor-hash state under ``<output>/clean``) runs over the
+    input directory to exhaustion, then the purge stream (band/tokset/
+    edge stores under ``<output>/purge``) consumes the SAME directory
+    semi-joined against the accumulated kept flags, so the purge sees
+    exactly the kept docs (the batch composition's order).  Both are
+    checkpointed; re-invocations resume.  Files arriving WHILE an
+    invocation runs are picked up by the next invocation (run at
+    ingestion pauses — the same cadence every store-maintaining job
+    here documents).  The BENCHMARK slice (doc_id % BENCH_MOD == 0)
+    must be fully on disk before the first invocation — decontamination
+    clears docs against the benchmark set visible at their batch, and
+    no later invocation re-checks them (the static-benchmark contract
+    of run_clean_corpus_stream, pinned in tests/test_cli.py).
+
+    ``--materialize`` (streams stopped): compose the two stores into the
+    SAME prep/shard output the batch job writes — pinned equal in
+    tests/test_cli.py."""
+    from cloudcomputing_flink_application_spark.operators import pipeline
+
+    if args.streaming and args.materialize:
+        raise SystemExit(
+            "--materialize reads the stores a stopped --streaming run "
+            "maintains; run them as separate invocations"
+        )
+    spark = get_spark(app_name="train-data")
+    prep_dir = f"{args.output}/prep"
+
+    def write_outputs(rows) -> None:
+        rows.write.mode("overwrite").parquet(prep_dir)
+        if getattr(args, "shards", None) is not None:
+            sinks.write_training_shards(
+                spark.read.parquet(prep_dir),
+                f"{args.output}/shards",
+                args.shards,
+                key="pack_id",
+            )
+        if args.show:
+            sinks.show(spark.read.parquet(prep_dir))
+
+    if args.streaming:
+        import os
+
+        from pyspark.sql import functions as F
+
+        from cloudcomputing_flink_application_spark import schemas
+        from cloudcomputing_flink_application_spark.operators.pipeline import (
+            BENCH_MOD,
+        )
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            run_clean_corpus_stream,
+            run_purge_dedup_stream,
+        )
+
+        if getattr(args, "shards", None) is not None:
+            print(
+                "warning: --shards is batch/--materialize-only; streaming "
+                "maintains the stores"
+            )
+        bench = (
+            spark.read.schema(schemas.DOCUMENTS)
+            .parquet(args.input)
+            .filter(F.col("doc_id") % BENCH_MOD == 0)
+        )
+        q = run_clean_corpus_stream(
+            spark,
+            spark.readStream.schema(schemas.DOCUMENTS).parquet(args.input),
+            bench,
+            f"{args.output}/clean/flags",
+            f"{args.output}/clean/_chk",
+            f"{args.output}/clean/_state/hashes",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if not os.path.isdir(f"{args.output}/clean/flags"):
+            print("no documents arrived; purge stage has nothing to do")
+            return
+        # stream-static semi-join: the purge stage sees exactly the docs
+        # the clean state marked kept (re-read per micro-batch, so a
+        # multi-batch invocation's later batches observe earlier flags)
+        kept = (
+            spark.read.parquet(f"{args.output}/clean/flags")
+            .filter("kept")
+            .select("doc_id")
+        )
+        q2 = run_purge_dedup_stream(
+            spark,
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .parquet(args.input)
+            .join(kept, "doc_id", "left_semi"),
+            f"{args.output}/purge/table",
+            f"{args.output}/purge/_chk",
+            f"{args.output}/purge/_state",
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        return
+    if args.materialize:
+        import os
+
+        from pyspark.sql import functions as F
+
+        for sub in ("clean/flags", "purge/table"):
+            if not os.path.isdir(f"{args.output}/{sub}"):
+                raise SystemExit(
+                    f"no {sub} store under {args.output} — --materialize "
+                    "composes the stores a --streaming run maintains"
+                )
+        flags = spark.read.parquet(f"{args.output}/clean/flags")
+        purge = spark.read.parquet(f"{args.output}/purge/table")
+        # full-emission purge stream: the LAST partition is the whole
+        # current table (the accumulated==batch contract)
+        last = purge.agg(F.max("batch_id")).first()[0]
+        surv = purge.filter(F.col("batch_id") == last).select("doc_id")
+        surv_docs = (
+            spark.read.parquet(args.input)
+            .join(flags.filter("kept").select("doc_id", "split"), "doc_id")
+            .join(surv, "doc_id")
+        )
+        write_outputs(pipeline.packed_training_rows(surv_docs))
+        return
+    write_outputs(pipeline.training_prep(spark.read.parquet(args.input)))
+
+
 def _dedup_purge(args: argparse.Namespace) -> None:
     """The dedup job surface: full-closure MinHash purge over a
     ``documents``-shaped parquet input, batch or incremental.
@@ -932,6 +1070,10 @@ def main(argv: list[str] | None = None) -> None:
          "taxi-trip CSV file/dir", "output CSV file"),
         ("corpus-clean", _corpus_clean,
          "documents-shaped parquet file/dir", "output folder (parquet flags)"),
+        ("train-data", _train_data,
+         "documents-shaped parquet file/dir",
+         "job root (prep rows / shards; clean + purge stores with "
+         "--streaming)"),
         ("dedup-purge", _dedup_purge,
          "documents-shaped parquet file/dir", "output folder (parquet purge table)"),
         ("dedup-flags", _dedup_flags,
@@ -986,6 +1128,20 @@ def main(argv: list[str] | None = None) -> None:
                 "conservative compliance direction); emitted output "
                 "partitions are yours to redact.  Same stream-stopped "
                 "lock contract as dedup-purge --forget.",
+            )
+        if name == "train-data":
+            sp.add_argument(
+                "--shards", type=int, default=None, metavar="N",
+                help="batch / --materialize: also write the packed rows "
+                "as N deterministic content-addressed training shards "
+                "under <output>/shards (shard = stable hash of pack_id, "
+                "so a packed sequence lands whole in one shard)",
+            )
+            sp.add_argument(
+                "--materialize", action="store_true",
+                help="streams stopped: compose the clean + purge stores "
+                "a --streaming run maintains into the same <output>/prep "
+                "(+ --shards) the batch job writes",
             )
         if name == "corpus-clean":
             sp.add_argument(

@@ -1238,6 +1238,105 @@ def prep_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
+def training_prep(documents: DataFrame) -> DataFrame:
+    """The END-TO-END training-data job (r11, VERDICT r10 #5): clean ->
+    near-dup purge -> sequence packing, one composed dataflow whose
+    output rows are what ``sinks.write_training_shards`` writes and a
+    trainer reads.
+
+    Stages, each the already-pinned operator:
+
+    1. :func:`clean_corpus` — quality / repetition / benchmark
+       decontamination / exact survivor dedup / content-addressed split
+       (one declarative plan, scan shared);
+    2. ``dedup.minhash_purge_dedup`` over the KEPT docs — the full
+       transitive-closure near-dup purge (one survivor per cluster);
+       purging after the kept filter matches the batch semantics a
+       re-run reproduces: a quality-failing doc can never be a cluster
+       keeper that absorbs kept near-dups;
+    3. :func:`pack_chunks` over the survivors — bounded-window sequence
+       packing; ``pack_id`` (source:pack_key:chunk_id) is the shard
+       key, so a packed training sequence always lands WHOLE in one
+       shard.
+
+    Output, one row per surviving doc: (doc_id, source, pack_key,
+    chunk_id, n_tok, begin_tok, split, pack_id, text).  Conservation
+    (pinned in tests): every kept-surviving token appears in exactly one
+    row, rows of one pack chunk share one shard.
+
+    Scale: the union of the stages' own stories — no new shuffle shape
+    is introduced; the stitches are doc_id equi-joins (high-cardinality,
+    skew-free).  The CLI twin is ``train-data`` (batch; ``--streaming``
+    maintains the clean + purge stores incrementally and
+    ``--materialize`` writes the same shards from them)."""
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        minhash_purge_dedup,
+    )
+
+    flags = clean_corpus(documents)
+    kept_docs = documents.join(
+        flags.filter(F.col("kept")).select("doc_id", "split"), "doc_id"
+    )
+    surv = minhash_purge_dedup(kept_docs).select("doc_id")
+    return packed_training_rows(kept_docs.join(surv, "doc_id"))
+
+
+def packed_training_rows(surv_docs: DataFrame) -> DataFrame:
+    """The packing tail of :func:`training_prep` — pack the surviving
+    docs (documents schema + ``split``) and attach text + the shard key.
+    ONE definition shared by the batch operator and the streaming
+    materializer (``cli train-data --materialize``), so the pinned
+    batch==materialized contract cannot drift."""
+    packed = pack_chunks(surv_docs)
+    return packed.join(
+        surv_docs.select("doc_id", "split", "text"), "doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        "pack_key",
+        "chunk_id",
+        "n_tok",
+        "begin_tok",
+        "split",
+        F.concat_ws(":", "source", "pack_key", "chunk_id").alias("pack_id"),
+        "text",
+    )
+
+
+def _training_prep_sql() -> str:
+    """COMPOSED from the three stages' verified oracle constants (the
+    prep_corpus pattern): clean's flags gate the documents, the purge
+    SQL runs over the kept docs (its ``documents`` references rebound to
+    the kept CTE — a word-boundary rewrite, exercised by the parity
+    gate), pack over the survivors."""
+    import re
+
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        MINHASH_PURGE_SQL,
+    )
+
+    purge_over_kept = re.sub(r"\bdocuments\b", "kept_docs", MINHASH_PURGE_SQL)
+    pack_over_surv = re.sub(r"\bdocuments\b", "surv_docs", PACK_CHUNKS_SQL)
+    return f"""
+WITH clean AS ({CLEAN_CORPUS_SQL}),
+kept_docs AS (
+  SELECT d.*, c.split FROM documents d JOIN clean c USING (doc_id)
+  WHERE c.kept
+),
+surv AS (SELECT doc_id FROM ({purge_over_kept}) pg),
+surv_docs AS (SELECT kept_docs.* FROM kept_docs JOIN surv USING (doc_id))
+SELECT p.doc_id, p.source, p.pack_key, p.chunk_id, p.n_tok, p.begin_tok,
+       s.split,
+       p.source || ':' || CAST(p.pack_key AS VARCHAR) || ':'
+         || CAST(p.chunk_id AS VARCHAR) AS pack_id,
+       s.text
+FROM ({pack_over_surv}) p JOIN surv_docs s USING (doc_id)
+"""
+
+
+TRAINING_PREP_SQL = _training_prep_sql()
+
+
 def _prep_corpus_sql() -> str:
     """COMPOSED from the component oracle constants (r7 review catch: an
     inline re-statement had already forced the mixture null-safety fix to

@@ -1469,6 +1469,188 @@ def bench_pq_auto(spark) -> dict:
     return out
 
 
+def bench_opq(spark) -> dict:
+    """r11 (VERDICT r10 #3): OPQ-style data-trained orthogonal rotation
+    (public: Ge et al., CVPR'13 — alternate sub-quantizer training with
+    the Procrustes/SVD rotation update), evaluated as a PROTOTYPE before
+    wiring it into the serving path.  Measured verdict: on every regime
+    this pipeline cares about, the rotation does NOT move an end metric
+    — the decision and mechanism are recorded in SCALING.md (opq), and
+    this section keeps the measurement reproducible.
+
+    Three regimes x (R=I vs trained R): quantization error, raw-ADC
+    recall@5, and top code multiplicity (the auto_shortlist estimator
+    the r10 VERDICT hypothesized the rotation would heal).  All numpy
+    on the driver (the rotation trainer is a bounded-sample driver-side
+    computation by design; this measurement needs no cluster)."""
+    import numpy as np
+
+    from cloudcomputing_flink_application_spark.fixtures import (
+        clustered_embedding_rows,
+    )
+
+    m, ksub = 8, 16
+
+    def kmeans_sub(Y, dsub, iters=8):
+        cents = []
+        for s in range(m):
+            Z = Y[:, s * dsub:(s + 1) * dsub]
+            C = Z[:ksub].copy()
+            for _ in range(iters):
+                a = ((Z[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+                for k in range(ksub):
+                    if (a == k).any():
+                        C[k] = Z[a == k].mean(0)
+            cents.append(C)
+        return cents
+
+    def encode(Y, cents, dsub):
+        codes = np.empty((len(Y), m), dtype=np.int64)
+        for s in range(m):
+            Z = Y[:, s * dsub:(s + 1) * dsub]
+            codes[:, s] = (
+                ((Z[:, None, :] - cents[s][None, :, :]) ** 2).sum(-1).argmin(1)
+            )
+        return codes
+
+    def evaluate(Y, Yn_rank, ids, cents, dsub, k=5):
+        from collections import Counter
+
+        codes = encode(Y, cents, dsub)
+        Yhat = np.concatenate(
+            [cents[s][codes[:, s]] for s in range(m)], axis=1
+        )
+        qs = np.where(ids % 100 == 0)[0]
+        hits = 0
+        for qi in qs:
+            cos = Yn_rank @ Yn_rank[qi]
+            cos[qi] = -9
+            exact = set(np.argsort(-cos)[:k])
+            adc = Yhat @ Y[qi]
+            adc[qi] = -9e18
+            hits += len(exact & set(np.argsort(-adc)[:k]))
+        return {
+            "adc_recall": round(hits / (len(qs) * k), 3),
+            "qerr": round(float(((Y - Yhat) ** 2).sum()), 1),
+            "top_multiplicity": Counter(map(tuple, codes)).most_common(1)[0][1],
+        }
+
+    def opq_rotation(Yn, dsub, rounds=8):
+        dim = Yn.shape[1]
+        R = np.eye(dim)
+        for _ in range(rounds):
+            Y = Yn @ R
+            cents = kmeans_sub(Y, dsub, iters=5)
+            codes = encode(Y, cents, dsub)
+            Yhat = np.concatenate(
+                [cents[s][codes[:, s]] for s in range(m)], axis=1
+            )
+            U, _, Vt = np.linalg.svd(Yn.T @ Yhat)
+            R = U @ Vt
+        return R
+
+    def corpus(tag):
+        if tag == "degenerate_4blob":
+            rows = clustered_embedding_rows(6000, clusters=4, noise=0.05)
+        else:
+            rows = clustered_embedding_rows(6000)
+        X = np.array([r[2] for r in rows], dtype=np.float64)
+        ids = np.array([r[0] for r in rows])
+        if tag == "anisotropic":
+            # decaying variance spectrum hidden behind a fixed rotation —
+            # the textbook OPQ case a plain mixture lacks (hash-seeded
+            # fixtures are isotropic by construction)
+            dim = X.shape[1]
+            scale = 1.0 / np.sqrt(1.0 + np.arange(dim))
+            rng = np.random.default_rng(7)
+            Q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+            X = (X * scale) @ Q
+        return X / np.linalg.norm(X, axis=1, keepdims=True), ids
+
+    out: dict = {}
+    for tag in ("clustered", "degenerate_4blob", "anisotropic"):
+        Yn, ids = corpus(tag)
+        dsub = Yn.shape[1] // m
+        base = evaluate(Yn, Yn, ids, kmeans_sub(Yn, dsub), dsub)
+        R = opq_rotation(Yn, dsub)
+        Y = Yn @ R
+        rot = evaluate(Y, Yn, ids, kmeans_sub(Y, dsub), dsub)
+        out[tag] = {"identity": base, "opq": rot}
+    return out
+
+
+def bench_train_prep(spark) -> dict:
+    """r11 (VERDICT r10 #5): the composed end-to-end training-data job
+    measured against the sum of its stages at sf0.1 — the composition
+    must cost ~the stages, not multiply them (the plan shares the
+    documents scan and the purge runs over the kept subset only).
+    Records: composed wall (min of REPS after a warm-up), per-stage
+    walls on the same protocol, output row count, and the conservation
+    total (sum n_tok == surviving docs' token count, re-checked at this
+    scale)."""
+    from cloudcomputing_flink_application_spark.functions import text as X
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        clean_corpus,
+        pack_chunks,
+        training_prep,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def timed_min(fn) -> float:
+        times = []
+        for _ in range(REPS + 1):  # first run = JIT warm-up
+            spark.catalog.clearCache()
+            dedup.release_cached()
+            times.append(timed(fn))
+        return round(min(times[1:]), 3)
+
+    out: dict = {}
+
+    def run_composed():
+        training_prep(docs).write.mode("overwrite").format("noop").save()
+
+    out["composed_sec"] = timed_min(run_composed)
+    out["stage_sec"] = {
+        "clean": timed_min(
+            lambda: clean_corpus(docs)
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        ),
+        "purge_over_kept": timed_min(
+            lambda: dedup.minhash_purge_dedup(
+                docs.join(
+                    clean_corpus(docs)
+                    .filter("kept")
+                    .select("doc_id", "split"),
+                    "doc_id",
+                )
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        ),
+        "pack": timed_min(
+            lambda: pack_chunks(docs)
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        ),
+    }
+    rows = training_prep(docs).persist()
+    out["rows"] = rows.count()
+    got = rows.agg(F.sum("n_tok")).first()[0]
+    want = (
+        docs.join(rows.select("doc_id"), "doc_id")
+        .agg(F.sum(F.size(X.tokens("text"))))
+        .first()[0]
+    )
+    out["token_conservation"] = {"packed": int(got), "survivor_docs": int(want)}
+    rows.unpersist()
+    return out
+
+
 def bench_pq_dedup(spark) -> dict:
     """r11 (VERDICT r10 #2): dedup-before-index measured as the one
     command it now is (``pq-index --dedup-first`` =
@@ -2057,6 +2239,12 @@ def main() -> None:
         return
     if section == "pq-auto":
         print(json.dumps({"pq_auto": bench_pq_auto(spark)}))
+        return
+    if section == "opq":
+        print(json.dumps({"opq": bench_opq(spark)}))
+        return
+    if section == "train-prep":
+        print(json.dumps({"train_prep": bench_train_prep(spark)}))
         return
     if section == "pq-dedup":
         print(json.dumps({"pq_dedup": bench_pq_dedup(spark)}))

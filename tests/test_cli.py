@@ -1017,3 +1017,121 @@ def test_ivf_index_cli_drift_horizon(spark, tmp_path):
     with pytest.raises(SystemExit, match="streaming-only"):
         cli.main(["ivf-index", "--input", build_in, "--output", root,
                   "--drift-horizon", "2"])
+
+
+def test_train_data_cli_batch_conservation(spark, tmp_path):
+    """The end-to-end training-data job (r11): prep rows equal the
+    composed operator, and the shard store satisfies CONSERVATION —
+    every surviving doc (and so every surviving token) lands in exactly
+    one shard, n_tok is the doc's real token count, and a packed
+    sequence never splits across shards."""
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.functions import text as X
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        training_prep,
+    )
+    from tests.conftest import TESTDATA, rows_set
+
+    d_in = f"{TESTDATA}/sf0.01/documents.parquet"
+    root = str(tmp_path / "td")
+    cli.main(["train-data", "--input", d_in, "--output", root,
+              "--shards", "4"])
+    docs = spark.read.parquet(d_in)
+    prep = spark.read.parquet(f"{root}/prep")
+    assert rows_set(prep) == rows_set(training_prep(docs))
+
+    shards = spark.read.parquet(f"{root}/shards")
+    # every prep row in exactly one shard, nothing else
+    assert rows_set(shards.drop("shard")) == rows_set(prep)
+    assert shards.count() == shards.select("doc_id").distinct().count()
+    # token conservation: the shard store's n_tok sum equals the real
+    # token count of exactly the surviving docs, computed independently
+    surv_tokens = (
+        docs.join(shards.select("doc_id"), "doc_id")
+        .agg(F.sum(F.size(X.tokens("text"))).alias("t"))
+        .first()["t"]
+    )
+    assert shards.agg(F.sum("n_tok")).first()[0] == surv_tokens
+    # per-row integrity: n_tok is its own text's token count
+    bad = shards.filter(
+        F.col("n_tok") != F.size(X.tokens("text"))
+    ).count()
+    assert bad == 0
+    # pack atomicity: one pack chunk -> one shard
+    split_packs = (
+        shards.groupBy("pack_id")
+        .agg(F.countDistinct("shard").alias("ns"))
+        .filter("ns > 1")
+        .count()
+    )
+    assert split_packs == 0
+    # shard layout: one file per shard partition (the sink's contract)
+    import os
+
+    part_dirs = [d for d in os.listdir(f"{root}/shards") if d.startswith("shard=")]
+    assert 1 <= len(part_dirs) <= 4
+    for d in part_dirs:
+        files = [
+            f for f in os.listdir(f"{root}/shards/{d}") if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+
+
+def test_train_data_cli_streaming_matches_batch(spark, tmp_path):
+    """--streaming maintains the clean + purge stores incrementally
+    across invocations (two arrival batches here) and --materialize
+    composes them into the SAME prep/shard output the batch job writes
+    — the accumulated==batch contract for the whole composition."""
+    from tests.conftest import TESTDATA, rows_set
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        BENCH_MOD,
+    )
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").filter(
+        "doc_id < 300"
+    )
+    d_in = str(tmp_path / "docs_in")
+    # the benchmark slice is STATIC by the decontamination contract
+    # (run_clean_corpus_stream docstring) — all of it must be on disk
+    # before the first invocation, or early batches are cleared against
+    # a partial benchmark no later invocation re-checks
+    docs.filter(f"doc_id % {BENCH_MOD} == 0").write.parquet(
+        f"{d_in}/bench.parquet"
+    )
+    # non-benchmark corpus arrives in doc_id order, the assumption every
+    # incremental dedup stream here documents
+    docs.filter(f"doc_id % {BENCH_MOD} != 0 AND doc_id < 150").write.parquet(
+        f"{d_in}/a.parquet"
+    )
+    root = str(tmp_path / "stream")
+    # per-arrival-dir inputs need the glob, as with every file-source
+    # stream here (the source does not recurse into subdirectories)
+    src_glob = f"{d_in}/*"
+    cli.main(["train-data", "--input", src_glob, "--output", root, "--streaming"])
+    docs.filter(f"doc_id % {BENCH_MOD} != 0 AND doc_id >= 150").write.parquet(
+        f"{d_in}/b.parquet"
+    )
+    cli.main(["train-data", "--input", src_glob, "--output", root, "--streaming"])
+    cli.main(["train-data", "--input", src_glob, "--output", root,
+              "--materialize", "--shards", "3"])
+
+    batch_root = str(tmp_path / "batch")
+    cli.main(["train-data", "--input", src_glob, "--output", batch_root,
+              "--shards", "3"])
+    assert rows_set(spark.read.parquet(f"{root}/prep")) == rows_set(
+        spark.read.parquet(f"{batch_root}/prep")
+    )
+    assert rows_set(spark.read.parquet(f"{root}/shards")) == rows_set(
+        spark.read.parquet(f"{batch_root}/shards")
+    )
+    # conflict + missing-store guards
+    import pytest
+
+    with pytest.raises(SystemExit, match="separate invocations"):
+        cli.main(["train-data", "--input", src_glob, "--output", root,
+                  "--streaming", "--materialize"])
+    with pytest.raises(SystemExit, match="--materialize composes"):
+        cli.main(["train-data", "--input", src_glob,
+                  "--output", str(tmp_path / "empty"), "--materialize"])

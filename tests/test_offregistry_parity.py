@@ -63,6 +63,10 @@ OFF_REGISTRY = {
         multimodal.video_frame_sample,
         multimodal.VIDEO_FRAME_SAMPLE_SQL,
     ),
+    # r11 end-to-end training-data composition (clean -> purge -> pack);
+    # each stage is ALSO individually gated (clean/purge via the registry,
+    # pack via pipe_pack_chunks) — this pins the composed dataflow itself.
+    "off_training_prep": (pipeline.training_prep, pipeline.TRAINING_PREP_SQL),
 }
 
 # same gate over the embeddings table (components of dedup_embedding and
