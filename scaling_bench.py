@@ -1180,19 +1180,24 @@ def bench_olap_100x(spark) -> dict:
     results: dict = {}
     for name, fn in ops.items():
         by = {}
+        metrics = {}
         for s in (1, 100):
             d = str(WORK / f"tpch_x{s}")
             times = []
             for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
                 spark.catalog.clearCache()
                 dedup.release_cached()
+                mark = _stage_mark(spark)
                 times.append(timed(lambda: fn(d)))
+            # evidence from the LAST timed run (the steady state)
+            metrics[s] = _stage_metrics_since(spark, mark)
             by[s] = round(min(times[1:]), 3)
         results[name] = {
             "sec": by,
             "exponent_vs_1x": round(
                 math.log(by[100] / by[1]) / math.log(100), 2
             ),
+            "memory": metrics,
         }
     li100 = WORK / "tpch_x100" / "lineitem.parquet"
     footprint = sum(f.stat().st_size for f in li100.rglob("*") if f.is_file())
@@ -1232,6 +1237,53 @@ def timed(fn) -> float:
     t0 = time.time()
     fn()
     return time.time() - t0
+
+
+def _ui_stages(spark) -> list[dict]:
+    """Completed-stage records from the Spark UI REST API (the bench
+    session enables the UI for exactly this — the test sessions keep it
+    off).  Empty list when the UI is off, so callers degrade to
+    no-evidence rather than failing the measurement."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return []
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete"
+        ) as r:
+            return _json.load(r)
+    except Exception:
+        return []
+
+
+def _stage_mark(spark) -> int:
+    """Highest completed stageId — the window anchor for
+    :func:`_stage_metrics_since`."""
+    return max((s["stageId"] for s in _ui_stages(spark)), default=-1)
+
+
+def _stage_metrics_since(spark, mark: int) -> dict:
+    """Memory/spill evidence for every stage completed after ``mark``
+    (r11, VERDICT r10 #6): summed memory/disk spill bytes and the max
+    per-stage peak execution memory — the columns that turn the
+    'no spill' log claims at the 100x points into recorded data."""
+    stages = [s for s in _ui_stages(spark) if s["stageId"] > mark]
+    return {
+        "spill_mem_bytes": int(
+            sum(s.get("memoryBytesSpilled", 0) for s in stages)
+        ),
+        "spill_disk_bytes": int(
+            sum(s.get("diskBytesSpilled", 0) for s in stages)
+        ),
+        "peak_execution_memory": int(
+            max((s.get("peakExecutionMemory", 0) for s in stages), default=0)
+        ),
+        "n_stages": len(stages),
+    }
 
 
 def bench_clustered_ann(spark) -> dict:
@@ -1336,7 +1388,11 @@ def bench_pq(spark) -> dict:
             # the full IVFADC composition: nprobe-of-K cell pruning THEN
             # ADC over codes THEN rerank — candidates AND bytes both cut
             "ivfpq_sec": lambda: noop(
-                similarity.ivfpq_topk(e, shortlist=similarity.PQ_SHORTLIST)
+                similarity.ivfpq_topk(
+                    e,
+                    nprobe=similarity.NPROBE,  # r9-vintage pin (r11 auto)
+                    shortlist=similarity.PQ_SHORTLIST,
+                )
             ),
         }.items():
             times = []
@@ -1387,7 +1443,8 @@ def bench_pq(spark) -> dict:
         ).select("query_id", "neighbor_id")
         hits = exact.join(rer, ["query_id", "neighbor_id"]).count()
         ivfpq = similarity.ivfpq_topk(
-            e, shortlist=similarity.PQ_SHORTLIST
+            e, nprobe=similarity.NPROBE,  # r9-vintage pin (r11 auto)
+            shortlist=similarity.PQ_SHORTLIST,
         ).select("query_id", "neighbor_id")
         ivfpq_hits = exact.join(ivfpq, ["query_id", "neighbor_id"]).count()
         out["density_controlled"][s] = {
@@ -1773,19 +1830,23 @@ def bench_olap_join_100x(spark) -> dict:
     results: dict = {}
     for name, fn in ops.items():
         by = {}
+        metrics = {}
         for s in (1, 100):
             d = str(WORK / f"tpch_x{s}")
             times = []
             for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
                 spark.catalog.clearCache()
                 dedup.release_cached()
+                mark = _stage_mark(spark)
                 times.append(timed(lambda: fn(d)))
+            metrics[s] = _stage_metrics_since(spark, mark)
             by[s] = round(min(times[1:]), 3)
         results[name] = {
             "sec": by,
             "exponent_vs_1x": round(
                 math.log(by[100] / by[1]) / math.log(100), 2
             ),
+            "memory": metrics,
         }
     return results
 
@@ -2019,6 +2080,7 @@ def bench_pq_skew(spark) -> dict:
                             ivf_root,
                             pq_root,
                             embs,
+                            nprobe=similarity.NPROBE,  # r10-vintage pin
                             shortlist=similarity.PQ_SHORTLIST,
                         ).count()
                     )
@@ -2074,21 +2136,26 @@ def bench_pq_serve(spark) -> dict:
             # add the stats pass to both arms); pq-auto prices auto
             retrain = run(
                 lambda: similarity.ivfpq_topk(
-                    embs, shortlist=similarity.PQ_SHORTLIST
-                )
-            )
-            served = run(
-                lambda: similarity.ivfpq_topk_from_index(
-                    spark, ivf_root, pq_root, embs,
+                    embs, nprobe=similarity.NPROBE,  # r9-vintage pin
                     shortlist=similarity.PQ_SHORTLIST,
                 )
             )
+            mark = _stage_mark(spark)
+            served = run(
+                lambda: similarity.ivfpq_topk_from_index(
+                    spark, ivf_root, pq_root, embs,
+                    nprobe=similarity.NPROBE,  # r9-vintage pin
+                    shortlist=similarity.PQ_SHORTLIST,
+                )
+            )
+            served_memory = _stage_metrics_since(spark, mark)
             out[f"x{s}"] = {
                 "n_vectors": embs.count(),
                 "query_retrain_sec": retrain,
                 "query_from_index_sec": served,
                 "speedup": round(retrain / served, 2),
                 "one_time_build_sec": round(build_sec, 3),
+                "served_memory": served_memory,
             }
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
@@ -2194,7 +2261,12 @@ def main() -> None:
     import sys
 
     section = sys.argv[1] if len(sys.argv) > 1 else "all"
-    spark = get_spark(app_name="scaling-bench")
+    # UI on for this session only: the REST stage metrics are the source
+    # of the r11 memory/spill evidence columns (test sessions keep it off)
+    spark = get_spark(
+        app_name="scaling-bench",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "5000"},
+    )
     WORK.mkdir(exist_ok=True)
     if section == "clustered":
         build_clustered()
