@@ -101,6 +101,50 @@ def _saturated_vendor(args: argparse.Namespace) -> None:
         sinks.show(out)
 
 
+def _launch_clean_stream(
+    spark,
+    input_path: str,
+    flags_dir: str,
+    chk_dir: str,
+    hashes_dir: str,
+    horizon_batches: int | None = None,
+) -> None:
+    """ONE definition of the incremental clean launch (corpus-clean
+    --streaming and train-data --streaming; r11 review — two verbatim
+    copies of the benchmark-slice read + stream wiring could drift, and
+    the decontamination contract lives exactly here): the STATIC
+    benchmark slice comes from the same input directory, and the stream
+    runs to exhaustion of the currently-available files."""
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        BENCH_MOD,
+    )
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        run_clean_corpus_stream,
+    )
+
+    bench = (
+        spark.read.schema(schemas.DOCUMENTS)
+        .parquet(input_path)
+        .filter(F.col("doc_id") % BENCH_MOD == 0)
+    )
+    q = run_clean_corpus_stream(
+        spark,
+        spark.readStream.schema(schemas.DOCUMENTS).parquet(input_path),
+        bench,
+        flags_dir,
+        chk_dir,
+        hashes_dir,
+        horizon_batches=horizon_batches,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def _corpus_clean(args: argparse.Namespace) -> None:
     """The LLM-data-pipeline job surface: run the composed cleaning pipeline
     (quality -> repetition -> decontam -> survivor dedup -> split) over a
@@ -119,7 +163,6 @@ def _corpus_clean(args: argparse.Namespace) -> None:
     bounds that state to the trailing N batches (dedup-within-horizon).
     """
     from cloudcomputing_flink_application_spark.operators.pipeline import (
-        BENCH_MOD,
         clean_corpus,
     )
 
@@ -146,31 +189,14 @@ def _corpus_clean(args: argparse.Namespace) -> None:
             print("warning: --show is batch-only; streaming mode writes sinks only")
         if getattr(args, "shards", None) is not None:
             print("warning: --shards is batch-only; streaming mode writes flags only")
-        from pyspark.sql import functions as F
-
-        from cloudcomputing_flink_application_spark import schemas
-        from cloudcomputing_flink_application_spark.streaming.jobs import (
-            run_clean_corpus_stream,
-        )
-
-        bench = (
-            spark.read.schema(schemas.DOCUMENTS)
-            .parquet(args.input)
-            .filter(F.col("doc_id") % BENCH_MOD == 0)
-        )
-        q = run_clean_corpus_stream(
+        _launch_clean_stream(
             spark,
-            spark.readStream.schema(schemas.DOCUMENTS).parquet(args.input),
-            bench,
+            args.input,
             f"{args.output}/flags",
             f"{args.output}/_chk",
             f"{args.output}/_state/hashes",
             horizon_batches=args.horizon_batches,
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
         return
     docs = spark.read.parquet(args.input)
     out = clean_corpus(docs)
@@ -247,39 +273,25 @@ def _train_data(args: argparse.Namespace) -> None:
     if args.streaming:
         import os
 
-        from pyspark.sql import functions as F
-
         from cloudcomputing_flink_application_spark import schemas
-        from cloudcomputing_flink_application_spark.operators.pipeline import (
-            BENCH_MOD,
-        )
         from cloudcomputing_flink_application_spark.streaming.jobs import (
-            run_clean_corpus_stream,
             run_purge_dedup_stream,
         )
 
+        if args.show:
+            print("warning: --show is batch-only; streaming mode writes sinks only")
         if getattr(args, "shards", None) is not None:
             print(
                 "warning: --shards is batch/--materialize-only; streaming "
                 "maintains the stores"
             )
-        bench = (
-            spark.read.schema(schemas.DOCUMENTS)
-            .parquet(args.input)
-            .filter(F.col("doc_id") % BENCH_MOD == 0)
-        )
-        q = run_clean_corpus_stream(
+        _launch_clean_stream(
             spark,
-            spark.readStream.schema(schemas.DOCUMENTS).parquet(args.input),
-            bench,
+            args.input,
             f"{args.output}/clean/flags",
             f"{args.output}/clean/_chk",
             f"{args.output}/clean/_state/hashes",
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
         if not os.path.isdir(f"{args.output}/clean/flags"):
             print("no documents arrived; purge stage has nothing to do")
             return
@@ -866,6 +878,14 @@ def _pq_index(args: argparse.Namespace) -> None:
         )
     if args.dedup_cos is not None and not args.dedup_first:
         raise SystemExit("--dedup-cos requires --dedup-first")
+    if args.dedup_cos is not None and not 0.0 < args.dedup_cos < 1.0:
+        # a typo'd bar (-0.9, 0.09, 9.5) silently over- or under-purges
+        # the corpus the index then trains on — destructive, so loud,
+        # like every other pre-Spark guard here (r11 review)
+        raise SystemExit(
+            f"--dedup-cos must be a cosine strictly inside (0, 1), "
+            f"got {args.dedup_cos}"
+        )
     # --input is per-mode for this job (ADVICE r10): the build,
     # --streaming, --encode-only, and --report paths read it; the
     # maintenance/report modes (--compact, --shortlist-report, --forget)
@@ -1042,11 +1062,10 @@ def _ivfpq_search_job(args: argparse.Namespace) -> None:
             args.pq_root,
             spark.read.parquet(args.input),
             k=args.k if args.k is not None else similarity.TOPK,
-            nprobe=(
-                args.nprobe if args.nprobe is not None else similarity.NPROBE
-            ),
-            # None -> auto_shortlist from the stored codes' measured
-            # blob density (r10); an explicit --shortlist pins it
+            # None -> auto for both decisions (auto_shortlist r10,
+            # auto_nprobe r11 — one fused stats pass over the stored
+            # index rows); explicit flags pin them
+            nprobe=args.nprobe,
             shortlist=args.shortlist,
         )
     except ValueError as e:
@@ -1352,7 +1371,9 @@ def main(argv: list[str] | None = None) -> None:
             )
             sp.add_argument(
                 "--nprobe", type=int, default=None,
-                help="IVF cells probed per query (default: the operator's "
+                help="IVF cells probed per query (default: auto-sized "
+                "from the top near-dup blob's measured cell spread over "
+                "the stored index rows, floored at the operator's "
                 "NPROBE)",
             )
             sp.add_argument(

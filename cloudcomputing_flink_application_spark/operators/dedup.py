@@ -1737,9 +1737,18 @@ def embedding_purge_dedup(
     if n == 0:
         return embeddings
     planes = auto_band_width(n) * HP_BANDS
-    norms = _hp_norms(embeddings)
-    rows = _hp_band_rows(norms, dim, planes, HP_BANDS).withColumn(
-        "salt", F.pmod("vec_id", F.lit(int(math.ceil(math.sqrt(n)))))
+    # shared-frame persists (the minhash twins' `bands = _persist(...)`
+    # pattern; caching contract as everywhere in this module — entries
+    # are released by release_cached()/clearCache(), not here): norms
+    # feeds the band projection AND both cosine-verify sides, the band
+    # rows feed the level-0 chain AND the salt-group mins — unpersisted,
+    # the n x planes plane-dot projection ran twice and the corpus
+    # normalization four times per purge (r11 review).
+    norms = _persist(_hp_norms(embeddings))
+    rows = _persist(
+        _hp_band_rows(norms, dim, planes, HP_BANDS).withColumn(
+            "salt", F.pmod("vec_id", F.lit(int(math.ceil(math.sqrt(n)))))
+        )
     )
     w0 = Window.partitionBy("band", "key", "salt").orderBy("vec_id")
     chain0 = rows.withColumn("rep", F.lag("vec_id").over(w0))

@@ -2111,20 +2111,23 @@ def run_ivfpq_search_stream(
     # validate the search geometry HERE, not in the first micro-batch:
     # a bad k/shortlist is a usage error and must surface as one, not
     # as a StreamingQueryException mid-stream (r9 review catch).
-    # shortlist=None stays None: each micro-batch auto-sizes from the
-    # codes store AS IT STANDS (auto_shortlist — the estimate tracks
-    # appends/forgets between batches, like every other search stage),
-    # and auto floors at max(PQ_SHORTLIST, k), so only an explicit
-    # shortlist can conflict with k
+    # shortlist=None and nprobe=None stay None: each micro-batch
+    # auto-sizes from the stores AS THEY STAND (auto_shortlist /
+    # auto_nprobe over the one fused stats pass — the estimates track
+    # appends/forgets between batches, like every other search stage;
+    # r11 review: coercing nprobe to the fixed NPROBE here kept the
+    # auto rule away from the one long-lived surface it was built for),
+    # and auto floors at max(PQ_SHORTLIST, k) / NPROBE, so only
+    # explicit values can conflict with k or fall below 1
     k_eff = k if k is not None else TOPK
     shortlist_eff = shortlist
-    nprobe_eff = nprobe if nprobe is not None else NPROBE
+    nprobe_eff = nprobe
     if k_eff < 1 or (shortlist_eff is not None and k_eff > shortlist_eff):
         raise ValueError(
             f"need 1 <= k <= shortlist, got k={k_eff} "
             f"shortlist={shortlist_eff}"
         )
-    if nprobe_eff < 1:
+    if nprobe_eff is not None and nprobe_eff < 1:
         # nprobe <= 0 keeps zero probes: every batch would "succeed"
         # with an empty result forever (r9 review)
         raise ValueError(f"need nprobe >= 1, got {nprobe_eff}")

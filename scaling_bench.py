@@ -1514,8 +1514,14 @@ def bench_pq_auto(spark) -> dict:
                 "recall": round(hits / total, 3),
                 "wall_sec": round(time.time() - t0, 3),
             }
-        # the composed IVFADC path inherits the same default
-        ivfpq = similarity.ivfpq_topk(e).select("query_id", "neighbor_id")
+        # the composed IVFADC path inherits the same shortlist default;
+        # nprobe pinned to the r10 vintage this row was recorded under
+        # (the r11 auto default is value-identical on these fixtures —
+        # spreads sit under the 40 floor — but vintage pins are the
+        # protocol, r11 review)
+        ivfpq = similarity.ivfpq_topk(e, nprobe=similarity.NPROBE).select(
+            "query_id", "neighbor_id"
+        )
         hits = exact.join(ivfpq, ["query_id", "neighbor_id"]).count()
         entry["ivfpq_auto_recall"] = round(hits / total, 3)
         out[tag] = entry
@@ -2123,11 +2129,18 @@ def bench_pq_serve(spark) -> dict:
                 )
             )
 
-            def run(fn):
+            def run(fn, marks=None):
                 times = []
                 for _ in range(REPS + 1):
                     spark.catalog.clearCache()
                     similarity.release_cached()
+                    if marks is not None:
+                        # re-anchor per rep so the caller's metrics
+                        # window covers exactly the LAST run — the
+                        # steady state the timing columns also keep
+                        # (r11 review: one pre-loop anchor summed spill
+                        # across all runs, warm-up included)
+                        marks[0] = _stage_mark(spark)
                     times.append(timed(lambda: fn().count()))
                 return round(min(times[1:]), 3)
 
@@ -2140,15 +2153,16 @@ def bench_pq_serve(spark) -> dict:
                     shortlist=similarity.PQ_SHORTLIST,
                 )
             )
-            mark = _stage_mark(spark)
+            mark = [_stage_mark(spark)]
             served = run(
                 lambda: similarity.ivfpq_topk_from_index(
                     spark, ivf_root, pq_root, embs,
                     nprobe=similarity.NPROBE,  # r9-vintage pin
                     shortlist=similarity.PQ_SHORTLIST,
-                )
+                ),
+                marks=mark,
             )
-            served_memory = _stage_metrics_since(spark, mark)
+            served_memory = _stage_metrics_since(spark, mark[0])
             out[f"x{s}"] = {
                 "n_vectors": embs.count(),
                 "query_retrain_sec": retrain,
