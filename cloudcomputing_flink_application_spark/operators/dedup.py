@@ -1622,7 +1622,7 @@ def _hp_band_rows(
 ) -> DataFrame:
     """``(vec_id, band, key)`` hyperplane-LSH bucket rows — the ONE
     definition of the signature layout, shared by the all-pairs analysis
-    operator (``embedding_lsh_dedup``) and the star-edge purge path
+    operator (``embedding_lsh_dedup``) and the bucket-chain purge path
     (``embedding_purge_dedup``), so the two can never block on
     different buckets."""
     rows_per_band = planes // bands

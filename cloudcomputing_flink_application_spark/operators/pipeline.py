@@ -1274,8 +1274,14 @@ def training_prep(documents: DataFrame) -> DataFrame:
     )
 
     flags = clean_corpus(documents)
-    kept_docs = documents.join(
-        flags.filter(F.col("kept")).select("doc_id", "split"), "doc_id"
+    # three consumers read the kept docs (the purge's token-set prep and
+    # both branches of the packing tail) — unpersisted, the whole clean
+    # plan re-ran per consumer (r11 simplify pass).  Caching contract as
+    # everywhere: released by dedup.release_cached()/clearCache().
+    kept_docs = _persist(
+        documents.join(
+            flags.filter(F.col("kept")).select("doc_id", "split"), "doc_id"
+        )
     )
     surv = minhash_purge_dedup(kept_docs).select("doc_id")
     return packed_training_rows(kept_docs.join(surv, "doc_id"))
