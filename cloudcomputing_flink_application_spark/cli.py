@@ -247,7 +247,17 @@ def _train_data(args: argparse.Namespace) -> None:
 
     ``--materialize`` (streams stopped): compose the two stores into the
     SAME prep/shard output the batch job writes — pinned equal in
-    tests/test_cli.py."""
+    tests/test_cli.py.
+
+    ``--forget ID[,ID...]`` (streams stopped): compliance deletion
+    through the COMPOSED state — the clean survivor-hash rows
+    (``forget_docs_clean``: the content-derived trace; the text
+    re-seeds as uniq if it ever returns) and the purge stores + emitted
+    table (``forget_docs``: signatures removed, survivor edges
+    re-derived, so a forgotten cluster REP hands the cluster to the
+    next survivor).  The prep/shard output still holds the old rows —
+    re-run ``--materialize`` to rewrite it without them (printed as a
+    reminder)."""
     from cloudcomputing_flink_application_spark.operators import pipeline
 
     if args.streaming and args.materialize:
@@ -255,7 +265,47 @@ def _train_data(args: argparse.Namespace) -> None:
             "--materialize reads the stores a stopped --streaming run "
             "maintains; run them as separate invocations"
         )
+    if getattr(args, "forget", None) and (args.streaming or args.materialize):
+        # dispatched first below, so a combined flag would silently skip
+        # the other action (the pq-index --shortlist-report lesson)
+        raise SystemExit(
+            "--forget is a standalone stream-stopped action; run "
+            "--materialize (or --streaming) as a separate invocation"
+        )
     spark = get_spark(app_name="train-data")
+    if getattr(args, "forget", None):
+        import os
+
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            forget_docs,
+            forget_docs_clean,
+        )
+
+        for sub in ("clean/_state/hashes", "purge/_state"):
+            if not os.path.isdir(f"{args.output}/{sub}"):
+                raise SystemExit(
+                    f"no {sub} store under {args.output} — --forget "
+                    "operates on a train-data --streaming output root"
+                )
+        ids = [int(x) for x in args.forget.split(",") if x.strip()]
+        forget_docs_clean(
+            spark,
+            f"{args.output}/clean/_state/hashes",
+            ids,
+            f"{args.output}/clean/_chk",
+        )
+        forget_docs(
+            spark,
+            f"{args.output}/purge/_state",
+            ids,
+            f"{args.output}/purge/_chk",
+            purge_dir=f"{args.output}/purge/table",
+        )
+        print(
+            f"forgot {len(ids)} doc(s) from the clean + purge stores; "
+            "re-run --materialize to rewrite prep/shards without them"
+        )
+        return
     prep_dir = f"{args.output}/prep"
 
     def write_outputs(rows) -> None:
@@ -668,6 +718,25 @@ def _ivf_index(args: argparse.Namespace) -> None:
             "--drift-horizon is streaming-only (it ages the drift store "
             "as batches land)"
         )
+    if (args.dedup_first or args.dedup_cos is not None) and (
+        args.streaming or args.forget or args.report or args.compact
+        or args.rebuild_if_drift is not None
+    ):
+        # same contract as pq-index: the purge changes WHICH vectors
+        # exist, so it composes only with training a fresh artifact
+        # (a drift rebuild re-reads --input under the ORIGINAL corpus
+        # contract — dedup there would silently shrink the store)
+        raise SystemExit(
+            "--dedup-first (and --dedup-cos) apply to the build mode "
+            "only — dedup the corpus, then build from survivors"
+        )
+    if args.dedup_cos is not None and not args.dedup_first:
+        raise SystemExit("--dedup-cos requires --dedup-first")
+    if args.dedup_cos is not None and not 0.0 < args.dedup_cos < 1.0:
+        raise SystemExit(
+            f"--dedup-cos must be a cosine strictly inside (0, 1), "
+            f"got {args.dedup_cos}"
+        )
     spark = get_spark(app_name="ivf-index")
     if args.compact:
         _compact_store_cli(spark, args.output, "assignments", "index")
@@ -807,13 +876,23 @@ def _ivf_index(args: argparse.Namespace) -> None:
         finally:
             q.stop()
         return
+    corpus = spark.read.parquet(args.input)
+    if args.dedup_first:
+        from cloudcomputing_flink_application_spark.operators import dedup
+
+        corpus = dedup.embedding_purge_dedup(
+            corpus,
+            cos_dup=(
+                args.dedup_cos if args.dedup_cos is not None else EMB_NEARDUP_COS
+            ),
+        )
     # Pass the stream checkpoint the --streaming path uses: a rebuild while
     # that checkpoint holds an uncommitted batch would let the replay append
     # vectors the new batch 0 already contains (duplicate index rows).
     # _latest_numbered reads a missing checkpoint as -1, so a never-streamed
     # root builds without friction.
     similarity.build_ivf_index(
-        spark.read.parquet(args.input), args.output,
+        corpus, args.output,
         iters=args.iters if args.iters is not None else 0,
         checkpoint_dir=f"{args.output}/_chk",
     )
@@ -1162,6 +1241,14 @@ def main(argv: list[str] | None = None) -> None:
                 "a --streaming run maintains into the same <output>/prep "
                 "(+ --shards) the batch job writes",
             )
+            sp.add_argument(
+                "--forget", default=None, metavar="ID[,ID...]",
+                help="compliance deletion through the composed state "
+                "(streams stopped): remove the doc_ids from the clean "
+                "survivor-hash store AND the purge stores/table; re-run "
+                "--materialize afterwards to rewrite prep/shards "
+                "without them",
+            )
         if name == "corpus-clean":
             sp.add_argument(
                 "--forget", default=None, metavar="ID[,ID...]",
@@ -1232,6 +1319,21 @@ def main(argv: list[str] | None = None) -> None:
                 "state partitions are aged out)",
             )
         if name == "ivf-index":
+            sp.add_argument(
+                "--dedup-first", action="store_true",
+                help="purge near-duplicate vectors before the build "
+                "(embedding_purge_dedup — the pq-index twin, r11): both "
+                "roots of an IVFADC deployment should be built over the "
+                "SAME survivor corpus (the from-index search inner-joins "
+                "the stores, so a vector present in only one drops from "
+                "candidates; deduping both keeps stores, ref_stats and "
+                "drift aligned with what is served); build mode only",
+            )
+            sp.add_argument(
+                "--dedup-cos", type=float, default=None, metavar="C",
+                help="near-dup cosine bar for --dedup-first "
+                "(default %.2f)" % EMB_NEARDUP_COS,
+            )
             sp.add_argument(
                 "--iters", type=int, default=None,
                 help="k-means refinement iterations for the build "

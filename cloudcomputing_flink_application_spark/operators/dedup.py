@@ -1620,11 +1620,14 @@ def _hp_norms(embeddings: DataFrame) -> DataFrame:
 def _hp_band_rows(
     norms: DataFrame, dim: int, planes: int, bands: int
 ) -> DataFrame:
-    """``(vec_id, band, key)`` hyperplane-LSH bucket rows — the ONE
+    """``(vec_id, band, key, sig)`` hyperplane-LSH bucket rows — the ONE
     definition of the signature layout, shared by the all-pairs analysis
-    operator (``embedding_lsh_dedup``) and the bucket-chain purge path
-    (``embedding_purge_dedup``), so the two can never block on
-    different buckets."""
+    operator (``embedding_lsh_dedup``, which prunes the unused ``sig``)
+    and the bucket-chain purge path (``embedding_purge_dedup``, whose
+    chains SORT by it), so the two can never block on different
+    buckets.  ``sig`` is the vector's FULL signature (every band key,
+    comma-joined) — near-identical vectors share it exactly or almost,
+    so a sig sort clusters them adjacently inside a coarse bucket."""
     rows_per_band = planes // bands
     bits = [
         F.when(
@@ -1654,7 +1657,8 @@ def _hp_band_rows(
                 ]
             )
         ).alias("bk"),
-    ).select("vec_id", "bk.band", "bk.key")
+        F.concat_ws(",", *band_keys).alias("sig"),
+    ).select("vec_id", "bk.band", "bk.key", "sig")
 
 
 def _cosine_verified(
@@ -1720,16 +1724,27 @@ def embedding_purge_dedup(
     to it, every link fails the cosine verify, the blob never
     connects; measured on the 800-blob fixture: 458 of 800 left
     unlinked).  A chain loses only the two links adjacent to each
-    impostor, and the blob's members stay mutually connected; splits
-    need the SAME id-gap broken in all ``bands`` bands at once.
+    impostor.  Chains sort by (FULL signature, vec_id), not vec_id
+    alone: near-identical vectors share the signature (exactly or
+    almost), so they sort ADJACENT inside a coarse bucket and their
+    links verify — id order left scattered duplicates separated by
+    unrelated members, every intermediate link failing (caught by the
+    r11 ivf --dedup-first test: 40 exact dups at +1000 id offsets, zero
+    purged).
+
+    Recall contract: EXACT duplicates are guaranteed independently of
+    banding or sort adjacency by the hash edges — one O(n) partial-agg
+    groupBy on the exact vector bytes linking every copy to its min-id
+    twin (the ``exact_dedup`` shape; no window, no straggler, any blob
+    size).  Noisy near-dups are probabilistic via banding + sig
+    adjacency, the analytic trade every LSH stage here documents.
 
     Straggler bound (the pq-skew lesson): a corpus-scale blob is ONE
     bucket, and a bucket-wide window sort would put the whole blob in
     one task.  The chain is therefore two-level with a ~sqrt(n) id
     salt: level 0 chains within (band, key, vec_id % s), level 1
-    chains each salt group's min across the bucket — every window
-    partition is bounded by ~sqrt(n) rows whatever the blob share,
-    and the two levels connect exactly what one chain would.
+    chains each salt group's head across the bucket — every window
+    partition is bounded by ~sqrt(n) rows whatever the blob share.
 
     Output: the input rows (schema unchanged) minus purged near-dups —
     feed straight into ``build_pq_index``/``build_ivf_index``."""
@@ -1750,22 +1765,37 @@ def embedding_purge_dedup(
             "salt", F.pmod("vec_id", F.lit(int(math.ceil(math.sqrt(n)))))
         )
     )
-    w0 = Window.partitionBy("band", "key", "salt").orderBy("vec_id")
+    w0 = Window.partitionBy("band", "key", "salt").orderBy("sig", "vec_id")
     chain0 = rows.withColumn("rep", F.lag("vec_id").over(w0))
-    mins = rows.groupBy("band", "key", "salt").agg(
-        F.min("vec_id").alias("vec_id")
-    )
-    w1 = Window.partitionBy("band", "key").orderBy("vec_id")
-    chain1 = mins.withColumn("rep", F.lag("vec_id").over(w1))
+    heads = rows.groupBy("band", "key", "salt").agg(
+        F.min(F.struct("sig", "vec_id")).alias("_h")
+    ).select("band", "key", F.col("_h.sig").alias("sig"), F.col("_h.vec_id").alias("vec_id"))
+    w1 = Window.partitionBy("band", "key").orderBy("sig", "vec_id")
+    chain1 = heads.withColumn("rep", F.lag("vec_id").over(w1))
     cand = (
         chain0.select("vec_id", "rep")
         .unionByName(chain1.select("vec_id", "rep"))
         .filter(F.col("rep").isNotNull())
         .distinct()
     )
-    edges = _cosine_verified(cand, norms, "vec_id", "rep", cos_dup).select(
+    chain_edges = _cosine_verified(cand, norms, "vec_id", "rep", cos_dup).select(
         F.col("vec_id").alias("u"), F.col("rep").alias("v")
     )
+    # exact-duplicate hash edges: identical vector bytes link straight to
+    # their min-id twin — one partial-agg groupBy, no window, any blob
+    # size/id layout; exact equality needs no cosine verify (and an md5
+    # collision is the same accepted risk as every text-hash dedup here)
+    hashed = norms.select(
+        "vec_id", F.md5(F.col("emb").cast("string")).alias("_h")
+    )
+    exact_edges = (
+        hashed.join(
+            hashed.groupBy("_h").agg(F.min("vec_id").alias("v")), "_h"
+        )
+        .filter(F.col("vec_id") != F.col("v"))
+        .select(F.col("vec_id").alias("u"), "v")
+    )
+    edges = chain_edges.unionByName(exact_edges)
     # (node, root) holds one row per NON-root member of every component;
     # roots and singletons never appear — exactly the purge set.
     purged = connected_components(edges).select(F.col("node").alias("vec_id"))

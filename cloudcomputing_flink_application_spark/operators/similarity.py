@@ -1168,6 +1168,19 @@ PQ_SHORTLIST_CAP = 8192  # auto-shortlist ceiling: the shortlist frame
 #: :func:`ivfpq_topk_from_index` for the three-way measurement.
 IVFPQ_SPREAD_SALT = 8
 
+#: Rerank broadcast ceiling in ROWS (r11): the rerank stage broadcasts
+#: the (|queries| x shortlist) candidate frame into the corpus
+#: equi-join, and that hash relation lives on the driver AND every
+#: executor — measured: 810 queries x the 8192 shortlist cap (6.6M
+#: rows) blew an 8g driver outright (SCALING.md pq-dedup note).  Past
+#: this ceiling the AUTO paths fall back to the planner's shuffled
+#: equi-join — the corpus side pays one exchange, which is the honest
+#: price of a candidate set that no longer fits a broadcast.  Explicit
+#: (nprobe, shortlist) calls never evaluate the gate (no new count job
+#: on vintage-pinned or oracle-hashed paths; their candidate frames are
+#: caller-sized).
+RERANK_BROADCAST_MAX_ROWS = 4_000_000
+
 
 def auto_shortlist(n: int, top_blob: int) -> int:
     """Rerank shortlist size for an ``n``-vector corpus whose largest
@@ -1751,6 +1764,7 @@ def pq_topk_rerank(
             f"need 1 <= k <= shortlist, got k={k} shortlist={shortlist}"
         )
     cb = codebook
+    auto = shortlist is None
     if shortlist is None:
         if cb is None:
             # The auto-size stats pass and the search below must share
@@ -1771,7 +1785,11 @@ def pq_topk_rerank(
         enc = _persist(
             _pq_encoded(_normed(embeddings), packed, m)
         )
-        shortlist = max(k, _auto_shortlist_for(enc.select("codes")))
+        n_corpus, top_blob = _code_blob_stats(enc.select("codes"))
+        shortlist = max(
+            k,
+            auto_shortlist(n_corpus, top_blob) if n_corpus else PQ_SHORTLIST,
+        )
     short = pq_topk(embeddings, shortlist, m, ksub, iters, cb).select(
         "query_id", "neighbor_id"
     )
@@ -1783,8 +1801,19 @@ def pq_topk_rerank(
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
     )
+    # rerank broadcast gate (r11, auto path only — the stats pass is
+    # already paying per-call jobs there): |queries| x shortlist rows
+    # past RERANK_BROADCAST_MAX_ROWS fall back to the planner's
+    # shuffled join (measured: the 8192 cap at an 810-query batch blew
+    # an 8g driver); explicit-shortlist calls keep the historical plan
+    cand_frame = short.join(queries, "query_id")
+    # the query count is the stride sample's size, estimated from the
+    # corpus count the stats pass already produced — no extra scan
+    n_q_est = (n_corpus // QUERY_STRIDE + 1) if auto else 0
+    if not auto or n_q_est * shortlist <= RERANK_BROADCAST_MAX_ROWS:
+        cand_frame = F.broadcast(cand_frame)
     scored = (
-        F.broadcast(short.join(queries, "query_id"))
+        cand_frame
         .join(base, F.col("vec_id") == F.col("neighbor_id"))
         .select(
             "query_id",
@@ -2143,7 +2172,8 @@ def ivfpq_topk(
             "codes"
         ),
     )
-    if shortlist is None or nprobe is None:
+    auto = shortlist is None or nprobe is None
+    if auto:
         # persist the compact index rows first: the estimate's .first()
         # and the ADC search both consume them, and an unpersisted
         # lineage would run the assignment-join + encode twice (r10
@@ -2166,8 +2196,15 @@ def ivfpq_topk(
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
     )
+    # rerank broadcast gate (auto paths only; the stride query count is
+    # estimated from the corpus count the stats pass already produced —
+    # no extra job; explicit-knob calls keep the historical plan)
+    rerank_rows = (
+        (n_corpus // QUERY_STRIDE + 1) * shortlist if auto else None
+    )
     return _ivfpq_search(
-        cents, packed, coded, queries, base, k, nprobe, shortlist, m
+        cents, packed, coded, queries, base, k, nprobe, shortlist, m,
+        rerank_rows=rerank_rows,
     )
 
 
@@ -2181,6 +2218,7 @@ def _ivfpq_search(
     nprobe: int,
     shortlist: int,
     m: int,
+    rerank_rows: int | None = None,
 ) -> DataFrame:
     """The IVFADC search stages (probe -> ADC -> rerank), shared by the
     in-memory :func:`ivfpq_topk` and the stored-artifact
@@ -2262,8 +2300,17 @@ def _ivfpq_search(
     # exact rerank of the shortlist: the only raw-vector reads besides
     # the query set (same ``queries`` frame the probe stage used — ONE
     # definition, so the probe and rerank query sets cannot diverge)
+    # broadcast gate (r11): ``rerank_rows`` is the caller's exact
+    # |queries| x shortlist candidate count (the auto paths know both);
+    # past RERANK_BROADCAST_MAX_ROWS the hash relation threatens the
+    # driver/executor heap (measured OOM at the 8192 cap), so the join
+    # falls back to the planner's shuffled form.  None (explicit-knob
+    # callers) keeps the historical forced broadcast.
+    cand_frame = short.join(queries, "query_id")
+    if rerank_rows is None or rerank_rows <= RERANK_BROADCAST_MAX_ROWS:
+        cand_frame = F.broadcast(cand_frame)
     rescored = (
-        F.broadcast(short.join(queries, "query_id"))
+        cand_frame
         .join(base, F.col("vec_id") == F.col("neighbor_id"))
         .select(
             "query_id",
@@ -2427,7 +2474,8 @@ def ivfpq_topk_from_index(
         F.col("cluster"),
         F.pmod(F.col("vec_id"), F.lit(IVFPQ_SPREAD_SALT)),
     )
-    if shortlist is None or nprobe is None:
+    auto = shortlist is None or nprobe is None
+    if auto:
         # persist the joined, respread index rows first: the stats pass
         # and the ADC search both consume them, and without the cache
         # the latest-wins groupBys + join would run twice per call — on
@@ -2480,8 +2528,21 @@ def ivfpq_topk_from_index(
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
     )
+    # rerank broadcast gate, auto paths only (see ivfpq_topk): an
+    # explicit production query batch is counted (one narrow job over
+    # the query set, next to the stats pass the auto path already
+    # runs); the stride sample is estimated from the corpus count
+    rerank_rows = None
+    if auto:
+        n_q = (
+            q_frame.count()
+            if queries is not None
+            else n_corpus // QUERY_STRIDE + 1
+        )
+        rerank_rows = n_q * shortlist
     return _ivfpq_search(
-        cents, packed, coded, q_frame, base, k, nprobe, shortlist, m
+        cents, packed, coded, q_frame, base, k, nprobe, shortlist, m,
+        rerank_rows=rerank_rows,
     )
 
 

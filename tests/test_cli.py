@@ -1126,12 +1126,88 @@ def test_train_data_cli_streaming_matches_batch(spark, tmp_path):
     assert rows_set(spark.read.parquet(f"{root}/shards")) == rows_set(
         spark.read.parquet(f"{batch_root}/shards")
     )
+    # compliance deletion through the composed state (r11): forget a doc
+    # that made it into the shards, re-materialize, and it is gone from
+    # prep AND shards while everything else is untouched
+    shard_ids = {
+        r.doc_id for r in spark.read.parquet(f"{root}/shards").collect()
+    }
+    victim = sorted(shard_ids)[5]
+    cli.main(["train-data", "--input", src_glob, "--output", root,
+              "--forget", str(victim)])
+    cli.main(["train-data", "--input", src_glob, "--output", root,
+              "--materialize", "--shards", "3"])
+    after_ids = {
+        r.doc_id for r in spark.read.parquet(f"{root}/shards").collect()
+    }
+    assert victim not in after_ids
+    # the only permissible id-set changes: the victim leaves, and a
+    # near-dup the victim was canonically absorbing may re-surface
+    assert shard_ids - after_ids == {victim}
+    assert spark.read.parquet(f"{root}/prep").filter(
+        f"doc_id = {victim}"
+    ).count() == 0
+
     # conflict + missing-store guards
     import pytest
 
     with pytest.raises(SystemExit, match="separate invocations"):
         cli.main(["train-data", "--input", src_glob, "--output", root,
                   "--streaming", "--materialize"])
+    with pytest.raises(SystemExit, match="standalone stream-stopped"):
+        cli.main(["train-data", "--input", src_glob, "--output", root,
+                  "--forget", "1", "--materialize"])
     with pytest.raises(SystemExit, match="--materialize composes"):
         cli.main(["train-data", "--input", src_glob,
                   "--output", str(tmp_path / "empty"), "--materialize"])
+    with pytest.raises(SystemExit, match="train-data --streaming output root"):
+        cli.main(["train-data", "--input", src_glob,
+                  "--output", str(tmp_path / "empty2"), "--forget", "1"])
+
+
+def test_ivf_index_dedup_first(spark, tmp_path):
+    """ivf-index --dedup-first (r11): the pq twin — an IVFADC deployment
+    deduping before index should build BOTH roots over the same survivor
+    corpus (the from-index search inner-joins the stores), so the flag
+    exists symmetrically.  The built assignment store holds exactly the
+    purge survivors; guards mirror pq-index."""
+    import pytest
+
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        embedding_purge_dedup,
+    )
+    from tests.conftest import TESTDATA
+
+    # a small corpus with exact-dup blobs so the purge bites
+    base = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
+    dup = base.filter("vec_id < 40").selectExpr(
+        "vec_id + 1000 AS vec_id", "label", "embedding"
+    )
+    corpus = base.unionByName(dup)
+    d_in = str(tmp_path / "embs_in")
+    corpus.write.parquet(d_in)
+    root = str(tmp_path / "ivf")
+    cli.main(["ivf-index", "--input", d_in, "--output", root,
+              "--dedup-first"])
+    built_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{root}/assignments").collect()
+    }
+    surv_ids = {
+        r.vec_id
+        for r in embedding_purge_dedup(spark.read.parquet(d_in)).collect()
+    }
+    assert built_ids == surv_ids
+    # the exact dups collapsed to their min-id representative
+    assert len(built_ids) < corpus.count()
+    assert all(v < 1000 for v in built_ids & set(range(1000, 1040)) | set())
+    # guards mirror pq-index
+    with pytest.raises(SystemExit, match="build mode only"):
+        cli.main(["ivf-index", "--input", d_in, "--output", root,
+                  "--dedup-first", "--report"])
+    with pytest.raises(SystemExit, match="requires --dedup-first"):
+        cli.main(["ivf-index", "--input", d_in, "--output", root,
+                  "--dedup-cos", "0.9"])
+    with pytest.raises(SystemExit, match="strictly inside"):
+        cli.main(["ivf-index", "--input", d_in, "--output", root,
+                  "--dedup-first", "--dedup-cos", "1.5"])

@@ -1449,3 +1449,64 @@ def test_auto_nprobe_restores_fragmented_blob_recall(spark, tmp_path, monkeypatc
     finally:
         S.release_cached()
         spark.catalog.clearCache()
+
+
+def test_rerank_broadcast_gate(spark, tmp_path, embs, monkeypatch):
+    """The rerank broadcast gate (r11): the candidate frame is
+    |queries| x shortlist rows and lives on the driver + every executor
+    as a hash relation — measured, 810 queries at the 8192 cap blew an
+    8g driver.  On the AUTO paths the gate trades the forced broadcast
+    for the planner's shuffled join past RERANK_BROADCAST_MAX_ROWS;
+    results are identical either way, and explicit-knob calls never
+    evaluate it (vintage/oracle paths unchanged)."""
+    ivf_root = str(tmp_path / "ivf")
+    pq_root = str(tmp_path / "pq")
+    S.build_ivf_index(embs, ivf_root, iters=0)
+    S.build_pq_index(embs, pq_root)
+    want = {
+        tuple(r)
+        for r in S.ivfpq_topk_from_index(
+            spark, ivf_root, pq_root, embs,
+            nprobe=S.NPROBE, shortlist=S.PQ_SHORTLIST,
+        ).collect()
+    }
+    # The gate removes the broadcast HINT; at real scale the planner's
+    # own threshold then refuses an over-sized relation.  To observe the
+    # hint's absence at test scale (where the planner would happily
+    # broadcast 300 rows on its own), disable the planner's choice —
+    # only a hinted broadcast survives autoBroadcastJoinThreshold=-1.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # force the fallback: the auto path's estimate
+        # (500//100+1)*50 = 300 rows exceeds a 100-row ceiling
+        monkeypatch.setattr(S, "RERANK_BROADCAST_MAX_ROWS", 100)
+        gated = S.ivfpq_topk_from_index(spark, ivf_root, pq_root, embs)
+        plan = physical_plan(gated)
+        # the RERANK join (neighbor_id = vec_id) specifically went
+        # shuffled (other unhinted joins — the store vec_id join — go
+        # SMJ under threshold=-1 in BOTH plans, so key on the join)
+        def rerank_join(p, kind):
+            import re as _re
+
+            return bool(_re.search(kind + r" \[neighbor_id", p))
+
+        assert rerank_join(plan, "SortMergeJoin") or rerank_join(
+            plan, "ShuffledHashJoin"
+        ), plan
+        assert not rerank_join(plan, "BroadcastHashJoin"), plan
+        assert {tuple(r) for r in gated.collect()} == want
+        S.release_cached()
+        spark.catalog.clearCache()
+        # below the ceiling the hint stays (the historical plan): the
+        # rerank join is a hinted broadcast even with the planner's own
+        # choice disabled
+        monkeypatch.setattr(S, "RERANK_BROADCAST_MAX_ROWS", 4_000_000)
+        kept = S.ivfpq_topk_from_index(spark, ivf_root, pq_root, embs)
+        plan2 = physical_plan(kept)
+        assert rerank_join(plan2, "BroadcastHashJoin"), plan2
+        assert not rerank_join(plan2, "SortMergeJoin"), plan2
+        assert {tuple(r) for r in kept.collect()} == want
+        S.release_cached()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
