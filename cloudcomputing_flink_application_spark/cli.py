@@ -277,6 +277,7 @@ def _train_data(args: argparse.Namespace) -> None:
         import os
 
         from cloudcomputing_flink_application_spark.streaming.jobs import (
+            _refuse_uncommitted,
             forget_docs,
             forget_docs_clean,
         )
@@ -287,6 +288,12 @@ def _train_data(args: argparse.Namespace) -> None:
                     f"no {sub} store under {args.output} — --forget "
                     "operates on a train-data --streaming output root"
                 )
+        # validate BOTH stream checkpoints before mutating EITHER store
+        # (r11 review): forget_docs_clean runs first, so a purge-side
+        # refusal (uncommitted micro-batch) would otherwise abort the
+        # command with the composed state half-forgotten
+        for chk in (f"{args.output}/clean/_chk", f"{args.output}/purge/_chk"):
+            _refuse_uncommitted(spark, chk)
         ids = [int(x) for x in args.forget.split(",") if x.strip()]
         forget_docs_clean(
             spark,

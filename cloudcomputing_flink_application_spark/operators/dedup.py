@@ -1647,18 +1647,19 @@ def _hp_band_rows(
         )
         for b in range(bands)
     ]
-    return norms.select(
+    # one projection materializes every band key, THEN the explode and
+    # the sig read the array — the generator and a second projection
+    # cannot share the plane-dot folds (different plan operators, no
+    # CSE across them), so inlining band_keys twice ran the n x planes
+    # projection twice per purge (r11 review)
+    keyed = norms.select("vec_id", F.array(*band_keys).alias("_keys"))
+    return keyed.select(
         "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_keys[b].alias("key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-        F.concat_ws(",", *band_keys).alias("sig"),
-    ).select("vec_id", "bk.band", "bk.key", "sig")
+        F.posexplode("_keys").alias("band", "key"),
+        F.concat_ws(",", *[F.col("_keys")[b] for b in range(bands)]).alias(
+            "sig"
+        ),
+    )
 
 
 def _cosine_verified(
@@ -1741,10 +1742,17 @@ def embedding_purge_dedup(
 
     Straggler bound (the pq-skew lesson): a corpus-scale blob is ONE
     bucket, and a bucket-wide window sort would put the whole blob in
-    one task.  The chain is therefore two-level with a ~sqrt(n) id
-    salt: level 0 chains within (band, key, vec_id % s), level 1
-    chains each salt group's head across the bucket — every window
-    partition is bounded by ~sqrt(n) rows whatever the blob share.
+    one task.  The chain is therefore two-level with a ~sqrt(n) salt on
+    the SIGNATURE hash — not on vec_id, which would scatter a sig's
+    copies across salt groups and disconnect exactly the scattered
+    near-dups the sig sort exists for (r11 review): level 0 chains
+    within (band, key, h56(sig) % s), level 1 chains each salt group's
+    (sig, vec_id)-min head across the bucket.  Window partitions are
+    bounded by ~max(bucket/s, the largest single-signature cohort) —
+    diverse buckets hash-spread to ~sqrt(n), while a mega-cohort
+    sharing ONE signature sorts in one task of 3 narrow columns (its
+    byte-exact core never relies on that sort: the hash edges carry
+    it at O(n)).
 
     Output: the input rows (schema unchanged) minus purged near-dups —
     feed straight into ``build_pq_index``/``build_ivf_index``."""
@@ -1762,7 +1770,8 @@ def embedding_purge_dedup(
     norms = _persist(_hp_norms(embeddings))
     rows = _persist(
         _hp_band_rows(norms, dim, planes, HP_BANDS).withColumn(
-            "salt", F.pmod("vec_id", F.lit(int(math.ceil(math.sqrt(n)))))
+            "salt",
+            F.pmod(X.h56(F.col("sig")), F.lit(int(math.ceil(math.sqrt(n))))),
         )
     )
     w0 = Window.partitionBy("band", "key", "salt").orderBy("sig", "vec_id")

@@ -1173,12 +1173,12 @@ IVFPQ_SPREAD_SALT = 8
 #: equi-join, and that hash relation lives on the driver AND every
 #: executor — measured: 810 queries x the 8192 shortlist cap (6.6M
 #: rows) blew an 8g driver outright (SCALING.md pq-dedup note).  Past
-#: this ceiling the AUTO paths fall back to the planner's shuffled
-#: equi-join — the corpus side pays one exchange, which is the honest
-#: price of a candidate set that no longer fits a broadcast.  Explicit
-#: (nprobe, shortlist) calls never evaluate the gate (no new count job
-#: on vintage-pinned or oracle-hashed paths; their candidate frames are
-#: caller-sized).
+#: this ceiling the AUTO-shortlist paths fall back to the planner's
+#: shuffled equi-join — the corpus side pays one exchange, which is the
+#: honest price of a candidate set that no longer fits a broadcast.
+#: Calls with an EXPLICIT shortlist never evaluate the gate (no new
+#: count job, no plan change on vintage-pinned or oracle-hashed paths;
+#: an explicit shortlist is the caller's deliberate broadcast size).
 RERANK_BROADCAST_MAX_ROWS = 4_000_000
 
 
@@ -1276,6 +1276,13 @@ def _code_blob_stats(coded: DataFrame, col: str = "codes") -> tuple[int, int]:
     return (int(row["n"]), int(row["top"]))
 
 
+def _floor_shortlist(n: int, top_blob: int) -> int:
+    """The ONE empty-corpus fallback for shortlist auto-sizing (r11
+    review: the ``if n`` branch had been inlined in three callers plus
+    the helper below — four copies of the same rule)."""
+    return auto_shortlist(n, top_blob) if n else PQ_SHORTLIST
+
+
 def _auto_shortlist_for(coded: DataFrame) -> int:
     """``auto_shortlist`` from one aggregate over a frame of PQ code
     rows (a ``codes`` column, one row per indexed vector): the corpus
@@ -1293,10 +1300,7 @@ def _auto_shortlist_for(coded: DataFrame) -> int:
     collapses identical codes map-side — tiny on blob-heavy corpora,
     one narrow pass of m-byte rows on uniform ones; the from-index path
     estimates from the stored codes (no encode pass)."""
-    n, top = _code_blob_stats(coded)
-    if n == 0:
-        return PQ_SHORTLIST
-    return auto_shortlist(n, top)
+    return _floor_shortlist(*_code_blob_stats(coded))
 
 
 def _pq_slice(emb: Column, sub: Column, m: int) -> Column:
@@ -1785,11 +1789,14 @@ def pq_topk_rerank(
         enc = _persist(
             _pq_encoded(_normed(embeddings), packed, m)
         )
-        n_corpus, top_blob = _code_blob_stats(enc.select("codes"))
-        shortlist = max(
-            k,
-            auto_shortlist(n_corpus, top_blob) if n_corpus else PQ_SHORTLIST,
-        )
+        shortlist = max(k, _floor_shortlist(*_code_blob_stats(enc.select("codes"))))
+        # exact stride-sample size from the PERSISTED compact rows (one
+        # cached narrow scan — the n//STRIDE estimate under-counts up
+        # to 100x on an id space correlated with the stride, r11
+        # review), for the broadcast gate below
+        n_queries = enc.filter(
+            F.col("vec_id") % QUERY_STRIDE == 0
+        ).count()
     short = pq_topk(embeddings, shortlist, m, ksub, iters, cb).select(
         "query_id", "neighbor_id"
     )
@@ -1807,10 +1814,7 @@ def pq_topk_rerank(
     # shuffled join (measured: the 8192 cap at an 810-query batch blew
     # an 8g driver); explicit-shortlist calls keep the historical plan
     cand_frame = short.join(queries, "query_id")
-    # the query count is the stride sample's size, estimated from the
-    # corpus count the stats pass already produced — no extra scan
-    n_q_est = (n_corpus // QUERY_STRIDE + 1) if auto else 0
-    if not auto or n_q_est * shortlist <= RERANK_BROADCAST_MAX_ROWS:
+    if not auto or n_queries * shortlist <= RERANK_BROADCAST_MAX_ROWS:
         cand_frame = F.broadcast(cand_frame)
     scored = (
         cand_frame
@@ -2172,8 +2176,8 @@ def ivfpq_topk(
             "codes"
         ),
     )
-    auto = shortlist is None or nprobe is None
-    if auto:
+    shortlist_auto = shortlist is None
+    if shortlist is None or nprobe is None:
         # persist the compact index rows first: the estimate's .first()
         # and the ADC search both consume them, and an unpersisted
         # lineage would run the assignment-join + encode twice (r10
@@ -2181,12 +2185,7 @@ def ivfpq_topk(
         coded = _persist(coded)
         n_corpus, top_blob, blob_cells = _blob_stats(coded)
         if shortlist is None:
-            shortlist = max(
-                k,
-                auto_shortlist(n_corpus, top_blob)
-                if n_corpus
-                else PQ_SHORTLIST,
-            )
+            shortlist = max(k, _floor_shortlist(n_corpus, top_blob))
         if nprobe is None:
             nprobe = auto_nprobe(n_corpus, blob_cells)
     queries = _normed(
@@ -2196,11 +2195,17 @@ def ivfpq_topk(
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
     )
-    # rerank broadcast gate (auto paths only; the stride query count is
-    # estimated from the corpus count the stats pass already produced —
-    # no extra job; explicit-knob calls keep the historical plan)
+    # rerank broadcast gate: evaluated ONLY when the shortlist was
+    # auto-sized (an explicit shortlist is the caller's deliberate
+    # broadcast size — half-pinned calls keep their vintage plan and
+    # pay no count job, r11 review); the exact stride-sample size comes
+    # from one cached narrow scan of the persisted index rows (the
+    # n//STRIDE estimate under-counts up to 100x on an id space
+    # correlated with the stride)
     rerank_rows = (
-        (n_corpus // QUERY_STRIDE + 1) * shortlist if auto else None
+        coded.filter(F.col("vec_id") % QUERY_STRIDE == 0).count() * shortlist
+        if shortlist_auto
+        else None
     )
     return _ivfpq_search(
         cents, packed, coded, queries, base, k, nprobe, shortlist, m,
@@ -2474,8 +2479,8 @@ def ivfpq_topk_from_index(
         F.col("cluster"),
         F.pmod(F.col("vec_id"), F.lit(IVFPQ_SPREAD_SALT)),
     )
-    auto = shortlist is None or nprobe is None
-    if auto:
+    shortlist_auto = shortlist is None
+    if shortlist is None or nprobe is None:
         # persist the joined, respread index rows first: the stats pass
         # and the ADC search both consume them, and without the cache
         # the latest-wins groupBys + join would run twice per call — on
@@ -2488,12 +2493,7 @@ def ivfpq_topk_from_index(
         coded = _persist(coded)
         n_corpus, top_blob, blob_cells = _blob_stats(coded)
         if shortlist is None:
-            shortlist = max(
-                k,
-                auto_shortlist(n_corpus, top_blob)
-                if n_corpus
-                else PQ_SHORTLIST,
-            )
+            shortlist = max(k, _floor_shortlist(n_corpus, top_blob))
         if nprobe is None:
             nprobe = auto_nprobe(n_corpus, blob_cells)
     packed = _persist(_pq_packed(read_pq_codebook(spark, pq_root)))
@@ -2528,16 +2528,19 @@ def ivfpq_topk_from_index(
         F.col("emb").alias("qemb"),
         F.col("nrm").alias("qnrm"),
     )
-    # rerank broadcast gate, auto paths only (see ivfpq_topk): an
-    # explicit production query batch is counted (one narrow job over
-    # the query set, next to the stats pass the auto path already
-    # runs); the stride sample is estimated from the corpus count
+    # rerank broadcast gate, evaluated ONLY when the shortlist was
+    # auto-sized (see ivfpq_topk): an explicit production query batch
+    # is counted (one narrow job over the query set, next to the stats
+    # pass this path already runs); the stride sample counts exactly
+    # over the persisted index rows
     rerank_rows = None
-    if auto:
+    if shortlist_auto:
         n_q = (
             q_frame.count()
             if queries is not None
-            else n_corpus // QUERY_STRIDE + 1
+            else coded.filter(
+                F.col("vec_id") % QUERY_STRIDE == 0
+            ).count()
         )
         rerank_rows = n_q * shortlist
     return _ivfpq_search(

@@ -1178,12 +1178,28 @@ def test_ivf_index_dedup_first(spark, tmp_path):
     )
     from tests.conftest import TESTDATA
 
-    # a small corpus with exact-dup blobs so the purge bites
+    from pyspark.sql import functions as F
+
+    # a small corpus with SCATTERED duplicates so the purge bites the
+    # hard way: 40 exact copies AND 40 noisy copies (one element nudged
+    # by 1e-4 — cos ~ 1 > the bar, NOT byte-identical) at +1000/+2000 id
+    # offsets.  Exact copies pin the O(n) hash edges at any id layout;
+    # noisy copies pin the sig-salted chains (an id-salted chain
+    # scattered a sig's copies across salt groups and connected ~none —
+    # r11 review)
     base = spark.read.parquet(f"{TESTDATA}/sf0.001/embeddings.parquet")
     dup = base.filter("vec_id < 40").selectExpr(
         "vec_id + 1000 AS vec_id", "label", "embedding"
     )
-    corpus = base.unionByName(dup)
+    noisy = base.filter("vec_id < 40").select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(1e-4)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(dup).unionByName(noisy)
     d_in = str(tmp_path / "embs_in")
     corpus.write.parquet(d_in)
     root = str(tmp_path / "ivf")
@@ -1198,9 +1214,12 @@ def test_ivf_index_dedup_first(spark, tmp_path):
         for r in embedding_purge_dedup(spark.read.parquet(d_in)).collect()
     }
     assert built_ids == surv_ids
-    # the exact dups collapsed to their min-id representative
-    assert len(built_ids) < corpus.count()
-    assert all(v < 1000 for v in built_ids & set(range(1000, 1040)) | set())
+    # every scattered copy — exact AND noisy — collapsed to its min-id
+    # original; no +1000/+2000 id survives
+    assert len(built_ids) == corpus.count() - 80
+    assert not (built_ids & set(range(1000, 1040)))
+    assert not (built_ids & set(range(2000, 2040)))
+    assert set(range(40)) <= built_ids
     # guards mirror pq-index
     with pytest.raises(SystemExit, match="build mode only"):
         cli.main(["ivf-index", "--input", d_in, "--output", root,

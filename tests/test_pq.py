@@ -1478,8 +1478,9 @@ def test_rerank_broadcast_gate(spark, tmp_path, embs, monkeypatch):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        # force the fallback: the auto path's estimate
-        # (500//100+1)*50 = 300 rows exceeds a 100-row ceiling
+        # force the fallback: the auto path's exact stride count over
+        # the stored rows (5 queries x shortlist 50 = 250 candidate
+        # rows) exceeds a 100-row ceiling
         monkeypatch.setattr(S, "RERANK_BROADCAST_MAX_ROWS", 100)
         gated = S.ivfpq_topk_from_index(spark, ivf_root, pq_root, embs)
         plan = physical_plan(gated)
