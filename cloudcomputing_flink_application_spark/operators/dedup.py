@@ -1928,3 +1928,206 @@ SELECT 'minhash' AS method, doc_a, doc_b, jaccard FROM ({MINHASH_LSH_SQL}) m
 UNION ALL
 SELECT 'ngram' AS method, doc_a, doc_b, jaccard FROM ({NGRAM_JACCARD_SQL}) n
 """
+
+
+# --- r11 SemDeDup: cluster-then-prune semantic dedup -------------------------
+
+#: Within-cluster redundancy bar.  The synthetic corpus has no true
+#: near-dup blobs (max all-pairs cosine 0.48/0.51/0.60 at the three SFs),
+#: so the oracle-visible default is the family's ANALYSIS threshold
+#: (COSINE_DUP), not the 0.95 near-dup bar ``embedding_purge_dedup``
+#: indexes behind — SemDeDup's point is pruning SEMANTIC redundancy well
+#: below near-dup similarity (the paper sweeps eps per corpus; the knob
+#: is the ``tau`` argument).
+SEMANTIC_COS = COSINE_DUP
+
+
+def semantic_dedup(embeddings: DataFrame, tau: float = SEMANTIC_COS) -> DataFrame:
+    """Cluster-then-prune semantic dedup — the SemDeDup shape (Abbas et
+    al., "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540, public): k-means-cluster the
+    embedding space, threshold pairwise cosine WITHIN each cluster, and
+    keep, per duplicate group, the member FARTHEST from its centroid
+    (lowest assignment cosine — the paper's best-performing keep rule:
+    the retained exemplar is the least prototypical, preserving diversity
+    at the cluster edge).
+
+    Distinct from the rest of the embedding family by design:
+    ``embedding_lsh_dedup`` / ``embedding_purge_dedup`` recall NEAR-dups
+    (cos ~ 0.95+) via hyperplane banding — at a semantic bar (0.4-0.8)
+    hyperplane LSH has no usable contrast (plane-agreement p = 1 -
+    acos(cos)/pi decays too slowly), which is exactly why SemDeDup blocks
+    by k-means cell instead.  Both operators share the survivors
+    contract, so either composes into ``--dedup-first``-style pipelines.
+
+    Plan shape, Spark-first: the codebook is the deterministic two-level
+    seed codebook ``similarity.ivf_codebook`` already builds for IVF
+    (hash-sampled, broadcast, oracle-pinned); assignment is the shared
+    broadcast-codebook scan; the within-cluster pair stage is an id-only
+    EQUI-join on cluster (no embedding payload through the shuffle —
+    pairs carry two longs, vectors join back once in the shared
+    ``_cosine_verified`` barrier); duplicate groups close over
+    ``connected_components`` (O(log n) rounds); the keep rule is one
+    partial-aggregable min-struct per component, computed only over
+    components that HAVE edges (singletons never enter the shuffle).
+
+    Scale envelope (the paper's own): within-cluster pairing costs
+    O(sum c_i^2) = O(n^2 / K) comparisons; ``auto_subk`` grows K ~ sqrt(n)
+    past the compat threshold, so the total tracks O(n^1.5) — the same
+    envelope as the IVF probe scan, distributed over cluster-keyed
+    shuffle partitions (AQE splits a skewed cell's join side; a
+    corpus-scale degenerate blob belongs to ``embedding_purge_dedup``
+    first — the established dedup-before-index order).
+
+    Keep-rule determinism across engines: the assignment cosine is
+    quantized to ``floor(ccos * 2^20)`` (the KMEANS_SCALE convention) and
+    tie-broken by vec_id, so the kept exemplar never rides a float
+    comparison between near-equal doubles.
+
+    Output: one row per nonzero-norm vector —
+    ``(vec_id, cluster, component, kept_id, is_pruned)`` with
+    ``component`` = min vec_id of the tau-connected duplicate group
+    (vec_id itself for singletons) and ``kept_id`` the group's retained
+    exemplar.  Zero-norm vectors are excluded (cosine undefined; the
+    portable convention of every oracle's ``e`` CTE)."""
+    from cloudcomputing_flink_application_spark.operators import similarity as SIM
+
+    row = embeddings.agg(
+        F.count("*").alias("n"), F.countDistinct("label").alias("nl")
+    ).first()
+    n = int(row["n"])
+    if n == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            "vec_id bigint, cluster bigint, component bigint, "
+            "kept_id bigint, is_pruned boolean",
+        )
+    subk = SIM.auto_subk(n, max(int(row["nl"] or 0), 1))
+    # shared-frame persists (the module's caching contract): base feeds
+    # the seed sampler, the assignment scan, and both cosine-verify
+    # sides; the codebook is referenced three times inside
+    # _assign_to_centroids; the assignment feeds both pair sides and the
+    # scored projection.
+    base = _persist(SIM._normed(embeddings))
+    codebook = _persist(SIM._twolevel_seeds(base, subk))
+    asg = _persist(SIM._assign_to_centroids(base, codebook, keep_score=True))
+    ids = asg.select("cluster", "vec_id")
+    cand = (
+        ids.join(ids.select("cluster", F.col("vec_id").alias("rep")), "cluster")
+        .filter(F.col("rep") < F.col("vec_id"))
+        .select("vec_id", "rep")
+    )
+    edges = _cosine_verified(cand, base, "vec_id", "rep", tau).select(
+        F.col("vec_id").alias("u"), F.col("rep").alias("v")
+    )
+    cc = connected_components(edges)  # (node, root), non-roots only
+    scored = asg.select(
+        "vec_id",
+        "cluster",
+        F.floor(F.col("ccos") * SIM.KMEANS_SCALE).cast("long").alias("ccos_q"),
+    )
+    # keep rule over TOUCHED components only: members = non-roots + the
+    # roots themselves; singletons resolve to kept_id = vec_id below
+    # without ever entering this aggregation.
+    members = cc.unionByName(
+        cc.select(F.col("root").alias("node"), "root").distinct()
+    )
+    keep = (
+        members.join(scored.withColumnRenamed("vec_id", "node"), "node")
+        .groupBy("root")
+        .agg(F.min(F.struct("ccos_q", "node")).alias("k"))
+        .select(F.col("root").alias("component"), F.col("k.node").alias("kept_id"))
+    )
+    return (
+        scored.join(cc.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .withColumn("component", F.coalesce("root", "vec_id"))
+        .join(keep, "component", "left")
+        .withColumn("kept_id", F.coalesce("kept_id", "vec_id"))
+        .select(
+            "vec_id",
+            "cluster",
+            "component",
+            "kept_id",
+            (F.col("vec_id") != F.col("kept_id")).alias("is_pruned"),
+        )
+    )
+
+
+def semantic_purge_dedup(
+    embeddings: DataFrame, tau: float = SEMANTIC_COS
+) -> DataFrame:
+    """SURVIVOR vectors after SemDeDup pruning: the input rows (schema
+    unchanged) minus every ``is_pruned`` member of a tau-connected
+    duplicate group — the semantic twin of ``embedding_purge_dedup``'s
+    survivor contract (zero-norm vectors are never pruned: they carry no
+    cosine and pass through the anti-join untouched)."""
+    pruned = semantic_dedup(embeddings, tau).filter(F.col("is_pruned")).select(
+        "vec_id"
+    )
+    return embeddings.join(pruned, "vec_id", "left_anti")
+
+
+def _semantic_dedup_sql(tau: float = SEMANTIC_COS) -> str:
+    """DuckDB oracle for ``semantic_dedup`` — mirrors the compat regime of
+    the tested SFs (subk = SUBK, the same pinned-literal convention as
+    KMEANS_CODEBOOK_SQL), with the recursive-walk closure MINHASH_CC_SQL
+    established."""
+    from cloudcomputing_flink_application_spark.operators.similarity import (
+        KMEANS_SCALE,
+        _SEEDS_CTE,
+    )
+
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+  WHERE sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+),
+{_SEEDS_CTE.strip()},
+asg AS (
+  SELECT e.vec_id, e.emb, e.nrm, c.cluster,
+         list_dot_product(cemb, emb) / (cnrm * nrm) AS ccos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(cemb, emb) / (cnrm * nrm) DESC,
+                                     c.cluster ASC) AS arank
+  FROM e JOIN centroids c USING (label)
+),
+assigned AS (
+  SELECT vec_id, emb, nrm, cluster,
+         CAST(floor(ccos * {KMEANS_SCALE}) AS BIGINT) AS ccos_q
+  FROM asg WHERE arank = 1
+),
+edges0 AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM assigned a JOIN assigned b USING (cluster)
+  WHERE a.vec_id < b.vec_id
+    AND list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) > {tau}
+),
+edges AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+walk(node, lbl) AS (
+  SELECT u AS node, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT ed.v AS node, w.lbl AS lbl FROM walk w JOIN edges ed ON ed.u = w.node
+),
+roots AS (SELECT node, min(lbl) AS comp FROM walk GROUP BY node),
+members AS (
+  SELECT a.vec_id, a.cluster, a.ccos_q,
+         coalesce(r.comp, a.vec_id) AS component
+  FROM assigned a LEFT JOIN roots r ON r.node = a.vec_id
+),
+keep AS (
+  SELECT component, vec_id AS kept_id FROM (
+    SELECT component, vec_id,
+           row_number() OVER (PARTITION BY component
+                              ORDER BY ccos_q ASC, vec_id ASC) AS rk
+    FROM members
+  ) WHERE rk = 1
+)
+SELECT m.vec_id, m.cluster, m.component, k.kept_id,
+       m.vec_id <> k.kept_id AS is_pruned
+FROM members m JOIN keep k USING (component)
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()

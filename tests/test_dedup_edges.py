@@ -730,3 +730,96 @@ def test_embedding_purge_dedup_semantics(spark):
     assert [r.vec_id for r in low.collect()] == [1]
     # empty input short-circuits
     assert dedup.embedding_purge_dedup(embs.limit(0), dim=4).count() == 0
+
+
+# --- r11 SemDeDup (cluster-then-prune semantic dedup) ------------------------
+
+
+def test_semantic_dedup_prunes_identical_blob_keeps_min_id(spark):
+    # Three identical vectors share one cluster (identical assignment
+    # cosine, min-cluster tiebreak), form one tau-component, and the keep
+    # rule ties on ccos_q -> min vec_id survives; the orthogonal vector is
+    # a singleton; the zero vector is excluded from the verdict but
+    # SURVIVES the purge (never pruned).
+    embs = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [1.0, 0.0]),
+            (3, 0, [1.0, 0.0]),
+            (4, 0, [0.0, 1.0]),
+            (5, 0, [0.0, 0.0]),  # zero norm: no verdict row, survives purge
+        ],
+        EMB_COLS,
+    )
+    verdict = dedup.semantic_dedup(embs)
+    rows = {r["vec_id"]: r for r in verdict.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert [rows[v]["is_pruned"] for v in (1, 2, 3, 4)] == [
+        False,
+        True,
+        True,
+        False,
+    ]
+    assert rows[2]["kept_id"] == 1 and rows[3]["kept_id"] == 1
+    assert rows[1]["component"] == rows[2]["component"] == rows[3]["component"] == 1
+    assert rows[4]["component"] == 4 and rows[4]["kept_id"] == 4
+    survivors = rows_set(dedup.semantic_purge_dedup(embs).select("vec_id"))
+    assert survivors == {(1,), (4,), (5,)}
+
+
+def test_semantic_dedup_blocks_across_labels(spark):
+    # The within-cluster contract: near-identical vectors under DIFFERENT
+    # labels never share a cluster (assignment equi-joins on label), so
+    # SemDeDup keeps both — semantic pruning is cluster-local by design
+    # (the paper's k-means blocking), unlike embedding_cosine_dedup which
+    # pairs them regardless.
+    embs = spark.createDataFrame(
+        [(10, 0, [1.0, 0.0]), (11, 1, [1.0, 0.0001])],
+        EMB_COLS,
+    )
+    verdict = dedup.semantic_dedup(embs)
+    assert {tuple(r) for r in verdict.select("vec_id", "is_pruned").collect()} == {
+        (10, False),
+        (11, False),
+    }
+    exact = dedup.embedding_cosine_dedup(embs)
+    assert exact.count() == 1  # the same pair IS a cosine dup
+
+
+def test_semantic_dedup_high_tau_all_singletons(spark, sf_dir):
+    # tau above the corpus max cosine: zero edges (exercises the empty
+    # connected_components path), every vector its own component and
+    # keeper.
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    verdict = dedup.semantic_dedup(embs, tau=0.999)
+    assert verdict.filter("is_pruned").count() == 0
+    assert verdict.filter("component <> vec_id OR kept_id <> vec_id").count() == 0
+    assert verdict.count() == embs.count()  # no zero-norm vectors in testdata
+
+
+def test_semantic_dedup_components_are_cluster_local(spark, sf_dir):
+    # Edges exist only within a cluster, so every multi-member component
+    # must sit inside exactly one cluster — the invariant that makes the
+    # O(n^2 / K) scale envelope real.
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    verdict = dedup.semantic_dedup(embs)
+    assert verdict.filter("is_pruned").count() > 0  # non-degenerate default
+    spread = (
+        verdict.groupBy("component")
+        .agg(
+            F.countDistinct("cluster").alias("nclusters"),
+            F.count("*").alias("members"),
+        )
+        .filter("members > 1 AND nclusters > 1")
+    )
+    assert spread.count() == 0
+
+
+def test_semantic_dedup_empty_input(spark):
+    embs = spark.createDataFrame([], "vec_id: long, label: long, embedding: array<double>")
+    verdict = dedup.semantic_dedup(embs)
+    assert verdict.columns == ["vec_id", "cluster", "component", "kept_id", "is_pruned"]
+    assert verdict.count() == 0
+    assert dedup.semantic_purge_dedup(embs).count() == 0

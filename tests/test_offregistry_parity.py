@@ -95,6 +95,9 @@ OFF_REGISTRY_EMB = {
     "off_ivfpq_index": (similarity.ivfpq_index, similarity.IVFPQ_INDEX_SQL),
     "off_ivfpq_topk": (similarity.ivfpq_topk, similarity.IVFPQ_TOPK_SQL),
     "off_pq_recall": (similarity.pq_recall_report, similarity.PQ_RECALL_SQL),
+    # r11 SemDeDup: cluster-then-prune semantic dedup (k-means blocking,
+    # within-cluster tau-graph closure, lowest-centroid-cos keep rule)
+    "off_semantic_dedup": (dedup.semantic_dedup, dedup.SEMANTIC_DEDUP_SQL),
 }
 
 
