@@ -732,3 +732,175 @@ SELECT doc_id,
             ELSE 0.0 END AS oov_ratio
 FROM toks, varr
 """
+
+
+# --- r11 corpus profile: exact baseline + mergeable-sketch twin --------------
+
+#: Rank points for the length quantiles (percent).
+PROFILE_PCTS = (50, 90, 99)
+#: t-digest/GK accuracy for the sketch twin's quantiles: rank error is
+#: bounded by n / accuracy (<= 6 ranks at sf0.1's 60k docs).
+PROFILE_PCT_ACCURACY = 10_000
+#: HLL++ relative standard deviation for the sketch twin's distinct counts
+#: (Spark's default).  The tolerance gate allows 3 sigma.
+PROFILE_HLL_RSD = 0.05
+
+
+def _profile_per_doc(documents: DataFrame) -> DataFrame:
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    return documents.select(
+        "doc_id",
+        "source",
+        F.length(txt).cast("long").alias("len"),
+        F.size(X.tokens_of(txt)).cast("long").alias("ntok"),
+        F.md5(txt).alias("th"),
+    )
+
+
+def corpus_profile_exact(documents: DataFrame) -> DataFrame:
+    """Per-source corpus profile, EXACT: doc/token volume, distinct-text
+    and distinct-token cardinality, and rank-exact length quantiles.
+
+    Output: ``(source, n_docs, total_tokens, distinct_texts,
+    distinct_tokens, len_p50, len_p90, len_p99)``; ``len_pXX`` is the
+    length at rank ``ceil(p * n / 100)`` of the ascending (len, doc_id)
+    order — pure integer rank arithmetic, identical on both engines, so
+    the whole frame carries a full DuckDB value-hash oracle.
+
+    This is the CORRECTNESS baseline of the profile pair, and its cost
+    shape is exactly what :func:`corpus_profile` exists to avoid at
+    scale: ``count(DISTINCT token)`` shuffles the full token stream on
+    token (the corpus-sized exchange), and the rank quantile sorts every
+    source's lengths through a window.  Use this to calibrate the sketch
+    twin per corpus; run the sketch at 100 TB.
+    """
+    per_doc = _profile_per_doc(documents)
+    agg1 = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.countDistinct("th").cast("long").alias("distinct_texts"),
+    )
+    toks = documents.select(
+        "source",
+        F.explode(X.tokens_of(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
+    )
+    agg2 = toks.groupBy("source").agg(
+        F.countDistinct("tok").cast("long").alias("distinct_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("len", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = per_doc.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    qagg = ranked.groupBy("source").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr(f"(n * {p} + 99) div 100"), F.col("len")
+                )
+            ).alias(f"len_p{p}")
+            for p in PROFILE_PCTS
+        ]
+    )
+    return agg1.join(agg2, "source").join(qagg, "source")
+
+
+CORPUS_PROFILE_EXACT_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS len,
+         CAST(len({X.tokens_sql("coalesce(text, '')")}) AS BIGINT) AS ntok,
+         md5(coalesce(text, '')) AS th
+  FROM documents
+),
+toks AS (
+  SELECT source, unnest({X.tokens_sql("coalesce(text, '')")}) AS tok
+  FROM documents
+),
+agg1 AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ntok) AS BIGINT) AS total_tokens,
+         CAST(count(DISTINCT th) AS BIGINT) AS distinct_texts
+  FROM per_doc GROUP BY source
+),
+agg2 AS (
+  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+  FROM toks GROUP BY source
+),
+ranked AS (
+  SELECT source, len,
+         row_number() OVER (PARTITION BY source ORDER BY len, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM per_doc
+),
+q AS (
+  SELECT source,
+         {', '.join(f"max(CASE WHEN rn = (n * {p} + 99) // 100 THEN len END) AS len_p{p}" for p in PROFILE_PCTS)}
+  FROM ranked GROUP BY source
+)
+SELECT source, n_docs, total_tokens, distinct_texts, distinct_tokens,
+       {', '.join(f'len_p{p}' for p in PROFILE_PCTS)}
+FROM agg1 JOIN agg2 USING (source) JOIN q USING (source)
+"""
+
+
+def corpus_profile(documents: DataFrame) -> DataFrame:
+    """Per-source corpus profile, SKETCHED — the one-pass 100 TB
+    instrument: HLL++ for the two distinct cardinalities
+    (``approx_count_distinct``, rsd = PROFILE_HLL_RSD) and GK quantile
+    summaries for the length percentiles (``percentile_approx``,
+    accuracy = PROFILE_PCT_ACCURACY).
+
+    Output schema mirrors :func:`corpus_profile_exact` with ``_est``
+    suffixes on the sketched columns: ``(source, n_docs, total_tokens,
+    distinct_texts_est, distinct_tokens_est, len_p50_est, len_p90_est,
+    len_p99_est)``.  ``n_docs`` / ``total_tokens`` stay exact (plain
+    partial-agg sums cost nothing extra).
+
+    Why this scales where the exact twin cannot: every sketch here is
+    MERGEABLE, so the aggregation is map-side partial — each task emits
+    at most |sources| fixed-size sketch states (a few KB each) and the
+    exchange moves sketches, not data.  The exact twin's
+    ``count(DISTINCT token)`` must shuffle every distinct token of a
+    100 TB corpus; the HLL registers replace that exchange with O(|sources|
+    x 2^p) bytes regardless of corpus size.  The trade is bounded,
+    documented error (3-sigma gate in tests/test_textstats_ops.py) —
+    and NO cross-engine value-hash oracle: sketch merge states are
+    engine-specific, so this operator is calibrated against
+    ``corpus_profile_exact`` (itself fully oracle'd) instead, the same
+    weaker-gate class as the recall reports.
+
+    Determinism note: HLL++ is merge-order-independent (register max),
+    but GK quantile merges are not perfectly so across different
+    partitionings — treat ``len_pXX_est`` as rank-bounded, not
+    bit-stable; anything feeding a driver hash must use the exact twin.
+    """
+    per_doc = _profile_per_doc(documents)
+    agg1 = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("total_tokens"),
+        F.approx_count_distinct("th", PROFILE_HLL_RSD).alias("distinct_texts_est"),
+        *[
+            F.percentile_approx("len", p / 100.0, PROFILE_PCT_ACCURACY)
+            .cast("long")
+            .alias(f"len_p{p}_est")
+            for p in PROFILE_PCTS
+        ],
+    )
+    toks = documents.select(
+        "source",
+        F.explode(X.tokens_of(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
+    )
+    agg2 = toks.groupBy("source").agg(
+        F.approx_count_distinct("tok", PROFILE_HLL_RSD).alias(
+            "distinct_tokens_est"
+        )
+    )
+    return agg1.join(agg2, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "distinct_texts_est",
+        "distinct_tokens_est",
+        *[f"len_p{p}_est" for p in PROFILE_PCTS],
+    )

@@ -63,6 +63,14 @@ OFF_REGISTRY = {
         multimodal.video_frame_sample,
         multimodal.VIDEO_FRAME_SAMPLE_SQL,
     ),
+    # r11 corpus profile: the exact baseline of the profile pair (the
+    # sketch twin is calibrated against THIS frame in
+    # tests/test_textstats_ops.py — sketch states have no cross-engine
+    # value-hash)
+    "off_corpus_profile_exact": (
+        textstats.corpus_profile_exact,
+        textstats.CORPUS_PROFILE_EXACT_SQL,
+    ),
     # r11 end-to-end training-data composition (clean -> purge -> pack);
     # each stage is ALSO individually gated (clean/purge via the registry,
     # pack via pipe_pack_chunks) — this pins the composed dataflow itself.

@@ -69,3 +69,87 @@ def test_oov_stats_vocab_boundary_tiebreak(spark):
         (3, 0, 0, 0.0),
         (4, 0, 0, 0.0),
     }
+
+
+# --- r11 corpus profile: sketch twin calibrated against the exact twin ------
+
+
+def test_corpus_profile_sketch_within_bounds(spark):
+    """The sketch profile's contract: exact columns identical, HLL distinct
+    estimates within 3 sigma (3 * PROFILE_HLL_RSD), quantile estimates
+    rank-bounded (within n/PROFILE_PCT_ACCURACY + 1 ranks of the exact
+    rank) — at BOTH small SFs, per source."""
+    from cloudcomputing_flink_application_spark.operators import textstats as T
+
+    for sf in ("0.001", "0.01"):
+        docs = spark.read.parquet(f"/root/testdata/sf{sf}/documents.parquet")
+        exact = {r["source"]: r.asDict() for r in T.corpus_profile_exact(docs).collect()}
+        est = {r["source"]: r.asDict() for r in T.corpus_profile(docs).collect()}
+        assert set(exact) == set(est)
+        # per-source ascending length lists for the rank bound
+        lens = {}
+        for row in docs.selectExpr(
+            "source", "cast(length(coalesce(text, '')) as long) as len"
+        ).collect():
+            lens.setdefault(row["source"], []).append(row["len"])
+        for s in exact:
+            ex, es = exact[s], est[s]
+            assert es["n_docs"] == ex["n_docs"]
+            assert es["total_tokens"] == ex["total_tokens"]
+            for col in ("distinct_texts", "distinct_tokens"):
+                rel = abs(es[f"{col}_est"] - ex[col]) / max(ex[col], 1)
+                assert rel <= 3 * T.PROFILE_HLL_RSD, (sf, s, col, rel)
+            slens = sorted(lens[s])
+            n = len(slens)
+            max_rank_err = n // T.PROFILE_PCT_ACCURACY + 1
+            for p in T.PROFILE_PCTS:
+                target = (n * p + 99) // 100  # 1-based exact rank
+                v = es[f"len_p{p}_est"]
+                # every rank whose value could legally be returned
+                ok_ranks = range(
+                    max(1, target - max_rank_err), min(n, target + max_rank_err) + 1
+                )
+                assert any(slens[r - 1] == v for r in ok_ranks), (sf, s, p, v)
+
+
+def test_corpus_profile_exact_rank_semantics(spark):
+    """Pin the rank arithmetic on a frame where every quantile is hand
+    computable: 4 docs in one source with lengths 1,2,3,4 -> p50 = rank
+    ceil(4*50/100)=2 -> 2; p90 -> rank 4 -> 4; p99 -> rank 4 -> 4."""
+    from cloudcomputing_flink_application_spark.operators import textstats as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "s"),
+            (2, "ab", "s"),
+            (3, "abc", "s"),
+            (4, "abcd", "s"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    row = T.corpus_profile_exact(docs).collect()[0].asDict()
+    assert row == {
+        "source": "s",
+        "n_docs": 4,
+        "total_tokens": 4,
+        "distinct_texts": 4,
+        "distinct_tokens": 4,
+        "len_p50": 2,
+        "len_p90": 4,
+        "len_p99": 4,
+    }
+
+
+def test_corpus_profile_null_text_counts_as_empty(spark):
+    from cloudcomputing_flink_application_spark.operators import textstats as T
+
+    docs = spark.createDataFrame(
+        [(1, None, "s"), (2, "", "s"), (3, "x", "s")],
+        ["doc_id", "text", "source"],
+    )
+    row = T.corpus_profile_exact(docs).collect()[0].asDict()
+    # NULL and '' hash identically (coalesce), so 2 distinct texts; the
+    # NULL doc contributes len 0 at rank 1
+    assert row["distinct_texts"] == 2
+    assert row["len_p50"] == 0 and row["len_p99"] == 1
+    assert row["total_tokens"] == 1
