@@ -415,6 +415,177 @@ FROM base
 """
 
 
+# --- r11 whole-document bin packing (no straddling) --------------------------
+
+
+def pack_bins(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """First-fit-decreasing WHOLE-document bin packing — the
+    no-cross-contamination regime (Krell et al., "Efficient Sequence
+    Packing without Cross-contamination", arXiv:2107.02027, public):
+    every document lands intact in exactly one budget-sized bin, so no
+    training sequence ever contains a document fragment (the straddling
+    :func:`pack_chunks` permits — ``pack_report`` counts it).  The trade
+    is explicit padding: bins close below budget when nothing fits.
+
+    Algorithm per bounded group: sort (n_tok DESC, doc_id ASC), place
+    each doc in the FIRST open bin with room, else open a new bin —
+    deterministic, and within 11/9 OPT + 1 bins of optimal (the classic
+    FFD bound).  A doc larger than the budget gets a flagged singleton
+    bin (``oversize``; upstream chunking — ``chunk_docs`` — is the
+    documented remedy).
+
+    Spark shape: FFD is inherently sequential WITHIN a bin set, so it
+    runs as an Arrow-batched ``applyInPandas`` over the SAME bounded
+    (source, pack_key) groups the window packer uses — each group holds
+    <= PACK_RANGE docs by construction (group count scales out with the
+    corpus; per-task state is one group's doc list; skew is impossible
+    because pack_key is a doc_id range).  This is the one packing stage
+    a declarative window cannot express (bin load is a running state
+    with resets), hence the documented Pandas-UDF exception — and it has
+    NO cross-engine SQL oracle for the same reason; the gates are the
+    property pins in tests/test_pipeline_ops.py (capacity, conservation,
+    determinism under repartition, the hand-computed FFD fixture).
+
+    Output: (doc_id, source, pack_key, n_tok, bin_seq, oversize) with
+    ``bin_seq`` the per-group bin ordinal (globally identify a bin by
+    (source, pack_key, bin_seq)).
+    """
+    if budget < 1:
+        raise ValueError(f"pack_bins needs budget >= 1, got {budget}")
+    base = documents.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") / PACK_RANGE).cast("long").alias("pack_key"),
+        F.size(X.tokens("text")).cast("long").alias("n_tok"),
+    )
+
+    def _ffd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        loads: list[int] = []
+        seqs: list[int] = []
+        oversize: list[bool] = []
+        for nt in pdf["n_tok"]:
+            nt = int(nt)
+            if nt > budget:
+                # flagged singleton bin; never receives another doc
+                # (its load already exceeds budget)
+                seqs.append(len(loads))
+                loads.append(nt)
+                oversize.append(True)
+                continue
+            for i, ld in enumerate(loads):
+                if ld + nt <= budget:
+                    seqs.append(i)
+                    loads[i] = ld + nt
+                    break
+            else:
+                seqs.append(len(loads))
+                loads.append(nt)
+            oversize.append(False)
+        out = pdf[["doc_id", "source", "pack_key", "n_tok"]].copy()
+        out["bin_seq"] = pd.array(seqs, dtype="int64")
+        out["oversize"] = oversize
+        return out
+
+    return base.groupBy("source", "pack_key").applyInPandas(
+        _ffd,
+        "doc_id long, source string, pack_key long, n_tok long, "
+        "bin_seq long, oversize boolean",
+    )
+
+
+def pack_bin_stats(bins: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Padding-waste accounting over :func:`pack_bins` output, per source:
+    ``(source, n_docs, total_tokens, n_bins, oversize_bins, padded_tokens,
+    fill_pct)`` where ``padded_tokens`` sums (budget - load) over REGULAR
+    bins and ``fill_pct`` is the regular-bin fill, regular_load /
+    (regular_bins * budget) — oversize singletons are excluded from both
+    (their load exceeds the budget by construction, so including them
+    would report fill > 1 while saying nothing about padding).  Sources
+    whose bins are ALL oversize report fill_pct = 1.0 (nothing padded).
+    Plain two-level aggregation — bin loads first (partial-agg friendly),
+    then source rollup."""
+    per_bin = bins.groupBy("source", "pack_key", "bin_seq").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tok").alias("load"),
+        F.max(F.col("oversize").cast("int")).alias("over"),
+    )
+    return per_bin.groupBy("source").agg(
+        F.sum("docs").cast("long").alias("n_docs"),
+        F.sum("load").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("over").cast("long").alias("oversize_bins"),
+        F.sum(
+            F.when(F.col("over") == 0, F.lit(budget) - F.col("load")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("padded_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("over") == 0, F.col("load"))).cast("double")
+            / (
+                F.count(F.when(F.col("over") == 0, F.lit(1))) * F.lit(budget)
+            ).cast("double"),
+            F.lit(1.0),
+        ).alias("fill_pct"),
+    )
+
+
+def pack_report(documents: DataFrame) -> DataFrame:
+    """Observability over the concat-and-chunk packer, per source:
+    ``(source, n_docs, total_tokens, n_chunks, straddle_docs)``.
+
+    ``straddle_docs`` counts documents whose token span crosses a
+    PACK_BUDGET boundary — the cross-contamination metric of the packing
+    literature (a straddled doc shares a training sequence boundary with
+    fragments of another).  ``n_chunks`` sums each group's
+    max(chunk_id)+1.  The concat packer never pads (the stream is
+    continuous), so waste here is zero by construction and straddling is
+    the whole cost — the exact mirror of :func:`pack_bins`, which pays
+    padding to straddle nothing.  Full DuckDB oracle."""
+    packed = pack_chunks(documents)
+    straddle = (
+        ((F.col("begin_tok") + F.col("n_tok") - 1) / PACK_BUDGET).cast("long")
+        != F.col("chunk_id")
+    ) & (F.col("n_tok") > 0)
+    per_group = packed.groupBy("source", "pack_key").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tok").alias("toks"),
+        (F.max("chunk_id") + 1).alias("chunks"),
+        F.sum(F.when(straddle, 1).otherwise(0)).alias("straddles"),
+    )
+    return per_group.groupBy("source").agg(
+        F.sum("docs").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.sum("chunks").cast("long").alias("n_chunks"),
+        F.sum("straddles").cast("long").alias("straddle_docs"),
+    )
+
+
+PACK_REPORT_SQL = f"""
+WITH packed AS ({PACK_CHUNKS_SQL}),
+per_group AS (
+  SELECT source, pack_key, count(*) AS docs, sum(n_tok) AS toks,
+         max(chunk_id) + 1 AS chunks,
+         sum(CASE WHEN n_tok > 0
+                  AND (begin_tok + n_tok - 1) // {PACK_BUDGET}
+                      <> begin_tok // {PACK_BUDGET}
+                  THEN 1 ELSE 0 END) AS straddles
+  FROM packed GROUP BY source, pack_key
+)
+SELECT source, CAST(sum(docs) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       CAST(sum(chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(straddles) AS BIGINT) AS straddle_docs
+FROM per_group GROUP BY source
+"""
+
+
 # --- stratified sampling -----------------------------------------------------
 
 #: Per-language keep rates in basis points (out of 10_000).  Hash-based, so

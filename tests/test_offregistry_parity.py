@@ -71,6 +71,10 @@ OFF_REGISTRY = {
         textstats.corpus_profile_exact,
         textstats.CORPUS_PROFILE_EXACT_SQL,
     ),
+    # r11 packing observability: straddle accounting over the concat
+    # packer (pack_bins itself is the documented non-SQL-expressible
+    # exception, property-gated in test_pipeline_ops.py)
+    "off_pack_report": (pipeline.pack_report, pipeline.PACK_REPORT_SQL),
     # r11 end-to-end training-data composition (clean -> purge -> pack);
     # each stage is ALSO individually gated (clean/purge via the registry,
     # pack via pipe_pack_chunks) — this pins the composed dataflow itself.

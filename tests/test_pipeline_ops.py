@@ -363,3 +363,126 @@ def test_spread_gate_scan_shaped_only(spark):
         assert len(probe_jobs) == 0, f"eager jobs at construction: {probe_jobs}"
     finally:
         sc.setJobGroup(None, None)
+
+
+# --- r11 whole-document bin packing ------------------------------------------
+
+
+def test_pack_bins_ffd_hand_fixture(spark):
+    """budget=8, sizes 5,4,3,3,1 -> FFD: [5,3] and [4,3,1]."""
+    from cloudcomputing_flink_application_spark.operators.pipeline import pack_bins
+
+    docs = spark.createDataFrame(
+        [
+            _doc(1, "t t t t t"),
+            _doc(2, "t t t t"),
+            _doc(3, "t t t"),
+            _doc(4, "t t t"),
+            _doc(5, "t"),
+        ],
+        DOC_COLS,
+    )
+    out = {r["doc_id"]: r for r in pack_bins(docs, budget=8).collect()}
+    assert out[1]["bin_seq"] == out[3]["bin_seq"]
+    assert out[2]["bin_seq"] == out[4]["bin_seq"] == out[5]["bin_seq"]
+    assert out[1]["bin_seq"] != out[2]["bin_seq"]
+    assert not any(r["oversize"] for r in out.values())
+
+
+def test_pack_bins_oversize_singleton(spark):
+    from cloudcomputing_flink_application_spark.operators.pipeline import pack_bins
+
+    docs = spark.createDataFrame(
+        [_doc(1, "t " * 10), _doc(2, "t t"), _doc(3, "t t")],
+        DOC_COLS,
+    )
+    out = {r["doc_id"]: r for r in pack_bins(docs, budget=8).collect()}
+    assert out[1]["oversize"] and out[1]["n_tok"] == 10
+    # the oversize bin never receives another doc
+    assert out[2]["bin_seq"] == out[3]["bin_seq"] != out[1]["bin_seq"]
+    assert not out[2]["oversize"] and not out[3]["oversize"]
+
+
+def test_pack_bins_capacity_conservation_determinism(spark, sf_dir):
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        pack_bins,
+        pack_bin_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bins = pack_bins(docs)
+    # conservation: every doc exactly once
+    assert bins.count() == docs.count()
+    assert bins.select("doc_id").distinct().count() == docs.count()
+    # capacity: every non-oversize bin fits the budget; oversize bins are
+    # singletons holding exactly one over-budget doc
+    per_bin = bins.groupBy("source", "pack_key", "bin_seq").agg(
+        F.sum("n_tok").alias("load"),
+        F.count("*").alias("docs"),
+        F.max(F.col("oversize").cast("int")).alias("over"),
+    )
+    assert per_bin.filter(f"over = 0 AND load > {PACK_BUDGET}").count() == 0
+    assert per_bin.filter("over = 1 AND docs > 1").count() == 0
+    assert (
+        bins.filter(f"oversize <> (n_tok > {PACK_BUDGET})").count() == 0
+    )
+    # per-group lower bound over REGULAR bins (an oversize singleton
+    # carries more than a budget of tokens, so it is excluded from both
+    # sides): n_regular_bins >= ceil(regular tokens / budget)
+    per_group = (
+        per_bin.filter("over = 0")
+        .groupBy("source", "pack_key")
+        .agg(F.count("*").alias("n_bins"), F.sum("load").alias("toks"))
+    )
+    assert (
+        per_group.filter(
+            f"n_bins < cast(ceil(toks / cast({PACK_BUDGET} as double)) as long)"
+        ).count()
+        == 0
+    )
+    # determinism: physical layout must not change the packing
+    again = pack_bins(docs.repartition(7))
+    assert rows_set(bins) == rows_set(again)
+    # stats frame consistency
+    stats = {r["source"]: r for r in pack_bin_stats(bins).collect()}
+    glob = per_bin.groupBy().agg(F.count("*").alias("b"), F.sum("load").alias("t")).first()
+    assert sum(r["n_bins"] for r in stats.values()) == glob["b"]
+    assert sum(r["total_tokens"] for r in stats.values()) == glob["t"]
+    for r in stats.values():
+        assert 0.0 < r["fill_pct"] <= 1.0
+        if r["oversize_bins"] == 0:
+            assert (
+                r["n_bins"] * PACK_BUDGET - r["total_tokens"] == r["padded_tokens"]
+            )
+
+
+def test_pack_report_vs_bins_tradeoff(spark, sf_dir):
+    """The two packing regimes' measured trade on the real corpus: the
+    concat packer straddles documents (cross-contamination > 0) and pads
+    nothing; FFD bins straddle nothing and pay padding."""
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        pack_bins,
+        pack_bin_stats,
+        pack_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = {r["source"]: r for r in pack_report(docs).collect()}
+    stats = {r["source"]: r for r in pack_bin_stats(pack_bins(docs)).collect()}
+    assert set(rep) == set(stats)
+    total_straddles = sum(r["straddle_docs"] for r in rep.values())
+    assert total_straddles > 0  # budget 64 vs ~50-token docs: straddling is real
+    for s in rep:
+        assert rep[s]["n_docs"] == stats[s]["n_docs"]
+        assert rep[s]["total_tokens"] == stats[s]["total_tokens"]
+        assert stats[s]["padded_tokens"] >= 0
+
+
+def test_pack_bins_rejects_bad_budget(spark, sf_dir):
+    import pytest as _pytest
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import pack_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError):
+        pack_bins(docs, budget=0)
