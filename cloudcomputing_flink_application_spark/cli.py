@@ -664,6 +664,85 @@ def _span_scrub(args: argparse.Namespace) -> None:
         sinks.show(out)
 
 
+def _corpus_profile(args: argparse.Namespace) -> None:
+    """Per-source corpus profile over a ``documents``-shaped parquet input.
+
+    Batch (default) writes the SKETCHED profile
+    (``textstats.corpus_profile`` — DataSketches HLL distinct counts +
+    GK length quantiles; the one-pass instrument whose aggregation state
+    is fixed-size mergeable sketches).  ``--exact`` writes
+    ``corpus_profile_exact`` instead: the fully-oracle'd baseline that
+    pays the token-stream distinct shuffle and the per-source length
+    sort — run it on a sample to calibrate the sketches per corpus.
+    ``--pack`` joins the packing-trade columns onto either profile:
+    ``straddle_docs`` (concat packer cross-contamination, pack_report)
+    and ``n_bins`` / ``oversize_bins`` / ``padded_tokens`` / ``fill_pct``
+    (FFD whole-doc packing, pack_bin_stats over pack_bins).
+
+    ``--streaming`` runs ``run_corpus_profile_stream`` over the input
+    directory: per-arrival CUMULATIVE profiles under ``<output>/profile``
+    (the last batch partition equals the batch operators over everything
+    arrived — bit-exact, see the stream's docstring), sketch + histogram
+    stores under ``<output>/_state``, checkpoints under ``<output>/_chk``;
+    ``--horizon-batches`` turns it into a rolling-window report.  No
+    ``--forget`` here by design: the stores are aggregate-only (no
+    per-doc rows; an HLL cannot subtract) — compliance deletion is a
+    re-profile of the corrected corpus, one cheap pass.
+    """
+    from cloudcomputing_flink_application_spark.operators.textstats import (
+        corpus_profile,
+        corpus_profile_exact,
+    )
+
+    spark = get_spark(app_name="corpus-profile")
+    if args.streaming:
+        if args.exact or args.pack:
+            raise SystemExit(
+                "--exact / --pack are batch-only (the stream's profile "
+                "columns are fixed by its store schema)"
+            )
+        if args.show:
+            print("warning: --show is batch-only; streaming mode writes sinks only")
+        from cloudcomputing_flink_application_spark import schemas
+        from cloudcomputing_flink_application_spark.streaming.jobs import (
+            run_corpus_profile_stream,
+        )
+
+        q = run_corpus_profile_stream(
+            spark,
+            spark.readStream.schema(schemas.DOCUMENTS).parquet(args.input),
+            f"{args.output}/profile",
+            f"{args.output}/_chk",
+            f"{args.output}/_state",
+            horizon_batches=args.horizon_batches,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return
+    docs = spark.read.parquet(args.input)
+    out = corpus_profile_exact(docs) if args.exact else corpus_profile(docs)
+    if args.pack:
+        from cloudcomputing_flink_application_spark.operators.pipeline import (
+            pack_bin_stats,
+            pack_bins,
+            pack_report,
+        )
+
+        out = out.join(
+            pack_report(docs).select("source", "straddle_docs"), "source"
+        ).join(
+            pack_bin_stats(pack_bins(docs)).select(
+                "source", "n_bins", "oversize_bins", "padded_tokens", "fill_pct"
+            ),
+            "source",
+        )
+    out.write.mode("overwrite").parquet(args.output)
+    if args.show:
+        sinks.show(spark.read.parquet(args.output))
+
+
 def _compact_store_cli(spark, output: str, subdir: str, what: str) -> None:
     """The shared --compact handler for the two index-store commands:
     refuse an unbuilt root, then fold the store's stream partitions
@@ -1187,6 +1266,10 @@ def main(argv: list[str] | None = None) -> None:
         ("span-scrub", _span_scrub,
          "documents-shaped parquet file/dir",
          "output folder (parquet scrubbed docs, or stats with --stats)"),
+        ("corpus-profile", _corpus_profile,
+         "documents-shaped parquet file/dir",
+         "output folder (per-source profile parquet; profile/stores/"
+         "checkpoints under it with --streaming)"),
         ("ivf-index", _ivf_index,
          "embeddings-shaped parquet file/dir",
          "index root (codebook / ref_stats / assignments / drift)"),
@@ -1318,12 +1401,28 @@ def main(argv: list[str] | None = None) -> None:
                 "re-seeds as fresh.  Same stream-stopped lock contract "
                 "as dedup-purge --forget.",
             )
-        if name in ("corpus-clean", "dedup-purge", "dedup-flags", "span-scrub"):
+        if name in ("corpus-clean", "dedup-purge", "dedup-flags", "span-scrub",
+                    "corpus-profile"):
             sp.add_argument(
                 "--horizon-batches", type=int, default=None,
                 help="streaming only: bound the dedup state stores to the "
-                "trailing N micro-batches (dedup-within-horizon; older "
-                "state partitions are aged out)",
+                "trailing N micro-batches (dedup-within-horizon; for "
+                "corpus-profile: a rolling-window profile over the "
+                "trailing N batches INCLUDING the current one)",
+            )
+        if name == "corpus-profile":
+            sp.add_argument(
+                "--exact", action="store_true",
+                help="batch only: write corpus_profile_exact (the "
+                "oracle'd baseline — exact distincts and rank quantiles; "
+                "pays the token-stream shuffle) instead of the sketched "
+                "profile",
+            )
+            sp.add_argument(
+                "--pack", action="store_true",
+                help="batch only: join the packing-trade columns "
+                "(straddle_docs from the concat packer; n_bins/"
+                "oversize_bins/padded_tokens/fill_pct from FFD pack_bins)",
             )
         if name == "ivf-index":
             sp.add_argument(

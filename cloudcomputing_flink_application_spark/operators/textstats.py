@@ -741,8 +741,16 @@ PROFILE_PCTS = (50, 90, 99)
 #: t-digest/GK accuracy for the sketch twin's quantiles: rank error is
 #: bounded by n / accuracy (<= 6 ranks at sf0.1's 60k docs).
 PROFILE_PCT_ACCURACY = 10_000
-#: HLL++ relative standard deviation for the sketch twin's distinct counts
-#: (Spark's default).  The tolerance gate allows 3 sigma.
+#: Error budget for the sketch twin's distinct counts.  The sketches are
+#: Apache DataSketches HLL (``hll_sketch_agg``, default lgK = 12, rsd ~
+#: 1.04 / sqrt(2^12) ~ 1.6%); the tolerance gate allows this looser 3-sigma
+#: band.  DataSketches over HLL++ (``approx_count_distinct``) is a
+#: deliberate choice: the sketch STATE is a first-class binary column, so
+#: per-batch sketches persist to a store and ``hll_union_agg`` merges them
+#: with register-max semantics — union-of-parts == single-pass estimate
+#: EXACTLY (pinned in tests), which is what lets the streaming twin
+#: (``streaming.jobs.run_corpus_profile_stream``) equal this operator
+#: bit-for-bit instead of approximately.
 PROFILE_HLL_RSD = 0.05
 
 
@@ -846,10 +854,11 @@ FROM agg1 JOIN agg2 USING (source) JOIN q USING (source)
 
 def corpus_profile(documents: DataFrame) -> DataFrame:
     """Per-source corpus profile, SKETCHED — the one-pass 100 TB
-    instrument: HLL++ for the two distinct cardinalities
-    (``approx_count_distinct``, rsd = PROFILE_HLL_RSD) and GK quantile
-    summaries for the length percentiles (``percentile_approx``,
-    accuracy = PROFILE_PCT_ACCURACY).
+    instrument: DataSketches HLL for the two distinct cardinalities
+    (``hll_sketch_agg`` -> ``hll_sketch_estimate``; see PROFILE_HLL_RSD
+    for why DataSketches and not HLL++) and GK quantile summaries for
+    the length percentiles (``percentile_approx``, accuracy =
+    PROFILE_PCT_ACCURACY).
 
     Output schema mirrors :func:`corpus_profile_exact` with ``_est``
     suffixes on the sketched columns: ``(source, n_docs, total_tokens,
@@ -870,16 +879,17 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
     ``corpus_profile_exact`` (itself fully oracle'd) instead, the same
     weaker-gate class as the recall reports.
 
-    Determinism note: HLL++ is merge-order-independent (register max),
-    but GK quantile merges are not perfectly so across different
-    partitionings — treat ``len_pXX_est`` as rank-bounded, not
-    bit-stable; anything feeding a driver hash must use the exact twin.
+    Determinism note: the HLL estimates are fully merge-order-independent
+    (register max — pinned under repartition in tests), but GK quantile
+    merges are not perfectly so across different partitionings — treat
+    ``len_pXX_est`` as rank-bounded, not bit-stable; anything feeding a
+    driver hash must use the exact twin.
     """
     per_doc = _profile_per_doc(documents)
     agg1 = per_doc.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("ntok").cast("long").alias("total_tokens"),
-        F.approx_count_distinct("th", PROFILE_HLL_RSD).alias("distinct_texts_est"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("th")).alias("distinct_texts_est"),
         *[
             F.percentile_approx("len", p / 100.0, PROFILE_PCT_ACCURACY)
             .cast("long")
@@ -892,7 +902,7 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
         F.explode(X.tokens_of(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
     )
     agg2 = toks.groupBy("source").agg(
-        F.approx_count_distinct("tok", PROFILE_HLL_RSD).alias(
+        F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias(
             "distinct_tokens_est"
         )
     )

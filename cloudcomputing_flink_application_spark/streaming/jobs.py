@@ -2304,6 +2304,163 @@ def length_histogram_stream(documents: DataFrame) -> DataFrame:
     return length_histogram(documents)
 
 
+def run_corpus_profile_stream(
+    spark,
+    documents: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    horizon_batches: int | None = None,
+):
+    """Incremental corpus profiling over a document stream — the streaming
+    twin of ``textstats.corpus_profile`` (distinct cardinalities) and
+    ``textstats.corpus_profile_exact`` (volumes + rank-exact quantiles).
+
+    ``foreachBatch`` pattern with two AGGREGATE stores under ``state_dir``:
+
+    - ``sketches``: per batch, per source — (n_docs, total_tokens,
+      text_sk, tok_sk) where the ``*_sk`` columns are DataSketches HLL
+      binaries (``hll_sketch_agg``).  This is why the batch operator uses
+      DataSketches rather than HLL++: the sketch STATE is a column, so
+      cross-batch merge is ``hll_union_agg`` and union-of-parts equals the
+      single-pass estimate EXACTLY (register max; pinned in
+      tests/test_textstats_ops.py) — the cumulative emission is
+      bit-identical to running the batch operator over everything that
+      arrived, not approximately equal.
+    - ``lenhist``: per batch, per source — (len, cnt) counts.  Cumulative
+      quantiles come from the merged histogram by the SAME integer rank
+      rule the exact batch operator uses (value at rank ceil(p*n/100) =
+      smallest len whose cumulative count reaches the rank), so ``len_pXX``
+      equals ``corpus_profile_exact`` exactly, with state O(|sources| x
+      distinct lengths) instead of a sort over every doc.
+
+    Each batch appends its partials and emits the CUMULATIVE profile under
+    ``output_dir/batch_id=N``: (source, n_docs, total_tokens,
+    distinct_texts_est, distinct_tokens_est, len_p50, len_p90, len_p99) —
+    the last partition always equals the batch operators over all arrived
+    docs (pinned in tests/test_streaming.py).
+
+    State/size bound: both stores hold AGGREGATES, never per-doc rows —
+    O(batches x |sources|) sketch rows (a few KB each) + the histogram key
+    space.  That is also the honest compliance note: there is nothing
+    per-document to forget here (an HLL cannot subtract), so deletion =
+    re-profiling the corrected corpus — one cheap pass, unlike the
+    per-doc stores (clean/purge/spans) whose forget paths edit state.
+
+    ``horizon_batches`` bounds the profile to the trailing N micro-batches
+    INCLUDING the current one (profile-over-horizon: the rolling-window
+    report production monitoring wants); older partitions are pruned at
+    batch start.  Replay safety: both stores are batch_id-partitioned with
+    dynamic overwrite, and the emission reads partitions <= the current
+    batch — a replayed batch first rewrites its own partitions, then
+    recomputes the identical profile.
+    """
+    from pyspark.sql import Window
+
+    from cloudcomputing_flink_application_spark.functions import text as X
+    from cloudcomputing_flink_application_spark.operators.textstats import (
+        PROFILE_PCTS,
+        _profile_per_doc,
+    )
+
+    _check_horizon(horizon_batches)
+    sketches_dir = f"{state_dir}/sketches"
+    lenhist_dir = f"{state_dir}/lenhist"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            _prune_stale_batch_partitions(spark, output_dir)
+            _prune_stale_batch_partitions(spark, sketches_dir)
+            _prune_stale_batch_partitions(spark, lenhist_dir)
+        elif horizon_batches is not None:
+            # the emission below reads batches > batch_id - horizon, so
+            # pruning strictly below that cutoff never races the read
+            _prune_batch_partitions_before(
+                spark, sketches_dir, batch_id - horizon_batches + 1
+            )
+            _prune_batch_partitions_before(
+                spark, lenhist_dir, batch_id - horizon_batches + 1
+            )
+        per_doc = _profile_per_doc(batch_df).persist()
+        try:
+            doc_sk = per_doc.groupBy("source").agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("ntok").cast("long").alias("total_tokens"),
+                F.hll_sketch_agg("th").alias("text_sk"),
+            )
+            tok_sk = (
+                batch_df.select(
+                    "source",
+                    F.explode(
+                        X.tokens_of(F.coalesce(F.col("text"), F.lit("")))
+                    ).alias("tok"),
+                )
+                .groupBy("source")
+                .agg(F.hll_sketch_agg("tok").alias("tok_sk"))
+            )
+            _write_batch_partition(
+                doc_sk.join(tok_sk, "source", "left"), batch_id, sketches_dir
+            )
+            _write_batch_partition(
+                per_doc.groupBy("source", "len").agg(
+                    F.count("*").cast("long").alias("cnt")
+                ),
+                batch_id,
+                lenhist_dir,
+            )
+        finally:
+            per_doc.unpersist()
+        # cumulative emission (reads INCLUDE the partitions just written)
+        sks = _horizon_probe(
+            spark.read.parquet(sketches_dir), batch_id + 1, horizon_batches
+        )
+        prof = sks.groupBy("source").agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+            F.hll_sketch_estimate(F.hll_union_agg("text_sk")).alias(
+                "distinct_texts_est"
+            ),
+            # a source whose every doc tokenizes empty has NULL tok_sk rows
+            # only: union-agg skips nulls and yields NULL -> 0 distinct
+            F.coalesce(
+                F.hll_sketch_estimate(F.hll_union_agg("tok_sk")), F.lit(0)
+            ).alias("distinct_tokens_est"),
+        )
+        hist = (
+            _horizon_probe(
+                spark.read.parquet(lenhist_dir), batch_id + 1, horizon_batches
+            )
+            .groupBy("source", "len")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        wcum = (
+            Window.partitionBy("source")
+            .orderBy("len")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        hc = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+            "n", F.sum("cnt").over(Window.partitionBy("source"))
+        )
+        quants = hc.groupBy("source").agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"(n * {p} + 99) div 100"),
+                        F.col("len"),
+                    )
+                ).alias(f"len_p{p}")
+                for p in PROFILE_PCTS
+            ]
+        )
+        _write_batch_partition(prof.join(quants, "source"), batch_id, output_dir)
+
+    return (
+        documents.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_clean_corpus_stream(
     spark,
     documents: DataFrame,

@@ -1230,3 +1230,76 @@ def test_ivf_index_dedup_first(spark, tmp_path):
     with pytest.raises(SystemExit, match="strictly inside"):
         cli.main(["ivf-index", "--input", d_in, "--output", root,
                   "--dedup-first", "--dedup-cos", "1.5"])
+
+
+def test_corpus_profile_cli_batch_exact_pack_and_streaming(spark, tmp_path):
+    # The profiling job surface: default output equals corpus_profile,
+    # --exact equals corpus_profile_exact, --pack joins the packing-trade
+    # columns, and --streaming's last cumulative partition equals the
+    # batch operators (single arrival here; the multi-batch contract is
+    # pinned in tests/test_streaming.py).
+    import pytest as _pytest
+
+    from cloudcomputing_flink_application_spark.operators import textstats as T
+    from tests.conftest import TESTDATA, rows_set
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(200)
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+
+    out_sk = str(tmp_path / "out_sketch")
+    cli.main(["corpus-profile", "--input", d_in, "--output", out_sk])
+    assert rows_set(spark.read.parquet(out_sk)) == rows_set(
+        T.corpus_profile(spark.read.parquet(d_in))
+    )
+
+    out_ex = str(tmp_path / "out_exact")
+    cli.main(["corpus-profile", "--input", d_in, "--output", out_ex, "--exact"])
+    assert rows_set(spark.read.parquet(out_ex)) == rows_set(
+        T.corpus_profile_exact(spark.read.parquet(d_in))
+    )
+
+    out_pk = str(tmp_path / "out_pack")
+    cli.main(["corpus-profile", "--input", d_in, "--output", out_pk, "--pack"])
+    got = spark.read.parquet(out_pk)
+    assert {
+        "straddle_docs",
+        "n_bins",
+        "oversize_bins",
+        "padded_tokens",
+        "fill_pct",
+    } <= set(got.columns)
+    assert got.count() == T.corpus_profile(docs).count()
+
+    out_st = str(tmp_path / "out_stream")
+    cli.main(["corpus-profile", "--input", d_in, "--output", out_st, "--streaming"])
+    prof = spark.read.parquet(f"{out_st}/profile")
+    last = prof.filter("batch_id = 0")
+    sk = {r["source"]: r.asDict() for r in T.corpus_profile(docs).collect()}
+    ex = {r["source"]: r.asDict() for r in T.corpus_profile_exact(docs).collect()}
+    got_s = {
+        r["source"]: (
+            r["n_docs"],
+            r["distinct_texts_est"],
+            r["distinct_tokens_est"],
+            r["len_p50"],
+            r["len_p99"],
+        )
+        for r in last.collect()
+    }
+    assert got_s == {
+        s: (
+            sk[s]["n_docs"],
+            sk[s]["distinct_texts_est"],
+            sk[s]["distinct_tokens_est"],
+            ex[s]["len_p50"],
+            ex[s]["len_p99"],
+        )
+        for s in sk
+    }
+
+    with _pytest.raises(SystemExit):
+        cli.main(
+            ["corpus-profile", "--input", d_in, "--output", out_st,
+             "--streaming", "--exact"]
+        )

@@ -2309,3 +2309,143 @@ def test_forget_docs_heals_horizon_output_via_rederived_edges(spark, tmp_path):
     # the forgotten canonical is gone and its duplicate re-seeds as uniq
     assert 201 not in {r[0] for r in healed}
     assert (401, 1, 0) in healed
+
+
+def test_corpus_profile_stream_matches_batch(spark, tmp_path):
+    # Cumulative sketch profiling: two doc_id-ordered arrivals; every
+    # emitted partition must equal the BATCH operators over everything
+    # arrived so far — bit-exact: HLL union-of-parts == single-pass
+    # (DataSketches register max), histogram rank == the exact twin's
+    # integer rank rule.
+    import os
+
+    from cloudcomputing_flink_application_spark.operators import textstats as T
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    cut = 250
+    d_in = str(tmp_path / "docs_in")
+    base = 1_700_000_000
+    for i, pred in enumerate([docs.doc_id < cut, docs.doc_id >= cut]):
+        p = f"{d_in}/f{i}"
+        docs.filter(pred).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(f"{root}/{f}", (base + i, base + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out_dir = str(tmp_path / "profile_out")
+    q = jobs.run_corpus_profile_stream(
+        spark, stream, out_dir, str(tmp_path / "chk"), str(tmp_path / "state")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def expected(d):
+        sk = {r["source"]: r.asDict() for r in T.corpus_profile(d).collect()}
+        ex = {r["source"]: r.asDict() for r in T.corpus_profile_exact(d).collect()}
+        return {
+            s: (
+                sk[s]["n_docs"],
+                sk[s]["total_tokens"],
+                sk[s]["distinct_texts_est"],
+                sk[s]["distinct_tokens_est"],
+                ex[s]["len_p50"],
+                ex[s]["len_p90"],
+                ex[s]["len_p99"],
+            )
+            for s in sk
+        }
+
+    out = spark.read.parquet(out_dir)
+    for bid, d in [(0, docs.filter(docs.doc_id < cut)), (1, docs)]:
+        got = {
+            r["source"]: (
+                r["n_docs"],
+                r["total_tokens"],
+                r["distinct_texts_est"],
+                r["distinct_tokens_est"],
+                r["len_p50"],
+                r["len_p90"],
+                r["len_p99"],
+            )
+            for r in out.filter(f"batch_id = {bid}").collect()
+        }
+        assert got == expected(d), f"batch {bid}"
+
+    # replay idempotence: wipe the checkpoint, rerun against populated
+    # stores — dynamic overwrite + the <= current probe must reproduce
+    # identical profiles, not double-counted sketches/histograms
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "chk"))
+    q2 = jobs.run_corpus_profile_stream(
+        spark, stream, out_dir, str(tmp_path / "chk"), str(tmp_path / "state")
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    out2 = spark.read.parquet(out_dir)
+    got2 = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["len_p50"])
+        for r in out2.filter("batch_id = 1").collect()
+    }
+    want = expected(docs)
+    assert got2 == {s: (v[0], v[1], v[4]) for s, v in want.items()}
+
+
+def test_corpus_profile_stream_horizon_window(spark, tmp_path):
+    # horizon_batches=1: the profile covers only the CURRENT micro-batch
+    # (rolling-window report), and older store partitions are pruned.
+    import os
+
+    from cloudcomputing_flink_application_spark.operators import textstats as T
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    cut = 250
+    d_in = str(tmp_path / "docs_in")
+    base = 1_700_000_000
+    for i, pred in enumerate([docs.doc_id < cut, docs.doc_id >= cut]):
+        p = f"{d_in}/f{i}"
+        docs.filter(pred).coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(f"{root}/{f}", (base + i, base + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out_dir = str(tmp_path / "profile_out")
+    q = jobs.run_corpus_profile_stream(
+        spark,
+        stream,
+        out_dir,
+        str(tmp_path / "chk"),
+        str(tmp_path / "state"),
+        horizon_batches=1,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    tail_docs = docs.filter(docs.doc_id >= cut)
+    ex = {r["source"]: r.asDict() for r in T.corpus_profile_exact(tail_docs).collect()}
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["len_p50"], r["len_p99"])
+        for r in spark.read.parquet(out_dir).filter("batch_id = 1").collect()
+    }
+    assert got == {
+        s: (v["n_docs"], v["total_tokens"], v["len_p50"], v["len_p99"])
+        for s, v in ex.items()
+    }
+    # old sketch partitions pruned: only batch 1 remains in the stores
+    import glob
+
+    parts = glob.glob(str(tmp_path / "state" / "sketches" / "batch_id=*"))
+    assert [p.split("=")[-1] for p in parts] == ["1"]

@@ -153,3 +153,44 @@ def test_corpus_profile_null_text_counts_as_empty(spark):
     assert row["distinct_texts"] == 2
     assert row["len_p50"] == 0 and row["len_p99"] == 1
     assert row["total_tokens"] == 1
+
+
+def test_corpus_profile_hll_union_equals_direct_and_deterministic(spark):
+    """The property the streaming twin's store design rests on:
+    DataSketches HLL union-of-parts == single-pass estimate (register
+    max is associative/commutative), and the estimates are layout-
+    independent (same values under any repartition)."""
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.operators import textstats as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    base = docs.select(
+        "source", F.md5(F.coalesce("text", F.lit(""))).alias("th")
+    )
+    direct = {
+        r["source"]: r["e"]
+        for r in base.groupBy("source")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("th")).alias("e"))
+        .collect()
+    }
+    per_part = base.withColumn("part", F.pmod(F.crc32("th"), F.lit(5))).groupBy(
+        "source", "part"
+    ).agg(F.hll_sketch_agg("th").alias("sk"))
+    merged = {
+        r["source"]: r["e"]
+        for r in per_part.groupBy("source")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()
+    }
+    assert direct == merged
+    # layout independence of the profile's est columns
+    a = {
+        r["source"]: (r["distinct_texts_est"], r["distinct_tokens_est"])
+        for r in T.corpus_profile(docs).collect()
+    }
+    b = {
+        r["source"]: (r["distinct_texts_est"], r["distinct_tokens_est"])
+        for r in T.corpus_profile(docs.repartition(7)).collect()
+    }
+    assert a == b
