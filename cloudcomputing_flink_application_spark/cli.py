@@ -396,9 +396,13 @@ def _train_data(args: argparse.Namespace) -> None:
             .join(flags.filter("kept").select("doc_id", "split"), "doc_id")
             .join(surv, "doc_id")
         )
-        write_outputs(pipeline.packed_training_rows(surv_docs))
+        write_outputs(
+            pipeline.packed_training_rows(surv_docs, args.pack_mode)
+        )
         return
-    write_outputs(pipeline.training_prep(spark.read.parquet(args.input)))
+    write_outputs(
+        pipeline.training_prep(spark.read.parquet(args.input), args.pack_mode)
+    )
 
 
 def _dedup_purge(args: argparse.Namespace) -> None:
@@ -1324,6 +1328,15 @@ def main(argv: list[str] | None = None) -> None:
                 "as N deterministic content-addressed training shards "
                 "under <output>/shards (shard = stable hash of pack_id, "
                 "so a packed sequence lands whole in one shard)",
+            )
+            sp.add_argument(
+                "--pack-mode", choices=("chunks", "bins"), default="chunks",
+                dest="pack_mode",
+                help="batch / --materialize: packing regime — 'chunks' "
+                "(concat-and-chunk, the oracle'd default; documents may "
+                "straddle sequence boundaries) or 'bins' (FFD whole-"
+                "document packing: no straddling, explicit padding; "
+                "pack_id becomes the bin identity)",
             )
             sp.add_argument(
                 "--materialize", action="store_true",

@@ -1409,7 +1409,9 @@ def prep_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
-def training_prep(documents: DataFrame) -> DataFrame:
+def training_prep(
+    documents: DataFrame, pack_mode: str = "chunks"
+) -> DataFrame:
     """The END-TO-END training-data job (r11, VERDICT r10 #5): clean ->
     near-dup purge -> sequence packing, one composed dataflow whose
     output rows are what ``sinks.write_training_shards`` writes and a
@@ -1428,7 +1430,8 @@ def training_prep(documents: DataFrame) -> DataFrame:
     3. :func:`pack_chunks` over the survivors — bounded-window sequence
        packing; ``pack_id`` (source:pack_key:chunk_id) is the shard
        key, so a packed training sequence always lands WHOLE in one
-       shard.
+       shard.  ``pack_mode="bins"`` swaps this stage for FFD
+       whole-document packing (see :func:`packed_training_rows`).
 
     Output, one row per surviving doc: (doc_id, source, pack_key,
     chunk_id, n_tok, begin_tok, split, pack_id, text).  Conservation
@@ -1455,16 +1458,51 @@ def training_prep(documents: DataFrame) -> DataFrame:
         )
     )
     surv = minhash_purge_dedup(kept_docs).select("doc_id")
-    return packed_training_rows(kept_docs.join(surv, "doc_id"))
+    return packed_training_rows(kept_docs.join(surv, "doc_id"), pack_mode)
 
 
-def packed_training_rows(surv_docs: DataFrame) -> DataFrame:
+def packed_training_rows(
+    surv_docs: DataFrame, pack_mode: str = "chunks"
+) -> DataFrame:
     """The packing tail of :func:`training_prep` — pack the surviving
     docs (documents schema + ``split``) and attach text + the shard key.
     ONE definition shared by the batch operator and the streaming
     materializer (``cli train-data --materialize``), so the pinned
-    batch==materialized contract cannot drift."""
-    packed = pack_chunks(surv_docs)
+    batch==materialized contract cannot drift.
+
+    ``pack_mode``: ``"chunks"`` (default) is the concat-and-chunk packer
+    — the oracle'd TRAINING_PREP_SQL dataflow; ``"bins"`` swaps in
+    :func:`pack_bins` (FFD whole-document packing, no straddling) with
+    the SAME output schema: ``chunk_id`` becomes the bin ordinal and
+    ``begin_tok`` the doc's offset within its bin in FFD placement order
+    (n_tok DESC, doc_id ASC — so ``begin_tok + n_tok <= PACK_BUDGET``
+    for every non-oversize bin, the no-straddle guarantee).  ``pack_id``
+    keeps meaning "the training sequence this doc lands whole in", so
+    the shard writer and the conservation contract are mode-agnostic;
+    bins mode has no cross-engine SQL (FFD is sequential per group) and
+    is gated by the property pins instead."""
+    if pack_mode == "chunks":
+        packed = pack_chunks(surv_docs)
+    elif pack_mode == "bins":
+        w = (
+            Window.partitionBy("source", "pack_key", "bin_seq")
+            .orderBy(F.desc("n_tok"), F.asc("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        packed = pack_bins(surv_docs).select(
+            "doc_id",
+            "source",
+            "pack_key",
+            "n_tok",
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+            .cast("long")
+            .alias("begin_tok"),
+            F.col("bin_seq").alias("chunk_id"),
+        )
+    else:
+        raise ValueError(
+            f"pack_mode must be 'chunks' or 'bins', got {pack_mode!r}"
+        )
     return packed.join(
         surv_docs.select("doc_id", "split", "text"), "doc_id"
     ).select(

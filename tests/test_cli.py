@@ -1303,3 +1303,74 @@ def test_corpus_profile_cli_batch_exact_pack_and_streaming(spark, tmp_path):
             ["corpus-profile", "--input", d_in, "--output", out_st,
              "--streaming", "--exact"]
         )
+
+
+def test_train_data_cli_pack_mode_bins(spark, tmp_path):
+    """--pack-mode bins: same survivors and conservation as chunks mode,
+    plus the FFD guarantees — no straddling (begin_tok + n_tok <= budget
+    in every non-oversize sequence) and a bin's docs share one pack_id /
+    one shard."""
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        PACK_BUDGET,
+        training_prep,
+    )
+    from tests.conftest import TESTDATA, rows_set
+
+    d_in = f"{TESTDATA}/sf0.01/documents.parquet"
+    root = str(tmp_path / "td")
+    cli.main(["train-data", "--input", d_in, "--output", root,
+              "--pack-mode", "bins", "--shards", "4"])
+    docs = spark.read.parquet(d_in)
+    prep = spark.read.parquet(f"{root}/prep")
+    assert rows_set(prep) == rows_set(training_prep(docs, "bins"))
+    # same survivor set as the oracle'd chunks mode — the packing regime
+    # must not change WHICH docs survive
+    chunks_prep = training_prep(docs)
+    assert rows_set(prep.select("doc_id")) == rows_set(
+        chunks_prep.select("doc_id")
+    )
+    # no straddling: every doc's span fits its sequence unless the doc
+    # alone exceeds the budget (then it is the sequence)
+    per_pack = prep.groupBy("pack_id").agg(
+        F.count("*").alias("docs"), F.sum("n_tok").alias("load")
+    )
+    over = per_pack.filter(f"load > {PACK_BUDGET}")
+    assert over.filter("docs > 1").count() == 0
+    assert prep.filter(f"begin_tok + n_tok > {PACK_BUDGET}").join(
+        per_pack.filter("docs > 1").select("pack_id"), "pack_id"
+    ).count() == 0
+    # shard atomicity carries over: one pack (bin) -> one shard
+    shards = spark.read.parquet(f"{root}/shards")
+    assert rows_set(shards.drop("shard")) == rows_set(prep)
+    assert (
+        shards.groupBy("pack_id")
+        .agg(F.countDistinct("shard").alias("ns"))
+        .filter("ns > 1")
+        .count()
+        == 0
+    )
+    # token conservation across modes: identical total
+    assert (
+        prep.agg(F.sum("n_tok")).first()[0]
+        == chunks_prep.agg(F.sum("n_tok")).first()[0]
+    )
+
+
+def test_packed_training_rows_rejects_bad_mode(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        packed_training_rows,
+    )
+    from tests.conftest import TESTDATA
+
+    docs = (
+        spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+        .limit(5)
+        .withColumn("split", F.lit("train"))
+    )
+    with _pytest.raises(ValueError):
+        packed_training_rows(docs, "zigzag")
