@@ -2271,7 +2271,129 @@ def bench_composed(spark) -> dict:
     }
 
 
+
+def bench_r11_ops(spark) -> dict:
+    """The r11 additions' scale rows: SemDeDup (O(n^2/K) within-cluster
+    pairing under the auto-grown codebook), the corpus-profile pair
+    (sketch vs exact — the gap is the exact twin's token-stream distinct
+    shuffle), and FFD bin packing (bounded groups; group count scales
+    out).  Rows column: semantic_dedup records PRUNED vectors (intrinsic
+    output), the others record output rows."""
+    from cloudcomputing_flink_application_spark.operators import textstats
+
+    build_corpora(spark)
+    # the profile ops COLLECT (20 rows): a bare count() would let
+    # Catalyst prune the aggregate expressions (counting groups needs
+    # only the keys) and time a hollowed-out plan
+    ops = {
+        "semantic_dedup": lambda d, e: dedup.semantic_dedup(e)
+        .filter(F.col("is_pruned"))
+        .count(),
+        "corpus_profile_sketch": lambda d, e: len(
+            textstats.corpus_profile(d).collect()
+        ),
+        "corpus_profile_exact": lambda d, e: len(
+            textstats.corpus_profile_exact(d).collect()
+        ),
+        "pack_bins": lambda d, e: pipeline.pack_bins(d).count(),
+    }
+    return {
+        "ops": _bench_op_table(
+            spark,
+            ops,
+            lambda s: (
+                spark.read.parquet(str(WORK / f"docs_x{s}")),
+                spark.read.parquet(str(WORK / f"embs_x{s}")),
+            ),
+        )
+    }
+
+
+
+def build_docs_highcard(spark) -> None:
+    """High-cardinality profile corpora: every token is unique corpus-wide
+    (50 synthetic tokens per doc, keyed by doc_id), so distinct-token
+    cardinality is 50 x n_docs (2.5M at 1x, 25M at 10x) — the regime where the exact profile's
+    count(DISTINCT token) must shuffle the whole token stream while the
+    sketch ships one HLL per source per task.  The driver corpus cannot
+    show this (its synthetic vocabulary is ~31 distinct tokens)."""
+    for s in SCALES:
+        ddir = WORK / f"docs_hc_x{s}"
+        if ddir.exists():
+            continue
+        n = 50_000 * s
+        docs = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.concat(
+                    F.lit("w"),
+                    F.concat_ws(
+                        " w",
+                        *[
+                            (F.col("id") * 50 + i).cast("string")
+                            for i in range(50)
+                        ],
+                    ),
+                ).alias("text"),
+                F.lit("en").alias("lang"),
+                F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias(
+                    "source"
+                ),
+            )
+            .withColumn("n_chars", F.length("text").cast("long"))
+        )
+        docs.write.mode("overwrite").parquet(str(ddir))
+
+
+def bench_profile_highcard(spark) -> dict:
+    """Sketch vs exact profile on the unique-token corpora — the distinct
+    exchange made visible (see build_docs_highcard)."""
+    from cloudcomputing_flink_application_spark.operators import textstats
+
+    build_docs_highcard(spark)
+    # collect(), not count(): see bench_r11_ops — count() lets Catalyst
+    # prune the aggregates and times an empty shell
+    ops = {
+        "profile_sketch_hc": lambda d: len(textstats.corpus_profile(d).collect()),
+        "profile_exact_hc": lambda d: len(
+            textstats.corpus_profile_exact(d).collect()
+        ),
+    }
+    out = {
+        "ops": _bench_op_table(
+            spark,
+            ops,
+            lambda s: (spark.read.parquet(str(WORK / f"docs_hc_x{s}")),),
+        )
+    }
+    # Wall time alone cannot separate the twins on one box (a 32-thread
+    # local exchange of 25M short strings is cheap); the cluster-relevant
+    # difference is EXCHANGE VOLUME, so record per-variant shuffle bytes
+    # from the UI REST stages at the top scale.
+    shuffle = {}
+    d10 = spark.read.parquet(str(WORK / f"docs_hc_x{SCALES[-1]}"))
+    for name, fn in ops.items():
+        spark.catalog.clearCache()
+        mark = _stage_mark(spark)
+        fn(d10)
+        time.sleep(3)  # let the UI listener flush the final stages
+        stages = [s for s in _ui_stages(spark) if s["stageId"] > mark]
+        shuffle[name] = {
+            "shuffle_write_bytes": int(
+                sum(s.get("shuffleWriteBytes", 0) for s in stages)
+            ),
+            "shuffle_read_bytes": int(
+                sum(s.get("shuffleReadBytes", 0) for s in stages)
+            ),
+            "n_stages": len(stages),
+        }
+    out["shuffle_at_10x"] = shuffle
+    return out
+
+
 def main() -> None:
+
     import sys
 
     section = sys.argv[1] if len(sys.argv) > 1 else "all"
@@ -2328,6 +2450,12 @@ def main() -> None:
         return
     if section == "opq":
         print(json.dumps({"opq": bench_opq(spark)}))
+        return
+    if section == "profile-hc":
+        print(json.dumps({"profile_hc": bench_profile_highcard(spark)}))
+        return
+    if section == "r11-ops":
+        print(json.dumps({"r11_ops": bench_r11_ops(spark)}))
         return
     if section == "train-prep":
         print(json.dumps({"train_prep": bench_train_prep(spark)}))
