@@ -342,6 +342,12 @@ def _train_data(args: argparse.Namespace) -> None:
                 "warning: --shards is batch/--materialize-only; streaming "
                 "maintains the stores"
             )
+        if getattr(args, "pack_mode", "chunks") != "chunks":
+            print(
+                "warning: --pack-mode is batch/--materialize-only; "
+                "streaming maintains the stores (pass it to the "
+                "--materialize invocation that packs)"
+            )
         _launch_clean_stream(
             spark,
             args.input,

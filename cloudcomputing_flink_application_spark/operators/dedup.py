@@ -1992,17 +1992,13 @@ def semantic_dedup(embeddings: DataFrame, tau: float = SEMANTIC_COS) -> DataFram
     portable convention of every oracle's ``e`` CTE)."""
     from cloudcomputing_flink_application_spark.operators import similarity as SIM
 
-    row = embeddings.agg(
-        F.count("*").alias("n"), F.countDistinct("label").alias("nl")
-    ).first()
-    n = int(row["n"])
+    n, subk = SIM._corpus_sizing(embeddings)
     if n == 0:
         return embeddings.sparkSession.createDataFrame(
             [],
             "vec_id bigint, cluster bigint, component bigint, "
             "kept_id bigint, is_pruned boolean",
         )
-    subk = SIM.auto_subk(n, max(int(row["nl"] or 0), 1))
     # shared-frame persists (the module's caching contract): base feeds
     # the seed sampler, the assignment scan, and both cosine-verify
     # sides; the codebook is referenced three times inside

@@ -379,7 +379,12 @@ def pack_chunks(documents: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         (F.col("doc_id") / PACK_RANGE).cast("long").alias("pack_key"),
-        F.size(X.tokens("text")).cast("long").alias("n_tok"),
+        # coalesce: Spark's non-ANSI size(NULL) is -1, which would corrupt
+        # the running sums (and diverge from DuckDB's NULL) — a NULL text
+        # packs as zero tokens, like everywhere else in the family
+        F.size(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tok"),
     )
     w = (
         Window.partitionBy("source", "pack_key")
@@ -399,7 +404,7 @@ PACK_CHUNKS_SQL = f"""
 WITH base AS (
   SELECT doc_id, source,
          doc_id // {PACK_RANGE} AS pack_key,
-         CAST(len({X.tokens_sql('text')}) AS BIGINT) AS n_tok
+         CAST(len({X.tokens_sql("coalesce(text, '')")}) AS BIGINT) AS n_tok
   FROM documents
 )
 SELECT doc_id, source, pack_key, n_tok,
@@ -446,9 +451,10 @@ def pack_bins(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     property pins in tests/test_pipeline_ops.py (capacity, conservation,
     determinism under repartition, the hand-computed FFD fixture).
 
-    Output: (doc_id, source, pack_key, n_tok, bin_seq, oversize) with
-    ``bin_seq`` the per-group bin ordinal (globally identify a bin by
-    (source, pack_key, bin_seq)).
+    Output: (doc_id, source, pack_key, n_tok, bin_seq, begin_tok,
+    oversize) with ``bin_seq`` the per-group bin ordinal (globally
+    identify a bin by (source, pack_key, bin_seq)) and ``begin_tok`` the
+    doc's token offset within its bin, recorded at placement time.
     """
     if budget < 1:
         raise ValueError(f"pack_bins needs budget >= 1, got {budget}")
@@ -456,7 +462,11 @@ def pack_bins(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         "doc_id",
         "source",
         (F.col("doc_id") / PACK_RANGE).cast("long").alias("pack_key"),
-        F.size(X.tokens("text")).cast("long").alias("n_tok"),
+        # coalesce: size(NULL) is -1 in non-ANSI Spark — a negative load
+        # would let an over-budget bin pass the capacity invariant
+        F.size(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("n_tok"),
     )
 
     def _ffd(pdf):
@@ -467,6 +477,7 @@ def pack_bins(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         )
         loads: list[int] = []
         seqs: list[int] = []
+        begins: list[int] = []
         oversize: list[bool] = []
         for nt in pdf["n_tok"]:
             nt = int(nt)
@@ -474,27 +485,35 @@ def pack_bins(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
                 # flagged singleton bin; never receives another doc
                 # (its load already exceeds budget)
                 seqs.append(len(loads))
+                begins.append(0)
                 loads.append(nt)
                 oversize.append(True)
                 continue
             for i, ld in enumerate(loads):
                 if ld + nt <= budget:
                     seqs.append(i)
+                    begins.append(ld)
                     loads[i] = ld + nt
                     break
             else:
                 seqs.append(len(loads))
+                begins.append(0)
                 loads.append(nt)
             oversize.append(False)
         out = pdf[["doc_id", "source", "pack_key", "n_tok"]].copy()
         out["bin_seq"] = pd.array(seqs, dtype="int64")
+        # the doc's token offset within its bin, recorded AT placement —
+        # the one authoritative statement of FFD's order (a downstream
+        # window re-deriving it would silently couple to this loop's
+        # sort; r11 review)
+        out["begin_tok"] = pd.array(begins, dtype="int64")
         out["oversize"] = oversize
         return out
 
     return base.groupBy("source", "pack_key").applyInPandas(
         _ffd,
         "doc_id long, source string, pack_key long, n_tok long, "
-        "bin_seq long, oversize boolean",
+        "bin_seq long, begin_tok long, oversize boolean",
     )
 
 
@@ -1474,9 +1493,9 @@ def packed_training_rows(
     — the oracle'd TRAINING_PREP_SQL dataflow; ``"bins"`` swaps in
     :func:`pack_bins` (FFD whole-document packing, no straddling) with
     the SAME output schema: ``chunk_id`` becomes the bin ordinal and
-    ``begin_tok`` the doc's offset within its bin in FFD placement order
-    (n_tok DESC, doc_id ASC — so ``begin_tok + n_tok <= PACK_BUDGET``
-    for every non-oversize bin, the no-straddle guarantee).  ``pack_id``
+    ``begin_tok`` the offset pack_bins records at placement time (so
+    ``begin_tok + n_tok <= PACK_BUDGET`` for every non-oversize bin,
+    the no-straddle guarantee).  ``pack_id``
     keeps meaning "the training sequence this doc lands whole in", so
     the shard writer and the conservation contract are mode-agnostic;
     bins mode has no cross-engine SQL (FFD is sequential per group) and
@@ -1484,19 +1503,12 @@ def packed_training_rows(
     if pack_mode == "chunks":
         packed = pack_chunks(surv_docs)
     elif pack_mode == "bins":
-        w = (
-            Window.partitionBy("source", "pack_key", "bin_seq")
-            .orderBy(F.desc("n_tok"), F.asc("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
         packed = pack_bins(surv_docs).select(
             "doc_id",
             "source",
             "pack_key",
             "n_tok",
-            F.coalesce(F.sum("n_tok").over(w), F.lit(0))
-            .cast("long")
-            .alias("begin_tok"),
+            "begin_tok",
             F.col("bin_seq").alias("chunk_id"),
         )
     else:

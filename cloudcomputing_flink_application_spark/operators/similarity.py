@@ -158,14 +158,22 @@ def auto_subk(n: int, n_labels: int) -> int:
     return max(SUBK, min(IVF_WIDE_RANK_BASE - 1, per_label))
 
 
-def _auto_subk_for(embeddings: DataFrame) -> int:
-    """``auto_subk`` from one cheap two-column aggregate over the corpus
+def _corpus_sizing(embeddings: DataFrame) -> tuple[int, int]:
+    """(n, auto subk) from one cheap two-column aggregate over the corpus
     (count + distinct labels) — on a cluster this would come from table
-    statistics; the single aggregate is the local stand-in."""
+    statistics; the single aggregate is the local stand-in.  The shared
+    sizing read for every codebook consumer (dedup.semantic_dedup
+    included), so the n/label conventions can never diverge per
+    caller."""
     row = embeddings.agg(
         F.count("*").alias("n"), F.countDistinct("label").alias("nl")
     ).first()
-    return auto_subk(int(row["n"]), max(int(row["nl"] or 0), 1))
+    n = int(row["n"])
+    return n, auto_subk(n, max(int(row["nl"] or 0), 1))
+
+
+def _auto_subk_for(embeddings: DataFrame) -> int:
+    return _corpus_sizing(embeddings)[1]
 
 #: Frames persisted by the operators below — same caching contract as
 #: ``operators.dedup``: operators return lazy frames, so release happens

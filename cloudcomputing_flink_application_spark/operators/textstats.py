@@ -765,6 +765,18 @@ def _profile_per_doc(documents: DataFrame) -> DataFrame:
     )
 
 
+def _profile_tokens(documents: DataFrame) -> DataFrame:
+    """The per-source token stream (source, tok) — ONE definition shared
+    by the exact twin, the sketch twin, and the streaming twin
+    (run_corpus_profile_stream), because the calibration and the
+    streaming==batch bit-exact contracts silently assume all three
+    tokenize identically (r11 review)."""
+    return documents.select(
+        "source",
+        F.explode(X.tokens_of(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
+    )
+
+
 def corpus_profile_exact(documents: DataFrame) -> DataFrame:
     """Per-source corpus profile, EXACT: doc/token volume, distinct-text
     and distinct-token cardinality, and rank-exact length quantiles.
@@ -788,11 +800,7 @@ def corpus_profile_exact(documents: DataFrame) -> DataFrame:
         F.sum("ntok").cast("long").alias("total_tokens"),
         F.countDistinct("th").cast("long").alias("distinct_texts"),
     )
-    toks = documents.select(
-        "source",
-        F.explode(X.tokens_of(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
-    )
-    agg2 = toks.groupBy("source").agg(
+    agg2 = _profile_tokens(documents).groupBy("source").agg(
         F.countDistinct("tok").cast("long").alias("distinct_tokens")
     )
     w = Window.partitionBy("source").orderBy("len", "doc_id")
@@ -810,7 +818,17 @@ def corpus_profile_exact(documents: DataFrame) -> DataFrame:
             for p in PROFILE_PCTS
         ]
     )
-    return agg1.join(agg2, "source").join(qagg, "source")
+    # LEFT join + coalesce: a source whose every doc tokenizes empty has
+    # NO token rows — an inner join would silently drop the source from
+    # the profile while the streaming twin emits it with 0 (r11 review)
+    return (
+        agg1.join(agg2, "source", "left")
+        .withColumn(
+            "distinct_tokens",
+            F.coalesce("distinct_tokens", F.lit(0).cast("long")),
+        )
+        .join(qagg, "source")
+    )
 
 
 CORPUS_PROFILE_EXACT_SQL = f"""
@@ -846,9 +864,10 @@ q AS (
          {', '.join(f"max(CASE WHEN rn = (n * {p} + 99) // 100 THEN len END) AS len_p{p}" for p in PROFILE_PCTS)}
   FROM ranked GROUP BY source
 )
-SELECT source, n_docs, total_tokens, distinct_texts, distinct_tokens,
+SELECT source, n_docs, total_tokens, distinct_texts,
+       CAST(coalesce(distinct_tokens, 0) AS BIGINT) AS distinct_tokens,
        {', '.join(f'len_p{p}' for p in PROFILE_PCTS)}
-FROM agg1 JOIN agg2 USING (source) JOIN q USING (source)
+FROM agg1 LEFT JOIN agg2 USING (source) JOIN q USING (source)
 """
 
 
@@ -897,16 +916,17 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
             for p in PROFILE_PCTS
         ],
     )
-    toks = documents.select(
-        "source",
-        F.explode(X.tokens_of(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
-    )
-    agg2 = toks.groupBy("source").agg(
+    agg2 = _profile_tokens(documents).groupBy("source").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias(
             "distinct_tokens_est"
         )
     )
-    return agg1.join(agg2, "source").select(
+    # LEFT join + coalesce for all-empty-token sources, mirroring the
+    # exact twin and the streaming twin's NULL-union -> 0 path
+    return agg1.join(agg2, "source", "left").withColumn(
+        "distinct_tokens_est",
+        F.coalesce("distinct_tokens_est", F.lit(0).cast("long")),
+    ).select(
         "source",
         "n_docs",
         "total_tokens",

@@ -2357,10 +2357,10 @@ def run_corpus_profile_stream(
     """
     from pyspark.sql import Window
 
-    from cloudcomputing_flink_application_spark.functions import text as X
     from cloudcomputing_flink_application_spark.operators.textstats import (
         PROFILE_PCTS,
         _profile_per_doc,
+        _profile_tokens,
     )
 
     _check_horizon(horizon_batches)
@@ -2389,12 +2389,7 @@ def run_corpus_profile_stream(
                 F.hll_sketch_agg("th").alias("text_sk"),
             )
             tok_sk = (
-                batch_df.select(
-                    "source",
-                    F.explode(
-                        X.tokens_of(F.coalesce(F.col("text"), F.lit("")))
-                    ).alias("tok"),
-                )
+                _profile_tokens(batch_df)
                 .groupBy("source")
                 .agg(F.hll_sketch_agg("tok").alias("tok_sk"))
             )

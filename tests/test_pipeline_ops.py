@@ -486,3 +486,70 @@ def test_pack_bins_rejects_bad_budget(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with _pytest.raises(ValueError):
         pack_bins(docs, budget=0)
+
+
+def test_pack_ops_null_text_counts_zero_tokens(spark):
+    """NULL text packs as 0 tokens on both packers (r11 review: Spark's
+    non-ANSI size(NULL) = -1 would shrink FFD bin loads below their real
+    total, voiding the capacity invariant, and diverge from DuckDB's
+    NULL in the chunk packer's running sums)."""
+    import duckdb
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        PACK_CHUNKS_SQL,
+        pack_bins,
+        pack_chunks,
+    )
+    from tests.oracle_harness import canon_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "en", "s0", 0),
+            _doc(2, "t t t t t t t"),
+            _doc(3, "t t t t"),
+        ],
+        DOC_COLS,
+    )
+    bins = {r["doc_id"]: r for r in pack_bins(docs, budget=8).collect()}
+    assert bins[1]["n_tok"] == 0 and not bins[1]["oversize"]
+    # the NULL doc costs nothing: all three fit one 8-token bin (7+4 > 8
+    # would split without it; 7, 4 -> two bins; 0 joins the first opened)
+    loads = {}
+    for r in bins.values():
+        loads[r["bin_seq"]] = loads.get(r["bin_seq"], 0) + r["n_tok"]
+    assert all(v <= 8 for v in loads.values())
+    assert bins[1]["begin_tok"] + bins[1]["n_tok"] <= 8
+
+    chunks = pack_chunks(docs)
+    assert {r["doc_id"]: r["n_tok"] for r in chunks.collect()}[1] == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, NULL, 'en', 's0', 0), "
+        "(2, 't t t t t t t', 'en', 's0', 13), "
+        "(3, 't t t t', 'en', 's0', 7)"
+        ") t(doc_id, text, lang, source, n_chars)"
+    )
+    oracle = con.execute(PACK_CHUNKS_SQL).df()
+    assert canon_frame(chunks.toPandas()) == canon_frame(oracle)
+
+
+def test_pack_bins_begin_tok_is_placement_offset(spark):
+    """begin_tok comes from the FFD loop's bin load at placement time:
+    budget=8, sizes 5,4,3,3,1 -> bin0 [5@0, 3@5], bin1 [4@0, 3@4, 1@7]."""
+    from cloudcomputing_flink_application_spark.operators.pipeline import pack_bins
+
+    docs = spark.createDataFrame(
+        [
+            _doc(1, "t t t t t"),
+            _doc(2, "t t t t"),
+            _doc(3, "t t t"),
+            _doc(4, "t t t"),
+            _doc(5, "t"),
+        ],
+        DOC_COLS,
+    )
+    out = {r["doc_id"]: r for r in pack_bins(docs, budget=8).collect()}
+    assert out[1]["begin_tok"] == 0 and out[3]["begin_tok"] == 5
+    assert out[2]["begin_tok"] == 0 and out[4]["begin_tok"] == 4
+    assert out[5]["begin_tok"] == 7

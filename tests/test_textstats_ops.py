@@ -194,3 +194,44 @@ def test_corpus_profile_hll_union_equals_direct_and_deterministic(spark):
         for r in T.corpus_profile(docs.repartition(7)).collect()
     }
     assert a == b
+
+
+def test_corpus_profile_keeps_all_empty_token_sources(spark):
+    """A source whose every doc tokenizes empty (whitespace-only text)
+    must appear in BOTH profile twins with 0 distinct tokens — an inner
+    token join silently dropped it while the streaming twin emitted it
+    (r11 review).  Engine parity pinned against an inline DuckDB view."""
+    import duckdb
+
+    from cloudcomputing_flink_application_spark.operators import textstats as T
+    from tests.oracle_harness import canon_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "   ", "en", "empty_src", 3),
+            (2, None, "en", "empty_src", 0),
+            (3, "a b c", "en", "full_src", 5),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    ex = {r["source"]: r.asDict() for r in T.corpus_profile_exact(docs).collect()}
+    assert set(ex) == {"empty_src", "full_src"}
+    assert ex["empty_src"]["distinct_tokens"] == 0
+    assert ex["empty_src"]["total_tokens"] == 0
+    assert ex["empty_src"]["n_docs"] == 2
+    sk = {r["source"]: r.asDict() for r in T.corpus_profile(docs).collect()}
+    assert set(sk) == {"empty_src", "full_src"}
+    assert sk["empty_src"]["distinct_tokens_est"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, '   ', 'en', 'empty_src', 3), "
+        "(2, NULL, 'en', 'empty_src', 0), "
+        "(3, 'a b c', 'en', 'full_src', 5)"
+        ") t(doc_id, text, lang, source, n_chars)"
+    )
+    oracle = con.execute(T.CORPUS_PROFILE_EXACT_SQL).df()
+    assert canon_frame(T.corpus_profile_exact(docs).toPandas()) == canon_frame(
+        oracle
+    )
