@@ -2346,6 +2346,93 @@ def build_docs_highcard(spark) -> None:
         docs.write.mode("overwrite").parquet(str(ddir))
 
 
+def bench_semdedup_blob(spark) -> dict:
+    """SemDeDup's documented degenerate regime, measured: within-cell
+    pairing is O(sum c_i^2), so a corpus whose k-means cells hold
+    growing near-dup blobs (the fixed-50-cluster mixture: 160 -> 1600
+    members as n grows 8k -> 80k) drives the pair stage quadratically —
+    and the documented remedy, the established dedup-before-X ordering
+    (embedding_purge_dedup collapses each blob to one survivor at the
+    0.95 near-dup bar, THEN SemDeDup prunes semantic redundancy over
+    the survivors), flattens it.  Single timed run per cell after cache
+    clear (the direct x10 arm is minutes by design — it IS the
+    pathology; REPS-min protocol would triple it for no information).
+    """
+    build_clustered()
+    out: dict = {}
+    for s in SCALES:
+        e = spark.read.parquet(str(WORK / f"embs_clustered_x{s}.parquet"))
+        res: dict = {}
+
+        def _direct():
+            return dedup.semantic_dedup(e).filter(F.col("is_pruned")).count()
+
+        def _purge_first():
+            surv = dedup.embedding_purge_dedup(e)
+            return dedup.semantic_dedup(surv).filter(F.col("is_pruned")).count()
+
+        for name, fn in (("direct", _direct), ("purge_first", _purge_first)):
+            spark.catalog.clearCache()
+            dedup.release_cached()
+            similarity.release_cached()
+            t0 = time.time()
+            n = fn()
+            res[name] = {"sec": round(time.time() - t0, 3), "pruned": int(n)}
+        out[f"x{s}"] = res
+    # The TRUE single-cell pile-up: an EXACT-duplicate mega-blob.  Noisy
+    # blobs split across their sub-centroid seeds (each member lands on
+    # its own nearest — measured above: the mixture regime stays
+    # sublinear under auto-K), but identical vectors tie on every
+    # assignment cosine and the deterministic min-cluster tiebreak sends
+    # ALL of them to ONE cell: pairing is c^2 on the copy count.  The
+    # remedy is the established ordering — embedding_purge_dedup's O(n)
+    # exact-hash edges collapse the copies to one survivor before any
+    # cell is paired.
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    blob_path = WORK / "embs_exactblob.parquet"
+    if not blob_path.exists():
+        bg = spark.read.parquet(str(WORK / "embs_clustered_x1.parquet"))
+        one = bg.limit(1).first()
+        copies = 8000
+        pq_.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        [ID_STRIDE + i for i in range(copies)], pa.int64()
+                    ),
+                    "label": pa.array([int(one["label"])] * copies, pa.int64()),
+                    "embedding": pa.array(
+                        [list(one["embedding"])] * copies, pa.list_(pa.float32())
+                    ),
+                }
+            ),
+            str(blob_path),
+        )
+    eb = spark.read.parquet(
+        str(WORK / "embs_clustered_x1.parquet")
+    ).unionByName(spark.read.parquet(str(blob_path)))
+    res = {}
+
+    def _direct_b():
+        return dedup.semantic_dedup(eb).filter(F.col("is_pruned")).count()
+
+    def _purge_first_b():
+        surv = dedup.embedding_purge_dedup(eb)
+        return dedup.semantic_dedup(surv).filter(F.col("is_pruned")).count()
+
+    for name, fn in (("direct", _direct_b), ("purge_first", _purge_first_b)):
+        spark.catalog.clearCache()
+        dedup.release_cached()
+        similarity.release_cached()
+        t0 = time.time()
+        n = fn()
+        res[name] = {"sec": round(time.time() - t0, 3), "pruned": int(n)}
+    out["exact_blob_8k"] = res
+    return out
+
+
 def bench_profile_highcard(spark) -> dict:
     """Sketch vs exact profile on the unique-token corpora — the distinct
     exchange made visible (see build_docs_highcard)."""
@@ -2450,6 +2537,9 @@ def main() -> None:
         return
     if section == "opq":
         print(json.dumps({"opq": bench_opq(spark)}))
+        return
+    if section == "semdedup-blob":
+        print(json.dumps({"semdedup_blob": bench_semdedup_blob(spark)}))
         return
     if section == "profile-hc":
         print(json.dumps({"profile_hc": bench_profile_highcard(spark)}))
