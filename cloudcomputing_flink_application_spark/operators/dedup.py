@@ -1963,12 +1963,15 @@ def semantic_dedup(embeddings: DataFrame, tau: float = SEMANTIC_COS) -> DataFram
     Plan shape, Spark-first: the codebook is the deterministic two-level
     seed codebook ``similarity.ivf_codebook`` already builds for IVF
     (hash-sampled, broadcast, oracle-pinned); assignment is the shared
-    broadcast-codebook scan; the within-cluster pair stage is an id-only
-    EQUI-join on cluster (no embedding payload through the shuffle —
-    pairs carry two longs, vectors join back once in the shared
-    ``_cosine_verified`` barrier); duplicate groups close over
-    ``connected_components`` (O(log n) rounds); the keep rule is one
-    partial-aggregable min-struct per component, computed only over
+    broadcast-codebook scan; byte-identical vectors pre-collapse to one
+    representative through O(n) hash identity edges BEFORE pairing (the
+    exact-cohort c² guard — see the inline note and SCALING.md
+    semdedup-blob); the within-cluster pair stage is an id-only
+    EQUI-join on cluster over the representatives (no embedding payload
+    through the shuffle — pairs carry two longs, vectors join back once
+    in the shared ``_cosine_verified`` barrier); duplicate groups close
+    over ``connected_components`` (O(log n) rounds); the keep rule is
+    one partial-aggregable min-struct per component, computed only over
     components that HAVE edges (singletons never enter the shuffle).
 
     Scale envelope (the paper's own): within-cluster pairing costs
@@ -1992,6 +1995,12 @@ def semantic_dedup(embeddings: DataFrame, tau: float = SEMANTIC_COS) -> DataFram
     portable convention of every oracle's ``e`` CTE)."""
     from cloudcomputing_flink_application_spark.operators import similarity as SIM
 
+    if not -1.0 <= tau < 1.0:
+        # tau >= 1 would make the pre-collapse below observable: byte-
+        # identical vectors connect by IDENTITY (cos = 1 by definition,
+        # and 1 within 4 ulp as floats), which only coincides with the
+        # literal `cos > tau` rule while tau < 1
+        raise ValueError(f"tau must be in [-1, 1), got {tau}")
     n, subk = SIM._corpus_sizing(embeddings)
     if n == 0:
         return embeddings.sparkSession.createDataFrame(
@@ -2007,15 +2016,57 @@ def semantic_dedup(embeddings: DataFrame, tau: float = SEMANTIC_COS) -> DataFram
     base = _persist(SIM._normed(embeddings))
     codebook = _persist(SIM._twolevel_seeds(base, subk))
     asg = _persist(SIM._assign_to_centroids(base, codebook, keep_score=True))
-    ids = asg.select("cluster", "vec_id")
+    # exact-duplicate pre-collapse (the purge's r11 hash-edge lesson,
+    # applied at construction): byte-identical vectors tie on every
+    # assignment cosine, so the deterministic min-cluster tiebreak sends
+    # a whole copy cohort into ONE cell and the pair stage goes c² on
+    # the copy count (measured: a planted 8k-copy cohort took the 8k-
+    # background corpus from 17 s to 51 s — SCALING.md semdedup-blob).
+    # Pairing therefore runs over one REPRESENTATIVE (min vec_id) per
+    # distinct vector byte string, and copies join the graph through
+    # O(n) identity edges instead.  Semantics are unchanged: a copy's
+    # tau-edges are exactly its rep's (identical vectors), identical
+    # copies share ccos_q so the keep rule's (ccos_q, vec_id) min over
+    # reps+identity-linked copies equals the full-graph min, and
+    # byte-identical vectors are duplicates at ANY valid bar (cos = 1
+    # by definition, 1 within 4 ulp as floats; the tau < 1 guard above
+    # keeps that convention aligned with the oracle's literal
+    # `cos > tau` everywhere except a ~1e-15 sliver below 1, accepted
+    # and documented here).
+    # the collapse key includes the CLUSTER: byte-identical vectors
+    # under different labels live in different (label-scoped) cells and
+    # must never link — an unscoped hash would weld them across the
+    # cluster blocking the whole operator is defined by (caught by the
+    # cross-label copy test)
+    hashed = asg.select(
+        "vec_id", "cluster", F.md5(F.col("emb").cast("string")).alias("_h")
+    )
+    # groupBy + join back (not a window): the min partial-aggregates
+    # map-side, so a mega-cohort never piles into one window task —
+    # the same shape the purge's exact-hash edges use
+    rmap = _persist(
+        hashed.join(
+            hashed.groupBy("cluster", "_h").agg(
+                F.min("vec_id").alias("rep_id")
+            ),
+            ["cluster", "_h"],
+        )
+    )
+    ids = rmap.filter(F.col("vec_id") == F.col("rep_id")).select(
+        "cluster", "vec_id"
+    )
     cand = (
         ids.join(ids.select("cluster", F.col("vec_id").alias("rep")), "cluster")
         .filter(F.col("rep") < F.col("vec_id"))
         .select("vec_id", "rep")
     )
-    edges = _cosine_verified(cand, base, "vec_id", "rep", tau).select(
+    pair_edges = _cosine_verified(cand, base, "vec_id", "rep", tau).select(
         F.col("vec_id").alias("u"), F.col("rep").alias("v")
     )
+    ident_edges = rmap.filter(F.col("vec_id") != F.col("rep_id")).select(
+        F.col("vec_id").alias("u"), F.col("rep_id").alias("v")
+    )
+    edges = pair_edges.unionByName(ident_edges)
     cc = connected_components(edges)  # (node, root), non-roots only
     scored = asg.select(
         "vec_id",

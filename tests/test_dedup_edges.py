@@ -823,3 +823,49 @@ def test_semantic_dedup_empty_input(spark):
     assert verdict.columns == ["vec_id", "cluster", "component", "kept_id", "is_pruned"]
     assert verdict.count() == 0
     assert dedup.semantic_purge_dedup(embs).count() == 0
+
+
+def test_semantic_dedup_rejects_tau_out_of_range(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for bad in (1.0, 1.5, -1.0001):
+        with pytest.raises(ValueError):
+            dedup.semantic_dedup(embs, tau=bad)
+
+
+def test_semantic_dedup_copy_cohort_matches_full_graph_oracle(spark):
+    # The exact-duplicate pre-collapse must be INVISIBLE in the verdict:
+    # the oracle pairs every copy literally (no collapse), so hash
+    # parity on a copy-heavy fixture proves the rep-only pairing +
+    # identity edges reproduce full-graph components, keepers, and
+    # prune flags exactly.
+    from tests.oracle_harness import canon_frame
+
+    vals = [
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [1.0, 0.0]),
+        (3, 0, [1.0, 0.0]),
+        (4, 0, [1.0, 0.0]),
+        (5, 0, [1.0, 0.01]),
+        (6, 0, [0.0, 1.0]),
+        (7, 1, [1.0, 0.0]),  # cross-label copy: blocked from label 0
+    ]
+    embs = spark.createDataFrame(vals, EMB_COLS)
+    verdict = dedup.semantic_dedup(embs)
+    rows = {r["vec_id"]: r for r in verdict.collect()}
+    # the copy cohort always collapses to one survivor
+    assert sum(not rows[v]["is_pruned"] for v in (1, 2, 3, 4)) == 1
+    assert len({rows[v]["component"] for v in (1, 2, 3, 4)}) == 1
+    # cross-label copy is never linked (identity edges respect nothing —
+    # but components are still cluster-local, and clusters are per-label)
+    assert rows[7]["component"] != rows[1]["component"]
+
+    con = duckdb.connect()
+    rows_sql = ", ".join(
+        f"({v}, {l}, [{e[0]}, {e[1]}])" for v, l, e in vals
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM (VALUES {rows_sql}) "
+        "t(vec_id, label, embedding)"
+    )
+    oracle = con.execute(dedup.SEMANTIC_DEDUP_SQL).df()
+    assert canon_frame(verdict.toPandas()) == canon_frame(oracle)
