@@ -477,3 +477,35 @@ def test_r9b_olap_shapes_plan_pins(spark):
     ), plan
     assert "CartesianProduct" not in plan, plan
     assert count_in_plan(df, "hashpartitioning", physical=True) <= 3, plan
+
+
+def test_r11_profile_and_pack_plan_shapes(spark):
+    """r11 second block: the profile pair prunes the documents scan to
+    its two derivation inputs, the sketch twin's distinct aggregation is
+    map-side partial (HLL merge states, not token rows, cross the
+    exchange), and SemDeDup's pre-collapse aggregates partially too."""
+    from cloudcomputing_flink_application_spark.operators import (
+        dedup as _dd,
+        textstats as _ts,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for op in (_ts.corpus_profile, _ts.corpus_profile_exact):
+        plan = physical_plan(op(docs))
+        read_schemas = [l for l in plan.split("\n") if "ReadSchema" in l]
+        # column pruning: lang / n_chars never read (profile derives
+        # lengths from text and groups by source)
+        assert read_schemas and all(
+            "lang" not in l and "n_chars" not in l for l in read_schemas
+        ), (op.__name__, read_schemas)
+    sketch_plan = physical_plan(_ts.corpus_profile(docs))
+    # the HLL aggregation is two-phase: partial_hll_sketch_agg runs below
+    # the source exchange on BOTH branches (doc hashes and the exploded
+    # token stream) — sketch states cross the exchange, token rows do not
+    assert sketch_plan.count("partial_hll_sketch_agg") >= 2, sketch_plan[:2000]
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sem_plan = physical_plan(_dd.semantic_dedup(embs))
+    # the exact-cohort pre-collapse is a hash aggregate (partial_min
+    # map-side), never a window sort over the (cluster, hash) cohort
+    assert "partial_min" in sem_plan.lower(), sem_plan[:2000]
