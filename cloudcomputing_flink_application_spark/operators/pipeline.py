@@ -423,6 +423,42 @@ FROM base
 # --- r11 whole-document bin packing (no straddling) --------------------------
 
 
+def _ffd_assign(
+    sizes: list[int], budget: int
+) -> tuple[list[int], list[int], list[bool]]:
+    """The pure FFD core over DESC-sorted sizes: (bin_seq, begin_tok,
+    oversize) per item, in input order.  Extracted from the Arrow UDF so
+    the invariants (capacity, conservation, placement offsets, oversize
+    singletons) are property-testable without a Spark session
+    (tests/test_properties.py)."""
+    loads: list[int] = []
+    seqs: list[int] = []
+    begins: list[int] = []
+    oversize: list[bool] = []
+    for nt in sizes:
+        nt = int(nt)
+        if nt > budget:
+            # flagged singleton bin; never receives another doc
+            # (its load already exceeds budget)
+            seqs.append(len(loads))
+            begins.append(0)
+            loads.append(nt)
+            oversize.append(True)
+            continue
+        for i, ld in enumerate(loads):
+            if ld + nt <= budget:
+                seqs.append(i)
+                begins.append(ld)
+                loads[i] = ld + nt
+                break
+        else:
+            seqs.append(len(loads))
+            begins.append(0)
+            loads.append(nt)
+        oversize.append(False)
+    return seqs, begins, oversize
+
+
 def pack_bins(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     """First-fit-decreasing WHOLE-document bin packing — the
     no-cross-contamination regime (Krell et al., "Efficient Sequence
@@ -475,37 +511,13 @@ def pack_bins(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         pdf = pdf.sort_values(
             ["n_tok", "doc_id"], ascending=[False, True], kind="mergesort"
         )
-        loads: list[int] = []
-        seqs: list[int] = []
-        begins: list[int] = []
-        oversize: list[bool] = []
-        for nt in pdf["n_tok"]:
-            nt = int(nt)
-            if nt > budget:
-                # flagged singleton bin; never receives another doc
-                # (its load already exceeds budget)
-                seqs.append(len(loads))
-                begins.append(0)
-                loads.append(nt)
-                oversize.append(True)
-                continue
-            for i, ld in enumerate(loads):
-                if ld + nt <= budget:
-                    seqs.append(i)
-                    begins.append(ld)
-                    loads[i] = ld + nt
-                    break
-            else:
-                seqs.append(len(loads))
-                begins.append(0)
-                loads.append(nt)
-            oversize.append(False)
+        seqs, begins, oversize = _ffd_assign(list(pdf["n_tok"]), budget)
         out = pdf[["doc_id", "source", "pack_key", "n_tok"]].copy()
         out["bin_seq"] = pd.array(seqs, dtype="int64")
         # the doc's token offset within its bin, recorded AT placement —
         # the one authoritative statement of FFD's order (a downstream
-        # window re-deriving it would silently couple to this loop's
-        # sort; r11 review)
+        # window re-deriving it would silently couple to the core's
+        # loop; r11 review)
         out["begin_tok"] = pd.array(begins, dtype="int64")
         out["oversize"] = oversize
         return out

@@ -436,3 +436,42 @@ def test_delta_fold_matches_full_at_every_prefix(spark, batch_sizes, data):
                 )
     finally:
         release_cached()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=200), max_size=60),
+    budget=st.integers(min_value=1, max_value=100),
+)
+def test_ffd_core_invariants(sizes, budget):
+    """The pure FFD core behind pack_bins (no Spark session needed):
+    capacity, conservation, placement offsets, oversize singletons, and
+    the ceil(sum/budget) lower bound over regular bins."""
+    from cloudcomputing_flink_application_spark.operators.pipeline import _ffd_assign
+
+    desc = sorted(sizes, reverse=True)  # the UDF pre-sorts (n_tok DESC)
+    seqs, begins, oversize = _ffd_assign(desc, budget)
+    assert len(seqs) == len(begins) == len(oversize) == len(desc)
+    loads: dict[int, int] = {}
+    members: dict[int, int] = {}
+    for nt, b, off, over in zip(desc, seqs, begins, oversize):
+        assert over == (nt > budget)
+        # placement offset == the bin's load at placement time
+        assert off == loads.get(b, 0)
+        loads[b] = loads.get(b, 0) + nt
+        members[b] = members.get(b, 0) + 1
+    # conservation
+    assert sum(loads.values()) == sum(desc)
+    # bins are numbered densely from 0
+    assert sorted(loads) == list(range(len(loads)))
+    for b, load in loads.items():
+        has_over = any(o for s, o in zip(seqs, oversize) if s == b)
+        if has_over:
+            assert members[b] == 1  # oversize bins stay singletons
+        else:
+            assert load <= budget
+    # regular-bin lower bound: can't beat ceil(regular tokens / budget)
+    reg_toks = sum(nt for nt, o in zip(desc, oversize) if not o)
+    reg_bins = len({s for s, o in zip(seqs, oversize) if not o})
+    if reg_toks > 0:
+        assert reg_bins >= -(-reg_toks // budget)
