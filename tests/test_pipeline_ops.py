@@ -553,3 +553,21 @@ def test_pack_bins_begin_tok_is_placement_offset(spark):
     assert out[1]["begin_tok"] == 0 and out[3]["begin_tok"] == 5
     assert out[2]["begin_tok"] == 0 and out[4]["begin_tok"] == 4
     assert out[5]["begin_tok"] == 7
+
+
+def test_pack_ops_empty_input(spark, sf_dir):
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        pack_bin_stats,
+        pack_bins,
+        pack_report,
+    )
+
+    empty = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(0)
+    bins = pack_bins(empty)
+    assert bins.count() == 0
+    assert bins.columns == [
+        "doc_id", "source", "pack_key", "n_tok", "bin_seq", "begin_tok",
+        "oversize",
+    ]
+    assert pack_bin_stats(bins).count() == 0
+    assert pack_report(empty).count() == 0
