@@ -1683,6 +1683,15 @@ def _cosine_verified(
     return filter_after_barrier(scored, left, F.col("cos") > cos_dup)
 
 
+def _emb_hash(emb) -> F.Column:
+    """The byte-identity key both exact-duplicate fast paths share
+    (``embedding_purge_dedup``'s hash edges and ``semantic_dedup``'s
+    pre-collapse): md5 over the double-array's string form.  ONE
+    definition so the two operators' notion of "byte-identical vector"
+    can never silently diverge (r11 review)."""
+    return F.md5(emb.cast("string"))
+
+
 #: Default cosine bar for dedup-before-index (r11): the registry's
 #: COSINE_DUP (0.4) is an oracle-scale ANALYSIS threshold; purging
 #: vectors for an index must only collapse genuine near-duplicates, or
@@ -1795,7 +1804,7 @@ def embedding_purge_dedup(
     # size/id layout; exact equality needs no cosine verify (and an md5
     # collision is the same accepted risk as every text-hash dedup here)
     hashed = norms.select(
-        "vec_id", F.md5(F.col("emb").cast("string")).alias("_h")
+        "vec_id", _emb_hash(F.col("emb")).alias("_h")
     )
     exact_edges = (
         hashed.join(
@@ -1942,6 +1951,24 @@ SELECT 'ngram' AS method, doc_a, doc_b, jaccard FROM ({NGRAM_JACCARD_SQL}) n
 SEMANTIC_COS = COSINE_DUP
 
 
+def _semantic_rep_map(asg: DataFrame) -> DataFrame:
+    """The exact-cohort representative map behind ``semantic_dedup``'s
+    pre-collapse: (vec_id, cluster, rep_id) with rep_id = min vec_id per
+    (cluster, vector-bytes) cohort.  groupBy + join back, NOT a window:
+    the min partial-aggregates map-side, so a mega-cohort never piles
+    into one window task — the same shape the purge's exact-hash edges
+    use (plan-pinned directly in tests/test_plans.py; inside the full
+    operator the CC checkpoint truncates this stage out of the executed
+    plan, which made the original whole-operator pin vacuous — r11
+    review).  The persisted frame is slimmed to the three columns the
+    consumers read (the 32-char hash never leaves this function)."""
+    hashed = asg.select("vec_id", "cluster", _emb_hash(F.col("emb")).alias("_h"))
+    return hashed.join(
+        hashed.groupBy("cluster", "_h").agg(F.min("vec_id").alias("rep_id")),
+        ["cluster", "_h"],
+    ).select("vec_id", "cluster", "rep_id")
+
+
 def semantic_dedup(embeddings: DataFrame, tau: float = SEMANTIC_COS) -> DataFrame:
     """Cluster-then-prune semantic dedup — the SemDeDup shape (Abbas et
     al., "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -2038,20 +2065,7 @@ def semantic_dedup(embeddings: DataFrame, tau: float = SEMANTIC_COS) -> DataFram
     # must never link — an unscoped hash would weld them across the
     # cluster blocking the whole operator is defined by (caught by the
     # cross-label copy test)
-    hashed = asg.select(
-        "vec_id", "cluster", F.md5(F.col("emb").cast("string")).alias("_h")
-    )
-    # groupBy + join back (not a window): the min partial-aggregates
-    # map-side, so a mega-cohort never piles into one window task —
-    # the same shape the purge's exact-hash edges use
-    rmap = _persist(
-        hashed.join(
-            hashed.groupBy("cluster", "_h").agg(
-                F.min("vec_id").alias("rep_id")
-            ),
-            ["cluster", "_h"],
-        )
-    )
+    rmap = _persist(_semantic_rep_map(asg))
     ids = rmap.filter(F.col("vec_id") == F.col("rep_id")).select(
         "cluster", "vec_id"
     )

@@ -2347,17 +2347,23 @@ def build_docs_highcard(spark) -> None:
 
 
 def bench_semdedup_blob(spark) -> dict:
-    """SemDeDup's documented degenerate regime, measured: within-cell
-    pairing is O(sum c_i^2), so a corpus whose k-means cells hold
-    growing near-dup blobs (the fixed-50-cluster mixture: 160 -> 1600
-    members as n grows 8k -> 80k) drives the pair stage quadratically —
-    and the documented remedy, the established dedup-before-X ordering
-    (embedding_purge_dedup collapses each blob to one survivor at the
-    0.95 near-dup bar, THEN SemDeDup prunes semantic redundancy over
-    the survivors), flattens it.  Single timed run per cell after cache
-    clear (the direct x10 arm is minutes by design — it IS the
-    pathology; REPS-min protocol would triple it for no information).
-    """
+    """SemDeDup's two blob regimes, measured (conclusions INVERTED the
+    hypothesis this section was written to test — see SCALING.md
+    semdedup-blob for the recorded story):
+
+    - Mixture regime (fixed-50-cluster, noise 0.4, blobs 160 -> 1600
+      members): direct SemDeDup stays SUBLINEAR — auto-grown K splits a
+      noisy blob across its own sub-centroid seeds, so no cell ever
+      concentrates a blob; purge-first is pure overhead here (nothing
+      reaches the 0.95 near-dup bar, identical prune sets).
+    - Exact-duplicate mega-blob (8k byte-identical copies): the copies
+      tie into ONE cell; the operator's built-in pre-collapse (r11)
+      closes the c^2 pile-up natively — this arm is the regression
+      fixture for that (pre-fix it read 51 s, post-fix ~10 s, beating
+      even the composed purge-first ordering).
+
+    Single timed run per cell after cache clear (REPS-min would triple
+    the most expensive arms for no information)."""
     build_clustered()
     out: dict = {}
     for s in SCALES:

@@ -505,7 +505,18 @@ def test_r11_profile_and_pack_plan_shapes(spark):
     assert sketch_plan.count("partial_hll_sketch_agg") >= 2, sketch_plan[:2000]
 
     embs = spark.read.parquet(f"{SF}/embeddings.parquet")
-    sem_plan = physical_plan(_dd.semantic_dedup(embs))
     # the exact-cohort pre-collapse is a hash aggregate (partial_min
-    # map-side), never a window sort over the (cluster, hash) cohort
-    assert "partial_min" in sem_plan.lower(), sem_plan[:2000]
+    # map-side), never a window sort over the (cluster, hash) cohort.
+    # Pin the REP-MAP stage directly: inside the full operator the CC
+    # checkpoint truncates this stage out of the executed plan, so a
+    # whole-operator assertion would match the keep-rule's min and pass
+    # vacuously (r11 review).
+    from cloudcomputing_flink_application_spark.operators import similarity as _sim2
+
+    base = _sim2._normed(embs)
+    asg = _sim2._assign_to_centroids(
+        base, _sim2._twolevel_seeds(base, _sim2.SUBK), keep_score=True
+    )
+    rep_plan = physical_plan(_dd._semantic_rep_map(asg))
+    assert "partial_min" in rep_plan.lower(), rep_plan[:2000]
+    assert "window" not in rep_plan.lower(), rep_plan[:2000]
