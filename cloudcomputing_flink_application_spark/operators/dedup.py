@@ -2192,3 +2192,20 @@ FROM members m JOIN keep k USING (component)
 
 
 SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
+def semantic_purge_ids(embeddings: DataFrame, tau: float = SEMANTIC_COS) -> DataFrame:
+    """The survivor ID SET of :func:`semantic_purge_dedup` —
+    ``(vec_id, label)`` only, so the purge contract carries a value-hash
+    oracle without hashing raw float arrays cross-engine (the survivors
+    frame itself returns the input rows unchanged; its embedding column
+    is pinned by the anti-join construction, not re-hashed)."""
+    return semantic_purge_dedup(embeddings, tau).select("vec_id", "label")
+
+
+SEMANTIC_PURGE_IDS_SQL = f"""
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (
+  SELECT vec_id FROM ({SEMANTIC_DEDUP_SQL.strip()}) v WHERE v.is_pruned
+)
+"""

@@ -110,6 +110,12 @@ OFF_REGISTRY_EMB = {
     # r11 SemDeDup: cluster-then-prune semantic dedup (k-means blocking,
     # within-cluster tau-graph closure, lowest-centroid-cos keep rule)
     "off_semantic_dedup": (dedup.semantic_dedup, dedup.SEMANTIC_DEDUP_SQL),
+    # ... and its survivor contract (id set — the embedding payload is
+    # pinned by the anti-join construction, not re-hashed cross-engine)
+    "off_semantic_purge_ids": (
+        dedup.semantic_purge_ids,
+        dedup.SEMANTIC_PURGE_IDS_SQL,
+    ),
 }
 
 
