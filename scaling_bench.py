@@ -2439,6 +2439,64 @@ def bench_semdedup_blob(spark) -> dict:
     return out
 
 
+def bench_profile_stream(spark) -> dict:
+    """Per-batch cost of the streaming profile twin over 16 arrivals of
+    the sf0.1 corpus: the emission re-aggregates the whole sketch +
+    histogram stores each batch, so unbounded per-batch cost should grow
+    only with O(batches x sources) sketch ROWS (not docs), and a horizon
+    bounds even that.  Measured from the query's own progress records
+    (the stream-bench convention)."""
+    import os
+
+    from cloudcomputing_flink_application_spark import schemas
+    from cloudcomputing_flink_application_spark.streaming.jobs import (
+        run_corpus_profile_stream,
+    )
+
+    B = 16
+    d_in = WORK / "profile_stream_in"
+    if not all((d_in / f"f{k:02d}" / "_SUCCESS").exists() for k in range(B)):
+        shutil.rmtree(d_in, ignore_errors=True)
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        base = 1_700_000_000
+        for i in range(B):
+            p = str(d_in / f"f{i:02d}")
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(B)) == i).coalesce(
+                1
+            ).write.parquet(p)
+            for root, _, files in os.walk(p):
+                for f_ in files:
+                    os.utime(f"{root}/{f_}", (base + i, base + i))
+    out = {}
+    for tag, horizon in (("unbounded", None), ("horizon4", 4)):
+        root = WORK / f"profile_stream_{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(schemas.DOCUMENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d_in}/*")
+        )
+        q = run_corpus_profile_stream(
+            spark,
+            stream,
+            str(root / "profile"),
+            str(root / "chk"),
+            str(root / "state"),
+            horizon_batches=horizon,
+        )
+        try:
+            q.processAllAvailable()
+            ms = _per_batch_ms(q)
+        finally:
+            q.stop()
+        out[tag] = {
+            "per_batch_ms": ms,
+            "head_mean": round(sum(ms[1:5]) / 4, 1) if len(ms) >= 5 else None,
+            "tail_mean": round(sum(ms[-4:]) / 4, 1) if len(ms) >= 4 else None,
+        }
+    return out
+
+
 def bench_profile_highcard(spark) -> dict:
     """Sketch vs exact profile on the unique-token corpora — the distinct
     exchange made visible (see build_docs_highcard)."""
@@ -2546,6 +2604,9 @@ def main() -> None:
         return
     if section == "semdedup-blob":
         print(json.dumps({"semdedup_blob": bench_semdedup_blob(spark)}))
+        return
+    if section == "profile-stream":
+        print(json.dumps({"profile_stream": bench_profile_stream(spark)}))
         return
     if section == "profile-hc":
         print(json.dumps({"profile_hc": bench_profile_highcard(spark)}))
