@@ -734,19 +734,35 @@ def _corpus_profile(args: argparse.Namespace) -> None:
     docs = spark.read.parquet(args.input)
     out = corpus_profile_exact(docs) if args.exact else corpus_profile(docs)
     if args.pack:
+        from pyspark.sql import functions as F
+
         from cloudcomputing_flink_application_spark.operators.pipeline import (
             pack_bin_stats,
             pack_bins,
             pack_report,
         )
 
-        out = out.join(
-            pack_report(docs).select("source", "straddle_docs"), "source"
-        ).join(
-            pack_bin_stats(pack_bins(docs)).select(
-                "source", "n_bins", "oversize_bins", "padded_tokens", "fill_pct"
-            ),
-            "source",
+        # ADVICE r11: null-safe joins — a NULL-source group survives the
+        # profile aggregations (groupBy keeps the NULL group) but an
+        # equi-join on source would silently drop it, so adding --pack
+        # changed the profile's row count.  Both pack frames group the
+        # same docs by the same key, so eqNullSafe matches the NULL group
+        # to its own pack columns instead of losing the row.
+        rep = pack_report(docs).select(
+            F.col("source").alias("_rs"), "straddle_docs"
+        )
+        bins = pack_bin_stats(pack_bins(docs)).select(
+            F.col("source").alias("_bs"),
+            "n_bins",
+            "oversize_bins",
+            "padded_tokens",
+            "fill_pct",
+        )
+        out = (
+            out.join(rep, out["source"].eqNullSafe(rep["_rs"]), "left")
+            .drop("_rs")
+            .join(bins, F.col("source").eqNullSafe(bins["_bs"]), "left")
+            .drop("_bs")
         )
     out.write.mode("overwrite").parquet(args.output)
     if args.show:

@@ -574,11 +574,15 @@ def pack_report(documents: DataFrame) -> DataFrame:
     ``straddle_docs`` counts documents whose token span crosses a
     PACK_BUDGET boundary — the cross-contamination metric of the packing
     literature (a straddled doc shares a training sequence boundary with
-    fragments of another).  ``n_chunks`` sums each group's
-    max(chunk_id)+1.  The concat packer never pads (the stream is
-    continuous), so waste here is zero by construction and straddling is
-    the whole cost — the exact mirror of :func:`pack_bins`, which pays
-    padding to straddle nothing.  Full DuckDB oracle."""
+    fragments of another).  ``n_chunks`` is each group's real sequence
+    count, ceil(sum(n_tok) / PACK_BUDGET): the concat stream is
+    continuous from offset 0, so the sequences a group trains are exactly
+    its token total divided up by the budget (ADVICE r11: the previous
+    max(chunk_id)+1 counted only budget blocks containing a doc START, so
+    a trailing doc spanning several blocks undercounted).  The concat
+    packer never pads, so waste here is zero by construction and
+    straddling is the whole cost — the exact mirror of :func:`pack_bins`,
+    which pays padding to straddle nothing.  Full DuckDB oracle."""
     packed = pack_chunks(documents)
     straddle = (
         ((F.col("begin_tok") + F.col("n_tok") - 1) / PACK_BUDGET).cast("long")
@@ -587,7 +591,10 @@ def pack_report(documents: DataFrame) -> DataFrame:
     per_group = packed.groupBy("source", "pack_key").agg(
         F.count("*").alias("docs"),
         F.sum("n_tok").alias("toks"),
-        (F.max("chunk_id") + 1).alias("chunks"),
+        # exact integer ceil — no float division on a token count
+        F.floor(
+            (F.sum("n_tok") + F.lit(PACK_BUDGET - 1)) / F.lit(PACK_BUDGET)
+        ).alias("chunks"),
         F.sum(F.when(straddle, 1).otherwise(0)).alias("straddles"),
     )
     return per_group.groupBy("source").agg(
@@ -602,7 +609,7 @@ PACK_REPORT_SQL = f"""
 WITH packed AS ({PACK_CHUNKS_SQL}),
 per_group AS (
   SELECT source, pack_key, count(*) AS docs, sum(n_tok) AS toks,
-         max(chunk_id) + 1 AS chunks,
+         (sum(n_tok) + {PACK_BUDGET - 1}) // {PACK_BUDGET} AS chunks,
          sum(CASE WHEN n_tok > 0
                   AND (begin_tok + n_tok - 1) // {PACK_BUDGET}
                       <> begin_tok // {PACK_BUDGET}

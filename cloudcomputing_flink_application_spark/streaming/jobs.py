@@ -2405,6 +2405,15 @@ def run_corpus_profile_stream(
             )
         finally:
             per_doc.unpersist()
+        # ADVICE r11: an empty FIRST micro-batch writes no store partition
+        # (dynamic overwrite of a zero-row frame is a no-op), so the
+        # unconditional cumulative read below would die on parquet schema
+        # inference and kill the stream.  No committed store = nothing has
+        # ever arrived = nothing to emit; a LATER empty batch still finds
+        # committed partitions and re-emits the cumulative profile, keeping
+        # the last-partition-equals-batch invariant.
+        if not _committed_batch_data_exists(spark, sketches_dir):
+            return
         # cumulative emission (reads INCLUDE the partitions just written)
         sks = _horizon_probe(
             spark.read.parquet(sketches_dir), batch_id + 1, horizon_batches

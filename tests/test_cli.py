@@ -1374,3 +1374,31 @@ def test_packed_training_rows_rejects_bad_mode(spark):
     )
     with _pytest.raises(ValueError):
         packed_training_rows(docs, "zigzag")
+
+
+def test_corpus_profile_cli_pack_keeps_null_source_group(spark, tmp_path):
+    # ADVICE r11: --pack used inner joins on source, so a NULL-source
+    # group survived the profile aggregations but was silently dropped
+    # from the --pack output (equi-join keys drop NULLs).  The null-safe
+    # joins keep the row AND attach its own pack columns.
+    from cloudcomputing_flink_application_spark.operators import textstats as T
+    from tests.conftest import TESTDATA
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(50)
+    from pyspark.sql import functions as F
+
+    docs = docs.withColumn(
+        "source", F.when(F.col("doc_id") % 5 == 0, None).otherwise(F.col("source"))
+    )
+    d_in = str(tmp_path / "docs_in")
+    docs.write.parquet(d_in)
+    out_pk = str(tmp_path / "out_pack")
+    cli.main(["corpus-profile", "--input", d_in, "--output", out_pk, "--pack"])
+    got = spark.read.parquet(out_pk)
+    profile_rows = T.corpus_profile(spark.read.parquet(d_in)).count()
+    assert got.count() == profile_rows
+    null_row = got.filter(F.col("source").isNull()).collect()
+    assert len(null_row) == 1
+    # the NULL group's pack columns are ITS OWN stats, not NULL backfill
+    assert null_row[0]["n_bins"] is not None
+    assert null_row[0]["straddle_docs"] is not None

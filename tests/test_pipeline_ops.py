@@ -571,3 +571,37 @@ def test_pack_ops_empty_input(spark, sf_dir):
     ]
     assert pack_bin_stats(bins).count() == 0
     assert pack_report(empty).count() == 0
+
+
+def test_pack_report_counts_spanning_chunks(spark):
+    """ADVICE r11: ``n_chunks`` is the real sequence count
+    ceil(sum(n_tok) / PACK_BUDGET), not the count of budget blocks
+    containing a doc START — one 200-token doc at budget 64 trains 4
+    sequences (the old max(chunk_id)+1 said 1).  DuckDB agrees, and a
+    zero-token group trains zero sequences on both engines."""
+    import duckdb
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        PACK_REPORT_SQL,
+        pack_report,
+    )
+    from tests.oracle_harness import canon_frame
+
+    giant = ("t " * 200).strip()  # 200 tokens, budget 64 -> ceil = 4
+    docs = spark.createDataFrame(
+        [_doc(1, giant), (2, None, "en", "s1", 0)], DOC_COLS
+    )
+    rows = {r["source"]: r for r in pack_report(docs).collect()}
+    assert rows["s0"]["n_chunks"] == 4
+    assert rows["s0"]["total_tokens"] == 200
+    assert rows["s1"]["n_chunks"] == 0  # NULL text = 0 tokens = 0 sequences
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        f"(1, '{giant}', 'en', 's0', {len(giant)}), "
+        "(2, NULL, 'en', 's1', 0)"
+        ") t(doc_id, text, lang, source, n_chars)"
+    )
+    assert canon_frame(pack_report(docs).toPandas()) == canon_frame(
+        con.execute(PACK_REPORT_SQL).df()
+    )

@@ -2449,3 +2449,48 @@ def test_corpus_profile_stream_horizon_window(spark, tmp_path):
 
     parts = glob.glob(str(tmp_path / "state" / "sketches" / "batch_id=*"))
     assert [p.split("=")[-1] for p in parts] == ["1"]
+
+
+def test_corpus_profile_stream_survives_empty_first_batch(spark, tmp_path):
+    # ADVICE r11: a zero-row FIRST micro-batch writes no store partition,
+    # so the unconditional cumulative read used to die on parquet schema
+    # inference and kill the stream.  Now: batch 0 emits nothing (nothing
+    # has arrived), and batch 1's cumulative profile equals the batch
+    # operators over the docs that did arrive.
+    import os
+
+    from cloudcomputing_flink_application_spark.operators import textstats as T
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").limit(200)
+    d_in = str(tmp_path / "docs_in")
+    base = 1_700_000_000
+    for i, part in enumerate([docs.limit(0), docs]):
+        p = f"{d_in}/f{i}"
+        part.coalesce(1).write.parquet(p)
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(f"{root}/{f}", (base + i, base + i))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d_in}/*")
+    )
+    out_dir = str(tmp_path / "profile_out")
+    q = jobs.run_corpus_profile_stream(
+        spark, stream, out_dir, str(tmp_path / "chk"), str(tmp_path / "state")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir)
+    assert out.filter("batch_id = 0").count() == 0
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["len_p50"])
+        for r in out.filter("batch_id = 1").collect()
+    }
+    sk = {r["source"]: r.asDict() for r in T.corpus_profile(docs).collect()}
+    ex = {r["source"]: r.asDict() for r in T.corpus_profile_exact(docs).collect()}
+    assert got == {
+        s: (sk[s]["n_docs"], sk[s]["total_tokens"], ex[s]["len_p50"]) for s in sk
+    }
