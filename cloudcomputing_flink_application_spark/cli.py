@@ -229,6 +229,11 @@ def _train_data(args: argparse.Namespace) -> None:
     ``<output>/prep`` and, with ``--shards N``, the shard store to
     ``<output>/shards`` (``write_training_shards`` keyed by ``pack_id``,
     so a packed sequence always lands whole in one shard).
+    ``--semantic-dedup EMB_PARQUET [--tau X]`` (r12) inserts SemDeDup
+    pruning between the near-dup purge and packing — purge-first by
+    construction (``pipeline.semantic_prune_docs``); works in batch and
+    ``--materialize``, and the composed dataflow stays fully oracle'd
+    (``TRAINING_PREP_SEMANTIC_SQL``).
 
     ``--streaming``: incremental state maintenance — the clean stream
     (flags + survivor-hash state under ``<output>/clean``) runs over the
@@ -264,6 +269,13 @@ def _train_data(args: argparse.Namespace) -> None:
         raise SystemExit(
             "--materialize reads the stores a stopped --streaming run "
             "maintains; run them as separate invocations"
+        )
+    if getattr(args, "tau", None) is not None and not getattr(
+        args, "semantic_dedup", None
+    ):
+        raise SystemExit(
+            "--tau tunes --semantic-dedup; pass the embeddings parquet "
+            "path with --semantic-dedup as well"
         )
     if getattr(args, "forget", None) and (args.streaming or args.materialize):
         # dispatched first below, so a combined flag would silently skip
@@ -348,6 +360,12 @@ def _train_data(args: argparse.Namespace) -> None:
                 "streaming maintains the stores (pass it to the "
                 "--materialize invocation that packs)"
             )
+        if getattr(args, "semantic_dedup", None):
+            print(
+                "warning: --semantic-dedup is batch/--materialize-only; "
+                "streaming maintains the stores (pass it to the "
+                "--materialize invocation that packs)"
+            )
         _launch_clean_stream(
             spark,
             args.input,
@@ -402,12 +420,29 @@ def _train_data(args: argparse.Namespace) -> None:
             .join(flags.filter("kept").select("doc_id", "split"), "doc_id")
             .join(surv, "doc_id")
         )
+        if getattr(args, "semantic_dedup", None):
+            # same stage position as the batch composition: over the
+            # purge survivors, before packing
+            surv_docs = pipeline.semantic_prune_docs(
+                surv_docs,
+                spark.read.parquet(args.semantic_dedup),
+                args.tau,
+            )
         write_outputs(
             pipeline.packed_training_rows(surv_docs, args.pack_mode)
         )
         return
     write_outputs(
-        pipeline.training_prep(spark.read.parquet(args.input), args.pack_mode)
+        pipeline.training_prep(
+            spark.read.parquet(args.input),
+            args.pack_mode,
+            embeddings=(
+                spark.read.parquet(args.semantic_dedup)
+                if getattr(args, "semantic_dedup", None)
+                else None
+            ),
+            semantic_tau=args.tau,
+        )
     )
 
 
@@ -1359,6 +1394,21 @@ def main(argv: list[str] | None = None) -> None:
                 "straddle sequence boundaries) or 'bins' (FFD whole-"
                 "document packing: no straddling, explicit padding; "
                 "pack_id becomes the bin identity)",
+            )
+            sp.add_argument(
+                "--semantic-dedup", default=None, metavar="EMB_PARQUET",
+                dest="semantic_dedup",
+                help="batch / --materialize: also SemDeDup-prune the "
+                "near-dup purge survivors before packing, reading their "
+                "embeddings (vec_id == doc_id) from this parquet — "
+                "purge-first by construction (the semantic pass sees "
+                "only purge survivors); docs without an embedding row "
+                "pass through",
+            )
+            sp.add_argument(
+                "--tau", type=float, default=None, metavar="COS",
+                help="semantic duplicate threshold for --semantic-dedup "
+                "(cosine; default dedup.SEMANTIC_COS)",
             )
             sp.add_argument(
                 "--materialize", action="store_true",

@@ -1447,8 +1447,47 @@ def prep_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
+def semantic_prune_docs(
+    docs: DataFrame, embeddings: DataFrame, tau: float | None = None
+) -> DataFrame:
+    """Drop the docs SemDeDup would prune — the document-side adapter of
+    ``dedup.semantic_dedup`` (r12, VERDICT r11 #3): restrict the
+    embedding corpus to these docs' rows (vec_id == doc_id, the driver
+    tables' alignment), run the cluster-then-prune pass over THAT set,
+    and anti-join the pruned ids out.  Docs without an embedding row
+    pass through untouched (no vector = no cosine = nothing to prune —
+    an inner join here would silently drop them, the classic
+    empty-aggregate-side trap), as do zero-norm vectors (the operator's
+    own convention).
+
+    Restricting BEFORE the semantic pass is load-bearing: the k-means
+    blocking, corpus sizing, and keep rule must see the surviving corpus
+    only, so a purged near-dup can never be a semantic group's kept
+    exemplar — the same purge-first order ``--dedup-first`` pins on the
+    index side (SCALING.md semdedup-blob)."""
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        SEMANTIC_COS,
+        semantic_dedup,
+    )
+
+    if tau is None:
+        tau = SEMANTIC_COS
+    emb = embeddings.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    pruned = (
+        semantic_dedup(emb, tau)
+        .filter(F.col("is_pruned"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return docs.join(pruned, "doc_id", "left_anti")
+
+
 def training_prep(
-    documents: DataFrame, pack_mode: str = "chunks"
+    documents: DataFrame,
+    pack_mode: str = "chunks",
+    embeddings: DataFrame | None = None,
+    semantic_tau: float | None = None,
 ) -> DataFrame:
     """The END-TO-END training-data job (r11, VERDICT r10 #5): clean ->
     near-dup purge -> sequence packing, one composed dataflow whose
@@ -1465,6 +1504,13 @@ def training_prep(
        purging after the kept filter matches the batch semantics a
        re-run reproduces: a quality-failing doc can never be a cluster
        keeper that absorbs kept near-dups;
+    2b. (optional, r12) :func:`semantic_prune_docs` over the purge
+       survivors when ``embeddings`` is given — SemDeDup semantic
+       pruning at ``semantic_tau`` (default ``dedup.SEMANTIC_COS``),
+       purge-first by construction: the semantic pass sees only docs
+       that survived the near-dup purge, the order SCALING.md
+       semdedup-blob measured as the one that keeps the pair stage off
+       degenerate exact-copy cohorts;
     3. :func:`pack_chunks` over the survivors — bounded-window sequence
        packing; ``pack_id`` (source:pack_key:chunk_id) is the shard
        key, so a packed training sequence always lands WHOLE in one
@@ -1496,7 +1542,10 @@ def training_prep(
         )
     )
     surv = minhash_purge_dedup(kept_docs).select("doc_id")
-    return packed_training_rows(kept_docs.join(surv, "doc_id"), pack_mode)
+    surv_docs = kept_docs.join(surv, "doc_id")
+    if embeddings is not None:
+        surv_docs = semantic_prune_docs(surv_docs, embeddings, semantic_tau)
+    return packed_training_rows(surv_docs, pack_mode)
 
 
 def packed_training_rows(
@@ -1549,20 +1598,53 @@ def packed_training_rows(
     )
 
 
-def _training_prep_sql() -> str:
-    """COMPOSED from the three stages' verified oracle constants (the
+def _training_prep_sql(semantic_tau: float | None = None) -> str:
+    """COMPOSED from the stages' verified oracle constants (the
     prep_corpus pattern): clean's flags gate the documents, the purge
     SQL runs over the kept docs (its ``documents`` references rebound to
     the kept CTE — a word-boundary rewrite, exercised by the parity
-    gate), pack over the survivors."""
+    gate), optionally the SemDeDup closure over the purge survivors'
+    embeddings (``semantic_tau`` not None, r12 — the recursive-walk
+    oracle rebound from ``embeddings`` to the survivors' rows, NOT IN
+    over its pruned ids so embedding-less docs pass through like the
+    operator's anti-join), pack over the survivors."""
     import re
 
     from cloudcomputing_flink_application_spark.operators.dedup import (
         MINHASH_PURGE_SQL,
+        _semantic_dedup_sql,
     )
 
     purge_over_kept = re.sub(r"\bdocuments\b", "kept_docs", MINHASH_PURGE_SQL)
     pack_over_surv = re.sub(r"\bdocuments\b", "surv_docs", PACK_CHUNKS_SQL)
+    if semantic_tau is None:
+        surv_docs_ctes = (
+            "surv_docs AS "
+            "(SELECT kept_docs.* FROM kept_docs JOIN surv USING (doc_id))"
+        )
+    else:
+        sem_over_surv = re.sub(
+            r"\bembeddings\b", "emb_surv", _semantic_dedup_sql(semantic_tau)
+        )
+        # AS MATERIALIZED (DuckDB planner hint): the semantic closure's
+        # recursive walk references its input tree many times, and
+        # DuckDB inlines plain CTEs PER REFERENCE — without the hint the
+        # whole clean+purge subtree (dozens of parquet re-opens) is
+        # duplicated into every reference and the composed query dies on
+        # the process fd limit before it runs
+        surv_docs_ctes = f"""surv_docs0 AS MATERIALIZED (
+  SELECT kept_docs.* FROM kept_docs JOIN surv USING (doc_id)
+),
+emb_surv AS MATERIALIZED (
+  SELECT e.* FROM embeddings e JOIN surv_docs0 s ON e.vec_id = s.doc_id
+),
+sem_pruned AS (
+  SELECT vec_id FROM ({sem_over_surv}) sd WHERE sd.is_pruned
+),
+surv_docs AS (
+  SELECT * FROM surv_docs0
+  WHERE doc_id NOT IN (SELECT vec_id FROM sem_pruned)
+)"""
     return f"""
 WITH clean AS ({CLEAN_CORPUS_SQL}),
 kept_docs AS (
@@ -1570,7 +1652,7 @@ kept_docs AS (
   WHERE c.kept
 ),
 surv AS (SELECT doc_id FROM ({purge_over_kept}) pg),
-surv_docs AS (SELECT kept_docs.* FROM kept_docs JOIN surv USING (doc_id))
+{surv_docs_ctes}
 SELECT p.doc_id, p.source, p.pack_key, p.chunk_id, p.n_tok, p.begin_tok,
        s.split,
        p.source || ':' || CAST(p.pack_key AS VARCHAR) || ':'
@@ -1581,6 +1663,20 @@ FROM ({pack_over_surv}) p JOIN surv_docs s USING (doc_id)
 
 
 TRAINING_PREP_SQL = _training_prep_sql()
+
+
+def training_prep_semantic_sql(tau: float | None = None) -> str:
+    """The composed oracle for ``training_prep(..., embeddings=...,
+    semantic_tau=tau)`` — public builder so the parity gate and any
+    custom-tau caller compose the SAME text the default constant uses."""
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        SEMANTIC_COS,
+    )
+
+    return _training_prep_sql(SEMANTIC_COS if tau is None else tau)
+
+
+TRAINING_PREP_SEMANTIC_SQL = training_prep_semantic_sql()
 
 
 def _prep_corpus_sql() -> str:

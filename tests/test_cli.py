@@ -1402,3 +1402,71 @@ def test_corpus_profile_cli_pack_keeps_null_source_group(spark, tmp_path):
     # the NULL group's pack columns are ITS OWN stats, not NULL backfill
     assert null_row[0]["n_bins"] is not None
     assert null_row[0]["straddle_docs"] is not None
+
+
+def test_train_data_cli_semantic_dedup(spark, tmp_path):
+    """--semantic-dedup (r12): the SemDeDup stage between purge and pack.
+    Batch equals the composed operator, the stage actually prunes,
+    --tau tunes it, the survivors are a SUBSET of the plain job's
+    (purge-first: semantic only ever removes), --materialize applies the
+    same stage, and --tau without --semantic-dedup is a usage error."""
+    import pytest as _pytest
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        BENCH_MOD,
+        training_prep,
+    )
+    from tests.conftest import TESTDATA, rows_set
+
+    d_in = f"{TESTDATA}/sf0.001/documents.parquet"
+    e_in = f"{TESTDATA}/sf0.001/embeddings.parquet"
+    docs = spark.read.parquet(d_in)
+    embs = spark.read.parquet(e_in)
+
+    root = str(tmp_path / "sem")
+    cli.main(["train-data", "--input", d_in, "--output", root,
+              "--semantic-dedup", e_in])
+    prep = spark.read.parquet(f"{root}/prep")
+    assert rows_set(prep) == rows_set(training_prep(docs, embeddings=embs))
+    plain_ids = {
+        r.doc_id for r in training_prep(docs).select("doc_id").collect()
+    }
+    sem_ids = {r.doc_id for r in prep.select("doc_id").collect()}
+    assert sem_ids < plain_ids  # pruned something, removed-only
+
+    # --tau: a looser bar prunes at least as much, and matches the
+    # operator at the same tau
+    root2 = str(tmp_path / "sem_tau")
+    cli.main(["train-data", "--input", d_in, "--output", root2,
+              "--semantic-dedup", e_in, "--tau", "0.2"])
+    prep2 = spark.read.parquet(f"{root2}/prep")
+    assert rows_set(prep2) == rows_set(
+        training_prep(docs, embeddings=embs, semantic_tau=0.2)
+    )
+    ids2 = {r.doc_id for r in prep2.select("doc_id").collect()}
+    assert ids2 <= sem_ids
+
+    with _pytest.raises(SystemExit, match="--tau tunes --semantic-dedup"):
+        cli.main(["train-data", "--input", d_in,
+                  "--output", str(tmp_path / "x"), "--tau", "0.2"])
+
+    # --materialize path: stores maintained by --streaming, semantic
+    # stage applied at materialization — equals the batch output
+    sub = docs.filter("doc_id < 200")
+    s_in = str(tmp_path / "stream_in")
+    sub.filter(f"doc_id % {BENCH_MOD} == 0").write.parquet(
+        f"{s_in}/bench.parquet"
+    )
+    sub.filter(f"doc_id % {BENCH_MOD} != 0").write.parquet(f"{s_in}/a.parquet")
+    src_glob = f"{s_in}/*"
+    s_root = str(tmp_path / "stream_root")
+    cli.main(["train-data", "--input", src_glob, "--output", s_root,
+              "--streaming"])
+    cli.main(["train-data", "--input", src_glob, "--output", s_root,
+              "--materialize", "--semantic-dedup", e_in])
+    b_root = str(tmp_path / "batch_root")
+    cli.main(["train-data", "--input", src_glob, "--output", b_root,
+              "--semantic-dedup", e_in])
+    assert rows_set(spark.read.parquet(f"{s_root}/prep")) == rows_set(
+        spark.read.parquet(f"{b_root}/prep")
+    )

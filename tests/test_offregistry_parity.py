@@ -227,6 +227,18 @@ OFF_REGISTRY_SF = {
         olap.nation_profit,
         olap.NATION_PROFIT_SQL,
     ),
+    # r12 (VERDICT r11 #3): the training-data composition with the
+    # SemDeDup stage between purge and pack (train-data --semantic-dedup)
+    # — two-table query, so it joins the (spark, sf_dir) gate; the
+    # composed oracle extends TRAINING_PREP_SQL with the recursive-walk
+    # closure rebound to the purge survivors' embeddings.
+    "off_training_prep_semantic": (
+        lambda spark, sf_dir: pipeline.training_prep(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            embeddings=spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        ),
+        pipeline.TRAINING_PREP_SEMANTIC_SQL,
+    ),
 }
 
 

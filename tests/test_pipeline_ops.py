@@ -605,3 +605,67 @@ def test_pack_report_counts_spanning_chunks(spark):
     assert canon_frame(pack_report(docs).toPandas()) == canon_frame(
         con.execute(PACK_REPORT_SQL).df()
     )
+
+
+def test_training_prep_semantic_conservation_and_custom_tau_oracle(spark):
+    """The r12 semantic stage holds the composition's conservation
+    contract — every surviving doc's full token count appears exactly
+    once, survivors are purge-survivors minus exactly the SemDeDup-pruned
+    ids — and the composed oracle builder agrees with the operator at a
+    NON-default tau (the constant gate covers the default)."""
+    import duckdb
+
+    from cloudcomputing_flink_application_spark.functions import text as X
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        semantic_dedup,
+    )
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        training_prep,
+        training_prep_semantic_sql,
+    )
+    from tests.conftest import TESTDATA
+    from tests.oracle_harness import canon_frame
+
+    sf = f"{TESTDATA}/sf0.001"
+    tau = 0.2
+    # oracle first (DuckDB reads the parquet directly)
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    oracle = con.execute(training_prep_semantic_sql(tau)).df()
+    con.close()
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    sem = training_prep(docs, embeddings=embs, semantic_tau=tau)
+    assert canon_frame(sem.toPandas()) == canon_frame(oracle)
+
+    # survivors = plain survivors minus exactly the pruned ids of the
+    # semantic pass OVER THOSE survivors' embeddings
+    plain_ids = {
+        r.doc_id for r in training_prep(docs).select("doc_id").collect()
+    }
+    emb_surv = embs.filter(F.col("vec_id").isin(list(plain_ids)))
+    pruned = {
+        r.vec_id
+        for r in semantic_dedup(emb_surv, tau)
+        .filter("is_pruned")
+        .collect()
+    }
+    assert pruned  # non-degenerate at this tau
+    sem_ids = {r.doc_id for r in sem.select("doc_id").collect()}
+    assert sem_ids == plain_ids - pruned
+
+    # token conservation: each survivor appears once with its real count
+    rows = {r.doc_id: r for r in sem.collect()}
+    assert len(rows) == sem.count()
+    counts = {
+        r.doc_id: r.c
+        for r in docs.filter(F.col("doc_id").isin(list(sem_ids)))
+        .select("doc_id", F.size(X.tokens("text")).alias("c"))
+        .collect()
+    }
+    assert {d: rows[d].n_tok for d in rows} == counts
