@@ -529,6 +529,154 @@ def pack_bins(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     )
 
 
+def chunk_oversize_docs(
+    documents: DataFrame, budget: int = PACK_BUDGET
+) -> DataFrame:
+    """Pre-packer piece split (r12, VERDICT r11 #5): docs whose token
+    count fits ``budget`` pass through WHOLE (piece 0, original text
+    byte-identical); over-budget docs split into disjoint budget-sized
+    token slices (stride = budget, no overlap — every token lands in
+    exactly ONE piece, the conservation-across-the-chunk-boundary
+    contract), each piece a packable item for :func:`pack_bins_chunked`.
+    Piece text is space-joined tokens, the :func:`chunk_docs` convention
+    — the documented remedy pack_bins' ``oversize`` flag names, now
+    composed.
+
+    Output: (doc_id, piece, source, text, n_tok), one row per piece,
+    with n_tok <= budget on every row by construction.
+
+    Scale: pure per-row array math (the chunk_docs story) — the explode
+    multiplies only the over-budget docs' rows; no key shuffle."""
+    if budget < 1:
+        raise ValueError(f"chunk_oversize_docs needs budget >= 1, got {budget}")
+    tok = X.tokens_of(F.coalesce(F.col("text"), F.lit("")))
+    base = documents.select(
+        "doc_id", "source", "text", tok.alias("_tk")
+    ).withColumn("_n", F.size("_tk").cast("long"))
+    small = base.filter(F.col("_n") <= budget).select(
+        "doc_id",
+        F.lit(0).cast("int").alias("piece"),
+        "source",
+        "text",
+        F.col("_n").alias("n_tok"),
+    )
+    giant = (
+        base.filter(F.col("_n") > budget)
+        .select(
+            "doc_id",
+            "source",
+            "_tk",
+            "_n",
+            F.posexplode(F.sequence(F.lit(1), F.col("_n"), F.lit(budget))).alias(
+                "_i", "_s"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("_i").cast("int").alias("piece"),
+            "source",
+            F.concat_ws(" ", F.slice("_tk", F.col("_s"), budget)).alias("text"),
+            F.least(F.lit(budget), F.col("_n") - F.col("_s") + 1)
+            .cast("long")
+            .alias("n_tok"),
+        )
+    )
+    return small.unionByName(giant)
+
+
+def chunk_oversize_sql(budget: int = PACK_BUDGET) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         {X.tokens_sql("coalesce(text, '')")} AS tk
+  FROM documents
+),
+small AS (
+  SELECT doc_id, CAST(0 AS INT) AS piece, source, text,
+         CAST(len(tk) AS BIGINT) AS n_tok
+  FROM base WHERE len(tk) <= {budget}
+),
+giantx AS (
+  SELECT doc_id, source, tk,
+         unnest(generate_series(1, len(tk), {budget})) AS s,
+         unnest(generate_series(0, (len(tk) - 1) // {budget})) AS piece
+  FROM base WHERE len(tk) > {budget}
+),
+giant AS (
+  SELECT doc_id, CAST(piece AS INT) AS piece, source,
+         array_to_string(tk[s:s + {budget - 1}], ' ') AS text,
+         CAST(least({budget}, len(tk) - s + 1) AS BIGINT) AS n_tok
+  FROM giantx
+)
+SELECT * FROM small UNION ALL SELECT * FROM giant
+"""
+
+
+CHUNK_OVERSIZE_SQL = chunk_oversize_sql()
+
+
+def pack_bins_chunked(
+    documents: DataFrame, budget: int = PACK_BUDGET
+) -> DataFrame:
+    """Chunk-then-bin FFD packing (r12, VERDICT r11 #5): split
+    over-budget docs into budget-sized pieces
+    (:func:`chunk_oversize_docs`), then first-fit-decreasing pack the
+    PIECES — so the capacity invariant holds unconditionally: no bin,
+    and therefore no training sequence, ever exceeds ``budget``
+    (``pack_bins`` alone ships an over-budget doc as a flagged oversize
+    singleton).  Within-bin rows never mix fragments of the same doc
+    with budget-filling whole docs any differently than whole docs mix:
+    a fragment is simply an item.
+
+    Same bounded-group Arrow shape as :func:`pack_bins` (the one
+    non-declarative packing stage), same pure property-tested core
+    (``_ffd_assign``); the FFD sort key grows the piece ordinal —
+    (n_tok DESC, doc_id ASC, piece ASC) — keeping determinism under
+    repartition.  The UDF batch stays NARROW (ids + sizes only); piece
+    text joins back by (doc_id, piece) outside the packer.
+
+    Output: (doc_id, piece, source, pack_key, n_tok, bin_seq, begin_tok,
+    oversize) with ``oversize`` False on every row by construction
+    (kept for schema compatibility with ``pack_bin_stats``)."""
+    if budget < 1:
+        raise ValueError(f"pack_bins_chunked needs budget >= 1, got {budget}")
+    return _ffd_pack_pieces(chunk_oversize_docs(documents, budget), budget)
+
+
+def _ffd_pack_pieces(pieces: DataFrame, budget: int) -> DataFrame:
+    """The FFD stage of :func:`pack_bins_chunked` over an existing
+    pieces frame — split out so ``packed_training_rows`` can persist ONE
+    pieces frame for both the packer and the piece-text join."""
+    items = pieces.select(
+        "doc_id",
+        "piece",
+        "source",
+        (F.col("doc_id") / PACK_RANGE).cast("long").alias("pack_key"),
+        "n_tok",
+    )
+
+    def _ffd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id", "piece"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        )
+        seqs, begins, oversize = _ffd_assign(list(pdf["n_tok"]), budget)
+        out = pdf[["doc_id", "piece", "source", "pack_key", "n_tok"]].copy()
+        out["bin_seq"] = pd.array(seqs, dtype="int64")
+        out["begin_tok"] = pd.array(begins, dtype="int64")
+        out["oversize"] = oversize
+        return out
+
+    return items.groupBy("source", "pack_key").applyInPandas(
+        _ffd,
+        "doc_id long, piece int, source string, pack_key long, n_tok long, "
+        "bin_seq long, begin_tok long, oversize boolean",
+    )
+
+
 def pack_bin_stats(bins: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     """Padding-waste accounting over :func:`pack_bins` output, per source:
     ``(source, n_docs, total_tokens, n_bins, oversize_bins, padded_tokens,
@@ -1517,10 +1665,11 @@ def training_prep(
        shard.  ``pack_mode="bins"`` swaps this stage for FFD
        whole-document packing (see :func:`packed_training_rows`).
 
-    Output, one row per surviving doc: (doc_id, source, pack_key,
-    chunk_id, n_tok, begin_tok, split, pack_id, text).  Conservation
-    (pinned in tests): every kept-surviving token appears in exactly one
-    row, rows of one pack chunk share one shard.
+    Output, one row per surviving doc (chunks mode) or per surviving
+    piece (bins mode splits over-budget docs): (doc_id, piece, source,
+    pack_key, chunk_id, n_tok, begin_tok, split, pack_id, text).
+    Conservation (pinned in tests): every kept-surviving token appears
+    in exactly one row, rows of one pack chunk share one shard.
 
     Scale: the union of the stages' own stories — no new shuffle shape
     is introduced; the stitches are doc_id equi-joins (high-cardinality,
@@ -1559,34 +1708,53 @@ def packed_training_rows(
 
     ``pack_mode``: ``"chunks"`` (default) is the concat-and-chunk packer
     — the oracle'd TRAINING_PREP_SQL dataflow; ``"bins"`` swaps in
-    :func:`pack_bins` (FFD whole-document packing, no straddling) with
+    chunk-then-bin FFD packing (r12, VERDICT r11 #5:
+    :func:`pack_bins_chunked` — over-budget docs pre-split into
+    budget-sized pieces, then first-fit-decreasing over the pieces) with
     the SAME output schema: ``chunk_id`` becomes the bin ordinal and
-    ``begin_tok`` the offset pack_bins records at placement time (so
-    ``begin_tok + n_tok <= PACK_BUDGET`` for every non-oversize bin,
-    the no-straddle guarantee).  ``pack_id``
-    keeps meaning "the training sequence this doc lands whole in", so
-    the shard writer and the conservation contract are mode-agnostic;
-    bins mode has no cross-engine SQL (FFD is sequential per group) and
-    is gated by the property pins instead."""
+    ``begin_tok`` the offset the FFD core records at placement time, so
+    ``begin_tok + n_tok <= PACK_BUDGET`` on EVERY row — the capacity
+    invariant now holds unconditionally (no oversize escape hatch; a
+    giant doc's pieces each land whole in some bin, and its row set
+    carries piece ordinals).  Both modes emit ``piece`` (constant 0 in
+    chunks mode — concat packing handles giants by straddling).
+    ``pack_id`` keeps meaning "the training sequence this row lands
+    whole in", so the shard writer and the conservation contract are
+    mode-agnostic; bins mode has no cross-engine SQL (FFD is sequential
+    per group) and is gated by the property pins instead."""
     if pack_mode == "chunks":
-        packed = pack_chunks(surv_docs)
+        packed = pack_chunks(surv_docs).withColumn(
+            "piece", F.lit(0).cast("int")
+        )
+        rows = packed.join(
+            surv_docs.select("doc_id", "split", "text"), "doc_id"
+        )
     elif pack_mode == "bins":
-        packed = pack_bins(surv_docs).select(
+        # ONE pieces frame for both consumers (the packer's narrow item
+        # rows and the piece-text join) — unpersisted, the split would
+        # re-run per consumer; released by dedup.release_cached()
+        pieces = _persist(chunk_oversize_docs(surv_docs, PACK_BUDGET))
+        packed = _ffd_pack_pieces(
+            pieces.select("doc_id", "piece", "source", "n_tok"), PACK_BUDGET
+        ).select(
             "doc_id",
+            "piece",
             "source",
             "pack_key",
             "n_tok",
             "begin_tok",
             F.col("bin_seq").alias("chunk_id"),
         )
+        rows = packed.join(
+            pieces.select("doc_id", "piece", "text"), ["doc_id", "piece"]
+        ).join(surv_docs.select("doc_id", "split"), "doc_id")
     else:
         raise ValueError(
             f"pack_mode must be 'chunks' or 'bins', got {pack_mode!r}"
         )
-    return packed.join(
-        surv_docs.select("doc_id", "split", "text"), "doc_id"
-    ).select(
+    return rows.select(
         "doc_id",
+        "piece",
         "source",
         "pack_key",
         "chunk_id",
@@ -1653,7 +1821,8 @@ kept_docs AS (
 ),
 surv AS (SELECT doc_id FROM ({purge_over_kept}) pg),
 {surv_docs_ctes}
-SELECT p.doc_id, p.source, p.pack_key, p.chunk_id, p.n_tok, p.begin_tok,
+SELECT p.doc_id, CAST(0 AS INT) AS piece,
+       p.source, p.pack_key, p.chunk_id, p.n_tok, p.begin_tok,
        s.split,
        p.source || ':' || CAST(p.pack_key AS VARCHAR) || ':'
          || CAST(p.chunk_id AS VARCHAR) AS pack_id,

@@ -79,6 +79,13 @@ OFF_REGISTRY = {
     # each stage is ALSO individually gated (clean/purge via the registry,
     # pack via pipe_pack_chunks) — this pins the composed dataflow itself.
     "off_training_prep": (pipeline.training_prep, pipeline.TRAINING_PREP_SQL),
+    # r12 chunk-then-bin (VERDICT r11 #5): the piece split feeding
+    # pack_bins_chunked — fully SQL-expressible (the FFD stage that
+    # consumes it stays the documented property-gated exception)
+    "off_chunk_oversize": (
+        pipeline.chunk_oversize_docs,
+        pipeline.CHUNK_OVERSIZE_SQL,
+    ),
 }
 
 # same gate over the embeddings table (components of dedup_embedding and

@@ -669,3 +669,47 @@ def test_training_prep_semantic_conservation_and_custom_tau_oracle(spark):
         .collect()
     }
     assert {d: rows[d].n_tok for d in rows} == counts
+
+
+def test_pack_bins_chunked_planted_giants(spark):
+    """Chunk-then-bin (r12): planted over-budget docs split into
+    budget-sized pieces, EVERY bin respects capacity (no oversize escape
+    hatch), tokens conserve across the chunk boundary, piece text
+    reconstructs the doc, and the output is deterministic under
+    repartition."""
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        chunk_oversize_docs,
+        pack_bins_chunked,
+    )
+    from tests.conftest import rows_set
+
+    giant = " ".join(f"t{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            _doc(1, giant),                 # 20 tokens -> pieces 8,8,4
+            _doc(2, "a b c d e f g"),       # 7 tokens, whole
+            (3, None, "en", "s0", 0),       # NULL -> 0 tokens, piece 0
+            _doc(4, "x " * 9),              # 9 tokens -> pieces 8,1
+        ],
+        DOC_COLS,
+    )
+    pieces = {(r.doc_id, r.piece): r for r in chunk_oversize_docs(docs, 8).collect()}
+    assert [pieces[(1, p)].n_tok for p in range(3)] == [8, 8, 4]
+    assert " ".join(pieces[(1, p)].text for p in range(3)) == giant
+    assert pieces[(2, 0)].text == "a b c d e f g"  # whole docs byte-identical
+    assert pieces[(3, 0)].n_tok == 0
+    assert [pieces[(4, p)].n_tok for p in range(2)] == [8, 1]
+    assert len(pieces) == 7
+
+    bins = pack_bins_chunked(docs, budget=8)
+    rows = bins.collect()
+    assert all(not r.oversize for r in rows)
+    assert all(r.begin_tok + r.n_tok <= 8 for r in rows)
+    loads = {}
+    for r in rows:
+        k = (r.source, r.pack_key, r.bin_seq)
+        loads[k] = loads.get(k, 0) + r.n_tok
+    assert all(v <= 8 for v in loads.values())
+    assert sum(r.n_tok for r in rows) == 20 + 7 + 0 + 9
+    # determinism under physical layout
+    assert rows_set(bins) == rows_set(pack_bins_chunked(docs.repartition(5), budget=8))
