@@ -738,9 +738,6 @@ FROM toks, varr
 
 #: Rank points for the length quantiles (percent).
 PROFILE_PCTS = (50, 90, 99)
-#: t-digest/GK accuracy for the sketch twin's quantiles: rank error is
-#: bounded by n / accuracy (<= 6 ranks at sf0.1's 60k docs).
-PROFILE_PCT_ACCURACY = 10_000
 #: Error budget for the sketch twin's distinct counts.  The sketches are
 #: Apache DataSketches HLL (``hll_sketch_agg``, default lgK = 12, rsd ~
 #: 1.04 / sqrt(2^12) ~ 1.6%); the tolerance gate allows this looser 3-sigma
@@ -820,14 +817,24 @@ def corpus_profile_exact(documents: DataFrame) -> DataFrame:
     )
     # LEFT join + coalesce: a source whose every doc tokenizes empty has
     # NO token rows — an inner join would silently drop the source from
-    # the profile while the streaming twin emits it with 0 (r11 review)
+    # the profile while the streaming twin emits it with 0 (r11 review).
+    # Null-safe keys throughout (r12): a NULL source is a group like any
+    # other to groupBy, and an equi-join stitch would silently drop it
+    # from the profile (the corpus-profile --pack lesson, ADVICE r11) —
+    # eqNullSafe here, IS NOT DISTINCT FROM in the oracle.
+    a2 = agg2.select(F.col("source").alias("_s2"), "distinct_tokens")
+    qr = qagg.select(
+        F.col("source").alias("_sq"), *[f"len_p{p}" for p in PROFILE_PCTS]
+    )
     return (
-        agg1.join(agg2, "source", "left")
+        agg1.join(a2, F.col("source").eqNullSafe(F.col("_s2")), "left")
+        .drop("_s2")
         .withColumn(
             "distinct_tokens",
             F.coalesce("distinct_tokens", F.lit(0).cast("long")),
         )
-        .join(qagg, "source")
+        .join(qr, F.col("source").eqNullSafe(F.col("_sq")))
+        .drop("_sq")
     )
 
 
@@ -864,10 +871,12 @@ q AS (
          {', '.join(f"max(CASE WHEN rn = (n * {p} + 99) // 100 THEN len END) AS len_p{p}" for p in PROFILE_PCTS)}
   FROM ranked GROUP BY source
 )
-SELECT source, n_docs, total_tokens, distinct_texts,
+SELECT agg1.source, n_docs, total_tokens, distinct_texts,
        CAST(coalesce(distinct_tokens, 0) AS BIGINT) AS distinct_tokens,
        {', '.join(f'len_p{p}' for p in PROFILE_PCTS)}
-FROM agg1 LEFT JOIN agg2 USING (source) JOIN q USING (source)
+FROM agg1
+LEFT JOIN agg2 ON agg1.source IS NOT DISTINCT FROM agg2.source
+JOIN q ON agg1.source IS NOT DISTINCT FROM q.source
 """
 
 
@@ -875,46 +884,78 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
     """Per-source corpus profile, SKETCHED — the one-pass 100 TB
     instrument: DataSketches HLL for the two distinct cardinalities
     (``hll_sketch_agg`` -> ``hll_sketch_estimate``; see PROFILE_HLL_RSD
-    for why DataSketches and not HLL++) and GK quantile summaries for
-    the length percentiles (``percentile_approx``, accuracy =
-    PROFILE_PCT_ACCURACY).
+    for why DataSketches and not HLL++) and EXACT length percentiles
+    from a per-(source, len) histogram under the integer rank rule
+    (value at rank ceil(p*n/100) = smallest len whose cumulative count
+    reaches the rank) — the same rule ``corpus_profile_exact`` and the
+    streaming twin use, so all three twins' ``len_pXX`` agree
+    bit-for-bit (r12, VERDICT r11 #4: this replaced ``percentile_approx``,
+    whose GK merges were the one merge-order-unstable output in the
+    family).
 
     Output schema mirrors :func:`corpus_profile_exact` with ``_est``
-    suffixes on the sketched columns: ``(source, n_docs, total_tokens,
-    distinct_texts_est, distinct_tokens_est, len_p50_est, len_p90_est,
-    len_p99_est)``.  ``n_docs`` / ``total_tokens`` stay exact (plain
-    partial-agg sums cost nothing extra).
+    suffixes on the sketched distinct counts: ``(source, n_docs,
+    total_tokens, distinct_texts_est, distinct_tokens_est, len_p50,
+    len_p90, len_p99)``.  ``n_docs`` / ``total_tokens`` / ``len_pXX``
+    are exact and deterministic.
 
-    Why this scales where the exact twin cannot: every sketch here is
-    MERGEABLE, so the aggregation is map-side partial — each task emits
-    at most |sources| fixed-size sketch states (a few KB each) and the
-    exchange moves sketches, not data.  The exact twin's
+    Why this scales where the exact twin cannot: every aggregation state
+    here is MERGEABLE and small — the doc side collapses map-side to a
+    per-(source, len) histogram (counts + token sums + HLL partials; one
+    row per distinct length, bounded by max doc length, NOT corpus
+    size), ``hll_union_agg`` folds the partials with register-max
+    semantics (union-of-parts == single-pass EXACTLY, the property the
+    streaming twin's bit-equality rests on), and the quantile window
+    sorts histogram keys, never documents.  The exact twin's
     ``count(DISTINCT token)`` must shuffle every distinct token of a
-    100 TB corpus; the HLL registers replace that exchange with O(|sources|
-    x 2^p) bytes regardless of corpus size.  The trade is bounded,
-    documented error (3-sigma gate in tests/test_textstats_ops.py) —
-    and NO cross-engine value-hash oracle: sketch merge states are
-    engine-specific, so this operator is calibrated against
-    ``corpus_profile_exact`` (itself fully oracle'd) instead, the same
-    weaker-gate class as the recall reports.
-
-    Determinism note: the HLL estimates are fully merge-order-independent
-    (register max — pinned under repartition in tests), but GK quantile
-    merges are not perfectly so across different partitionings — treat
-    ``len_pXX_est`` as rank-bounded, not bit-stable; anything feeding a
-    driver hash must use the exact twin.
+    100 TB corpus; the HLL registers replace that exchange with
+    O(|sources| x 2^p) bytes regardless of corpus size.  The trade is
+    bounded, documented error on the two distinct counts (3-sigma gate
+    in tests/test_textstats_ops.py) — and NO cross-engine value-hash
+    oracle for them: sketch states are engine-specific, so the distinct
+    columns are calibrated against ``corpus_profile_exact`` (itself
+    fully oracle'd) instead, the same weaker-gate class as the recall
+    reports.  Every other column is bit-deterministic under any
+    partitioning or merge order (pinned under repartition in tests).
     """
+    from cloudcomputing_flink_application_spark.operators.dedup import _persist
+
     per_doc = _profile_per_doc(documents)
-    agg1 = per_doc.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("ntok").cast("long").alias("total_tokens"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("th")).alias("distinct_texts_est"),
+    # ONE scan of the corpus builds the histogram; both consumers below
+    # (the per-source rollup and the rank-rule quantiles) read the tiny
+    # cached frame.  Released by dedup.release_cached()/clearCache().
+    hist = _persist(
+        per_doc.groupBy("source", "len").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum("ntok").cast("long").alias("toks"),
+            F.hll_sketch_agg("th").alias("th_sk"),
+        )
+    )
+    agg1 = hist.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.hll_sketch_estimate(F.hll_union_agg("th_sk")).alias(
+            "distinct_texts_est"
+        ),
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hc = hist.withColumn("cum", F.sum("cnt").over(wcum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("source"))
+    )
+    quants = hc.groupBy("source").agg(
         *[
-            F.percentile_approx("len", p / 100.0, PROFILE_PCT_ACCURACY)
-            .cast("long")
-            .alias(f"len_p{p}_est")
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {p} + 99) div 100"),
+                    F.col("len"),
+                )
+            ).alias(f"len_p{p}")
             for p in PROFILE_PCTS
-        ],
+        ]
     )
     agg2 = _profile_tokens(documents).groupBy("source").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("tok")).alias(
@@ -922,8 +963,16 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
         )
     )
     # LEFT join + coalesce for all-empty-token sources, mirroring the
-    # exact twin and the streaming twin's NULL-union -> 0 path
-    return agg1.join(agg2, "source", "left").withColumn(
+    # exact twin and the streaming twin's NULL-union -> 0 path; null-safe
+    # keys like the exact twin (r12): a NULL source must survive the
+    # stitches with ITS OWN columns
+    qr = quants.select(
+        F.col("source").alias("_sq"), *[f"len_p{p}" for p in PROFILE_PCTS]
+    )
+    a2 = agg2.select(F.col("source").alias("_s2"), "distinct_tokens_est")
+    return agg1.join(qr, F.col("source").eqNullSafe(F.col("_sq"))).join(
+        a2, F.col("source").eqNullSafe(F.col("_s2")), "left"
+    ).withColumn(
         "distinct_tokens_est",
         F.coalesce("distinct_tokens_est", F.lit(0).cast("long")),
     ).select(
@@ -932,5 +981,5 @@ def corpus_profile(documents: DataFrame) -> DataFrame:
         "total_tokens",
         "distinct_texts_est",
         "distinct_tokens_est",
-        *[f"len_p{p}_est" for p in PROFILE_PCTS],
+        *[f"len_p{p}" for p in PROFILE_PCTS],
     )

@@ -2393,8 +2393,13 @@ def run_corpus_profile_stream(
                 .groupBy("source")
                 .agg(F.hll_sketch_agg("tok").alias("tok_sk"))
             )
+            tk = tok_sk.select(F.col("source").alias("_ts"), "tok_sk")
             _write_batch_partition(
-                doc_sk.join(tok_sk, "source", "left"), batch_id, sketches_dir
+                doc_sk.join(
+                    tk, F.col("source").eqNullSafe(F.col("_ts")), "left"
+                ).drop("_ts"),
+                batch_id,
+                sketches_dir,
             )
             _write_batch_partition(
                 per_doc.groupBy("source", "len").agg(
@@ -2456,7 +2461,17 @@ def run_corpus_profile_stream(
                 for p in PROFILE_PCTS
             ]
         )
-        _write_batch_partition(prof.join(quants, "source"), batch_id, output_dir)
+        # null-safe stitch (r12, with the batch twins): a NULL source is
+        # a real group and an equi-join would drop its profile row
+        qr = quants.select(
+            F.col("source").alias("_sq"),
+            *[f"len_p{p}" for p in PROFILE_PCTS],
+        )
+        _write_batch_partition(
+            prof.join(qr, F.col("source").eqNullSafe(F.col("_sq"))).drop("_sq"),
+            batch_id,
+            output_dir,
+        )
 
     return (
         documents.writeStream.foreachBatch(process)

@@ -76,9 +76,10 @@ def test_oov_stats_vocab_boundary_tiebreak(spark):
 
 def test_corpus_profile_sketch_within_bounds(spark):
     """The sketch profile's contract: exact columns identical, HLL distinct
-    estimates within 3 sigma (3 * PROFILE_HLL_RSD), quantile estimates
-    rank-bounded (within n/PROFILE_PCT_ACCURACY + 1 ranks of the exact
-    rank) — at BOTH small SFs, per source."""
+    estimates within 3 sigma (3 * PROFILE_HLL_RSD), and — r12 (VERDICT
+    r11 #4) — quantiles BIT-EQUAL to the exact twin's integer rank rule
+    (the histogram form replaced percentile_approx, whose GK merges were
+    merge-order-unstable) — at BOTH small SFs, per source."""
     from cloudcomputing_flink_application_spark.operators import textstats as T
 
     for sf in ("0.001", "0.01"):
@@ -86,12 +87,6 @@ def test_corpus_profile_sketch_within_bounds(spark):
         exact = {r["source"]: r.asDict() for r in T.corpus_profile_exact(docs).collect()}
         est = {r["source"]: r.asDict() for r in T.corpus_profile(docs).collect()}
         assert set(exact) == set(est)
-        # per-source ascending length lists for the rank bound
-        lens = {}
-        for row in docs.selectExpr(
-            "source", "cast(length(coalesce(text, '')) as long) as len"
-        ).collect():
-            lens.setdefault(row["source"], []).append(row["len"])
         for s in exact:
             ex, es = exact[s], est[s]
             assert es["n_docs"] == ex["n_docs"]
@@ -99,17 +94,8 @@ def test_corpus_profile_sketch_within_bounds(spark):
             for col in ("distinct_texts", "distinct_tokens"):
                 rel = abs(es[f"{col}_est"] - ex[col]) / max(ex[col], 1)
                 assert rel <= 3 * T.PROFILE_HLL_RSD, (sf, s, col, rel)
-            slens = sorted(lens[s])
-            n = len(slens)
-            max_rank_err = n // T.PROFILE_PCT_ACCURACY + 1
             for p in T.PROFILE_PCTS:
-                target = (n * p + 99) // 100  # 1-based exact rank
-                v = es[f"len_p{p}_est"]
-                # every rank whose value could legally be returned
-                ok_ranks = range(
-                    max(1, target - max_rank_err), min(n, target + max_rank_err) + 1
-                )
-                assert any(slens[r - 1] == v for r in ok_ranks), (sf, s, p, v)
+                assert es[f"len_p{p}"] == ex[f"len_p{p}"], (sf, s, p)
 
 
 def test_corpus_profile_exact_rank_semantics(spark):
@@ -186,11 +172,17 @@ def test_corpus_profile_hll_union_equals_direct_and_deterministic(spark):
     assert direct == merged
     # layout independence of the profile's est columns
     a = {
-        r["source"]: (r["distinct_texts_est"], r["distinct_tokens_est"])
+        r["source"]: (
+            r["distinct_texts_est"], r["distinct_tokens_est"], r["len_p50"],
+            r["len_p90"], r["len_p99"],
+        )
         for r in T.corpus_profile(docs).collect()
     }
     b = {
-        r["source"]: (r["distinct_texts_est"], r["distinct_tokens_est"])
+        r["source"]: (
+            r["distinct_texts_est"], r["distinct_tokens_est"], r["len_p50"],
+            r["len_p90"], r["len_p99"],
+        )
         for r in T.corpus_profile(docs.repartition(7)).collect()
     }
     assert a == b
@@ -234,4 +226,47 @@ def test_corpus_profile_keeps_all_empty_token_sources(spark):
     oracle = con.execute(T.CORPUS_PROFILE_EXACT_SQL).df()
     assert canon_frame(T.corpus_profile_exact(docs).toPandas()) == canon_frame(
         oracle
+    )
+
+
+def test_corpus_profile_keeps_null_source_group(spark):
+    """r12: a NULL source is a group like any other — groupBy keeps it,
+    so the profile stitches must too (null-safe joins; an equi-join
+    silently dropped the row, and the sketch twin additionally read its
+    distinct_tokens as 0 through the missed left join).  Both twins, and
+    engine parity for the exact twin against an inline DuckDB view."""
+    import duckdb
+
+    from cloudcomputing_flink_application_spark.operators import textstats as T
+    from tests.oracle_harness import canon_frame
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", None, 5),
+            (2, "a b", "en", None, 3),
+            (3, "x y", "en", "s1", 3),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    ex = {r["source"]: r.asDict() for r in T.corpus_profile_exact(docs).collect()}
+    assert set(ex) == {None, "s1"}
+    assert ex[None]["n_docs"] == 2
+    assert ex[None]["distinct_tokens"] == 3  # a, b, c — the REAL count
+    assert ex[None]["len_p50"] == 3  # lens 3,5 -> rank ceil(2*50/100)=1
+    sk = {r["source"]: r.asDict() for r in T.corpus_profile(docs).collect()}
+    assert set(sk) == {None, "s1"}
+    assert sk[None]["n_docs"] == 2
+    assert sk[None]["distinct_tokens_est"] == 3
+    assert sk[None]["len_p50"] == 3 and sk[None]["len_p99"] == 5
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'a b c', 'en', NULL, 5), "
+        "(2, 'a b', 'en', NULL, 3), "
+        "(3, 'x y', 'en', 's1', 3)"
+        ") t(doc_id, text, lang, source, n_chars)"
+    )
+    assert canon_frame(T.corpus_profile_exact(docs).toPandas()) == canon_frame(
+        con.execute(T.CORPUS_PROFILE_EXACT_SQL).df()
     )
