@@ -1391,9 +1391,11 @@ def main(argv: list[str] | None = None) -> None:
                 dest="pack_mode",
                 help="batch / --materialize: packing regime — 'chunks' "
                 "(concat-and-chunk, the oracle'd default; documents may "
-                "straddle sequence boundaries) or 'bins' (FFD whole-"
-                "document packing: no straddling, explicit padding; "
-                "pack_id becomes the bin identity)",
+                "straddle sequence boundaries) or 'bins' (chunk-then-bin "
+                "FFD: over-budget docs pre-split into budget-sized "
+                "pieces, then whole-piece packing — no straddling, "
+                "explicit padding, no sequence ever over budget; pack_id "
+                "becomes the bin identity)",
             )
             sp.add_argument(
                 "--semantic-dedup", default=None, metavar="EMB_PARQUET",

@@ -703,7 +703,11 @@ def _delete_ckpt_entries(spark, paths: set[str]) -> None:
             pass
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = 15,
+    round_log: list | None = None,
+) -> DataFrame:
     """Min-label connected components over an undirected edge list.
 
     ``edges`` must have two equal-typed columns ``(u, v)``; self-loops are
@@ -740,6 +744,11 @@ def connected_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
     Convergence costs ONE action per round: the symmetric difference of two
     distinct frames is empty iff the edge set is stable.  Deterministic:
     every operation is a min.
+
+    ``round_log`` (optional): a list the loop appends its 1-based round
+    index to — the rounds run EAGERLY (one convergence action each), so
+    on return ``len(round_log)`` is the executed round count.  Pure
+    instrumentation for the O(log n) claim (scaling_bench purge-100x).
     """
     spark = edges.sparkSession
     reliable = spark.sparkContext.getCheckpointDir() is not None
@@ -767,7 +776,9 @@ def connected_components(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
         .distinct()
     )
     cur_snaps = _snapshots() - pre0
-    for _ in range(max_rounds):
+    for _round in range(max_rounds):
+        if round_log is not None:
+            round_log.append(_round + 1)
         # large-star: every neighbor LARGER than u links to min(N(u) + {u}).
         nbrs = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = nbrs.groupBy("u").agg(F.min("v").alias("_mn"))

@@ -472,8 +472,9 @@ def pack_bins(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     each doc in the FIRST open bin with room, else open a new bin —
     deterministic, and within 11/9 OPT + 1 bins of optimal (the classic
     FFD bound).  A doc larger than the budget gets a flagged singleton
-    bin (``oversize``; upstream chunking — ``chunk_docs`` — is the
-    documented remedy).
+    bin (``oversize``); :func:`pack_bins_chunked` is the composed remedy
+    (r12) — pre-split giants into budget-sized pieces, then FFD the
+    pieces, so the capacity invariant holds unconditionally.
 
     Spark shape: FFD is inherently sequential WITHIN a bin set, so it
     runs as an Arrow-batched ``applyInPandas`` over the SAME bounded

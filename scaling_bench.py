@@ -137,20 +137,30 @@ def _tokenwise_replica(docs, k: int):
     )
 
 
-def build_docs_tokenwise(spark) -> None:
+def build_docs_tokenwise(spark, scales=SCALES) -> None:
     """The linear-pair-output documents corpora (see module docstring):
     replica k > 0 prefixes every whitespace token with ``r<k>x`` — a
-    token-set bijection per replica, disjoint across replicas."""
+    token-set bijection per replica, disjoint across replicas.  Large
+    scales write in chunks of 100 replicas (a single 1000-branch union
+    plan is Catalyst-hostile); replica ids stay globally unique, so the
+    chunked corpus is identical to the one-shot one."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    for s in SCALES:
+    chunk = 100
+    for s in scales:
         ddir = WORK / f"docs_tw_x{s}"
         if ddir.exists():
             continue
-        parts = [_tokenwise_replica(docs, k) for k in range(s)]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(str(ddir))
+        for lo in range(0, s, chunk):
+            parts = [
+                _tokenwise_replica(docs, k)
+                for k in range(lo, min(lo + chunk, s))
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.write.mode("overwrite" if lo == 0 else "append").parquet(
+                str(ddir)
+            )
 
 
 def build_events(spark) -> None:
@@ -1206,6 +1216,85 @@ def bench_olap_100x(spark) -> dict:
         "ops": results,
         "lineitem_rows_x100": rows,
         "lineitem_bytes_x100": footprint,
+    }
+
+
+def bench_purge_100x(spark) -> dict:
+    """r12 (VERDICT r11 #2): one 100x point for the MinHash purge/CC
+    family — the highest-volume pipeline family whose largest measured
+    point was 10x/600k docs, while OLAP (60M rows) and IVFADC (80k
+    vectors) already had their decade points.  Corpus: the LINEAR
+    tokenwise-bijection regime (dup-cluster COUNT grows ~s at constant
+    width, pair output exactly linear — any super-linear runtime is the
+    operator's fault, not the data's) at 1x/10x/100x/1000x of sf0.1
+    documents (5k -> 5M docs, three decades — the ~5M-doc point the
+    verdict asked for).  Records wall + fitted exponent, the executed
+    closure-round count per scale (the O(log n) claim, counted by the
+    operator's own round log), verified-edge volume (pair-linearity
+    evidence), and the UI stage metrics (spill / peak memory) at each
+    scale.  Results materialize through the noop sink — count() would
+    let Catalyst prune the accounting aggregates (the profile-hc
+    lesson)."""
+    scales = (1, 10, 100, 1000)
+    build_docs_tokenwise(spark, scales=scales)
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    ops = {
+        "dedup_purge": lambda d: noop(dedup.minhash_purge_dedup(d)),
+        "dedup_cc_clusters": lambda d: noop(dedup.minhash_cc_dedup(d)),
+    }
+    results: dict = {}
+    for name, fn in ops.items():
+        by: dict = {}
+        metrics: dict = {}
+        for s in scales:
+            d = spark.read.parquet(str(WORK / f"docs_tw_x{s}"))
+            times = []
+            mark = _stage_mark(spark)
+            for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
+                spark.catalog.clearCache()
+                dedup.release_cached()
+                mark = _stage_mark(spark)
+                times.append(timed(lambda: fn(d)))
+            # evidence from the LAST timed run (the steady state)
+            metrics[s] = _stage_metrics_since(spark, mark)
+            by[s] = round(min(times[1:]), 3)
+        results[name] = {
+            "sec": by,
+            "exponent_vs_1x": {
+                s: round(math.log(by[s] / by[1]) / math.log(s), 2)
+                for s in scales[1:]
+            },
+            "memory": metrics,
+        }
+    # the O(log n) closure claim, measured: executed large/small-star
+    # rounds per scale over the SAME verified edge graph the operators
+    # close (the rounds run eagerly, so the log is final on return)
+    rounds: dict = {}
+    edges_volume: dict = {}
+    for s in scales:
+        d = spark.read.parquet(str(WORK / f"docs_tw_x{s}"))
+        e = dedup._verified_star_edges(d)
+        log: list = []
+        dedup.connected_components(e, round_log=log).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        rounds[s] = len(log)
+        edges_volume[s] = e.count()
+        dedup.release_cached()
+        spark.catalog.clearCache()
+    docs_rows = {
+        s: spark.read.parquet(str(WORK / f"docs_tw_x{s}")).count()
+        for s in scales
+    }
+    return {
+        "scales": list(scales),
+        "docs_rows": docs_rows,
+        "ops": results,
+        "closure_rounds": rounds,
+        "verified_edge_rows": edges_volume,
     }
 
 
@@ -2574,6 +2663,9 @@ def main() -> None:
         return
     if section == "spans-w50":
         print(json.dumps({"spans_w50": bench_spans_w50(spark)}))
+        return
+    if section == "purge-100x":
+        print(json.dumps({"purge_100x": bench_purge_100x(spark)}))
         return
     if section == "purge-decompose":
         print(json.dumps({"purge_decompose": bench_purge_decompose(spark)}))
