@@ -539,9 +539,15 @@ def chunk_oversize_docs(
     token slices (stride = budget, no overlap — every token lands in
     exactly ONE piece, the conservation-across-the-chunk-boundary
     contract), each piece a packable item for :func:`pack_bins_chunked`.
-    Piece text is space-joined tokens, the :func:`chunk_docs` convention
-    — the documented remedy pack_bins' ``oversize`` flag names, now
-    composed.
+
+    Piece text preserves the ORIGINAL case (r12 review: the canonical
+    tokenizer lowercases, which would have silently normalized only the
+    over-budget docs' training text while within-budget rows in the same
+    output kept raw bytes) — lowering never changes whitespace, so the
+    raw-case split below has the same arity and positions as
+    ``X.tokens_of`` and ``n_tok`` is unchanged.  Whitespace RUNS still
+    collapse to single spaces in piece text (token-slice reconstruction
+    cannot preserve them); that is the one documented normalization.
 
     Output: (doc_id, piece, source, text, n_tok), one row per piece,
     with n_tok <= budget on every row by construction.
@@ -550,7 +556,12 @@ def chunk_oversize_docs(
     multiplies only the over-budget docs' rows; no key shuffle."""
     if budget < 1:
         raise ValueError(f"chunk_oversize_docs needs budget >= 1, got {budget}")
-    tok = X.tokens_of(F.coalesce(F.col("text"), F.lit("")))
+    # raw-case whitespace tokens: same boundaries as X.tokens_of (lower()
+    # never changes whitespace), original bytes for the piece text
+    tok = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
     base = documents.select(
         "doc_id", "source", "text", tok.alias("_tk")
     ).withColumn("_n", F.size("_tk").cast("long"))
@@ -589,7 +600,8 @@ def chunk_oversize_sql(budget: int = PACK_BUDGET) -> str:
     return f"""
 WITH base AS (
   SELECT doc_id, source, text,
-         {X.tokens_sql("coalesce(text, '')")} AS tk
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     t -> t <> '') AS tk
   FROM documents
 ),
 small AS (
@@ -740,10 +752,12 @@ def pack_report(documents: DataFrame) -> DataFrame:
     per_group = packed.groupBy("source", "pack_key").agg(
         F.count("*").alias("docs"),
         F.sum("n_tok").alias("toks"),
-        # exact integer ceil — no float division on a token count
-        F.floor(
-            (F.sum("n_tok") + F.lit(PACK_BUDGET - 1)) / F.lit(PACK_BUDGET)
-        ).alias("chunks"),
+        # exact integer ceil via `div` (r12 review: `/` on long columns
+        # is DoubleType, which would make the DuckDB `//` parity rest on
+        # float rounding instead of integer arithmetic)
+        F.expr(f"(sum(n_tok) + {PACK_BUDGET - 1}) div {PACK_BUDGET}").alias(
+            "chunks"
+        ),
         F.sum(F.when(straddle, 1).otherwise(0)).alias("straddles"),
     )
     return per_group.groupBy("source").agg(

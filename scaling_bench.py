@@ -150,6 +150,12 @@ def build_docs_tokenwise(spark, scales=SCALES) -> None:
         ddir = WORK / f"docs_tw_x{s}"
         if ddir.exists():
             continue
+        # build under a temp name, rename on completion (r12 review): each
+        # append chunk commits a _SUCCESS-looking dir, so a crash mid-build
+        # would otherwise leave a partial corpus the exists() skip silently
+        # reuses — under-scaled exponents with no error
+        tmp = WORK / f"docs_tw_x{s}.building"
+        shutil.rmtree(tmp, ignore_errors=True)
         for lo in range(0, s, chunk):
             parts = [
                 _tokenwise_replica(docs, k)
@@ -159,8 +165,9 @@ def build_docs_tokenwise(spark, scales=SCALES) -> None:
             for p in parts[1:]:
                 out = out.unionByName(p)
             out.write.mode("overwrite" if lo == 0 else "append").parquet(
-                str(ddir)
+                str(tmp)
             )
+        tmp.rename(ddir)
 
 
 def build_events(spark) -> None:
@@ -1252,7 +1259,6 @@ def bench_purge_100x(spark) -> dict:
         for s in scales:
             d = spark.read.parquet(str(WORK / f"docs_tw_x{s}"))
             times = []
-            mark = _stage_mark(spark)
             for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
                 spark.catalog.clearCache()
                 dedup.release_cached()

@@ -696,6 +696,20 @@ def test_pack_bins_chunked_planted_giants(spark):
     pieces = {(r.doc_id, r.piece): r for r in chunk_oversize_docs(docs, 8).collect()}
     assert [pieces[(1, p)].n_tok for p in range(3)] == [8, 8, 4]
     assert " ".join(pieces[(1, p)].text for p in range(3)) == giant
+    # piece text preserves ORIGINAL case (r12 review: the canonical
+    # tokenizer lowercases; piece slicing must not)
+    cased = {
+        (r.doc_id, r.piece): r
+        for r in chunk_oversize_docs(
+            spark.createDataFrame(
+                [_doc(9, "NASA Report Alpha BETA gamma DELTA one TWO three FOUR")],
+                DOC_COLS,
+            ),
+            8,
+        ).collect()
+    }
+    assert cased[(9, 0)].text == "NASA Report Alpha BETA gamma DELTA one TWO"
+    assert cased[(9, 1)].text == "three FOUR"
     assert pieces[(2, 0)].text == "a b c d e f g"  # whole docs byte-identical
     assert pieces[(3, 0)].n_tok == 0
     assert [pieces[(4, p)].n_tok for p in range(2)] == [8, 1]
