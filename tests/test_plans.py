@@ -527,3 +527,32 @@ def test_r11_profile_and_pack_plan_shapes(spark):
         l for l in rep_plan.split("\n") if "Window" in l and "min(" in l
     ]
     assert not win_min_lines, win_min_lines
+
+
+def test_r12_chunk_then_bin_plan_shapes(spark):
+    """r12 chunk-then-bin: the piece split prunes the documents scan to
+    its three inputs (doc_id, source, text — lang/n_chars never read),
+    and the FFD packer's Arrow exchange carries only the NARROW item
+    rows (no text column crosses into the applyInPandas stage; piece
+    text joins back outside the packer)."""
+    from cloudcomputing_flink_application_spark.operators import (
+        pipeline as _pl,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = physical_plan(_pl.chunk_oversize_docs(docs))
+    read_schemas = [l for l in plan.split("\n") if "ReadSchema" in l]
+    assert read_schemas and all(
+        "lang" not in l and "n_chars" not in l for l in read_schemas
+    ), read_schemas
+
+    bins_plan = physical_plan(_pl.pack_bins_chunked(docs))
+    # the one FlatMapGroupsInPandas stage consumes (doc_id, piece,
+    # source, pack_key, n_tok) only — grep the stage's argument list
+    # for a text column leak
+    pandas_lines = [
+        l for l in bins_plan.split("\n") if "FlatMapGroupsInPandas" in l
+    ]
+    assert pandas_lines and all("text" not in l for l in pandas_lines), (
+        pandas_lines
+    )
