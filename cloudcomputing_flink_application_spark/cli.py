@@ -570,6 +570,25 @@ def _dedup_purge(args: argparse.Namespace) -> None:
         sinks.show(out)
 
 
+def _dedup_report(args: argparse.Namespace) -> None:
+    """Method-keyed duplicate-rate report over a ``documents``-shaped
+    parquet input (``dedup.dedup_method_report``, r12): one row per text
+    dedup family — exact / minhash_cc (full closure) / simhash — with
+    ``(n_docs, n_dup, dup_per_10k)`` under the shared min-id-keeps flag
+    convention, so a pipeline owner reads ONE frame to pick a method for
+    a corpus.  The embedding-side members (hyperplane LSH, SemDeDup)
+    report on the embeddings table via their own operators."""
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        dedup_method_report,
+    )
+
+    spark = get_spark(app_name="dedup-report")
+    out = dedup_method_report(spark.read.parquet(args.input))
+    out.write.mode("overwrite").parquet(args.output)
+    if args.show:
+        sinks.show(spark.read.parquet(args.output))
+
+
 def _dedup_flags(args: argparse.Namespace) -> None:
     """Candidate-level MinHash band-flag job over a ``documents``-shaped
     parquet input — the high-recall ingest-time first pass of the dedup
@@ -1324,6 +1343,9 @@ def main(argv: list[str] | None = None) -> None:
         ("dedup-flags", _dedup_flags,
          "documents-shaped parquet file/dir",
          "output folder (parquet (doc_id, is_dup) flags)"),
+        ("dedup-report", _dedup_report,
+         "documents-shaped parquet file/dir",
+         "output folder (parquet per-method duplicate-rate report)"),
         ("span-scrub", _span_scrub,
          "documents-shaped parquet file/dir",
          "output folder (parquet scrubbed docs, or stats with --stats)"),

@@ -1204,6 +1204,100 @@ WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING
 SIMHASH_SQL = _simhash_sql()
 
 
+def dedup_method_report(documents: DataFrame) -> DataFrame:
+    """Method-keyed duplicate-rate summary across the TEXT dedup family
+    (r12): the one-glance report a pipeline owner reads to pick a dedup
+    method for a corpus — how much each family would remove, side by
+    side, under one shared flag convention.
+
+    One row per method: ``(method, n_docs, n_dup, dup_per_10k)`` with
+    method in {'exact', 'minhash_cc', 'simhash'}.  ``n_dup`` counts docs
+    with a SMALLER-id canonical/partner (exact: ``is_dup``; minhash_cc:
+    ``is_dup`` under the full transitive closure; simhash: distinct
+    ``doc_b`` of the hamming-verified pairs, which the operator emits
+    with ``doc_a < doc_b``) — the min-id-keeps convention every family
+    here purges by, so the three counts are directly comparable.
+    ``dup_per_10k`` is exact integer basis points (``div``, no float).
+    The embedding-side members (hyperplane-LSH at the near-dup bar,
+    SemDeDup at the semantic bar) live on the embeddings table and are
+    deliberately not rows here.
+
+    Scale: three aggregations over the families' own blocked/bucketed
+    plans plus one doc_id equi-join for the simhash flags — no new
+    shuffle shape, no cross join (the per-method totals come from the
+    per-doc frames, never a scalar broadcast).  Full DuckDB oracle
+    composed from the constituent constants."""
+    dup_rate = F.expr("(sum(_d) * 10000) div count(*)")
+    ex = exact_dedup(documents).select(
+        F.col("is_dup").cast("long").alias("_d")
+    ).agg(
+        F.lit("exact").alias("method"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_d").cast("long").alias("n_dup"),
+        dup_rate.cast("long").alias("dup_per_10k"),
+    )
+    cc = minhash_cc_dedup(documents).select(
+        F.col("is_dup").cast("long").alias("_d")
+    ).agg(
+        F.lit("minhash_cc").alias("method"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_d").cast("long").alias("n_dup"),
+        dup_rate.cast("long").alias("dup_per_10k"),
+    )
+    sh_dups = (
+        simhash_dedup(documents)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_f", F.lit(1).cast("long"))
+    )
+    sh = (
+        documents.select("doc_id")
+        .join(sh_dups, "doc_id", "left")
+        .select(F.coalesce(F.col("_f"), F.lit(0)).alias("_d"))
+        .agg(
+            F.lit("simhash").alias("method"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_d").cast("long").alias("n_dup"),
+            dup_rate.cast("long").alias("dup_per_10k"),
+        )
+    )
+    # a report over an empty corpus reports nothing (the aggregates
+    # would otherwise emit three n_docs=0 rows with NULL rates)
+    return (
+        ex.unionByName(cc).unionByName(sh).filter(F.col("n_docs") > 0)
+    )
+
+
+DEDUP_METHOD_REPORT_SQL = f"""
+WITH ex_flags AS (SELECT * FROM ({EXACT_DEDUP_SQL.strip()}) exq),
+cc_flags AS (SELECT * FROM ({MINHASH_CC_SQL.strip()}) ccq),
+sh_dups AS (SELECT DISTINCT doc_b AS doc_id FROM ({SIMHASH_SQL.strip()}) shp),
+ex AS (
+  SELECT 'exact' AS method, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000
+              // count(*) AS BIGINT) AS dup_per_10k
+  FROM ex_flags
+),
+cc AS (
+  SELECT 'minhash_cc' AS method, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 10000
+              // count(*) AS BIGINT) AS dup_per_10k
+  FROM cc_flags
+),
+sh AS (
+  SELECT 'simhash' AS method, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(s.doc_id) AS BIGINT) AS n_dup,
+         CAST(count(s.doc_id) * 10000 // count(*) AS BIGINT) AS dup_per_10k
+  FROM documents d LEFT JOIN sh_dups s USING (doc_id)
+)
+SELECT * FROM (
+  SELECT * FROM ex UNION ALL SELECT * FROM cc UNION ALL SELECT * FROM sh
+) r WHERE n_docs > 0
+"""
+
+
 # --- character n-gram jaccard ------------------------------------------------
 
 

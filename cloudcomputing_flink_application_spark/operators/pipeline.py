@@ -1635,8 +1635,16 @@ def semantic_prune_docs(
 
     if tau is None:
         tau = SEMANTIC_COS
-    emb = embeddings.join(
-        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    # PERSIST the restricted corpus (r12 bench): semantic_dedup reads its
+    # input many times (sizing aggregate, seed codebook, assignment, the
+    # pair join's two sides, CC prep), and when ``docs`` carries the
+    # composed clean+purge lineage each unpersisted read would replay
+    # that whole plan — measured 79 s -> ~30 s on the sf0.1 composed job.
+    # Released by dedup.release_cached()/clearCache() as everywhere.
+    emb = _persist(
+        embeddings.join(
+            docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
     )
     pruned = (
         semantic_dedup(emb, tau)
@@ -1708,6 +1716,9 @@ def training_prep(
     surv = minhash_purge_dedup(kept_docs).select("doc_id")
     surv_docs = kept_docs.join(surv, "doc_id")
     if embeddings is not None:
+        # three consumers of the purge survivors on this path (the
+        # embedding restriction, the prune anti-join, the packing tail)
+        surv_docs = _persist(surv_docs)
         surv_docs = semantic_prune_docs(surv_docs, embeddings, semantic_tau)
     return packed_training_rows(surv_docs, pack_mode)
 

@@ -1226,6 +1226,56 @@ def bench_olap_100x(spark) -> dict:
     }
 
 
+def bench_train_prep_semantic(spark) -> dict:
+    """r12 (VERDICT r11 #3): the SemDeDup stage's composed cost at sf0.1
+    — ``training_prep(embeddings=...)`` vs the plain composed job plus
+    the standalone semantic pass over the plain job's survivors.  The
+    composition must cost ~the parts (the stage is one anti-join over
+    the purge survivors' embedding subset; no new shuffle shape), and
+    the pruned count records what the stage actually removes at this
+    scale/tau."""
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        semantic_prune_docs,
+        training_prep,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def timed_min(fn) -> float:
+        times = []
+        for _ in range(REPS + 1):  # first run = JIT warm-up
+            spark.catalog.clearCache()
+            dedup.release_cached()
+            times.append(timed(fn))
+        return round(min(times[1:]), 3)
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    out: dict = {}
+    out["composed_semantic_sec"] = timed_min(
+        lambda: noop(training_prep(docs, embeddings=embs))
+    )
+    out["composed_plain_sec"] = timed_min(lambda: noop(training_prep(docs)))
+    plain_ids = training_prep(docs).select("doc_id").distinct()
+    surv_docs = docs.join(plain_ids, "doc_id")
+    out["semantic_stage_alone_sec"] = timed_min(
+        lambda: noop(semantic_prune_docs(surv_docs, embs))
+    )
+    n_plain = plain_ids.count()
+    n_sem = (
+        training_prep(docs, embeddings=embs)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    out["survivors_plain"] = n_plain
+    out["survivors_semantic"] = n_sem
+    out["semantic_pruned"] = n_plain - n_sem
+    return out
+
+
 def bench_purge_100x(spark) -> dict:
     """r12 (VERDICT r11 #2): one 100x point for the MinHash purge/CC
     family — the highest-volume pipeline family whose largest measured
@@ -2669,6 +2719,9 @@ def main() -> None:
         return
     if section == "spans-w50":
         print(json.dumps({"spans_w50": bench_spans_w50(spark)}))
+        return
+    if section == "train-prep-sem":
+        print(json.dumps({"train_prep_sem": bench_train_prep_semantic(spark)}))
         return
     if section == "purge-100x":
         print(json.dumps({"purge_100x": bench_purge_100x(spark)}))

@@ -1497,3 +1497,23 @@ def test_train_data_cli_semantic_dedup(spark, tmp_path):
     assert rows_set(spark.read.parquet(f"{s_root}/prep")) == rows_set(
         spark.read.parquet(f"{b_root}/prep")
     )
+
+
+def test_dedup_report_cli(spark, tmp_path):
+    """r12: dedup-report writes the per-method duplicate-rate report and
+    equals the operator."""
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        dedup_method_report,
+    )
+    from tests.conftest import TESTDATA, rows_set
+
+    d_in = f"{TESTDATA}/sf0.001/documents.parquet"
+    out = str(tmp_path / "report")
+    cli.main(["dedup-report", "--input", d_in, "--output", out])
+    got = spark.read.parquet(out)
+    assert rows_set(got) == rows_set(
+        dedup_method_report(spark.read.parquet(d_in))
+    )
+    assert {r["method"] for r in got.collect()} == {
+        "exact", "minhash_cc", "simhash",
+    }

@@ -869,3 +869,29 @@ def test_semantic_dedup_copy_cohort_matches_full_graph_oracle(spark):
     )
     oracle = con.execute(dedup.SEMANTIC_DEDUP_SQL).df()
     assert canon_frame(verdict.toPandas()) == canon_frame(oracle)
+
+
+def test_dedup_method_report_hand_fixture(spark):
+    """r12: the per-method report on a corpus where every count is hand
+    computable — docs 1,2 byte-identical, docs 3,4 unrelated: each
+    family flags exactly doc 2 (the min-id-keeps convention), so all
+    three rows read (4, 1, 2500)."""
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        dedup_method_report,
+    )
+    from tests.conftest import rows_set
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+            (2, "the quick brown fox jumps over the lazy dog", "en", "s0", 44),
+            (3, "entirely different words about maritime navigation law", "en", "s0", 55),
+            (4, "unrelated text concerning volcanic geology strata rocks", "en", "s0", 56),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    assert rows_set(dedup_method_report(docs)) == {
+        ("exact", 4, 1, 2500),
+        ("minhash_cc", 4, 1, 2500),
+        ("simhash", 4, 1, 2500),
+    }

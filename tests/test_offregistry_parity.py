@@ -79,6 +79,13 @@ OFF_REGISTRY = {
     # each stage is ALSO individually gated (clean/purge via the registry,
     # pack via pipe_pack_chunks) — this pins the composed dataflow itself.
     "off_training_prep": (pipeline.training_prep, pipeline.TRAINING_PREP_SQL),
+    # r12: the method-keyed duplicate-rate report (exact / minhash_cc /
+    # simhash under one min-id-keeps flag convention), composed from the
+    # families' own oracle constants
+    "off_dedup_method_report": (
+        dedup.dedup_method_report,
+        dedup.DEDUP_METHOD_REPORT_SQL,
+    ),
     # r12 chunk-then-bin (VERDICT r11 #5): the piece split feeding
     # pack_bins_chunked — fully SQL-expressible (the FFD stage that
     # consumes it stays the documented property-gated exception)
