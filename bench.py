@@ -51,6 +51,14 @@ know; total > 1.15x with a CLEAN probe series emits the JSON
 ``diffuse`` record — diffuse sub-threshold contention, re-run before
 re-recording any baseline from the record.
 
+Diffuse retry (r13, VERDICT r12 #3): the flag now ACTS — when it fires,
+every query above 1.15x its baseline row is re-run once cold-cache and
+the record keeps the per-query min (a contended pass can only read
+high).  The emitted ``diffuse`` key reflects the FINAL merged record
+(None if the retry cured it); ``diffuse_retry`` carries the initial
+ratio, the retried set, and the retry timings so the intervention is
+auditable from the JSON alone.
+
 Per-query outlier flag (r7): each median-of-3 query also records its
 run-to-run spread (max/min); spreads > 2x land in the JSON ``outliers``
 key — a mid-run burst SHORTER than a segment that inflated one run.
@@ -232,7 +240,33 @@ def diffuse_contention(
     }
 
 
-def main() -> None:
+def inflated_queries(
+    per_query: dict[str, float],
+    baselines: dict[str, float],
+    factor: float = 1.15,
+) -> list[str]:
+    """The re-run set when a diffuse flag fires (r13, VERDICT r12 #3):
+    every query reading above ``factor`` x its baseline row.  Host-level
+    contention inflates broadly, so the set is typically large — that is
+    the point; queries already at/under baseline re-prove nothing and
+    are skipped.  Pure; sorted for a deterministic retry order."""
+    return sorted(
+        n
+        for n, s in per_query.items()
+        if baselines.get(n, 0) > 0 and s > factor * baselines[n]
+    )
+
+
+def merge_retry(
+    per_query: dict[str, float], retry: dict[str, float]
+) -> dict[str, float]:
+    """Fold retry timings into the record as per-query MIN — the same
+    least-contended estimator the sentinel probe uses.  min is safe here
+    because every sample is a real cold-cache run of identical work; a
+    contended first pass can only ever read HIGH.  Pure."""
+    return {
+        n: min(s, retry[n]) if n in retry else s for n, s in per_query.items()
+    }
     from cloudcomputing_flink_application_spark.registry import REGISTRY
     from cloudcomputing_flink_application_spark.session import get_spark
 
@@ -329,13 +363,46 @@ def main() -> None:
     # BASELINE.md rows are sf0.1 measurements — at any other SF the sum
     # comparison is meaningless (a bigger SF would always "flag"), so
     # the whole-session check only arms at the recorded scale.
-    diffuse = diffuse_contention(
-        per_query,
+    baselines = (
         baseline_rows(os.path.join(os.path.dirname(__file__), "BASELINE.md"))
         if abs(sf - 0.1) < 1e-9
-        else {},
-        suspect,
+        else {}
     )
+    diffuse = diffuse_contention(per_query, baselines, suspect)
+    retry_info = None
+    if diffuse is not None:
+        # ACT on the flag (r13, VERDICT r12 #3): r12's record fired
+        # diffuse 1.16 under documented host contention and the flag only
+        # advised.  Re-run each inflated query once and keep the per-query
+        # min — a contended first pass can only read high, so the merged
+        # record converges toward the quiet-session one instead of
+        # shipping machine state as workload numbers.
+        targets = inflated_queries(per_query, baselines)
+        print(
+            f"# diffuse {diffuse['ratio']}x — retrying "
+            f"{len(targets)} inflated queries once",
+            file=sys.stderr,
+        )
+        retry: dict[str, float] = {}
+        for name in targets:
+            q = REGISTRY[name]
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            materialize(q.fn(spark, sf_dir))
+            retry[name] = round(time.perf_counter() - t0, 3)
+            print(
+                f"# retry {name}: {retry[name]}s (was {per_query[name]}s)",
+                file=sys.stderr,
+            )
+        per_query = merge_retry(per_query, retry)
+        retry_info = {
+            "initial": diffuse,
+            "retried": targets,
+            "retry_sec": retry,
+        }
+        # the emitted flag reflects the FINAL record: None if the retry
+        # cured it, the residual ratio if the machine is still loaded
+        diffuse = diffuse_contention(per_query, baselines, suspect)
     total = round(sum(per_query.values()), 3)
     print(json.dumps({
         "metric": "wall_sec_total",
@@ -355,6 +422,7 @@ def main() -> None:
         "outliers": outliers,
         "suspect": suspect,
         "diffuse": diffuse,
+        "diffuse_retry": retry_info,
     }))
     spark.stop()
 

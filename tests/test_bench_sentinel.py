@@ -12,7 +12,13 @@ from __future__ import annotations
 
 import os
 
-from bench import baseline_rows, diffuse_contention, sentinel_suspects
+from bench import (
+    baseline_rows,
+    diffuse_contention,
+    inflated_queries,
+    merge_retry,
+    sentinel_suspects,
+)
 
 
 def _names(n: int) -> list[str]:
@@ -182,6 +188,38 @@ def test_diffuse_contention_rule():
     assert diffuse_contention({"a": 1.15}, {"a": 1.0}, {}) is None
     assert diffuse_contention({"zz": 1.0}, base, {}) is None
     assert diffuse_contention({}, base, {}) is None
+
+
+def test_diffuse_retry_cures_a_contended_session():
+    # VERDICT r12 #3: a synthetic host-contended sweep — every query
+    # mildly inflated (the r12 signature), probes clean.  The retry
+    # selects exactly the inflated set, the min-merge restores the
+    # quiet-session record within noise, and the re-checked flag clears.
+    base = {"a": 1.0, "b": 2.0, "c": 4.0, "d": 0.5}
+    quiet = {"a": 1.02, "b": 2.05, "c": 4.1, "d": 0.5}
+    contended = {n: round(s * 1.3, 3) for n, s in quiet.items()}
+    flag = diffuse_contention(contended, base, {})
+    assert flag is not None and flag["ratio"] == 1.33  # 1.3 x the ~1.02x quiet
+    # selection: everything above 1.15x its baseline; 'd' at 0.65 vs 0.5
+    # is 1.3x so it is in too — a query already under the bar is not
+    targets = inflated_queries(contended, base)
+    assert targets == ["a", "b", "c", "d"]
+    assert inflated_queries({"a": 1.1, "b": 9.9}, base) == ["b"]
+    # queries with no baseline row (or a zero row) are never selected
+    assert inflated_queries({"zz": 9.9}, base) == []
+    assert inflated_queries({"a": 9.9}, {"a": 0.0}) == []
+    # the retry lands at quiet speed; merge keeps the per-query MIN
+    merged = merge_retry(contended, quiet)
+    assert merged == quiet
+    assert diffuse_contention(merged, base, {}) is None
+    # a retry that reads WORSE never degrades the record
+    worse = {n: s * 2 for n, s in contended.items()}
+    assert merge_retry(contended, worse) == contended
+    # still-loaded machine: partial relief keeps a residual (honest) flag
+    half = {"a": 1.02, "b": 2.05}
+    residual = merge_retry(contended, half)
+    got = diffuse_contention(residual, base, {})
+    assert got is not None and got["ratio"] < flag["ratio"]
 
 
 def test_baseline_rows_parses_the_real_table():
