@@ -61,11 +61,71 @@ SF_DIR = "/root/testdata/sf0.1"
 WORK = Path(__file__).parent / ".scaling_data"
 SCALES = (1, 4, 10)
 REPS = 2
+
+
+def _exp_vs_1x(t_s: float, t_1: float, s: float) -> float:
+    """Fitted growth exponent log(t_s/t_1)/log(s), both times clamped to
+    1 ms (ADVICE r12): a sub-millisecond 1x point rounds to 0.0 and the
+    raw log would raise AFTER the expensive large-scale runs finished."""
+    return round(math.log(max(t_s, 1e-3) / max(t_1, 1e-3)) / math.log(s), 2)
 ID_STRIDE = 10_000_000
 # 4x the sf0.1 embeddings row count: below ~20k vectors BOTH ANN paths are
 # stage-overhead-dominated locally and the comparison measures nothing;
 # 8k/32k/80k puts the quadratic terms in charge at the upper scales
 CLUSTERED_BASE_N = 8000
+
+
+def _emb_replica(embs, k: int, dim: int):
+    """Replica ``k`` of an embeddings frame: vec_id offset by
+    ``k * ID_STRIDE`` (the SAME stride the document replicas use, so the
+    vec_id == doc_id alignment survives replication) and the vector
+    rotated by ``k % dim`` positions.  Consequence worth keeping in view:
+    every replica with ``k % dim == 0`` is an EXACT vector copy of the
+    base — at decade scales the corpus carries real exact-dup cohorts
+    (~s/dim copies per vector), which is what lets bench_semantic_100x
+    measure the pre-collapse doing actual work instead of idling."""
+    rot = (
+        F.col("embedding")
+        if k % dim == 0
+        else F.concat(
+            F.slice("embedding", k % dim + 1, dim - k % dim),
+            F.slice("embedding", 1, k % dim),
+        )
+    )
+    return embs.select(
+        (F.col("vec_id") + k * ID_STRIDE).alias("vec_id"),
+        "label",
+        rot.alias("embedding"),
+    )
+
+
+def build_embs_suffix(spark, scales) -> None:
+    """``embs_x{s}`` for arbitrary scales (r13): the build_corpora
+    embedding replica loop, chunked like build_docs_tokenwise (a single
+    100+-branch union plan is Catalyst-hostile) with the same
+    temp-name/rename crash guard (a partial corpus must never be
+    silently reused as a finished one)."""
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dim = len(embs.select("embedding").first()[0])
+    chunk = 100
+    for s in scales:
+        edir = WORK / f"embs_x{s}"
+        if edir.exists():
+            continue
+        tmp = WORK / f"embs_x{s}.building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for lo in range(0, s, chunk):
+            parts = [
+                _emb_replica(embs, k, dim)
+                for k in range(lo, min(lo + chunk, s))
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out.write.mode("overwrite" if lo == 0 else "append").parquet(
+                str(tmp)
+            )
+        tmp.rename(edir)
 
 
 def build_corpora(spark) -> None:
@@ -93,21 +153,7 @@ def build_corpora(spark) -> None:
                     F.length(txt).cast("long").alias("n_chars"),
                 )
             )
-            rot = (
-                F.col("embedding")
-                if k == 0
-                else F.concat(
-                    F.slice("embedding", k % dim + 1, dim - k % dim),
-                    F.slice("embedding", 1, k % dim),
-                )
-            )
-            e_parts.append(
-                embs.select(
-                    (F.col("vec_id") + k * ID_STRIDE).alias("vec_id"),
-                    "label",
-                    rot.alias("embedding"),
-                )
-            )
+            e_parts.append(_emb_replica(embs, k, dim))
         d = d_parts[0]
         for p in d_parts[1:]:
             d = d.unionByName(p)
@@ -230,10 +276,7 @@ def _bench_op_table(spark, ops: dict, frames_for) -> dict:
     out: dict = {}
     for name, by_scale in secs.items():
         t1 = by_scale[SCALES[0]]
-        exps = {
-            s: round(math.log(by_scale[s] / t1) / math.log(s), 2)
-            for s in SCALES[1:]
-        }
+        exps = {s: _exp_vs_1x(by_scale[s], t1, s) for s in SCALES[1:]}
         out[name] = {
             "sec": by_scale,
             "rows": rows[name],
@@ -1211,9 +1254,7 @@ def bench_olap_100x(spark) -> dict:
             by[s] = round(min(times[1:]), 3)
         results[name] = {
             "sec": by,
-            "exponent_vs_1x": round(
-                math.log(by[100] / by[1]) / math.log(100), 2
-            ),
+            "exponent_vs_1x": _exp_vs_1x(by[100], by[1], 100),
             "memory": metrics,
         }
     li100 = WORK / "tpch_x100" / "lineitem.parquet"
@@ -1320,8 +1361,7 @@ def bench_purge_100x(spark) -> dict:
         results[name] = {
             "sec": by,
             "exponent_vs_1x": {
-                s: round(math.log(by[s] / by[1]) / math.log(s), 2)
-                for s in scales[1:]
+                s: _exp_vs_1x(by[s], by[1], s) for s in scales[1:]
             },
             "memory": metrics,
         }
@@ -1352,6 +1392,181 @@ def bench_purge_100x(spark) -> dict:
         "closure_rounds": rounds,
         "verified_edge_rows": edges_volume,
     }
+
+
+def bench_semantic_100x(spark) -> dict:
+    """r13 (VERDICT r12 #4): the SemDeDup decade sweep — semantic_dedup's
+    largest measured point was 20k vectors (r11-ops, exponent 0.52 at
+    10x); this runs 1x/10x/100x of the sf0.1 embeddings (~2k -> ~200k
+    vectors) on the rotation-replica corpus.  Every ``k % dim == 0``
+    replica is an exact vector copy, so the upper scales carry REAL
+    exact-dup cohorts (~s/dim copies per vector) and the built-in
+    pre-collapse is measured doing work: the collapse stats record
+    rows vs distinct vectors per scale, and the wall/exponent reflect
+    pairing over REPRESENTATIVES, not raw rows (the exact-cohort c²
+    guard's effect at scale).  Timed action = pruned-vector count (the
+    intrinsic output; a bare count of the full frame would let Catalyst
+    hollow the plan).  Spill / peak memory from the UI stage window per
+    scale, run AFTER the r13 memory fixes so the sweep exercises the
+    scoped-release behavior."""
+    scales = (1, 10, 100)
+    build_embs_suffix(spark, scales)
+    by: dict = {}
+    metrics: dict = {}
+    pruned: dict = {}
+    collapse: dict = {}
+    for s in scales:
+        e = spark.read.parquet(str(WORK / f"embs_x{s}"))
+        times = []
+        last_count = 0
+        for _ in range(REPS + 1):  # first run = JIT/codegen warm-up
+            spark.catalog.clearCache()
+            dedup.release_cached()
+            mark = _stage_mark(spark)
+            t0 = time.time()
+            last_count = (
+                dedup.semantic_dedup(e).filter(F.col("is_pruned")).count()
+            )
+            times.append(time.time() - t0)
+        metrics[s] = _stage_metrics_since(spark, mark)
+        by[s] = round(min(times[1:]), 3)
+        pruned[s] = last_count
+        n = e.count()
+        n_distinct = (
+            e.select(F.md5(F.col("embedding").cast("string"))).distinct().count()
+        )
+        collapse[s] = {
+            "rows": n,
+            "distinct_vectors": n_distinct,
+            "collapse_ratio": round(n / max(n_distinct, 1), 2),
+        }
+    return {
+        "scales": list(scales),
+        "sec": by,
+        "exponent_vs_1x": {s: _exp_vs_1x(by[s], by[1], s) for s in scales[1:]},
+        "pruned": pruned,
+        "collapse": collapse,
+        "memory": metrics,
+    }
+
+
+def bench_purge_remedy(spark) -> dict:
+    """r13 (VERDICT r12 #5): MEASURE the spill remedy purge-100x only
+    asserted.  The 1000x point (5M docs) recorded the family's first
+    spill under local[32]'s fixed 32 shuffle partitions; the claimed
+    cluster remedy is partitions ∝ input.  Re-run minhash_purge_dedup at
+    the 1000x corpus under 32 (control — the recorded regime) and 256
+    initial shuffle partitions and record wall + spill + peak memory for
+    each.  AQE stays on in BOTH runs (the production config; its
+    size-based coalescing keeps genuinely large partitions apart, which
+    is the case here), so the 256 row is the honest cluster-shaped
+    setting, not a hand-tuned one."""
+    build_docs_tokenwise(spark, scales=(1000,))
+    d = spark.read.parquet(str(WORK / "docs_tw_x1000"))
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    out: dict = {}
+    for parts in (32, 256):
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            times = []
+            mark = _stage_mark(spark)
+            for _ in range(2):  # warm-up + 1 evidence run (spill is the
+                # metric; the wall at this scale is already recorded)
+                spark.catalog.clearCache()
+                dedup.release_cached()
+                mark = _stage_mark(spark)
+                times.append(timed(lambda: noop(dedup.minhash_purge_dedup(d))))
+            out[str(parts)] = {
+                "sec": round(times[-1], 3),
+                **_stage_metrics_since(spark, mark),
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+    return {"docs_rows": d.count(), "by_partitions": out}
+
+
+def bench_train_data_100x(spark) -> dict:
+    """r13 (VERDICT r12 #7): the composed train-data job END-TO-END at
+    the purge-100x 100x corpus (~500k docs) with the semantic stage and
+    bins packing — training_prep(docs, "bins", embeddings=embs), the
+    exact plan `train-data --semantic-dedup --pack-mode bins` runs
+    (materialized through the noop sink; the CLI adds only the parquet
+    write).  Embeddings: the rotation replicas at the SAME ID_STRIDE, so
+    vec_id == doc_id alignment holds across replicas (~200k vectors over
+    500k docs — docs without an embedding row pass through, the
+    operator's contract).  Records the full-job wall, a cumulative
+    stage split (clean / +purge / +semantic — each prefix materialized
+    on its own), per-stage survivor counts, spill/peak for the full
+    run, and token conservation (every surviving token packed exactly
+    once — the compositional contract at a scale the tests never
+    reach)."""
+    from cloudcomputing_flink_application_spark.functions import text as X
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        clean_corpus,
+        semantic_prune_docs,
+        training_prep,
+    )
+
+    build_docs_tokenwise(spark, scales=(100,))
+    build_embs_suffix(spark, (100,))
+    docs = spark.read.parquet(str(WORK / "docs_tw_x100"))
+    embs = spark.read.parquet(str(WORK / "embs_x100"))
+
+    def noop(df) -> None:
+        df.write.mode("overwrite").format("noop").save()
+
+    def timed_released(fn) -> float:
+        spark.catalog.clearCache()
+        dedup.release_cached()
+        return round(timed(fn), 3)
+
+    out: dict = {"docs_rows": docs.count(), "emb_rows": embs.count()}
+    # cumulative prefixes: each materializes its own composed plan, so
+    # the split is (t_k - t_{k-1}) attributable to stage k's marginal
+    # cost within the composition (not the stage run standalone)
+    flags = clean_corpus(docs)
+    kept_docs = docs.join(
+        flags.filter(F.col("kept")).select("doc_id", "split"), "doc_id"
+    )
+    out["prefix_clean_sec"] = timed_released(lambda: noop(kept_docs))
+    surv_docs = kept_docs.join(
+        dedup.minhash_purge_dedup(kept_docs).select("doc_id"), "doc_id"
+    )
+    out["prefix_purge_sec"] = timed_released(lambda: noop(surv_docs))
+    sem_docs = semantic_prune_docs(surv_docs, embs)
+    out["prefix_semantic_sec"] = timed_released(lambda: noop(sem_docs))
+    mark = _stage_mark(spark)
+    out["full_job_sec"] = timed_released(
+        lambda: noop(training_prep(docs, "bins", embeddings=embs))
+    )
+    out["full_job_memory"] = _stage_metrics_since(spark, mark)
+    # survivor counts per stage + token conservation: packed n_tok total
+    # == the semantic survivors' token total (every kept token exactly
+    # once; bins mode splits over-budget docs, so conservation is the
+    # invariant, not row counts)
+    out["kept_docs"] = kept_docs.count()
+    out["purge_survivors"] = surv_docs.count()
+    out["semantic_survivors"] = sem_docs.count()
+    packed = training_prep(docs, "bins", embeddings=embs)
+    out["packed_rows"] = packed.count()
+    packed_tok = packed.agg(F.sum("n_tok")).first()[0]
+    surv_tok = (
+        sem_docs.select(
+            F.size(X.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("c")
+        )
+        .agg(F.sum("c"))
+        .first()[0]
+    )
+    out["packed_tokens"] = int(packed_tok or 0)
+    out["survivor_tokens"] = int(surv_tok or 0)
+    out["conservation_ok"] = out["packed_tokens"] == out["survivor_tokens"]
+    dedup.release_cached()
+    spark.catalog.clearCache()
+    return out
 
 
 def build_clustered() -> None:
@@ -1994,9 +2209,7 @@ def bench_olap_join_100x(spark) -> dict:
             by[s] = round(min(times[1:]), 3)
         results[name] = {
             "sec": by,
-            "exponent_vs_1x": round(
-                math.log(by[100] / by[1]) / math.log(100), 2
-            ),
+            "exponent_vs_1x": _exp_vs_1x(by[100], by[1], 100),
             "memory": metrics,
         }
     return results
@@ -2726,6 +2939,15 @@ def main() -> None:
     if section == "purge-100x":
         print(json.dumps({"purge_100x": bench_purge_100x(spark)}))
         return
+    if section == "purge-remedy":
+        print(json.dumps({"purge_remedy": bench_purge_remedy(spark)}))
+        return
+    if section == "semantic-100x":
+        print(json.dumps({"semantic_100x": bench_semantic_100x(spark)}))
+        return
+    if section == "train-data-100x":
+        print(json.dumps({"train_data_100x": bench_train_data_100x(spark)}))
+        return
     if section == "purge-decompose":
         print(json.dumps({"purge_decompose": bench_purge_decompose(spark)}))
         return
@@ -2831,10 +3053,7 @@ def main() -> None:
     out = {"scales": list(SCALES), "sf": 0.1, "reps": REPS, "ops": {}}
     for name, by_scale in results.items():
         t1 = by_scale[SCALES[0]]
-        exps = {
-            s: round(math.log(by_scale[s] / t1) / math.log(s), 2)
-            for s in SCALES[1:]
-        }
+        exps = {s: _exp_vs_1x(by_scale[s], t1, s) for s in SCALES[1:]}
         out["ops"][name] = {"sec": by_scale, "exponent_vs_1x": exps}
     if section == "all":
         build_clustered()
