@@ -703,6 +703,46 @@ def _delete_ckpt_entries(spark, paths: set[str]) -> None:
             pass
 
 
+def _local_ckpt_rdd_ids(spark) -> set[int]:
+    """Ids of the persisted RDDs that are LOCALLY CHECKPOINTED — the
+    local-path twin of :func:`_ckpt_entries`.  ``localCheckpoint`` stores
+    its snapshot as persisted blocks of the truncated RDD, registered in
+    the context's persistent-RDD ledger; the ``isLocallyCheckpointed``
+    filter is load-bearing — it keeps caller ``_persist`` caches (plain
+    InMemoryRelation RDDs that may materialize inside a diff window) out
+    of the diff, so a dead-snapshot release can never unpersist a frame
+    somebody else still replays from.  Best effort via the JVM gateway
+    (Spark Connect has no ``_jsc``; there the local path simply keeps its
+    pre-fix GC-bounded behavior)."""
+    out: set[int] = set()
+    try:
+        entries = spark.sparkContext._jsc.getPersistentRDDs().entrySet().toArray()
+        for e in entries:
+            if e.getValue().rdd().isLocallyCheckpointed():
+                out.add(int(e.getKey()))
+    except Exception:
+        pass
+    return out
+
+
+def _unpersist_local_ckpts(spark, ids: set[int]) -> None:
+    """Free dead localCheckpoint snapshot blocks by RDD id (best effort:
+    a failed unpersist costs memory until GC, never correctness — nothing
+    replays through a dead snapshot).  Counterpart of
+    :func:`_delete_ckpt_entries` for the non-reliable path (VERDICT r12:
+    long sessions otherwise accumulate dead checkpoint blocks bounded
+    only by the ContextCleaner's GC cadence)."""
+    if not ids:
+        return
+    try:
+        entries = spark.sparkContext._jsc.getPersistentRDDs().entrySet().toArray()
+        for e in entries:
+            if int(e.getKey()) in ids and e.getValue().rdd().isLocallyCheckpointed():
+                e.getValue().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     max_rounds: int = 15,
@@ -739,7 +779,12 @@ def connected_components(
     and GC pressure, and a long CC run grows the checkpoint dir by two
     snapshots per round.  Only the RETURNED frame's snapshot outlives the
     call (the caller's actions replay from it); that last one is subject
-    to the cleaner conf / session teardown.
+    to the cleaner conf / session teardown.  The LOCAL path gets the same
+    hygiene (r13, VERDICT r12): dead ``localCheckpoint`` snapshots are
+    persisted RDD blocks, released eagerly per round via the
+    persistent-RDD ledger (:func:`_unpersist_local_ckpts`) — without
+    that, a long shared session accumulates two dead block sets per
+    round per invocation, bounded only by JVM GC (the r12 OOM class).
 
     Convergence costs ONE action per round: the symmetric difference of two
     distinct frames is empty iff the edge set is stable.  Deterministic:
@@ -765,8 +810,14 @@ def connected_components(
                 df.unpersist()
         return df.localCheckpoint()
 
-    def _snapshots() -> set[str]:
-        return _ckpt_entries(spark) if reliable else set()
+    def _snapshots() -> set:
+        return _ckpt_entries(spark) if reliable else _local_ckpt_rdd_ids(spark)
+
+    def _release_dead(dead: set) -> None:
+        if reliable:
+            _delete_ckpt_entries(spark, dead)
+        else:
+            _unpersist_local_ckpts(spark, dead)
 
     u, v = edges.columns[0], edges.columns[1]
     pre0 = _snapshots()
@@ -814,12 +865,12 @@ def connected_components(
         # round (the old count()+exceptAll().isEmpty() pair ran two jobs).
         # The action still reads cur, so dead snapshots are deleted AFTER.
         converged = small.exceptAll(cur).union(cur.exceptAll(small)).isEmpty()
-        if reliable:
-            # Dead after this round: the previous cur's snapshot and the
-            # intermediate large-star's (small is checkpointed, so nothing
-            # replays through them anymore).
-            _delete_ckpt_entries(spark, cur_snaps | (mid - pre))
-            cur_snaps = post - mid
+        # Dead after this round: the previous cur's snapshot and the
+        # intermediate large-star's (small is checkpointed, so nothing
+        # replays through them anymore).  Same release on both paths —
+        # FS snapshot dirs when reliable, localCheckpoint blocks when not.
+        _release_dead(cur_snaps | (mid - pre))
+        cur_snaps = post - mid
         cur = small
         if converged:
             break

@@ -71,7 +71,20 @@ class CompareResult:
 
 
 def compare_query(spark, con, name: str, fn, sql: str, sf_dir: str) -> CompareResult:
-    sdf = fn(spark, sf_dir).toPandas()
+    # Scoped cache release (r13, VERDICT r12 #1): operators _persist
+    # shared frames under a caller-releases contract; toPandas() is the
+    # consuming materialization, so every frame this query persisted is
+    # dead afterwards.  Without the release, a parametrized parity sweep
+    # accumulates every invocation's composed-lineage caches in the
+    # shared test session until the heap dies (the r12 semantic OOM).
+    from cloudcomputing_flink_application_spark.operators import dedup, similarity
+
+    dmark, smark = dedup.cached_mark(), similarity.cached_mark()
+    try:
+        sdf = fn(spark, sf_dir).toPandas()
+    finally:
+        dedup.release_cached(since=dmark)
+        similarity.release_cached(since=smark)
     odf = con.execute(sql).df()
     cols_match = sorted(sdf.columns) == sorted(odf.columns)
     s_rows, o_rows = canon_frame(sdf), canon_frame(odf) if cols_match else []

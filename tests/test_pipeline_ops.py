@@ -638,8 +638,13 @@ def test_training_prep_semantic_conservation_and_custom_tau_oracle(spark):
     oracle = con.execute(training_prep_semantic_sql(tau)).df()
     con.close()
 
+    from cloudcomputing_flink_application_spark.operators import dedup
+
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+    # scoped release (r13): this test materializes the composed semantic
+    # job several times; its _persist frames must not outlive the test
+    mark = dedup.cached_mark()
     sem = training_prep(docs, embeddings=embs, semantic_tau=tau)
     assert canon_frame(sem.toPandas()) == canon_frame(oracle)
 
@@ -669,6 +674,9 @@ def test_training_prep_semantic_conservation_and_custom_tau_oracle(spark):
         .collect()
     }
     assert {d: rows[d].n_tok for d in rows} == counts
+    # all consumers done (an assert failure is caught by the conftest
+    # module-teardown net instead)
+    dedup.release_cached(since=mark)
 
 
 def test_pack_bins_chunked_planted_giants(spark):
