@@ -53,6 +53,24 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Plan STRINGS are diagnostics, not semantics — bound them (r13,
+        # the r12 semantic-family OOM's true mechanism): a composed
+        # pipeline's plan is a DAG whose shared subtrees re-render at
+        # every reference when Spark tree-prints it for the execution
+        # listener, so a deep composition (clean -> purge -> semantic
+        # restriction -> banding -> CC) can OOM the driver generating a
+        # multi-GB string at the default ~2 GiB limit before a single
+        # task runs.  4 MB keeps every explain/pin readable and makes
+        # plan rendering O(bounded) at any composition depth — a driver
+        # that survives 100 TB plans must not die on their description.
+        .config("spark.sql.maxPlanStringLength", "1m")
+        # ... and the status store must not RETAIN a thousand of them:
+        # every action is an execution, an iterative operator (CC) runs
+        # dozens per job, and each retained record carries its plan
+        # description — 1000 x ~MB descriptions is a driver-heap leak
+        # measured at ~300 MB per composed job (r13).  50 is plenty for
+        # any debugging session.
+        .config("spark.sql.ui.retainedExecutions", "50")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
