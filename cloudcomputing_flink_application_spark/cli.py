@@ -233,7 +233,15 @@ def _train_data(args: argparse.Namespace) -> None:
     pruning between the near-dup purge and packing — purge-first by
     construction (``pipeline.semantic_prune_docs``); works in batch and
     ``--materialize``, and the composed dataflow stays fully oracle'd
-    (``TRAINING_PREP_SEMANTIC_SQL``).
+    (``TRAINING_PREP_SEMANTIC_SQL``).  Under ``--streaming`` (r13) the
+    flag maintains ``<output>/semantic/pruned`` — the pruned-id store
+    recomputed over the ACCUMULATED purge survivors at the end of each
+    invocation (purge-first holds because the store derives from the
+    purge table) — and a later ``--materialize`` applies it without
+    re-passing the flag; an explicit ``--semantic-dedup`` at materialize
+    recomputes and wins (different-tau materializations stay possible).
+    ``--forget`` invalidates the store (derived from pre-forget
+    survivors) and says so.
 
     ``--streaming``: incremental state maintenance — the clean stream
     (flags + survivor-hash state under ``<output>/clean``) runs over the
@@ -277,12 +285,21 @@ def _train_data(args: argparse.Namespace) -> None:
             "--tau tunes --semantic-dedup; pass the embeddings parquet "
             "path with --semantic-dedup as well"
         )
-    if getattr(args, "forget", None) and (args.streaming or args.materialize):
+    if getattr(args, "forget", None) and (
+        args.streaming
+        or args.materialize
+        or getattr(args, "semantic_dedup", None)
+        or getattr(args, "tau", None) is not None
+        or getattr(args, "pack_mode", "chunks") != "chunks"
+    ):
         # dispatched first below, so a combined flag would silently skip
-        # the other action (the pq-index --shortlist-report lesson)
+        # the other action (the pq-index --shortlist-report lesson);
+        # r13 (ADVICE r12): the semantic/packing knobs are equally dead
+        # on the forget path — refuse rather than silently ignore them
         raise SystemExit(
             "--forget is a standalone stream-stopped action; run "
-            "--materialize (or --streaming) as a separate invocation"
+            "--materialize (or --streaming / --semantic-dedup / "
+            "--pack-mode) as a separate invocation"
         )
     spark = get_spark(app_name="train-data")
     if getattr(args, "forget", None):
@@ -320,6 +337,20 @@ def _train_data(args: argparse.Namespace) -> None:
             f"{args.output}/purge/_chk",
             purge_dir=f"{args.output}/purge/table",
         )
+        if os.path.isdir(f"{args.output}/semantic/pruned"):
+            # r13: the pruned-id store was derived from the PRE-forget
+            # survivor set — a forgotten doc may have been the kept
+            # exemplar whose group members are stored as pruned.  Stale
+            # state must not silently shape a later materialize; delete
+            # it and say so (the embeddings path is not recorded, so it
+            # cannot be rebuilt here).
+            import shutil
+
+            shutil.rmtree(f"{args.output}/semantic/pruned")
+            print(
+                "semantic store invalidated (derived from the pre-forget "
+                "survivors); re-run --streaming --semantic-dedup to rebuild"
+            )
         print(
             f"forgot {len(ids)} doc(s) from the clean + purge stores; "
             "re-run --materialize to rewrite prep/shards without them"
@@ -360,12 +391,6 @@ def _train_data(args: argparse.Namespace) -> None:
                 "streaming maintains the stores (pass it to the "
                 "--materialize invocation that packs)"
             )
-        if getattr(args, "semantic_dedup", None):
-            print(
-                "warning: --semantic-dedup is batch/--materialize-only; "
-                "streaming maintains the stores (pass it to the "
-                "--materialize invocation that packs)"
-            )
         _launch_clean_stream(
             spark,
             args.input,
@@ -397,6 +422,43 @@ def _train_data(args: argparse.Namespace) -> None:
             q2.processAllAvailable()
         finally:
             q2.stop()
+        if getattr(args, "semantic_dedup", None):
+            # streaming semantic stage (r13, VERDICT r12 #6): maintain
+            # {output}/semantic/pruned — the SemDeDup-pruned doc ids over
+            # the CURRENT accumulated purge survivors, recomputed per
+            # invocation (the purge stream's own bounded-recompute
+            # pattern: a global pass over maintained state, idempotent
+            # under replay, accumulated == batch by construction since
+            # the survivor set it reads is pinned accumulated == batch).
+            # --materialize applies the store automatically; purge-first
+            # order holds because the store is derived FROM the purge
+            # survivors.
+            if not os.path.isdir(f"{args.output}/purge/table"):
+                print("no kept documents; semantic stage has nothing to do")
+                return
+            from pyspark.sql import functions as F
+
+            from cloudcomputing_flink_application_spark.operators import (
+                dedup,
+            )
+
+            purge = spark.read.parquet(f"{args.output}/purge/table")
+            last = purge.agg(F.max("batch_id")).first()[0]
+            # survivors are kept by construction (the purge stream's
+            # input was kept-filtered); the semantic core only reads
+            # doc_id, so the id frame IS the docs argument
+            surv = purge.filter(F.col("batch_id") == last).select("doc_id")
+            mark = dedup.cached_mark()
+            try:
+                pipeline.semantic_pruned_ids(
+                    surv,
+                    spark.read.parquet(args.semantic_dedup),
+                    args.tau,
+                ).write.mode("overwrite").parquet(
+                    f"{args.output}/semantic/pruned"
+                )
+            finally:
+                dedup.release_cached(since=mark)
         return
     if args.materialize:
         import os
@@ -409,6 +471,8 @@ def _train_data(args: argparse.Namespace) -> None:
                     f"no {sub} store under {args.output} — --materialize "
                     "composes the stores a --streaming run maintains"
                 )
+        from cloudcomputing_flink_application_spark.operators import dedup
+
         flags = spark.read.parquet(f"{args.output}/clean/flags")
         purge = spark.read.parquet(f"{args.output}/purge/table")
         # full-emission purge stream: the LAST partition is the whole
@@ -420,30 +484,63 @@ def _train_data(args: argparse.Namespace) -> None:
             .join(flags.filter("kept").select("doc_id", "split"), "doc_id")
             .join(surv, "doc_id")
         )
-        if getattr(args, "semantic_dedup", None):
-            # same stage position as the batch composition: over the
-            # purge survivors, before packing
-            surv_docs = pipeline.semantic_prune_docs(
-                surv_docs,
-                spark.read.parquet(args.semantic_dedup),
-                args.tau,
+        # scoped release (r13, VERDICT r12 #1): the operators _persist
+        # shared frames under a caller-releases contract, and the prep
+        # write is the consuming materialization — release right after
+        # it so a long-lived session never accumulates composed-lineage
+        # caches across invocations.
+        mark = dedup.cached_mark()
+        try:
+            if getattr(args, "semantic_dedup", None):
+                # same stage position as the batch composition: over the
+                # purge survivors, before packing.  Persisted (ADVICE
+                # r12): three consumers read it — the embedding
+                # restriction semi-join, the prune anti-join, and the
+                # packing tail — mirroring training_prep's batch path.
+                # An explicit flag RECOMPUTES (and wins over any store):
+                # the user may be materializing at a different tau.
+                surv_docs = dedup._persist(surv_docs)
+                surv_docs = pipeline.semantic_prune_docs(
+                    surv_docs,
+                    spark.read.parquet(args.semantic_dedup),
+                    args.tau,
+                )
+            elif os.path.isdir(f"{args.output}/semantic/pruned"):
+                # r13 (VERDICT r12 #6): a --streaming --semantic-dedup
+                # run maintains the pruned-id store over the accumulated
+                # purge survivors; materialize composes ALL the stores
+                # the streaming run maintains, so the semantic stage
+                # applies without re-passing the flag — anti-join, the
+                # operator's own null-safe shape.
+                surv_docs = surv_docs.join(
+                    spark.read.parquet(f"{args.output}/semantic/pruned"),
+                    "doc_id",
+                    "left_anti",
+                )
+            write_outputs(
+                pipeline.packed_training_rows(surv_docs, args.pack_mode)
             )
-        write_outputs(
-            pipeline.packed_training_rows(surv_docs, args.pack_mode)
-        )
+        finally:
+            dedup.release_cached(since=mark)
         return
-    write_outputs(
-        pipeline.training_prep(
-            spark.read.parquet(args.input),
-            args.pack_mode,
-            embeddings=(
-                spark.read.parquet(args.semantic_dedup)
-                if getattr(args, "semantic_dedup", None)
-                else None
-            ),
-            semantic_tau=args.tau,
+    from cloudcomputing_flink_application_spark.operators import dedup
+
+    mark = dedup.cached_mark()
+    try:
+        write_outputs(
+            pipeline.training_prep(
+                spark.read.parquet(args.input),
+                args.pack_mode,
+                embeddings=(
+                    spark.read.parquet(args.semantic_dedup)
+                    if getattr(args, "semantic_dedup", None)
+                    else None
+                ),
+                semantic_tau=args.tau,
+            )
         )
-    )
+    finally:
+        dedup.release_cached(since=mark)
 
 
 def _dedup_purge(args: argparse.Namespace) -> None:
@@ -1422,12 +1519,14 @@ def main(argv: list[str] | None = None) -> None:
             sp.add_argument(
                 "--semantic-dedup", default=None, metavar="EMB_PARQUET",
                 dest="semantic_dedup",
-                help="batch / --materialize: also SemDeDup-prune the "
-                "near-dup purge survivors before packing, reading their "
-                "embeddings (vec_id == doc_id) from this parquet — "
-                "purge-first by construction (the semantic pass sees "
-                "only purge survivors); docs without an embedding row "
-                "pass through",
+                help="also SemDeDup-prune the near-dup purge survivors "
+                "before packing, reading their embeddings (vec_id == "
+                "doc_id) from this parquet — purge-first by construction "
+                "(the semantic pass sees only purge survivors); docs "
+                "without an embedding row pass through.  Under "
+                "--streaming: maintain <output>/semantic/pruned over the "
+                "accumulated survivors per invocation; --materialize "
+                "applies the store without re-passing the flag",
             )
             sp.add_argument(
                 "--tau", type=float, default=None, metavar="COS",

@@ -1610,18 +1610,16 @@ def prep_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
-def semantic_prune_docs(
+def semantic_pruned_ids(
     docs: DataFrame, embeddings: DataFrame, tau: float | None = None
 ) -> DataFrame:
-    """Drop the docs SemDeDup would prune — the document-side adapter of
-    ``dedup.semantic_dedup`` (r12, VERDICT r11 #3): restrict the
-    embedding corpus to these docs' rows (vec_id == doc_id, the driver
-    tables' alignment), run the cluster-then-prune pass over THAT set,
-    and anti-join the pruned ids out.  Docs without an embedding row
-    pass through untouched (no vector = no cosine = nothing to prune —
-    an inner join here would silently drop them, the classic
-    empty-aggregate-side trap), as do zero-norm vectors (the operator's
-    own convention).
+    """The ``doc_id``s SemDeDup prunes from ``docs`` — the shared core of
+    :func:`semantic_prune_docs` and the ``train-data --streaming
+    --semantic-dedup`` store (r13, VERDICT r12 #6: the streaming twin
+    persists exactly these rows per invocation, recomputed over the
+    accumulated purge survivors).  Restrict the embedding corpus to these
+    docs' rows (vec_id == doc_id, the driver tables' alignment), run the
+    cluster-then-prune pass over THAT set, and emit the pruned ids.
 
     Restricting BEFORE the semantic pass is load-bearing: the k-means
     blocking, corpus sizing, and keep rule must see the surviving corpus
@@ -1640,18 +1638,35 @@ def semantic_prune_docs(
     # pair join's two sides, CC prep), and when ``docs`` carries the
     # composed clean+purge lineage each unpersisted read would replay
     # that whole plan — measured 79 s -> ~30 s on the sf0.1 composed job.
-    # Released by dedup.release_cached()/clearCache() as everywhere.
+    # Released by dedup.release_cached()/clearCache() as everywhere; the
+    # CLI and the parity harness release scoped after materializing
+    # (r13, VERDICT r12 #1 — the unscoped persists OOMed the shared
+    # test session).
     emb = _persist(
         embeddings.join(
             docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
         )
     )
-    pruned = (
+    return (
         semantic_dedup(emb, tau)
         .filter(F.col("is_pruned"))
         .select(F.col("vec_id").alias("doc_id"))
     )
-    return docs.join(pruned, "doc_id", "left_anti")
+
+
+def semantic_prune_docs(
+    docs: DataFrame, embeddings: DataFrame, tau: float | None = None
+) -> DataFrame:
+    """Drop the docs SemDeDup would prune — the document-side adapter of
+    ``dedup.semantic_dedup`` (r12, VERDICT r11 #3): anti-join
+    :func:`semantic_pruned_ids` out.  Docs without an embedding row
+    pass through untouched (no vector = no cosine = nothing to prune —
+    an inner join here would silently drop them, the classic
+    empty-aggregate-side trap), as do zero-norm vectors (the operator's
+    own convention)."""
+    return docs.join(
+        semantic_pruned_ids(docs, embeddings, tau), "doc_id", "left_anti"
+    )
 
 
 def training_prep(
@@ -1799,9 +1814,11 @@ def _training_prep_sql(semantic_tau: float | None = None) -> str:
     the kept CTE — a word-boundary rewrite, exercised by the parity
     gate), optionally the SemDeDup closure over the purge survivors'
     embeddings (``semantic_tau`` not None, r12 — the recursive-walk
-    oracle rebound from ``embeddings`` to the survivors' rows, NOT IN
-    over its pruned ids so embedding-less docs pass through like the
-    operator's anti-join), pack over the survivors."""
+    oracle rebound from ``embeddings`` to the survivors' rows, NOT
+    EXISTS over its pruned ids — anti-join null semantics, so a NULL
+    vec_id could never nuke every survivor the way NOT IN would (ADVICE
+    r12) and embedding-less docs pass through like the operator's
+    anti-join), pack over the survivors."""
     import re
 
     from cloudcomputing_flink_application_spark.operators.dedup import (
@@ -1836,8 +1853,10 @@ sem_pruned AS (
   SELECT vec_id FROM ({sem_over_surv}) sd WHERE sd.is_pruned
 ),
 surv_docs AS (
-  SELECT * FROM surv_docs0
-  WHERE doc_id NOT IN (SELECT vec_id FROM sem_pruned)
+  SELECT * FROM surv_docs0 s0
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sem_pruned sp WHERE sp.vec_id = s0.doc_id
+  )
 )"""
     return f"""
 WITH clean AS ({CLEAN_CORPUS_SQL}),

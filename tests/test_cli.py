@@ -1445,18 +1445,30 @@ def test_train_data_cli_semantic_dedup(spark, tmp_path):
     )
     from tests.conftest import TESTDATA, rows_set
 
+    from cloudcomputing_flink_application_spark.operators import dedup
+
     d_in = f"{TESTDATA}/sf0.001/documents.parquet"
     e_in = f"{TESTDATA}/sf0.001/embeddings.parquet"
     docs = spark.read.parquet(d_in)
     embs = spark.read.parquet(e_in)
 
+    def released(df):
+        # scoped release (r13, VERDICT r12 #1): each direct operator
+        # materialization must drop its _persist frames, or this test's
+        # ~6 composed jobs accumulate them in the shared session
+        mark = dedup.cached_mark()
+        try:
+            return rows_set(df)
+        finally:
+            dedup.release_cached(since=mark)
+
     root = str(tmp_path / "sem")
     cli.main(["train-data", "--input", d_in, "--output", root,
               "--semantic-dedup", e_in])
     prep = spark.read.parquet(f"{root}/prep")
-    assert rows_set(prep) == rows_set(training_prep(docs, embeddings=embs))
+    assert rows_set(prep) == released(training_prep(docs, embeddings=embs))
     plain_ids = {
-        r.doc_id for r in training_prep(docs).select("doc_id").collect()
+        r[0] for r in released(training_prep(docs).select("doc_id"))
     }
     sem_ids = {r.doc_id for r in prep.select("doc_id").collect()}
     assert sem_ids < plain_ids  # pruned something, removed-only
@@ -1467,7 +1479,7 @@ def test_train_data_cli_semantic_dedup(spark, tmp_path):
     cli.main(["train-data", "--input", d_in, "--output", root2,
               "--semantic-dedup", e_in, "--tau", "0.2"])
     prep2 = spark.read.parquet(f"{root2}/prep")
-    assert rows_set(prep2) == rows_set(
+    assert rows_set(prep2) == released(
         training_prep(docs, embeddings=embs, semantic_tau=0.2)
     )
     ids2 = {r.doc_id for r in prep2.select("doc_id").collect()}
@@ -1497,6 +1509,83 @@ def test_train_data_cli_semantic_dedup(spark, tmp_path):
     assert rows_set(spark.read.parquet(f"{s_root}/prep")) == rows_set(
         spark.read.parquet(f"{b_root}/prep")
     )
+
+
+def test_train_data_cli_streaming_semantic_matches_batch(spark, tmp_path):
+    """r13 (VERDICT r12 #6): --streaming --semantic-dedup maintains the
+    pruned-id store over the accumulated purge survivors across TWO
+    arrival batches; a plain --materialize (flag NOT re-passed) applies
+    the store and equals the batch semantic job.  --forget invalidates
+    the store and refuses the combined flag."""
+    import os
+
+    import pytest as _pytest
+
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        BENCH_MOD,
+    )
+    from tests.conftest import TESTDATA, rows_set
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet").filter(
+        "doc_id < 300"
+    )
+    e_in = f"{TESTDATA}/sf0.001/embeddings.parquet"
+    d_in = str(tmp_path / "docs_in")
+    docs.filter(f"doc_id % {BENCH_MOD} == 0").write.parquet(
+        f"{d_in}/bench.parquet"
+    )
+    docs.filter(f"doc_id % {BENCH_MOD} != 0 AND doc_id < 150").write.parquet(
+        f"{d_in}/a.parquet"
+    )
+    src_glob = f"{d_in}/*"
+    root = str(tmp_path / "stream")
+    cli.main(["train-data", "--input", src_glob, "--output", root,
+              "--streaming", "--semantic-dedup", e_in])
+    store = f"{root}/semantic/pruned"
+    assert os.path.isdir(store)
+    first_pruned = {r.doc_id for r in spark.read.parquet(store).collect()}
+    docs.filter(f"doc_id % {BENCH_MOD} != 0 AND doc_id >= 150").write.parquet(
+        f"{d_in}/b.parquet"
+    )
+    cli.main(["train-data", "--input", src_glob, "--output", root,
+              "--streaming", "--semantic-dedup", e_in])
+    # the store was RECOMPUTED over the grown survivor set, not appended
+    second_pruned = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert second_pruned >= first_pruned
+
+    # plain materialize (no flag) applies the maintained store
+    cli.main(["train-data", "--input", src_glob, "--output", root,
+              "--materialize"])
+    batch_root = str(tmp_path / "batch")
+    cli.main(["train-data", "--input", src_glob, "--output", batch_root,
+              "--semantic-dedup", e_in])
+    assert rows_set(spark.read.parquet(f"{root}/prep")) == rows_set(
+        spark.read.parquet(f"{batch_root}/prep")
+    )
+    # the stage actually pruned (non-degenerate store)
+    assert second_pruned
+    prep_ids = {
+        r.doc_id for r in spark.read.parquet(f"{root}/prep").collect()
+    }
+    assert prep_ids.isdisjoint(second_pruned)
+
+    # --forget: refuses the combined flag, and alone invalidates the
+    # (pre-forget-derived) semantic store
+    with _pytest.raises(SystemExit, match="standalone stream-stopped"):
+        cli.main(["train-data", "--input", src_glob, "--output", root,
+                  "--forget", "1", "--semantic-dedup", e_in])
+    victim = sorted(prep_ids)[0]
+    cli.main(["train-data", "--input", src_glob, "--output", root,
+              "--forget", str(victim)])
+    assert not os.path.isdir(store)
+    # materialize after forget: semantic stage gone WITH its store (the
+    # honest state — stale pruned ids must not shape the output)
+    cli.main(["train-data", "--input", src_glob, "--output", root,
+              "--materialize"])
+    after_ids = {
+        r.doc_id for r in spark.read.parquet(f"{root}/prep").collect()
+    }
+    assert victim not in after_ids
 
 
 def test_dedup_report_cli(spark, tmp_path):
