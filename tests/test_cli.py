@@ -1549,9 +1549,13 @@ def test_train_data_cli_streaming_semantic_matches_batch(spark, tmp_path):
     )
     cli.main(["train-data", "--input", src_glob, "--output", root,
               "--streaming", "--semantic-dedup", e_in])
-    # the store was RECOMPUTED over the grown survivor set, not appended
+    # the store is RECOMPUTED over the grown survivor set per invocation
+    # (overwrite, not append) — its exact content is pinned against the
+    # batch job by the prep parity below; set-monotonicity is NOT a
+    # contract (k-means centroids move as the corpus grows, so the
+    # farthest-from-centroid keep choice can legitimately flip)
     second_pruned = {r.doc_id for r in spark.read.parquet(store).collect()}
-    assert second_pruned >= first_pruned
+    assert first_pruned and second_pruned
 
     # plain materialize (no flag) applies the maintained store
     cli.main(["train-data", "--input", src_glob, "--output", root,
