@@ -228,7 +228,7 @@ def test_baseline_rows_parses_the_real_table():
     # the real file: 50 registry rows, total/header rows skipped
     assert len(rows) == 50, sorted(rows)
     assert rows["q_speed"] == 0.44
-    assert rows["ann_ivf_recall"] == 2.39
+    assert rows["ann_ivf_recall"] == 4.15  # r13 re-record
     assert "total" not in rows and "query" not in rows
     assert all(v > 0 for v in rows.values())
     # unreadable file degrades to {} (advisory rule, never breaks bench)
