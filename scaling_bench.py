@@ -1468,9 +1468,22 @@ def bench_purge_remedy(spark) -> dict:
         df.write.mode("overwrite").format("noop").save()
 
     orig = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_co = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
     out: dict = {}
-    for parts in (32, 256):
+    # third config isolates the lever: with AQE coalescing ON, the
+    # post-shuffle partition count is size-adaptive and the initial
+    # number is a non-lever locally; OFF makes 256 real reduce
+    # partitions, separating reduce-side relief from map-side buffer
+    # pressure in the spill counters.
+    for label, parts, coalesce in (
+        ("32", 32, "true"),
+        ("256", 256, "true"),
+        ("256_nocoalesce", 256, "false"),
+    ):
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", coalesce
+        )
         try:
             times = []
             mark = _stage_mark(spark)
@@ -1480,12 +1493,15 @@ def bench_purge_remedy(spark) -> dict:
                 dedup.release_cached()
                 mark = _stage_mark(spark)
                 times.append(timed(lambda: noop(dedup.minhash_purge_dedup(d))))
-            out[str(parts)] = {
+            out[label] = {
                 "sec": round(times[-1], 3),
                 **_stage_metrics_since(spark, mark),
             }
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", orig)
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", orig_co
+            )
     return {"docs_rows": d.count(), "by_partitions": out}
 
 
