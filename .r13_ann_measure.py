@@ -1,11 +1,13 @@
 """r13 item 2: five quiet cold-cache runs of ann_ivf_recall at sf0.1
 (the BASELINE.md re-record protocol), with sentinel probes bracketing
 the series so the record itself proves the session was quiet.
-Run on an idle machine only."""
+Run on an idle machine only, from the repo root (imports ``bench`` so
+the probe/warm-up protocol can never drift from the harness's)."""
 
 import json
 import time
 
+from bench import materialize, sentinel_sec, settle_sentinel
 from cloudcomputing_flink_application_spark.registry import REGISTRY
 from cloudcomputing_flink_application_spark.session import get_spark
 
@@ -13,32 +15,10 @@ from cloudcomputing_flink_application_spark.session import get_spark
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     spark = get_spark(app_name="ann-ivf-recall-rerecord")
-
-    def materialize(df) -> None:
-        df.write.mode("overwrite").format("noop").save()
-
-    def sentinel() -> float:
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            materialize(
-                spark.range(0, 2_000_000, 1, 16)
-                .selectExpr("id % 97 AS k")
-                .groupBy("k")
-                .count()
-            )
-            samples.append(time.perf_counter() - t0)
-        return round(min(samples), 3)
-
     q = REGISTRY["ann_ivf_recall"]
-    # adaptive probe warm-up (bench.py protocol)
-    prev = sentinel()
-    for _ in range(5):
-        cur = sentinel()
-        if cur <= prev * 1.15 and prev <= cur * 1.15:
-            break
-        prev = cur
-    s0 = sentinel()
+
+    settle_sentinel(spark)
+    s0 = sentinel_sec(spark)
     # query JIT warm-up x4 (the ann family settles over ~8 runs — the
     # r12 BASELINE note; a single warm-up records the decay tail, not
     # the steady state), then 5 cold-cache runs
@@ -51,7 +31,7 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(q.fn(spark, sf_dir))
         runs.append(round(time.perf_counter() - t0, 3))
-    s1 = sentinel()
+    s1 = sentinel_sec(spark)
     print(
         json.dumps(
             {

@@ -267,6 +267,49 @@ def merge_retry(
     return {
         n: min(s, retry[n]) if n in retry else s for n, s in per_query.items()
     }
+
+
+def materialize(df) -> None:
+    """Full operator execution, no driver-side row transfer."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def sentinel_sec(spark) -> float:
+    """Min of 3 runs of the constant probe job (min = least-contended
+    estimate; the probe is data-independent so any inflation is
+    machine state, not workload).  Module-level so evidence scripts
+    (e.g. the r13 ann_ivf_recall re-record) share the EXACT protocol
+    probe instead of forking it."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        materialize(
+            spark.range(0, 2_000_000, 1, 16)
+            .selectExpr("id % 97 AS k")
+            .groupBy("k")
+            .count()
+        )
+        samples.append(time.perf_counter() - t0)
+    return round(min(samples), 3)
+
+
+def settle_sentinel(spark) -> None:
+    """JIT/codegen warm-up for the probe shape, ADAPTIVE (r10): a fixed
+    3 rounds left two of four r10 sessions with a still-decaying first
+    probe (0.28 settling to 0.164 mid-sweep) that flagged their first
+    segments; warm until two consecutive readings agree within 15%
+    (bounded at 6 rounds).  A genuinely loaded machine stabilizes at
+    its loaded plateau instead — then the sweep's own quieter probes
+    become the floor and the early segments flag, which is correct."""
+    prev = sentinel_sec(spark)
+    for _ in range(5):
+        cur = sentinel_sec(spark)
+        if cur <= prev * 1.15 and prev <= cur * 1.15:
+            break
+        prev = cur
+
+
+def main() -> None:
     from cloudcomputing_flink_application_spark.registry import REGISTRY
     from cloudcomputing_flink_application_spark.session import get_spark
 
@@ -274,39 +317,8 @@ def merge_retry(
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(app_name="cloudcomputing-flink-application-bench")
 
-    def materialize(df) -> None:
-        df.write.mode("overwrite").format("noop").save()
-
-    def sentinel_sec() -> float:
-        """Min of 3 runs of the constant probe job (min = least-contended
-        estimate; the probe is data-independent so any inflation is
-        machine state, not workload)."""
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            materialize(
-                spark.range(0, 2_000_000, 1, 16)
-                .selectExpr("id % 97 AS k")
-                .groupBy("k")
-                .count()
-            )
-            samples.append(time.perf_counter() - t0)
-        return round(min(samples), 3)
-
-    # JIT/codegen warm-up for the probe shape, ADAPTIVE (r10): a fixed
-    # 3 rounds left two of four r10 sessions with a still-decaying first
-    # probe (0.28 settling to 0.164 mid-sweep) that flagged their first
-    # segments; warm until two consecutive readings agree within 15%
-    # (bounded at 6 rounds).  A genuinely loaded machine stabilizes at
-    # its loaded plateau instead — then the sweep's own quieter probes
-    # become the floor and the early segments flag, which is correct.
-    prev = sentinel_sec()
-    for _ in range(5):
-        cur = sentinel_sec()
-        if cur <= prev * 1.15 and prev <= cur * 1.15:
-            break
-        prev = cur
-    marks: list[tuple[int, float]] = [(0, sentinel_sec())]
+    settle_sentinel(spark)
+    marks: list[tuple[int, float]] = [(0, sentinel_sec(spark))]
 
     per_query: dict[str, float] = {}
     outliers: dict[str, float] = {}
@@ -356,9 +368,9 @@ def merge_retry(
         done = idx + 1
         # SENTINEL_EVERY <= 0 = endpoints only (and no modulo-by-zero)
         if SENTINEL_EVERY > 0 and done % SENTINEL_EVERY == 0 and done < len(names):
-            marks.append((done, sentinel_sec()))
+            marks.append((done, sentinel_sec(spark)))
 
-    marks.append((len(names), sentinel_sec()))
+    marks.append((len(names), sentinel_sec(spark)))
     suspect = sentinel_suspects(marks, names)
     # BASELINE.md rows are sf0.1 measurements — at any other SF the sum
     # comparison is meaningless (a bigger SF would always "flag"), so

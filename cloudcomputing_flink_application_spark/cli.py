@@ -342,11 +342,11 @@ def _train_data(args: argparse.Namespace) -> None:
             # survivor set — a forgotten doc may have been the kept
             # exemplar whose group members are stored as pruned.  Stale
             # state must not silently shape a later materialize; delete
-            # it and say so (the embeddings path is not recorded, so it
-            # cannot be rebuilt here).
+            # it (store + batch watermark) and say so (the embeddings
+            # path is not recorded, so it cannot be rebuilt here).
             import shutil
 
-            shutil.rmtree(f"{args.output}/semantic/pruned")
+            shutil.rmtree(f"{args.output}/semantic")
             print(
                 "semantic store invalidated (derived from the pre-forget "
                 "survivors); re-run --streaming --semantic-dedup to rebuild"
@@ -459,6 +459,16 @@ def _train_data(args: argparse.Namespace) -> None:
                 )
             finally:
                 dedup.release_cached(since=mark)
+            # watermark the store with the purge batch it derives from
+            # (r13 review): a later --streaming run WITHOUT the flag
+            # advances the survivor set and the store must not silently
+            # shape that materialization — a separate one-row _meta dir,
+            # because an empty pruned set carries no rows to hold it
+            spark.createDataFrame(
+                [(int(last),)], "derived_batch_id long"
+            ).write.mode("overwrite").parquet(
+                f"{args.output}/semantic/_meta"
+            )
         return
     if args.materialize:
         import os
@@ -511,9 +521,31 @@ def _train_data(args: argparse.Namespace) -> None:
                 # purge survivors; materialize composes ALL the stores
                 # the streaming run maintains, so the semantic stage
                 # applies without re-passing the flag — anti-join, the
-                # operator's own null-safe shape.
+                # operator's own null-safe shape.  Staleness guard (r13
+                # review): the store records the purge batch it derives
+                # from; a flag-less --streaming run that advanced the
+                # survivor set since would make the stored keep choices
+                # invalid (k-means centroids move) and leave new
+                # survivors unpruned — refuse instead of silently
+                # composing stale state.
+                meta_dir = f"{args.output}/semantic/_meta"
+                derived = (
+                    spark.read.parquet(meta_dir).first()[0]
+                    if os.path.isdir(meta_dir)
+                    else None
+                )
+                if derived is None or derived != last:
+                    raise SystemExit(
+                        "semantic store is stale: derived from purge "
+                        f"batch {derived}, but the purge table is at "
+                        f"batch {last} — re-run --streaming "
+                        "--semantic-dedup to refresh it, or pass "
+                        "--semantic-dedup here to recompute"
+                    )
                 surv_docs = surv_docs.join(
-                    spark.read.parquet(f"{args.output}/semantic/pruned"),
+                    spark.read.parquet(
+                        f"{args.output}/semantic/pruned"
+                    ).select("doc_id"),
                     "doc_id",
                     "left_anti",
                 )

@@ -60,7 +60,7 @@ def get_spark(
         # listener, so a deep composition (clean -> purge -> semantic
         # restriction -> banding -> CC) can OOM the driver generating a
         # multi-GB string at the default ~2 GiB limit before a single
-        # task runs.  4 MB keeps every explain/pin readable and makes
+        # task runs.  1 MB keeps every explain/pin readable and makes
         # plan rendering O(bounded) at any composition depth — a driver
         # that survives 100 TB plans must not die on their description.
         .config("spark.sql.maxPlanStringLength", "1m")

@@ -1486,7 +1486,6 @@ def bench_purge_remedy(spark) -> dict:
         )
         try:
             times = []
-            mark = _stage_mark(spark)
             for _ in range(2):  # warm-up + 1 evidence run (spill is the
                 # metric; the wall at this scale is already recorded)
                 spark.catalog.clearCache()
@@ -1535,48 +1534,78 @@ def bench_train_data_100x(spark) -> dict:
     def noop(df) -> None:
         df.write.mode("overwrite").format("noop").save()
 
-    def timed_released(fn) -> float:
+    # stage-prefix BUILDERS (r13 review): construction must happen INSIDE
+    # the timed call — minhash_purge_dedup/semantic_dedup run their
+    # closure's connected_components jobs eagerly at plan-build time, so
+    # a frame built outside the timer would exclude the CC work AND leave
+    # lineage truncated at a pre-timer snapshot.  Caches are released
+    # BEFORE each timed run (cold start) and stay live THROUGH it (the
+    # operators' own multi-consumer persists are part of the measured
+    # job, exactly as in production), then released after.
+    def _kept():
+        flags = clean_corpus(docs)
+        return docs.join(
+            flags.filter(F.col("kept")).select("doc_id", "split"), "doc_id"
+        )
+
+    def _surv():
+        kept = _kept()
+        return kept.join(
+            dedup.minhash_purge_dedup(kept).select("doc_id"), "doc_id"
+        )
+
+    def _sem():
+        return semantic_prune_docs(_surv(), embs)
+
+    def timed_cold(build) -> float:
         spark.catalog.clearCache()
         dedup.release_cached()
-        return round(timed(fn), 3)
+        t0 = time.time()
+        noop(build())
+        dt = time.time() - t0
+        dedup.release_cached()
+        return round(dt, 3)
 
     out: dict = {"docs_rows": docs.count(), "emb_rows": embs.count()}
-    # cumulative prefixes: each materializes its own composed plan, so
-    # the split is (t_k - t_{k-1}) attributable to stage k's marginal
-    # cost within the composition (not the stage run standalone)
-    flags = clean_corpus(docs)
-    kept_docs = docs.join(
-        flags.filter(F.col("kept")).select("doc_id", "split"), "doc_id"
-    )
-    out["prefix_clean_sec"] = timed_released(lambda: noop(kept_docs))
-    surv_docs = kept_docs.join(
-        dedup.minhash_purge_dedup(kept_docs).select("doc_id"), "doc_id"
-    )
-    out["prefix_purge_sec"] = timed_released(lambda: noop(surv_docs))
-    sem_docs = semantic_prune_docs(surv_docs, embs)
-    out["prefix_semantic_sec"] = timed_released(lambda: noop(sem_docs))
+    # cumulative prefixes: each builds + materializes its own composed
+    # plan cold, so (t_k - t_{k-1}) is stage k's marginal cost within
+    # the composition (not the stage run standalone)
+    out["prefix_clean_sec"] = timed_cold(_kept)
+    out["prefix_purge_sec"] = timed_cold(_surv)
+    out["prefix_semantic_sec"] = timed_cold(_sem)
+    spark.catalog.clearCache()
+    dedup.release_cached()
     mark = _stage_mark(spark)
-    out["full_job_sec"] = timed_released(
-        lambda: noop(training_prep(docs, "bins", embeddings=embs))
-    )
+    t0 = time.time()
+    noop(training_prep(docs, "bins", embeddings=embs))
+    out["full_job_sec"] = round(time.time() - t0, 3)
     out["full_job_memory"] = _stage_metrics_since(spark, mark)
+    dedup.release_cached()
     # survivor counts per stage + token conservation: packed n_tok total
     # == the semantic survivors' token total (every kept token exactly
     # once; bins mode splits over-budget docs, so conservation is the
-    # invariant, not row counts)
+    # invariant, not row counts).  Intermediates persisted so the chain
+    # shares work (4 jobs, not 6 composed re-runs); combined aggs per
+    # frame so count + token sum cost ONE pass each.
+    kept_docs = dedup._persist(_kept())
     out["kept_docs"] = kept_docs.count()
-    out["purge_survivors"] = surv_docs.count()
-    out["semantic_survivors"] = sem_docs.count()
-    packed = training_prep(docs, "bins", embeddings=embs)
-    out["packed_rows"] = packed.count()
-    packed_tok = packed.agg(F.sum("n_tok")).first()[0]
-    surv_tok = (
-        sem_docs.select(
-            F.size(X.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("c")
+    surv_docs = dedup._persist(
+        kept_docs.join(
+            dedup.minhash_purge_dedup(kept_docs).select("doc_id"), "doc_id"
         )
-        .agg(F.sum("c"))
-        .first()[0]
     )
+    out["purge_survivors"] = surv_docs.count()
+    sem_docs = semantic_prune_docs(surv_docs, embs)
+    n_sem, surv_tok = sem_docs.agg(
+        F.count("*"),
+        F.sum(F.size(X.tokens(F.coalesce(F.col("text"), F.lit(""))))),
+    ).first()
+    out["semantic_survivors"] = int(n_sem)
+    packed = training_prep(docs, "bins", embeddings=embs)
+    n_packed, packed_tok = packed.agg(
+        F.count("*"), F.sum("n_tok")
+    ).first()
+    out["packed_rows"] = int(n_packed)
     out["packed_tokens"] = int(packed_tok or 0)
     out["survivor_tokens"] = int(surv_tok or 0)
     out["conservation_ok"] = out["packed_tokens"] == out["survivor_tokens"]

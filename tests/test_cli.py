@@ -1573,6 +1573,33 @@ def test_train_data_cli_streaming_semantic_matches_batch(spark, tmp_path):
     }
     assert prep_ids.isdisjoint(second_pruned)
 
+    # staleness guard (r13 review): a third arrival streamed WITHOUT the
+    # flag advances the survivor set past the store's watermark — a
+    # plain materialize must refuse the stale store, and a refresh run
+    # (flag re-passed, no new files needed) restores the parity
+    all_docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    all_docs.filter(
+        f"doc_id >= 300 AND doc_id < 400 AND doc_id % {BENCH_MOD} != 0"
+    ).write.parquet(f"{d_in}/c.parquet")
+    cli.main(["train-data", "--input", src_glob, "--output", root,
+              "--streaming"])
+    with _pytest.raises(SystemExit, match="semantic store is stale"):
+        cli.main(["train-data", "--input", src_glob, "--output", root,
+                  "--materialize"])
+    cli.main(["train-data", "--input", src_glob, "--output", root,
+              "--streaming", "--semantic-dedup", e_in])
+    cli.main(["train-data", "--input", src_glob, "--output", root,
+              "--materialize"])
+    batch3 = str(tmp_path / "batch3")
+    cli.main(["train-data", "--input", src_glob, "--output", batch3,
+              "--semantic-dedup", e_in])
+    assert rows_set(spark.read.parquet(f"{root}/prep")) == rows_set(
+        spark.read.parquet(f"{batch3}/prep")
+    )
+    prep_ids = {
+        r.doc_id for r in spark.read.parquet(f"{root}/prep").collect()
+    }
+
     # --forget: refuses the combined flag, and alone invalidates the
     # (pre-forget-derived) semantic store
     with _pytest.raises(SystemExit, match="standalone stream-stopped"):
