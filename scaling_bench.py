@@ -1598,7 +1598,7 @@ def bench_train_data_100x(spark) -> dict:
     sem_docs = semantic_prune_docs(surv_docs, embs)
     n_sem, surv_tok = sem_docs.agg(
         F.count("*"),
-        F.sum(F.size(X.tokens(F.coalesce(F.col("text"), F.lit(""))))),
+        F.sum(F.size(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))))),
     ).first()
     out["semantic_survivors"] = int(n_sem)
     packed = training_prep(docs, "bins", embeddings=embs)
