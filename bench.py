@@ -260,13 +260,71 @@ def inflated_queries(
 def merge_retry(
     per_query: dict[str, float], retry: dict[str, float]
 ) -> dict[str, float]:
-    """Fold retry timings into the record as per-query MIN — the same
-    least-contended estimator the sentinel probe uses.  min is safe here
-    because every sample is a real cold-cache run of identical work; a
-    contended first pass can only ever read HIGH.  Pure."""
+    """Fold retry timings into the record as per-query
+    min(median_orig, median_retry).  Both sides of the min are the SAME
+    median-of-3 estimator BASELINE.md rows use (r14, ADVICE r13: a
+    single cold retry run folded by min let one lucky run — page-cache /
+    JIT variance reads low as well as high — bias the shipped number
+    below the honest quiet-session median); min across two medians is
+    safe because a contended pass can only shift a median HIGH.  Pure."""
     return {
         n: min(s, retry[n]) if n in retry else s for n, s in per_query.items()
     }
+
+
+def compact_record(
+    total: float,
+    per_query: dict[str, float],
+    sf: float,
+    sentinel: dict,
+    outliers: dict[str, float],
+    suspect: dict[str, float],
+    diffuse: dict | None,
+    retry_info: dict | None,
+) -> tuple[str, str]:
+    """Build the emitted (compact_line, detail_line) pair.
+
+    r14, VERDICT r13 #1: the r13 record outgrew the driver's fixed-size
+    stdout tail capture (``parsed: null`` — the total and the 13
+    heaviest per-query rows were cut off).  The driver-facing line now
+    carries only the per-query seconds plus COMPACT flag summaries
+    (counts/maxima), serialized without whitespace; the full verbose
+    evidence (probe series, per-query suspect ratios, retry timings)
+    moves to a second JSON line for stderr, which the driver does not
+    capture but session logs / BASELINE.md notes do.  Pure, and the
+    compact line's size is pinned <= 4 KB in tests/test_bench_sentinel.py
+    against a worst-case 50-query record."""
+    line = json.dumps(
+        {
+            "metric": "wall_sec_total",
+            "value": total,
+            "unit": "sec",
+            "queries": per_query,
+            "sf": sf,
+            "sentinel": {
+                "first_sec": sentinel["first_sec"],
+                "last_sec": sentinel["last_sec"],
+                "drift": sentinel["drift"],
+                "ref_sec": sentinel["ref_sec"],
+            },
+            "outlier_n": len(outliers),
+            "suspect_n": len(suspect),
+            "suspect_max": max(suspect.values()) if suspect else None,
+            "diffuse": diffuse,
+            "retry_n": len(retry_info["retried"]) if retry_info else 0,
+        },
+        separators=(",", ":"),
+    )
+    detail = json.dumps(
+        {
+            "sentinel_series": sentinel["series"],
+            "outliers": outliers,
+            "suspect": suspect,
+            "diffuse_retry": retry_info,
+        },
+        separators=(",", ":"),
+    )
+    return line, detail
 
 
 def materialize(df) -> None:
@@ -365,6 +423,29 @@ def main() -> None:
             f"runs: {[round(s, 3) for s in samples]})",
             file=sys.stderr,
         )
+        if name == "olap_suite_extra":
+            # Per-arm cost trace (r14, VERDICT r13 #2): the 14-arm union
+            # row crept 3 rounds with per-arm cost invisible; one cold
+            # pass per arm right after the union measurement makes the
+            # drift attributable from the session log.  stderr-only —
+            # the arms sum to MORE than the union row (each pass pays
+            # its own scan; the union shares them), so these are
+            # attribution evidence, not a baseline.
+            from cloudcomputing_flink_application_spark.operators.olap import (
+                suite_extra_arms,
+            )
+            from cloudcomputing_flink_application_spark.registry import (
+                olap_confs,
+            )
+
+            spark.catalog.clearCache()
+            for arm, df in suite_extra_arms(olap_confs(spark), sf_dir).items():
+                t0 = time.perf_counter()
+                materialize(df)
+                print(
+                    f"# arm {arm}: {round(time.perf_counter() - t0, 3)}s",
+                    file=sys.stderr,
+                )
         done = idx + 1
         # SENTINEL_EVERY <= 0 = endpoints only (and no modulo-by-zero)
         if SENTINEL_EVERY > 0 and done % SENTINEL_EVERY == 0 and done < len(names):
@@ -398,12 +479,24 @@ def main() -> None:
         retry: dict[str, float] = {}
         for name in targets:
             q = REGISTRY[name]
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            materialize(q.fn(spark, sf_dir))
-            retry[name] = round(time.perf_counter() - t0, 3)
+
+            def retry_run() -> float:
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                materialize(q.fn(spark, sf_dir))
+                return time.perf_counter() - t0
+
+            # Same estimator as the sweep (r14, ADVICE r13): median of 3
+            # cold runs, heavy queries (first run over the threshold)
+            # timed once — so merge_retry's min compares median against
+            # median, not median against one lucky sample.
+            samples = [retry_run()]
+            if samples[0] <= HEAVY_SEC:
+                samples += [retry_run() for _ in range(RUNS - 1)]
+            retry[name] = round(statistics.median(samples), 3)
             print(
-                f"# retry {name}: {retry[name]}s (was {per_query[name]}s)",
+                f"# retry {name}: {retry[name]}s (was {per_query[name]}s, "
+                f"runs: {[round(s, 3) for s in samples]})",
                 file=sys.stderr,
             )
         per_query = merge_retry(per_query, retry)
@@ -416,26 +509,24 @@ def main() -> None:
         # cured it, the residual ratio if the machine is still loaded
         diffuse = diffuse_contention(per_query, baselines, suspect)
     total = round(sum(per_query.values()), 3)
-    print(json.dumps({
-        "metric": "wall_sec_total",
-        "value": total,
-        "unit": "sec",
-        "queries": per_query,
-        "sf": sf,
-        "sentinel": {
-            "first_sec": marks[0][1],
-            "last_sec": marks[-1][1],
-            "drift": round(marks[-1][1] / marks[0][1], 2)
-            if marks[0][1] > 0
-            else None,
-            "series": [[pos, sec] for pos, sec in marks],
-            "ref_sec": _quiet_ref([sec for _, sec in marks]),
-        },
-        "outliers": outliers,
-        "suspect": suspect,
-        "diffuse": diffuse,
-        "diffuse_retry": retry_info,
-    }))
+    sentinel = {
+        "first_sec": marks[0][1],
+        "last_sec": marks[-1][1],
+        "drift": round(marks[-1][1] / marks[0][1], 2)
+        if marks[0][1] > 0
+        else None,
+        "series": [[pos, sec] for pos, sec in marks],
+        "ref_sec": _quiet_ref([sec for _, sec in marks]),
+    }
+    line, detail = compact_record(
+        total, per_query, sf, sentinel, outliers, suspect, diffuse, retry_info
+    )
+    # The compact line opens AND closes the final block (r14, VERDICT
+    # r13 #1): the driver keeps a fixed-size stdout tail, so whichever
+    # copy the window lands on parses; verbose evidence goes to stderr.
+    print(line)
+    print(f"# detail: {detail}", file=sys.stderr)
+    print(line)
     spark.stop()
 
 

@@ -291,15 +291,20 @@ def _train_data(args: argparse.Namespace) -> None:
         or getattr(args, "semantic_dedup", None)
         or getattr(args, "tau", None) is not None
         or getattr(args, "pack_mode", "chunks") != "chunks"
+        or getattr(args, "shards", None) is not None
+        or args.show
+        or getattr(args, "scrub_pii", False)
+        or getattr(args, "token_col", None) is not None
     ):
         # dispatched first below, so a combined flag would silently skip
         # the other action (the pq-index --shortlist-report lesson);
         # r13 (ADVICE r12): the semantic/packing knobs are equally dead
-        # on the forget path — refuse rather than silently ignore them
+        # on the forget path — refuse rather than silently ignore them;
+        # r14 (ADVICE r13): --shards/--show complete the same class
         raise SystemExit(
             "--forget is a standalone stream-stopped action; run "
             "--materialize (or --streaming / --semantic-dedup / "
-            "--pack-mode) as a separate invocation"
+            "--pack-mode / --shards / --show) as a separate invocation"
         )
     spark = get_spark(app_name="train-data")
     if getattr(args, "forget", None):
@@ -391,6 +396,14 @@ def _train_data(args: argparse.Namespace) -> None:
                 "streaming maintains the stores (pass it to the "
                 "--materialize invocation that packs)"
             )
+        if getattr(args, "scrub_pii", False) or getattr(
+            args, "token_col", None
+        ):
+            print(
+                "warning: --scrub-pii/--token-col are batch/"
+                "--materialize-only; streaming maintains the stores "
+                "(pass them to the --materialize invocation that packs)"
+            )
         _launch_clean_stream(
             spark,
             args.input,
@@ -468,6 +481,17 @@ def _train_data(args: argparse.Namespace) -> None:
                 [(int(last),)], "derived_batch_id long"
             ).write.mode("overwrite").parquet(
                 f"{args.output}/semantic/_meta"
+            )
+        elif os.path.isdir(f"{args.output}/semantic/pruned"):
+            # r14 (ADVICE r13): a flag-less --streaming run just advanced
+            # the purge survivor set PAST the batch the semantic store
+            # derives from; the next plain --materialize will refuse via
+            # the watermark guard.  Say so now, at the run that caused
+            # it, instead of letting the user discover it later.
+            print(
+                "note: semantic/pruned store is now stale (survivors "
+                "advanced without --semantic-dedup); re-run --streaming "
+                "--semantic-dedup before a flag-less --materialize"
             )
         return
     if args.materialize:
@@ -550,7 +574,12 @@ def _train_data(args: argparse.Namespace) -> None:
                     "left_anti",
                 )
             write_outputs(
-                pipeline.packed_training_rows(surv_docs, args.pack_mode)
+                pipeline.packed_training_rows(
+                    surv_docs,
+                    args.pack_mode,
+                    scrub_pii=getattr(args, "scrub_pii", False),
+                    token_col=getattr(args, "token_col", None),
+                )
             )
         finally:
             dedup.release_cached(since=mark)
@@ -569,6 +598,8 @@ def _train_data(args: argparse.Namespace) -> None:
                     else None
                 ),
                 semantic_tau=args.tau,
+                scrub_pii=getattr(args, "scrub_pii", False),
+                token_col=getattr(args, "token_col", None),
             )
         )
     finally:
@@ -1547,6 +1578,25 @@ def main(argv: list[str] | None = None) -> None:
                 "pieces, then whole-piece packing — no straddling, "
                 "explicit padding, no sequence ever over budget; pack_id "
                 "becomes the bin identity)",
+            )
+            sp.add_argument(
+                "--scrub-pii", action="store_true", dest="scrub_pii",
+                help="batch / --materialize: apply the multi-class PII "
+                "scrub (emails, IPv4s, phone-shaped runs, residual digit "
+                "runs — priority-ordered placeholders) to the surviving "
+                "docs' text before packing, so shards carry scrubbed "
+                "bytes; scrubbing sits after dedup/purge so docs "
+                "differing only in PII are not merged",
+            )
+            sp.add_argument(
+                "--token-col", default=None, metavar="COL",
+                dest="token_col",
+                help="batch / --materialize: budget packing by this "
+                "precomputed exact tokenizer-count column of the input "
+                "parquet instead of the whitespace counter (rows where "
+                "the column is NULL fall back to the counter); "
+                "conservation and the <=budget capacity invariant hold "
+                "in exact-token units",
             )
             sp.add_argument(
                 "--semantic-dedup", default=None, metavar="EMB_PARQUET",

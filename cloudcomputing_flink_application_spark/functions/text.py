@@ -191,3 +191,88 @@ def simhash_band(col: Column, j: int) -> Column:
 def simhash_band_sql(expr: str, j: int) -> str:
     width = SIMHASH_BITS // SIMHASH_BANDS
     return f"(({expr} >> {j * width}) & {(1 << width) - 1})"
+
+
+# --- multi-class PII scrub ----------------------------------------------------
+
+#: Redaction classes for the governance scrub, in PRIORITY ORDER — each
+#: class is counted on, then replaced in, the text the EARLIER classes
+#: already scrubbed, so an email's digits are never double-counted as a
+#: digit run and "1.2.3.4" is an <ip>, never a <phone>.  Patterns use
+#: only constructs with identical semantics in Java regex (Spark) and
+#: RE2 (DuckDB): character classes, bounded repeats, non-capturing
+#: groups, alternation, and the ASCII word boundary \b — no lookaround,
+#: no backreferences (RE2 has neither).  Replacement tokens contain no
+#: digits, so the final digit-run class cannot re-match a placeholder.
+#:
+#: Class notes (boundary rows pinned in tests/test_functions.py):
+#: - email: local@domain.tld with a >=2-letter TLD; single-letter TLDs
+#:   ("a@b.c") deliberately fall through to the digit-run class.
+#: - ipv4: four 1-3 digit octets, \b-guarded so "1234.5.6.7890" is not
+#:   partially scrubbed.  Purely shape-based (no 0-255 range check —
+#:   regex range alternations diverge across engines for no governance
+#:   gain); version/section strings like "1.2.3.4" are inside the
+#:   envelope by design (conservative scrub).
+#: - phone: optional +country, then >=3 separator-joined digit groups
+#:   ("555-867-5309", "+49 30 1234 5678", "(555) 867-5309"); two-group
+#:   runs ("867-5309") are too ambiguous (ranges, scores) and fall to
+#:   the digit-run class.  Dashed US dates ("01-15-2024") are
+#:   phone-shaped and scrub; ISO dates ("2024-01-15") survive via the
+#:   1-3 digit first group + \b.
+#: - num: any remaining digit run (the original single-class scrub).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b[0-9]{1,3}(?:\.[0-9]{1,3}){3}\b"
+PII_PHONE_RE = (
+    r"\+?\((?:[0-9]{2,4})\)(?:[-. ][0-9]{2,4}){2,4}"
+    r"|\+?\b[0-9]{1,3}(?:[-. ][0-9]{2,4}){2,4}"
+)
+PII_NUM_RE = "[0-9]+"
+PII_CLASSES: list[tuple[str, str, str]] = [
+    ("email", PII_EMAIL_RE, "<email>"),
+    ("ipv4", PII_IPV4_RE, "<ip>"),
+    ("phone", PII_PHONE_RE, "<phone>"),
+    ("num", PII_NUM_RE, "<num>"),
+]
+
+
+def pii_stages(col: Column) -> tuple[list[tuple[str, Column]], Column]:
+    """(per-class count columns, fully-scrubbed text) over ``col``.
+
+    Counts are staged: class k counts matches in the text with classes
+    0..k-1 already replaced.  All expression-level (regexp_count /
+    regexp_replace chains) — scan-fused, no shuffle, no UDF.
+    """
+    counts: list[tuple[str, Column]] = []
+    cur = col
+    for name, pat, repl in PII_CLASSES:
+        counts.append(
+            (name, F.regexp_count(cur, F.lit(pat)).cast("long"))
+        )
+        cur = F.regexp_replace(cur, pat, repl)
+    return counts, cur
+
+
+def pii_scrubbed(col: Column) -> Column:
+    """Just the fully-scrubbed text (all PII_CLASSES replaced, in order)."""
+    return pii_stages(col)[1]
+
+
+def _pii_stage_sql(expr: str, upto: int) -> str:
+    """``expr`` with classes 0..upto-1 replaced (DuckDB; 'g' = all)."""
+    for name, pat, repl in PII_CLASSES[:upto]:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+def pii_count_sql(expr: str, k: int) -> str:
+    """DuckDB count of class k over the stage-k text (see pii_stages)."""
+    staged = _pii_stage_sql(expr, k)
+    return (
+        f"CAST(len(regexp_extract_all({staged}, "
+        f"'{PII_CLASSES[k][1]}')) AS BIGINT)"
+    )
+
+
+def pii_scrubbed_sql(expr: str) -> str:
+    """DuckDB twin of :func:`pii_scrubbed`."""
+    return _pii_stage_sql(expr, len(PII_CLASSES))

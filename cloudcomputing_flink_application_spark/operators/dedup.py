@@ -743,6 +743,14 @@ def _unpersist_local_ckpts(spark, ids: set[int]) -> None:
         pass
 
 
+#: Serializes the snapshot-ledger diff windows of connected_components
+#: (see _truncate_tracked): the dead-snapshot sets are before/after
+#: ledger diffs, and a concurrent checkpoint landing inside a window
+#: would be mistaken for this round's snapshot and released (r14,
+#: ADVICE r13 — latent; all in-repo callers are sequential).
+_CC_SNAPSHOT_LOCK = threading.Lock()
+
+
 def connected_components(
     edges: DataFrame,
     max_rounds: int = 15,
@@ -799,6 +807,7 @@ def connected_components(
     reliable = spark.sparkContext.getCheckpointDir() is not None
 
     def _truncate(df: DataFrame) -> DataFrame:
+        # NOTE: called only under _CC_SNAPSHOT_LOCK via _truncate_tracked.
         if reliable:
             # Cache first: checkpoint() materializes with one job, then
             # writes the snapshot with a second — persisted blocks make the
@@ -819,22 +828,34 @@ def connected_components(
         else:
             _unpersist_local_ckpts(spark, dead)
 
+    def _truncate_tracked(df: DataFrame) -> tuple[DataFrame, set]:
+        # Snapshot-ledger diff window (r14, ADVICE r13): the dead-
+        # snapshot sets are before/after diffs of the context-wide
+        # ledger, so a CONCURRENT checkpoint from another thread of the
+        # same SparkContext landing inside the window would be diffed in
+        # and later unpersisted even though checkpointed RDDs are
+        # non-recomputable.  The module lock serializes every window in
+        # this module (CC is the repo's only localCheckpoint caller);
+        # callers checkpointing on other threads outside this module are
+        # outside the guard and must not run concurrently with CC.
+        with _CC_SNAPSHOT_LOCK:
+            pre = _snapshots()
+            out = _truncate(df)
+            return out, _snapshots() - pre
+
     u, v = edges.columns[0], edges.columns[1]
-    pre0 = _snapshots()
-    cur = _truncate(
+    cur, cur_snaps = _truncate_tracked(
         edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    cur_snaps = _snapshots() - pre0
     for _round in range(max_rounds):
         if round_log is not None:
             round_log.append(_round + 1)
         # large-star: every neighbor LARGER than u links to min(N(u) + {u}).
         nbrs = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
-        pre = _snapshots()
-        large = _truncate(
+        large, large_snaps = _truncate_tracked(
             nbrs.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(
@@ -844,7 +865,6 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        mid = _snapshots()
         # small-star: orient (larger, smaller); relink every smaller
         # neighbor (and u itself) to the minimum of the oriented
         # neighborhood.
@@ -852,14 +872,13 @@ def connected_components(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         omins = oriented.groupBy("u").agg(F.min("v").alias("_mn"))
-        small = _truncate(
+        small, small_snaps = _truncate_tracked(
             oriented.join(omins, "u")
             .select(F.col("v").alias("u"), F.col("_mn").alias("v"))
             .union(omins.select("u", F.col("_mn").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        post = _snapshots()
         # Converged when the edge set is stable.  Both frames are distinct,
         # so set equality == empty SYMMETRIC difference — one action per
         # round (the old count()+exceptAll().isEmpty() pair ran two jobs).
@@ -869,8 +888,8 @@ def connected_components(
         # intermediate large-star's (small is checkpointed, so nothing
         # replays through them anymore).  Same release on both paths —
         # FS snapshot dirs when reliable, localCheckpoint blocks when not.
-        _release_dead(cur_snaps | (mid - pre))
-        cur_snaps = post - mid
+        _release_dead(cur_snaps | large_snaps)
+        cur_snaps = small_snaps
         cur = small
         if converged:
             break

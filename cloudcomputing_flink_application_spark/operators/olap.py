@@ -825,6 +825,22 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction, scalar-subquery anti-join, decorrelated per-part agg);
     the union itself adds no exchange.
     """
+    arms = suite_extra_arms(spark, sf_dir)
+    out = None
+    for df in arms.values():
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def suite_extra_arms(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """The fourteen :func:`suite_extra` arms as an ordered dict keyed by
+    shape name — the EXACT frames the union composes (r14, VERDICT r13
+    #2: per-arm cost was invisible inside the 14-arm union row, making
+    drift unattributable; bench.py times each arm from this dict right
+    after the union measurement, and tests/test_plans.py pins that the
+    union equals these arms so the trace measures the real thing)."""
     q5 = local_supplier_volume(spark, sf_dir).select(
         F.lit("q5_local_volume").alias("shape"),
         F.col("n_name").alias("k"),
@@ -914,21 +930,24 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "nation", F.col("o_year").cast("string")).alias("k"),
         F.col("sum_profit").alias("v"),
     )
-    return (
-        q5.unionByName(q7)
-        .unionByName(q19)
-        .unionByName(q22)
-        .unionByName(q6)
-        .unionByName(q10)
-        .unionByName(q14)
-        .unionByName(q17)
-        .unionByName(q20)
-        .unionByName(q21)
-        .unionByName(q8)
-        .unionByName(q15)
-        .unionByName(q16)
-        .unionByName(q9)
-    )
+    # insertion order == the pre-r14 union order (the registry query's
+    # row order is irrelevant — the driver sorts — but keep it stable)
+    return {
+        "q5_local_volume": q5,
+        "q7_trade_volume": q7,
+        "q19_disjunctive": q19,
+        "q22_idle": q22,
+        "q6_forecast": q6,
+        "q10_returned": q10,
+        "q14_promo": q14,
+        "q17_smallqty": q17,
+        "q20_dominant": q20,
+        "q21_waiting": q21,
+        "q8_mktshare": q8,
+        "q15_topsupp": q15,
+        "q16_suppcnt": q16,
+        "q9_profit": q9,
+    }
 
 
 # Q19 arm without the empty-input scalar row (HAVING count(*) > 0 drops the

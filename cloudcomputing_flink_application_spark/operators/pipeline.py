@@ -364,7 +364,33 @@ PACK_BUDGET = 64
 PACK_RANGE = 256
 
 
-def pack_chunks(documents: DataFrame) -> DataFrame:
+def _n_tok_col(token_col: str | None):
+    """The packing token counter (r14, VERDICT r13 #5): the regex
+    whitespace count by default; with ``token_col`` set, the precomputed
+    EXACT tokenizer count from that column, per-row-falling back to the
+    regex count where the cell is NULL (a partially-tokenized corpus
+    packs consistently instead of corrupting running sums).  The
+    coalesce on text is load-bearing: Spark's non-ANSI size(NULL) is -1,
+    which would corrupt the sums (and diverge from DuckDB's NULL)."""
+    regex = (
+        F.size(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+    )
+    if token_col is None:
+        return regex
+    return F.coalesce(F.col(token_col).cast("long"), regex)
+
+
+def _n_tok_sql(token_col: str | None) -> str:
+    """DuckDB twin of :func:`_n_tok_col`."""
+    toks = X.tokens_sql("coalesce(text, '')")
+    regex = f"CAST(len({toks}) AS BIGINT)"
+    if token_col is None:
+        return regex
+    return f"coalesce(CAST({token_col} AS BIGINT), {regex})"
+
+
+def pack_chunks(documents: DataFrame, token_col: str | None = None) -> DataFrame:
     """Concatenate-and-chunk sequence packing with bounded windows.
 
     Within each (source, pack_key) group, documents concatenate in doc_id
@@ -373,18 +399,18 @@ def pack_chunks(documents: DataFrame) -> DataFrame:
     — but partitioned by the bounded pack key, so no task ever sorts more
     than PACK_RANGE rows and the plan scales linearly in document count.
 
+    ``token_col`` (r14, VERDICT r13 #5): name of a precomputed exact
+    tokenizer-count column to budget by instead of the regex counter —
+    see :func:`_n_tok_col`; ``None`` keeps the plan byte-identical to
+    the oracle'd default.
+
     Output: (doc_id, source, pack_key, n_tok, begin_tok, chunk_id).
     """
     base = documents.select(
         "doc_id",
         "source",
         (F.col("doc_id") / PACK_RANGE).cast("long").alias("pack_key"),
-        # coalesce: Spark's non-ANSI size(NULL) is -1, which would corrupt
-        # the running sums (and diverge from DuckDB's NULL) — a NULL text
-        # packs as zero tokens, like everywhere else in the family
-        F.size(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))))
-        .cast("long")
-        .alias("n_tok"),
+        _n_tok_col(token_col).alias("n_tok"),
     )
     w = (
         Window.partitionBy("source", "pack_key")
@@ -400,11 +426,15 @@ def pack_chunks(documents: DataFrame) -> DataFrame:
     ).withColumn("chunk_id", (F.col("begin_tok") / PACK_BUDGET).cast("long"))
 
 
-PACK_CHUNKS_SQL = f"""
+def pack_chunks_sql(token_col: str | None = None) -> str:
+    """DuckDB twin of :func:`pack_chunks`; ``pack_chunks_sql()`` is
+    byte-identical to the pre-r14 PACK_CHUNKS_SQL constant (the composed
+    oracles built on it are unchanged when no token column is given)."""
+    return f"""
 WITH base AS (
   SELECT doc_id, source,
          doc_id // {PACK_RANGE} AS pack_key,
-         CAST(len({X.tokens_sql("coalesce(text, '')")}) AS BIGINT) AS n_tok
+         {_n_tok_sql(token_col)} AS n_tok
   FROM documents
 )
 SELECT doc_id, source, pack_key, n_tok,
@@ -418,6 +448,9 @@ SELECT doc_id, source, pack_key, n_tok,
             // {PACK_BUDGET} AS BIGINT) AS chunk_id
 FROM base
 """
+
+
+PACK_CHUNKS_SQL = pack_chunks_sql()
 
 
 # --- r11 whole-document bin packing (no straddling) --------------------------
@@ -531,7 +564,9 @@ def pack_bins(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
 
 
 def chunk_oversize_docs(
-    documents: DataFrame, budget: int = PACK_BUDGET
+    documents: DataFrame,
+    budget: int = PACK_BUDGET,
+    token_col: str | None = None,
 ) -> DataFrame:
     """Pre-packer piece split (r12, VERDICT r11 #5): docs whose token
     count fits ``budget`` pass through WHOLE (piece 0, original text
@@ -552,6 +587,16 @@ def chunk_oversize_docs(
     Output: (doc_id, piece, source, text, n_tok), one row per piece,
     with n_tok <= budget on every row by construction.
 
+    ``token_col`` (r14, VERDICT r13 #5): budget by a precomputed EXACT
+    tokenizer count instead of the whitespace counter (per-row regex
+    fallback, :func:`_n_tok_col`).  An over-budget doc then splits into
+    ceil(n_exact / budget) pieces of n_tok = budget each (last = the
+    remainder) — conservation and capacity hold EXACTLY in tokenizer
+    units by construction — while the piece TEXT is the doc's whitespace
+    tokens sliced into that many even spans (the exact tokenizer is not
+    available engine-side, so text boundaries are proportional; counts,
+    which is what packing and training budgets consume, are exact).
+
     Scale: pure per-row array math (the chunk_docs story) — the explode
     multiplies only the over-budget docs' rows; no key shuffle."""
     if budget < 1:
@@ -565,6 +610,62 @@ def chunk_oversize_docs(
     base = documents.select(
         "doc_id", "source", "text", tok.alias("_tk")
     ).withColumn("_n", F.size("_tk").cast("long"))
+    if token_col is not None:
+        exact = documents.select(
+            "doc_id", _n_tok_col(token_col).alias("_n_exact")
+        )
+        base = (
+            base.join(exact, "doc_id")
+            .withColumn("_nws", F.col("_n"))
+            .withColumn("_n", F.col("_n_exact"))
+        )
+        small = base.filter(F.col("_n") <= budget).select(
+            "doc_id",
+            F.lit(0).cast("int").alias("piece"),
+            "source",
+            "text",
+            F.col("_n").alias("n_tok"),
+        )
+        k = F.expr(f"(_n + {budget - 1}) div {budget}")
+        giant = (
+            base.filter(F.col("_n") > budget)
+            .withColumn("_k", k)
+            .select(
+                "doc_id",
+                "source",
+                "_tk",
+                "_n",
+                "_nws",
+                "_k",
+                F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("_p"),
+            )
+            .select(
+                "doc_id",
+                F.col("_p").cast("int").alias("piece"),
+                "source",
+                # even ws-token spans: piece p gets (p*nws div k,
+                # (p+1)*nws div k] — disjoint, covering, order-preserving
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "_tk",
+                        F.expr("CAST((_p * _nws) div _k AS INT) + 1"),
+                        F.expr(
+                            "CAST(((_p + 1) * _nws) div _k"
+                            " - (_p * _nws) div _k AS INT)"
+                        ),
+                    ),
+                ).alias("text"),
+                F.when(
+                    F.col("_p") < F.col("_k") - 1, F.lit(budget).cast("long")
+                )
+                .otherwise(
+                    F.col("_n") - F.lit(budget) * (F.col("_k") - 1)
+                )
+                .alias("n_tok"),
+            )
+        )
+        return small.unionByName(giant)
     small = base.filter(F.col("_n") <= budget).select(
         "doc_id",
         F.lit(0).cast("int").alias("piece"),
@@ -596,7 +697,44 @@ def chunk_oversize_docs(
     return small.unionByName(giant)
 
 
-def chunk_oversize_sql(budget: int = PACK_BUDGET) -> str:
+def chunk_oversize_sql(
+    budget: int = PACK_BUDGET, token_col: str | None = None
+) -> str:
+    if token_col is not None:
+        # exact-count variant (r14): ceil(n/budget) even ws-token spans;
+        # DuckDB list slice tk[a:b] is 1-based inclusive, so piece p
+        # spans (p*nws)//k + 1 .. ((p+1)*nws)//k — width matches the
+        # Spark slice(start, width) form exactly.
+        n = _n_tok_sql(token_col)
+        return f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     t -> t <> '') AS tk,
+         {n} AS n
+  FROM documents
+),
+small AS (
+  SELECT doc_id, CAST(0 AS INT) AS piece, source, text,
+         CAST(n AS BIGINT) AS n_tok
+  FROM base WHERE n <= {budget}
+),
+giantx AS (
+  SELECT doc_id, source, tk, n, len(tk) AS nws,
+         (n + {budget - 1}) // {budget} AS k,
+         unnest(generate_series(0, (n + {budget - 1}) // {budget} - 1)) AS p
+  FROM base WHERE n > {budget}
+),
+giant AS (
+  SELECT doc_id, CAST(p AS INT) AS piece, source,
+         array_to_string(tk[(p * nws) // k + 1 : ((p + 1) * nws) // k], ' ')
+           AS text,
+         CAST(CASE WHEN p < k - 1 THEN {budget}
+                   ELSE n - {budget} * (k - 1) END AS BIGINT) AS n_tok
+  FROM giantx
+)
+SELECT * FROM small UNION ALL SELECT * FROM giant
+"""
     return f"""
 WITH base AS (
   SELECT doc_id, source, text,
@@ -728,7 +866,9 @@ def pack_bin_stats(bins: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     )
 
 
-def pack_report(documents: DataFrame) -> DataFrame:
+def pack_report(
+    documents: DataFrame, token_col: str | None = None
+) -> DataFrame:
     """Observability over the concat-and-chunk packer, per source:
     ``(source, n_docs, total_tokens, n_chunks, straddle_docs)``.
 
@@ -743,8 +883,11 @@ def pack_report(documents: DataFrame) -> DataFrame:
     a trailing doc spanning several blocks undercounted).  The concat
     packer never pads, so waste here is zero by construction and
     straddling is the whole cost — the exact mirror of :func:`pack_bins`,
-    which pays padding to straddle nothing.  Full DuckDB oracle."""
-    packed = pack_chunks(documents)
+    which pays padding to straddle nothing.  Full DuckDB oracle.
+
+    ``token_col`` passes through to :func:`pack_chunks` (r14: exact
+    tokenizer counts when precomputed; default regex counter)."""
+    packed = pack_chunks(documents, token_col)
     straddle = (
         ((F.col("begin_tok") + F.col("n_tok") - 1) / PACK_BUDGET).cast("long")
         != F.col("chunk_id")
@@ -765,6 +908,14 @@ def pack_report(documents: DataFrame) -> DataFrame:
         F.sum("toks").cast("long").alias("total_tokens"),
         F.sum("chunks").cast("long").alias("n_chunks"),
         F.sum("straddles").cast("long").alias("straddle_docs"),
+    )
+
+
+def pack_report_sql(token_col: str | None = None) -> str:
+    """DuckDB twin of :func:`pack_report`; ``pack_report_sql()`` ==
+    the pre-r14 PACK_REPORT_SQL constant."""
+    return PACK_REPORT_SQL.replace(
+        PACK_CHUNKS_SQL, pack_chunks_sql(token_col), 1
     )
 
 
@@ -1674,6 +1825,8 @@ def training_prep(
     pack_mode: str = "chunks",
     embeddings: DataFrame | None = None,
     semantic_tau: float | None = None,
+    scrub_pii: bool = False,
+    token_col: str | None = None,
 ) -> DataFrame:
     """The END-TO-END training-data job (r11, VERDICT r10 #5): clean ->
     near-dup purge -> sequence packing, one composed dataflow whose
@@ -1713,7 +1866,11 @@ def training_prep(
     is introduced; the stitches are doc_id equi-joins (high-cardinality,
     skew-free).  The CLI twin is ``train-data`` (batch; ``--streaming``
     maintains the clean + purge stores incrementally and
-    ``--materialize`` writes the same shards from them)."""
+    ``--materialize`` writes the same shards from them).
+
+    ``scrub_pii`` / ``token_col`` (r14) pass through to
+    :func:`packed_training_rows` — PII-scrubbed shard text and
+    exact-tokenizer packing budgets respectively (see there)."""
     from cloudcomputing_flink_application_spark.operators.dedup import (
         minhash_purge_dedup,
     )
@@ -1735,11 +1892,14 @@ def training_prep(
         # embedding restriction, the prune anti-join, the packing tail)
         surv_docs = _persist(surv_docs)
         surv_docs = semantic_prune_docs(surv_docs, embeddings, semantic_tau)
-    return packed_training_rows(surv_docs, pack_mode)
+    return packed_training_rows(surv_docs, pack_mode, scrub_pii, token_col)
 
 
 def packed_training_rows(
-    surv_docs: DataFrame, pack_mode: str = "chunks"
+    surv_docs: DataFrame,
+    pack_mode: str = "chunks",
+    scrub_pii: bool = False,
+    token_col: str | None = None,
 ) -> DataFrame:
     """The packing tail of :func:`training_prep` — pack the surviving
     docs (documents schema + ``split``) and attach text + the shard key.
@@ -1762,9 +1922,26 @@ def packed_training_rows(
     ``pack_id`` keeps meaning "the training sequence this row lands
     whole in", so the shard writer and the conservation contract are
     mode-agnostic; bins mode has no cross-engine SQL (FFD is sequential
-    per group) and is gated by the property pins instead."""
+    per group) and is gated by the property pins instead.
+
+    ``scrub_pii`` (r14, VERDICT r13 #4): apply the multi-class PII
+    scrub (``X.pii_scrubbed`` — email/ipv4/phone/num, priority order)
+    to the surviving docs' TEXT before packing, so the shards a trainer
+    reads are the scrubbed bytes.  Scrubbing sits AFTER dedup/purge by
+    design: scrubbing first would merge docs that differ only in their
+    PII.  NULL text stays NULL (regexp chains pass NULL through).
+
+    ``token_col`` (r14, VERDICT r13 #5): budget by a precomputed exact
+    tokenizer-count column instead of the regex counter (per-row
+    fallback; see :func:`_n_tok_col`).  With ``scrub_pii`` also set the
+    counts still refer to the INPUT text (the precomputed column cannot
+    know the scrub) — the documented approximation."""
+    if scrub_pii:
+        surv_docs = surv_docs.withColumn(
+            "text", X.pii_scrubbed(F.col("text"))
+        )
     if pack_mode == "chunks":
-        packed = pack_chunks(surv_docs).withColumn(
+        packed = pack_chunks(surv_docs, token_col).withColumn(
             "piece", F.lit(0).cast("int")
         )
         rows = packed.join(
@@ -1774,7 +1951,9 @@ def packed_training_rows(
         # ONE pieces frame for both consumers (the packer's narrow item
         # rows and the piece-text join) — unpersisted, the split would
         # re-run per consumer; released by dedup.release_cached()
-        pieces = _persist(chunk_oversize_docs(surv_docs, PACK_BUDGET))
+        pieces = _persist(
+            chunk_oversize_docs(surv_docs, PACK_BUDGET, token_col)
+        )
         packed = _ffd_pack_pieces(
             pieces.select("doc_id", "piece", "source", "n_tok"), PACK_BUDGET
         ).select(

@@ -574,6 +574,40 @@ def redact_split(documents: DataFrame) -> DataFrame:
     )
 
 
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Multi-class PII governance scrub (r14, VERDICT r13 #4): emails,
+    IPv4s, phone-shaped runs, then residual digit runs, counted and
+    replaced in priority order (``X.PII_CLASSES`` — each class counts
+    against the text the earlier classes already scrubbed, so an email's
+    digits are never double-counted and "1.2.3.4" is an <ip>, never a
+    <phone>).  Entirely expression-level regexp chains: scan-fused, no
+    shuffle, no UDF; emits the scrubbed text's md5 so the output stays
+    narrow.  The scrubbed TEXT itself is applied to the training
+    pipeline via ``pipeline.packed_training_rows(scrub_pii=True)`` /
+    ``train-data --scrub-pii``.
+
+    Output: (doc_id, n_email, n_ipv4, n_phone, n_num, scrubbed_md5).
+    """
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    counts, scrubbed = X.pii_stages(txt)
+    return documents.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts],
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       {X.pii_count_sql("coalesce(text, '')", 0)} AS n_email,
+       {X.pii_count_sql("coalesce(text, '')", 1)} AS n_ipv4,
+       {X.pii_count_sql("coalesce(text, '')", 2)} AS n_phone,
+       {X.pii_count_sql("coalesce(text, '')", 3)} AS n_num,
+       md5({X.pii_scrubbed_sql("coalesce(text, '')")}) AS scrubbed_md5
+FROM documents
+"""
+
+
 REDACT_SPLIT_SQL = f"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9]+')) AS BIGINT) AS n_redactions,

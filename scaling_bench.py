@@ -1450,6 +1450,96 @@ def bench_semantic_100x(spark) -> dict:
     }
 
 
+def bench_semantic_1000x(spark) -> dict:
+    """r14 (VERDICT r13 #3): extend the SemDeDup sweep one decade WITH
+    the spill remedy.  semantic-100x stops at 200k vectors, exactly
+    where the family's first spill appears (the within-cluster pair
+    join's sort at 32 partitions); purge has 5M-doc + remedy evidence,
+    semantic didn't.  This runs 2M vectors (1000x of the sf0.1
+    embeddings, rotation replicas — at dim 64 the corpus carries ~31
+    byte-identical copies per vector, so the pre-collapse is measured
+    under the heaviest cohort load yet) under three partition regimes:
+
+    - ``control``: the recorded 32-partition session regime;
+    - ``adv16m_init256``: 256 initial partitions + AQE advisory size
+      16 MB — the honest cluster lever (AQE sizes the post-shuffle
+      partitions; the initial count only gives it room to NOT coalesce);
+    - ``256_nocoalesce``: 256 real reduce partitions (isolates
+      reduce-side relief from the advisory mechanism, the purge-remedy
+      protocol).
+
+    A 100x control anchor runs in the SAME session so the cross-decade
+    exponent is same-protocol, not stitched from the r13 record.  Timed
+    action = pruned-vector count (the intrinsic output); warm-up + 1
+    evidence run per regime (spill is the metric at this scale), stage
+    metrics from the UI REST window."""
+    build_embs_suffix(spark, scales=(100, 1000))
+
+    def pruned_count(e) -> int:
+        return dedup.semantic_dedup(e).filter(F.col("is_pruned")).count()
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_co = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    orig_adv = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+    )
+    out: dict = {}
+
+    def run_regime(e, parts: int, coalesce: str, adv: str) -> dict:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", coalesce
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", adv)
+        try:
+            times, last = [], 0
+            for _ in range(2):
+                spark.catalog.clearCache()
+                dedup.release_cached()
+                mark = _stage_mark(spark)
+                t0 = time.time()
+                last = pruned_count(e)
+                times.append(time.time() - t0)
+            return {
+                "sec": round(times[-1], 3),
+                "pruned": last,
+                **_stage_metrics_since(spark, mark),
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", orig_co
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", orig_adv
+            )
+
+    e100 = spark.read.parquet(str(WORK / "embs_x100"))
+    out["anchor_100x"] = run_regime(e100, 32, "true", orig_adv)
+    e1000 = spark.read.parquet(str(WORK / "embs_x1000"))
+    for label, parts, coalesce, adv in (
+        ("control", 32, "true", orig_adv),
+        ("adv16m_init256", 256, "true", "16MB"),
+        ("256_nocoalesce", 256, "false", orig_adv),
+    ):
+        out[label] = run_regime(e1000, parts, coalesce, adv)
+    n = e1000.count()
+    n_distinct = (
+        e1000.select(F.md5(F.col("embedding").cast("string")))
+        .distinct()
+        .count()
+    )
+    out["collapse_1000x"] = {
+        "rows": n,
+        "distinct_vectors": n_distinct,
+        "collapse_ratio": round(n / max(n_distinct, 1), 2),
+    }
+    out["exponent_vs_100x"] = _exp_vs_1x(
+        out["control"]["sec"], out["anchor_100x"]["sec"], 10
+    )
+    return out
+
+
 def bench_purge_remedy(spark) -> dict:
     """r13 (VERDICT r12 #5): MEASURE the spill remedy purge-100x only
     asserted.  The 1000x point (5M docs) recorded the family's first
@@ -2989,6 +3079,9 @@ def main() -> None:
         return
     if section == "semantic-100x":
         print(json.dumps({"semantic_100x": bench_semantic_100x(spark)}))
+        return
+    if section == "semantic-1000x":
+        print(json.dumps({"semantic_1000x": bench_semantic_1000x(spark)}))
         return
     if section == "train-data-100x":
         print(json.dumps({"train_data_100x": bench_train_data_100x(spark)}))

@@ -12,8 +12,11 @@ from __future__ import annotations
 
 import os
 
+import json
+
 from bench import (
     baseline_rows,
+    compact_record,
     diffuse_contention,
     inflated_queries,
     merge_retry,
@@ -220,6 +223,59 @@ def test_diffuse_retry_cures_a_contended_session():
     residual = merge_retry(contended, half)
     got = diffuse_contention(residual, base, {})
     assert got is not None and got["ratio"] < flag["ratio"]
+
+
+def test_compact_record_fits_the_driver_tail_capture():
+    # VERDICT r13 #1: the r13 record outgrew the driver's fixed-size
+    # stdout tail (parsed: null).  Pin the compact line <= 4 KB on a
+    # WORST-CASE record: 50 queries at the longest plausible name width
+    # (the real registry max is 26 chars), 4-digit seconds, every flag
+    # populated, a full retry.  The verbose evidence must live in the
+    # detail line, not the driver-facing one.
+    names = [f"olap_customer_distribution_{i:02d}" for i in range(50)]
+    per_query = {n: 1234.567 for n in names}
+    suspect = {n: 3.09 for n in names}
+    outliers = {n: 2.47 for n in names}
+    sentinel = {
+        "first_sec": 0.492,
+        "last_sec": 0.238,
+        "drift": 0.48,
+        "ref_sec": 0.159,
+        "series": [[i * 8, 0.2] for i in range(8)],
+    }
+    retry_info = {
+        "initial": {"ratio": 1.33, "total_sec": 99.9, "baseline_sec": 75.0},
+        "retried": names,
+        "retry_sec": {n: 1000.0 for n in names},
+    }
+    diffuse = {"ratio": 1.33, "total_sec": 99.9, "baseline_sec": 75.0}
+    line, detail = compact_record(
+        61728.35, per_query, 0.1, sentinel, outliers, suspect, diffuse,
+        retry_info,
+    )
+    assert len(line.encode()) <= 4096, len(line.encode())
+    assert "\n" not in line
+    rec = json.loads(line)
+    assert rec["metric"] == "wall_sec_total" and rec["value"] == 61728.35
+    assert rec["queries"] == per_query and rec["sf"] == 0.1
+    # compact flags only — counts/maxima, never the per-query maps
+    assert rec["suspect_n"] == 50 and rec["suspect_max"] == 3.09
+    assert rec["outlier_n"] == 50 and rec["retry_n"] == 50
+    assert rec["diffuse"] == diffuse
+    assert "series" not in rec["sentinel"] and rec["sentinel"]["drift"] == 0.48
+    # the verbose evidence round-trips through the detail line
+    det = json.loads(detail)
+    assert det["suspect"] == suspect and det["outliers"] == outliers
+    assert det["sentinel_series"] == sentinel["series"]
+    assert det["diffuse_retry"]["retried"] == names
+    # quiet-session shape: empty flags serialize to null/zero, not maps
+    line2, _ = compact_record(
+        30.0, per_query, 0.1, sentinel, {}, {}, None, None
+    )
+    rec2 = json.loads(line2)
+    assert rec2["suspect_n"] == 0 and rec2["suspect_max"] is None
+    assert rec2["diffuse"] is None and rec2["retry_n"] == 0
+    assert len(line2.encode()) <= 4096
 
 
 def test_baseline_rows_parses_the_real_table():

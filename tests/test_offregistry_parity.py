@@ -35,6 +35,9 @@ OFF_REGISTRY = {
     "off_quality_score": (textstats.quality_score, textstats.QUALITY_SQL),
     "off_token_counts": (textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
     "off_redact": (textstats.redact, textstats.REDACT_SQL),
+    # r14 (VERDICT r13 #4): multi-class PII scrub (email/ipv4/phone/num,
+    # staged priority counts); class-boundary rows in test_functions.py
+    "off_pii_scrub": (textstats.pii_scrub, textstats.PII_SCRUB_SQL),
     "off_split_assign": (textstats.split_assign, textstats.SPLIT_ASSIGN_SQL),
     "off_image_meta": (multimodal.image_meta, multimodal.IMAGE_META_SQL),
     "off_audio_frames": (multimodal.audio_frames, multimodal.AUDIO_FRAMES_SQL),

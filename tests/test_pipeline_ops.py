@@ -735,3 +735,125 @@ def test_pack_bins_chunked_planted_giants(spark):
     assert sum(r.n_tok for r in rows) == 20 + 7 + 0 + 9
     # determinism under physical layout
     assert rows_set(bins) == rows_set(pack_bins_chunked(docs.repartition(5), budget=8))
+
+
+def test_pack_token_col_exact_budgeting(spark):
+    """r14 (VERDICT r13 #5): tokenizer-faithful packing — a precomputed
+    exact-count column drives chunk/bins/report budgets, with per-row
+    regex fallback on NULL cells, conservation and capacity EXACT in
+    tokenizer units, and the default-path oracle constants unchanged."""
+    import duckdb
+
+    from cloudcomputing_flink_application_spark.operators import (
+        pipeline as P,
+    )
+
+    rows = []
+    for i in range(60):
+        nwords = (i * 7) % 23
+        text = " ".join(f"w{j}" for j in range(nwords)) or None
+        # exact counts diverge from the whitespace count (BPE-ish 1.4x),
+        # every 5th row NULL to exercise the per-row fallback
+        n_exact = None if i % 5 == 0 else int(nwords * 1.4) + (i % 3)
+        rows.append((i, f"src{i % 2}", text, n_exact))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_exact long"
+    )
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    try:
+        for tc in (None, "n_exact"):
+            sp = P.pack_chunks(df, tc).orderBy("doc_id").toPandas()
+            du = con.execute(
+                P.pack_chunks_sql(tc) + " ORDER BY doc_id"
+            ).fetchdf()
+            assert sp.equals(du[sp.columns]), tc
+            sp = (
+                P.chunk_oversize_docs(df, 9, tc)
+                .orderBy("doc_id", "piece")
+                .toPandas()
+                .reset_index(drop=True)
+            )
+            du = (
+                con.execute(P.chunk_oversize_sql(9, tc) + " ORDER BY doc_id, piece")
+                .fetchdf()
+                .reset_index(drop=True)
+            )
+            assert sp.equals(du[sp.columns]), tc
+            assert (sp.n_tok <= 9).all(), tc  # capacity, both counters
+            sp = P.pack_report(df, tc).orderBy("source").toPandas()
+            du = con.execute(
+                P.pack_report_sql(tc) + " ORDER BY source"
+            ).fetchdf()
+            assert sp.equals(du[sp.columns]), tc
+    finally:
+        con.close()
+    # conservation in EXACT units: piece n_tok sums to the doc's exact
+    # count (fallback rows: to the regex count) — token_col flows
+    # through the split without loss
+    want = df.select(
+        F.sum(P._n_tok_col("n_exact")).alias("t")
+    ).first()["t"]
+    got = (
+        P.chunk_oversize_docs(df, 9, "n_exact")
+        .agg(F.sum("n_tok"))
+        .first()[0]
+    )
+    assert got == want
+    # the ceil(n/budget) piece layout: budget-sized pieces + remainder
+    giant = (
+        P.chunk_oversize_docs(df, 9, "n_exact")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum("n_tok").alias("tot"),
+            F.max("n_tok").alias("mx"),
+        )
+        .join(df.select("doc_id", P._n_tok_col("n_exact").alias("n")), "doc_id")
+        .filter(F.col("n") > 9)
+        .collect()
+    )
+    assert giant, "fixture must include over-budget docs"
+    for r in giant:
+        assert r.k == -(-r.n // 9) and r.tot == r.n and r.mx <= 9, r
+    # unchanged composed oracle when the column is absent (VERDICT's
+    # literal done-criterion)
+    assert P.pack_chunks_sql() == P.PACK_CHUNKS_SQL
+    assert P.pack_report_sql() == P.PACK_REPORT_SQL
+    assert P.chunk_oversize_sql() == P.CHUNK_OVERSIZE_SQL
+
+
+def test_packed_training_rows_scrub_pii(spark):
+    """r14 (VERDICT r13 #4): scrub_pii=True rewrites exactly the PII in
+    the packed text — same rows, same packing geometry (whitespace arity
+    is preserved by the placeholders' single-token shape here), scrubbed
+    bytes in the shard column."""
+    from cloudcomputing_flink_application_spark.operators import (
+        dedup,
+        pipeline as P,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "email me@example.com now", "en", "s0", 24),
+            (2, "server 10.0.0.1 port 8080", "en", "s0", 25),
+            (3, "plain words only here", "en", "s0", 21),
+        ],
+        DOC_COLS[:2] + ["lang", "source", "n_chars"],
+    ).withColumn("split", F.lit("train"))
+    mark = dedup.cached_mark()
+    try:
+        plain = {
+            r.doc_id: r.text
+            for r in P.packed_training_rows(docs).collect()
+        }
+        scrubbed = {
+            r.doc_id: r.text
+            for r in P.packed_training_rows(docs, scrub_pii=True).collect()
+        }
+    finally:
+        dedup.release_cached(since=mark)
+    assert set(plain) == set(scrubbed) == {1, 2, 3}
+    assert scrubbed[1] == "email <email> now"
+    assert scrubbed[2] == "server <ip> port <num>"
+    assert scrubbed[3] == plain[3]  # non-PII text byte-identical

@@ -556,3 +556,30 @@ def test_r12_chunk_then_bin_plan_shapes(spark):
     assert pandas_lines and all("text" not in l for l in pandas_lines), (
         pandas_lines
     )
+
+
+def test_suite_extra_equals_its_arm_trace(spark, sf_dir):
+    """r14 (VERDICT r13 #2): bench.py's per-arm stderr trace times
+    ``olap.suite_extra_arms``; this pins that the registry union IS
+    exactly those fourteen arms, so the trace attributes the real row's
+    cost (a drifted arm can't hide outside the trace, and the trace
+    can't time a frame the union doesn't ship)."""
+    from cloudcomputing_flink_application_spark.operators import olap
+    from tests.conftest import rows_set
+
+    arms = olap.suite_extra_arms(spark, sf_dir)
+    assert list(arms) == [
+        "q5_local_volume", "q7_trade_volume", "q19_disjunctive",
+        "q22_idle", "q6_forecast", "q10_returned", "q14_promo",
+        "q17_smallqty", "q20_dominant", "q21_waiting", "q8_mktshare",
+        "q15_topsupp", "q16_suppcnt", "q9_profit",
+    ]
+    union_rows = rows_set(olap.suite_extra(spark, sf_dir))
+    arm_rows = set()
+    for df in arms.values():
+        arm_rows |= rows_set(df)
+    assert union_rows == arm_rows
+    # every arm contributes (a degenerate empty arm would make the
+    # trace silently under-attribute)
+    shapes = {r[0] for r in union_rows}
+    assert shapes == set(arms)
