@@ -25,6 +25,32 @@ from pyspark.sql import functions as F
 
 TOP_SUPPLIERS_K = 3
 
+#: Memoized parquet scans per (applicationId, path) — r14, VERDICT r13
+#: #2.  Adjudication root cause of the olap_suite_extra creep: ~5.5 s of
+#: its ~7.5 s quiet reading was DataFrame CONSTRUCTION, not execution —
+#: 49 repeated `spark.read.parquet` calls across the 14 arms at ~135 ms
+#: each (file listing + footer schema read per call).  A scan DataFrame
+#: is an immutable analyzed plan over a write-once benchmark dir, so one
+#: per (session, path) is safe to share across every OLAP query; entries
+#: of a stopped session are dropped when a new applicationId first
+#: misses.  NOT a general reader cache on purpose: a cached scan pins
+#: its file listing, which would silently miss late-arriving files on
+#: mutable dirs (the streaming stores) — OLAP's TPC-H dirs are the one
+#: family where immutability is a contract.
+_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    key = (app, f"{sf_dir}/{table}.parquet")
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        if any(k[0] != app for k in _SCAN_CACHE):
+            _SCAN_CACHE.clear()
+        df = spark.read.parquet(key[1])
+        _SCAN_CACHE[key] = df
+    return df
+
 
 def _revenue_cents() -> F.Column:
     ext_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
@@ -38,10 +64,10 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (n_name, orders, revenue) — revenue in dollars (exact cents*100
     arithmetic, 4 implied decimals collapsed to a double at the end).
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = _scan(spark, sf_dir, "lineitem")
+    orders = _scan(spark, sf_dir, "orders")
+    cust = _scan(spark, sf_dir, "customer")
+    nation = _scan(spark, sf_dir, "nation")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -80,9 +106,9 @@ def top_suppliers_by_nation(spark: SparkSession, sf_dir: str, k: int = TOP_SUPPL
     Output: (n_name, s_name, rank, revenue).  The window runs over the
     aggregated per-supplier frame (|suppliers| rows), never the fact table.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    li = _scan(spark, sf_dir, "lineitem")
+    supp = _scan(spark, sf_dir, "supplier")
+    nation = _scan(spark, sf_dir, "nation")
     per_supp = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -143,7 +169,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scan-fused projection + one partial-agg shuffle on a 6-value key) is
     unchanged.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _scan(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit(PRICING_CUTOFF).cast("timestamp")
     )
     qty = F.col("l_quantity").cast("long")  # generator emits integral qty
@@ -230,14 +256,14 @@ def shipping_priority(spark: SparkSession, sf_dir: str, k: int = SHIPPING_K) -> 
     partition then a k-row merge, never a global sort or single-partition
     window.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _scan(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit(SHIPPING_PIVOT).cast("timestamp")
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    orders = _scan(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit(SHIPPING_PIVOT).cast("timestamp")
     )
     cust = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        _scan(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == SHIPPING_SEGMENT)
         .select("c_custkey")
     )
@@ -300,8 +326,8 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fact scan single-pass and never duplicates orders.
     Output: (o_orderpriority, n_orders).
     """
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = _scan(spark, sf_dir, "orders")
+    li = _scan(spark, sf_dir, "lineitem")
     late = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
@@ -348,9 +374,9 @@ def customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality key never concentrates data-sized volume.
     All-integer output — full value-hash oracle.
     """
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    cust = _scan(spark, sf_dir, "customer").select("c_custkey")
     orders = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _scan(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") != CUSTDIST_EXCLUDE_STATUS)
         .select("o_custkey", "o_orderkey")
     )
@@ -416,9 +442,9 @@ def large_orders(
     a bit.  The top-k compiles to TakeOrderedAndProject (distributed
     partial top-k), never a global sort.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = _scan(spark, sf_dir, "lineitem")
+    orders = _scan(spark, sf_dir, "orders")
+    cust = _scan(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"))
@@ -481,23 +507,23 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates inside those broadcast joins, so mismatched rows die before
     the aggregate.  Final aggregate is one exchange on a <= |nations| key.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _scan(spark, sf_dir, "lineitem")
     orders = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _scan(spark, sf_dir, "orders")
         .filter(
             (F.col("o_orderdate") >= F.lit(LOCAL_VOLUME_FROM).cast("timestamp"))
             & (F.col("o_orderdate") < F.lit(LOCAL_VOLUME_TO).cast("timestamp"))
         )
         .select("o_orderkey", "o_custkey")
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = _scan(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    supp = _scan(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
     )
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+    nation = _scan(spark, sf_dir, "nation")
+    region = _scan(spark, sf_dir, "region").filter(
         F.col("r_name") == LOCAL_VOLUME_REGION
     )
     local_nations = nation.join(
@@ -564,17 +590,17 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 x 2 x |years| key space.
     """
     pair = [TRADE_NATION_A, TRADE_NATION_B]
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    li = _scan(spark, sf_dir, "lineitem")
+    orders = _scan(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = _scan(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey"
     )
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    supp = _scan(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
     )
-    nations = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+    nations = _scan(spark, sf_dir, "nation").filter(
         F.col("n_name").isin(pair)
     )
     n1 = nations.select(
@@ -663,8 +689,8 @@ def disjunctive_revenue(
     ``suite_extra`` union uses so an empty input yields an empty union
     (the registry-wide empty-input invariant).
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    li = _scan(spark, sf_dir, "lineitem")
+    part = _scan(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size"
     )
     arm = None
@@ -740,9 +766,9 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey side when it fits); the final aggregate exchanges a
     <= |nations| key space.
     """
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _scan(spark, sf_dir, "customer")
     orders = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _scan(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("timestamp"))
         .select("o_custkey")
     )
@@ -1000,7 +1026,7 @@ def forecast_revenue(
     the ``suite_extra`` union uses for the registry-wide empty-input
     invariant.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _scan(spark, sf_dir, "lineitem")
     disc_c = F.round(F.col("l_discount") * 100).cast("long")
     rev = F.round(F.col("l_extendedprice") * 100).cast("long") * disc_c
     # The cents-exact discount band is an EXPRESSION (round+cast), which
@@ -1074,17 +1100,17 @@ def returned_item_revenue(
     row-sized shuffle (uniform key) and the top-k is
     TakeOrderedAndProject, never a global sort.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _scan(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R"
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    orders = _scan(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit(RETURNED_FROM).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(RETURNED_TO).cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = _scan(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal", "c_nationkey"
     )
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+    nation = _scan(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"
     )
     per_cust = (
@@ -1155,11 +1181,11 @@ def promo_revenue_share(
     collapse map-side into ONE single-row exchange — the
     numerator/denominator never require two passes.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _scan(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(PROMO_FROM).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(PROMO_TO).cast("timestamp"))
     )
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+    part = _scan(spark, sf_dir, "part").select(
         "p_partkey", "p_type"
     )
     rev = _revenue_cents()
@@ -1225,12 +1251,12 @@ def small_quantity_revenue(
     (the only corpus-sized read, read once); the window shuffles only
     the brand's lines (a ~1/|brands| slice) on a uniform partkey.
     """
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+    part = _scan(spark, sf_dir, "part").filter(
         F.col("p_brand") == SMALLQTY_BRAND
     ).select("p_partkey")
     qty = F.col("l_quantity").cast("long")
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _scan(spark, sf_dir, "lineitem")
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "l_partkey",
@@ -1319,12 +1345,12 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian, broadcast dims).
     """
     parts = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
+        _scan(spark, sf_dir, "part")
         .filter(F.col("p_name").startswith(DOMINANT_PREFIX))
         .select("p_partkey")
     )
     pair = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _scan(spark, sf_dir, "lineitem")
         .filter(
             (F.col("l_shipdate") >= F.lit(DOMINANT_FROM).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(DOMINANT_TO).cast("timestamp"))
@@ -1337,7 +1363,7 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = pair.select(
         "l_suppkey", "_qty", F.sum("_qty").over(w).alias("_total")
     ).filter(F.lit(2) * F.col("_qty") > F.col("_total"))
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    supp = _scan(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
     return (
@@ -1408,7 +1434,7 @@ def waiting_suppliers(
     is the single orderkey shuffle the join and window share.
     """
     orders = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _scan(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
@@ -1416,7 +1442,7 @@ def waiting_suppliers(
         f"INTERVAL {WAITING_LATE_DAYS} DAYS"
     )
     li = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _scan(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("l_orderkey", "l_suppkey", late.alias("_late"))
@@ -1435,10 +1461,10 @@ def waiting_suppliers(
         F.col("_late") & (F.col("_n_supp") > 1) & (F.col("_n_late") == 1)
     )
     supp = (
-        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        _scan(spark, sf_dir, "supplier")
         .join(
             F.broadcast(
-                spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+                _scan(spark, sf_dir, "nation").filter(
                     F.col("n_name") == WAITING_NATION
                 )
             ),
@@ -1510,16 +1536,16 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     both, no cartesian).
     """
     part_k = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
+        _scan(spark, sf_dir, "part")
         .filter(F.col("p_type") == MKT_TYPE)
         .select("p_partkey")
     )
-    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+    nation = _scan(spark, sf_dir, "nation")
+    region = _scan(spark, sf_dir, "region").filter(
         F.col("r_name") == MKT_REGION
     )
     cust_in_region = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        _scan(spark, sf_dir, "customer")
         .join(
             F.broadcast(
                 nation.join(
@@ -1532,7 +1558,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     supp_nation = (
-        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        _scan(spark, sf_dir, "supplier")
         .join(
             F.broadcast(nation.select("n_nationkey", "n_name")),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -1540,7 +1566,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("n_name").alias("_supp_nation"))
     )
     orders_w = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _scan(spark, sf_dir, "orders")
         .filter(
             (F.col("o_orderdate") >= F.lit(MKT_FROM).cast("timestamp"))
             & (F.col("o_orderdate") < F.lit(MKT_TO).cast("timestamp"))
@@ -1552,7 +1578,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
     joined = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _scan(spark, sf_dir, "lineitem")
         .join(F.broadcast(part_k), F.col("l_partkey") == F.col("p_partkey"))
         .join(orders_w, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -1632,7 +1658,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
     rev = (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _scan(spark, sf_dir, "lineitem")
         .filter(
             (F.col("l_shipdate") >= F.lit(TOPSUPP_FROM).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(TOPSUPP_TO).cast("timestamp"))
@@ -1645,7 +1671,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_rev_q",
         F.max("_rev_q").over(Window.partitionBy()).alias("_max_q"),
     ).filter(F.col("_rev_q") == F.col("_max_q"))
-    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+    supp = _scan(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
     return (
@@ -1706,7 +1732,7 @@ def supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus.  Plan pinned in tests/test_plans.py.
     """
     parts = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
+        _scan(spark, sf_dir, "part")
         .filter(
             (F.col("p_brand") != SUPPCNT_EXCL_BRAND)
             & (F.col("p_type") != SUPPCNT_EXCL_TYPE)
@@ -1715,12 +1741,12 @@ def supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
     blacklisted = (
-        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        _scan(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
     return (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _scan(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
         .join(
@@ -1776,7 +1802,7 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     |nations| x |years| rows.
     """
     parts = (
-        spark.read.parquet(f"{sf_dir}/part.parquet")
+        _scan(spark, sf_dir, "part")
         .filter(F.col("p_name").contains(PROFIT_NAME_PART))
         .select(
             "p_partkey",
@@ -1786,10 +1812,10 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     supp = (
-        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        _scan(spark, sf_dir, "supplier")
         .join(
             F.broadcast(
-                spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+                _scan(spark, sf_dir, "nation").select(
                     "n_nationkey", "n_name"
                 )
             ),
@@ -1797,14 +1823,14 @@ def nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
-    orders_y = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    orders_y = _scan(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
     )
     profit_q = F.round(F.col("l_extendedprice") * 100).cast("long") * (
         F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     ) - F.col("l_quantity").cast("long") * F.col("_cost_c") * F.lit(100)
     return (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _scan(spark, sf_dir, "lineitem")
         .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders_y, F.col("l_orderkey") == F.col("o_orderkey"))

@@ -583,3 +583,18 @@ def test_suite_extra_equals_its_arm_trace(spark, sf_dir):
     # trace silently under-attribute)
     shapes = {r[0] for r in union_rows}
     assert shapes == set(arms)
+
+
+def test_olap_scan_memoization(spark, sf_dir):
+    """r14 (VERDICT r13 #2 adjudication): the olap_suite_extra creep was
+    plan CONSTRUCTION — 49 repeated spark.read.parquet calls per build
+    at ~135 ms each.  _scan memoizes one scan DataFrame per (session,
+    path); different dirs stay distinct, and correctness is covered by
+    the unchanged oracle parity over the whole family."""
+    from cloudcomputing_flink_application_spark.operators import olap
+
+    a = olap._scan(spark, sf_dir, "nation")
+    assert olap._scan(spark, sf_dir, "nation") is a
+    other = olap._scan(spark, "/root/testdata/sf0.01", "nation")
+    assert other is not a
+    assert a.count() == other.count() == 25
