@@ -483,16 +483,35 @@ def _train_data(args: argparse.Namespace) -> None:
                 f"{args.output}/semantic/_meta"
             )
         elif os.path.isdir(f"{args.output}/semantic/pruned"):
-            # r14 (ADVICE r13): a flag-less --streaming run just advanced
+            # r14 (ADVICE r13): a flag-less --streaming run that advanced
             # the purge survivor set PAST the batch the semantic store
-            # derives from; the next plain --materialize will refuse via
-            # the watermark guard.  Say so now, at the run that caused
-            # it, instead of letting the user discover it later.
-            print(
-                "note: semantic/pruned store is now stale (survivors "
-                "advanced without --semantic-dedup); re-run --streaming "
-                "--semantic-dedup before a flag-less --materialize"
+            # derives from means the next plain --materialize will refuse
+            # via the watermark guard.  Say so now, at the run that
+            # caused it — but only when the watermark ACTUALLY trails
+            # (r14 review: a no-new-files re-run leaves the store valid
+            # and must not cry stale).
+            from pyspark.sql import functions as F
+
+            meta_dir = f"{args.output}/semantic/_meta"
+            derived = (
+                spark.read.parquet(meta_dir).first()[0]
+                if os.path.isdir(meta_dir)
+                else None
             )
+            last = (
+                spark.read.parquet(f"{args.output}/purge/table")
+                .agg(F.max("batch_id"))
+                .first()[0]
+                if os.path.isdir(f"{args.output}/purge/table")
+                else None
+            )
+            if derived is None or derived != last:
+                print(
+                    "note: semantic/pruned store is now stale (survivors "
+                    "advanced without --semantic-dedup); re-run "
+                    "--streaming --semantic-dedup before a flag-less "
+                    "--materialize"
+                )
         return
     if args.materialize:
         import os

@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -36,20 +38,26 @@ TOP_SUPPLIERS_K = 3
 #: misses.  NOT a general reader cache on purpose: a cached scan pins
 #: its file listing, which would silently miss late-arriving files on
 #: mutable dirs (the streaming stores) — OLAP's TPC-H dirs are the one
-#: family where immutability is a contract.
+#: family where immutability is a contract, and that contract extends
+#: to EVERY caller of this module: rewriting a dir in place mid-session
+#: and re-querying it is unsupported (the pinned listing would read
+#: deleted part files).  Lock-guarded: concurrent first calls must not
+#: race the stale-app clear against an insert.
 _SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SCAN_LOCK = threading.Lock()
 
 
 def _scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     app = spark.sparkContext.applicationId
     key = (app, f"{sf_dir}/{table}.parquet")
-    df = _SCAN_CACHE.get(key)
-    if df is None:
-        if any(k[0] != app for k in _SCAN_CACHE):
-            _SCAN_CACHE.clear()
-        df = spark.read.parquet(key[1])
-        _SCAN_CACHE[key] = df
-    return df
+    with _SCAN_LOCK:
+        df = _SCAN_CACHE.get(key)
+        if df is None:
+            if any(k[0] != app for k in _SCAN_CACHE):
+                _SCAN_CACHE.clear()
+            df = spark.read.parquet(key[1])
+            _SCAN_CACHE[key] = df
+        return df
 
 
 def _revenue_cents() -> F.Column:

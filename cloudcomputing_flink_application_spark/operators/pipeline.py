@@ -368,8 +368,10 @@ def _n_tok_col(token_col: str | None):
     """The packing token counter (r14, VERDICT r13 #5): the regex
     whitespace count by default; with ``token_col`` set, the precomputed
     EXACT tokenizer count from that column, per-row-falling back to the
-    regex count where the cell is NULL (a partially-tokenized corpus
-    packs consistently instead of corrupting running sums).  The
+    regex count where the cell is NULL **or negative** (a partially-
+    tokenized corpus packs consistently instead of corrupting running
+    sums, and a -1 "untokenized" sentinel — the same convention as
+    Spark's own size(NULL) — must not drive begin_tok backwards).  The
     coalesce on text is load-bearing: Spark's non-ANSI size(NULL) is -1,
     which would corrupt the sums (and diverge from DuckDB's NULL)."""
     regex = (
@@ -378,7 +380,9 @@ def _n_tok_col(token_col: str | None):
     )
     if token_col is None:
         return regex
-    return F.coalesce(F.col(token_col).cast("long"), regex)
+    exact = F.col(token_col).cast("long")
+    # NULL >= 0 is NULL -> otherwise(), so one predicate covers both
+    return F.when(exact >= 0, exact).otherwise(regex)
 
 
 def _n_tok_sql(token_col: str | None) -> str:
@@ -387,7 +391,11 @@ def _n_tok_sql(token_col: str | None) -> str:
     regex = f"CAST(len({toks}) AS BIGINT)"
     if token_col is None:
         return regex
-    return f"coalesce(CAST({token_col} AS BIGINT), {regex})"
+    # NULL >= 0 is NULL -> ELSE, mirroring the Spark when/otherwise
+    return (
+        f"CASE WHEN CAST({token_col} AS BIGINT) >= 0 "
+        f"THEN CAST({token_col} AS BIGINT) ELSE {regex} END"
+    )
 
 
 def pack_chunks(documents: DataFrame, token_col: str | None = None) -> DataFrame:
@@ -607,17 +615,18 @@ def chunk_oversize_docs(
         F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
         lambda t: t != "",
     )
-    base = documents.select(
-        "doc_id", "source", "text", tok.alias("_tk")
-    ).withColumn("_n", F.size("_tk").cast("long"))
+    cols = ["doc_id", "source", "text"]
+    if token_col is not None and token_col not in cols:
+        cols.append(token_col)
+    base = documents.select(*cols, tok.alias("_tk")).withColumn(
+        "_n", F.size("_tk").cast("long")
+    )
     if token_col is not None:
-        exact = documents.select(
-            "doc_id", _n_tok_col(token_col).alias("_n_exact")
-        )
-        base = (
-            base.join(exact, "doc_id")
-            .withColumn("_nws", F.col("_n"))
-            .withColumn("_n", F.col("_n_exact"))
+        # _n_exact projects straight off the same scan (r14 review: a
+        # doc_id self-join here would add a full shuffle to the packing
+        # path and drop NULL-doc_id rows the default path keeps)
+        base = base.withColumn("_nws", F.col("_n")).withColumn(
+            "_n", _n_tok_col(token_col)
         )
         small = base.filter(F.col("_n") <= budget).select(
             "doc_id",

@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import math
 import shutil
+import sys
 import time
 from pathlib import Path
 
@@ -1468,11 +1469,29 @@ def bench_semantic_1000x(spark) -> dict:
       reduce-side relief from the advisory mechanism, the purge-remedy
       protocol).
 
-    A 100x control anchor runs in the SAME session so the cross-decade
-    exponent is same-protocol, not stitched from the r13 record.  Timed
-    action = pruned-vector count (the intrinsic output); warm-up + 1
-    evidence run per regime (spill is the metric at this scale), stage
-    metrics from the UI REST window."""
+    A 100x control anchor runs under the same protocol so the
+    cross-decade exponent is same-protocol, not stitched from the r13
+    record.  Timed action = pruned-vector count (the intrinsic output);
+    warm-up + 1 evidence run per regime (spill is the metric at this
+    scale), stage metrics from the UI REST window.
+
+    ``regime`` (r14, first run's finding): at 2M vectors the CONTROL
+    regime OOMs the 8 GB local driver outright (heap death in the
+    tau-graph closure's first checkpoint materialization — the exact
+    wall the remedy exists for), and a driver OOM kills the whole
+    process, taking the not-yet-printed regimes with it.  Each regime
+    therefore runs in its OWN process (``scaling_bench.py
+    semantic-1000x <regime>``); ``all`` keeps the single-process path
+    for machines with more headroom.  An OOM-dead control is recorded
+    by the runner from the non-zero exit, not by this function."""
+    regime = sys.argv[2] if len(sys.argv) > 2 else "all"
+    valid = {"all", "anchor", "control", "adv16m_init256", "256_nocoalesce"}
+    if regime not in valid:
+        # r14 review: a typo'd regime would build the corpus, match no
+        # branch, and return {} — the silent-gap failure the
+        # per-process split exists to avoid
+        raise SystemExit(f"unknown semantic-1000x regime {regime!r}; "
+                         f"one of {sorted(valid)}")
     build_embs_suffix(spark, scales=(100, 1000))
 
     def pruned_count(e) -> int:
@@ -1514,29 +1533,34 @@ def bench_semantic_1000x(spark) -> dict:
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes", orig_adv
             )
 
-    e100 = spark.read.parquet(str(WORK / "embs_x100"))
-    out["anchor_100x"] = run_regime(e100, 32, "true", orig_adv)
     e1000 = spark.read.parquet(str(WORK / "embs_x1000"))
-    for label, parts, coalesce, adv in (
-        ("control", 32, "true", orig_adv),
-        ("adv16m_init256", 256, "true", "16MB"),
-        ("256_nocoalesce", 256, "false", orig_adv),
-    ):
-        out[label] = run_regime(e1000, parts, coalesce, adv)
-    n = e1000.count()
-    n_distinct = (
-        e1000.select(F.md5(F.col("embedding").cast("string")))
-        .distinct()
-        .count()
-    )
-    out["collapse_1000x"] = {
-        "rows": n,
-        "distinct_vectors": n_distinct,
-        "collapse_ratio": round(n / max(n_distinct, 1), 2),
+    if regime in ("all", "anchor"):
+        e100 = spark.read.parquet(str(WORK / "embs_x100"))
+        out["anchor_100x"] = run_regime(e100, 32, "true", orig_adv)
+    regimes = {
+        "control": (32, "true", orig_adv),
+        "adv16m_init256": (256, "true", "16MB"),
+        "256_nocoalesce": (256, "false", orig_adv),
     }
-    out["exponent_vs_100x"] = _exp_vs_1x(
-        out["control"]["sec"], out["anchor_100x"]["sec"], 10
-    )
+    for label, (parts, coalesce, adv) in regimes.items():
+        if regime in ("all", label):
+            out[label] = run_regime(e1000, parts, coalesce, adv)
+    if regime in ("all", "anchor"):
+        n = e1000.count()
+        n_distinct = (
+            e1000.select(F.md5(F.col("embedding").cast("string")))
+            .distinct()
+            .count()
+        )
+        out["collapse_1000x"] = {
+            "rows": n,
+            "distinct_vectors": n_distinct,
+            "collapse_ratio": round(n / max(n_distinct, 1), 2),
+        }
+    if "control" in out and "anchor_100x" in out:
+        out["exponent_vs_100x"] = _exp_vs_1x(
+            out["control"]["sec"], out["anchor_100x"]["sec"], 10
+        )
     return out
 
 

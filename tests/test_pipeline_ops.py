@@ -752,9 +752,16 @@ def test_pack_token_col_exact_budgeting(spark):
     for i in range(60):
         nwords = (i * 7) % 23
         text = " ".join(f"w{j}" for j in range(nwords)) or None
-        # exact counts diverge from the whitespace count (BPE-ish 1.4x),
-        # every 5th row NULL to exercise the per-row fallback
-        n_exact = None if i % 5 == 0 else int(nwords * 1.4) + (i % 3)
+        # exact counts diverge from the whitespace count (BPE-ish 1.4x);
+        # every 5th row NULL and every 7th a -1 "untokenized" sentinel —
+        # both must fall back to the regex counter (r14 review: a
+        # negative count would drive begin_tok backwards)
+        if i % 5 == 0:
+            n_exact = None
+        elif i % 7 == 0:
+            n_exact = -1
+        else:
+            n_exact = int(nwords * 1.4) + (i % 3)
         rows.append((i, f"src{i % 2}", text, n_exact))
     df = spark.createDataFrame(
         rows, "doc_id long, source string, text string, n_exact long"

@@ -592,9 +592,10 @@ def test_olap_scan_memoization(spark, sf_dir):
     path); different dirs stay distinct, and correctness is covered by
     the unchanged oracle parity over the whole family."""
     from cloudcomputing_flink_application_spark.operators import olap
+    from tests.conftest import TESTDATA
 
     a = olap._scan(spark, sf_dir, "nation")
     assert olap._scan(spark, sf_dir, "nation") is a
-    other = olap._scan(spark, "/root/testdata/sf0.01", "nation")
+    other = olap._scan(spark, f"{TESTDATA}/sf0.01", "nation")
     assert other is not a
     assert a.count() == other.count() == 25
