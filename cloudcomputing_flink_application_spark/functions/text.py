@@ -17,6 +17,8 @@ Verified equivalences (tests/test_functions.py):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -42,17 +44,50 @@ SHINGLE_W = 3
 
 EMPTY = ""
 
+# --- cached Spark-SQL expression builder (r14 optimization round) ------------
+#
+# Higher-order functions built through the Column DSL (transform/filter/
+# aggregate with Python lambdas) cost ~10-20 ms of py4j round trips EACH
+# at construction time, and the bench's timed region rebuilds every
+# query's plan per run — a 16-permutation MinHash signature alone was
+# ~0.3 s of driver-side lambda plumbing per construction.  The hot
+# builders below therefore have Spark-SQL STRING twins (suffix ``_sx``,
+# mirroring the DuckDB ``_sql`` twins structurally), compiled to a Column
+# once per distinct string via the lru-cached ``xp`` and reused — Column
+# objects are immutable expression trees, safe to share across plans and
+# sessions on one gateway.  The semantics are identical to the DSL forms
+# (same Catalyst expressions after parsing); only the construction path
+# changed.  Numeric-literal dialect note: SQL ``0.0`` parses as DECIMAL,
+# so double literals must be written ``0D`` in _sx strings.
+
+
+@lru_cache(maxsize=2048)
+def xp(sql: str) -> Column:
+    """Cached ``F.expr``: each distinct expression string is parsed once
+    per process instead of rebuilt through py4j per query construction."""
+    return F.expr(sql)
+
+
 # --- tokenization ------------------------------------------------------------
 
 
 def tokens(col: str = "text") -> Column:
     """Lowercased whitespace tokens, empties removed."""
-    return tokens_of(F.col(col))
+    return xp(tokens_sx(col))
 
 
-def tokens_of(col: Column) -> Column:
-    """``tokens`` over an arbitrary Column expression."""
+def tokens_of(col: Column | str) -> Column:
+    """``tokens`` over an arbitrary Column expression (or a Spark-SQL
+    expression string — the cached fast path, see ``xp``)."""
+    if isinstance(col, str):
+        return xp(tokens_sx(col))
     return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != EMPTY)
+
+
+def tokens_sx(expr: str = "text") -> str:
+    """Spark-SQL twin of :func:`tokens_of` (dialect note: ``'\\\\s+'`` in
+    the emitted SQL is the regex ``\\s+`` after SQL-literal unescaping)."""
+    return f"filter(split(lower({expr}), '\\\\s+'), t -> t != '')"
 
 
 def tokens_sql(col: str = "text") -> str:
@@ -67,6 +102,11 @@ def h56(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
 
 
+def h56_sx(expr: str) -> str:
+    """Spark-SQL twin of :func:`h56`."""
+    return f"cast(conv(substring(md5({expr}), 1, 14), 16, 10) as bigint)"
+
+
 def h56_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 14) AS BIGINT)"
 
@@ -74,18 +114,30 @@ def h56_sql(expr: str) -> str:
 # --- shingles ----------------------------------------------------------------
 
 
-def shingles(tok: Column, w: int = SHINGLE_W) -> Column:
+def shingles(tok: Column | str, w: int = SHINGLE_W) -> Column:
     """Word w-grams as space-joined strings; empty array when < w tokens.
 
     Built with sequence+transform (no explode): stays a per-row array op, so
     shingling fuses into the scan stage — no shuffle at any scale.
+    Accepts a Spark-SQL expression string for the cached fast path (``xp``).
     """
+    if isinstance(tok, str):
+        return xp(shingles_sx(tok, w))
     n = F.size(tok)
     return F.when(n < w, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), n - (w - 1)),
             lambda i: F.concat_ws(" ", F.slice(tok, i, w)),
         )
+    )
+
+
+def shingles_sx(tok_expr: str, w: int = SHINGLE_W) -> str:
+    """Spark-SQL twin of :func:`shingles`."""
+    return (
+        f"case when size({tok_expr}) < {w} then cast(array() as array<string>) "
+        f"else transform(sequence(1, size({tok_expr}) - {w - 1}), "
+        f"i -> concat_ws(' ', slice({tok_expr}, i, {w}))) end"
     )
 
 
@@ -100,19 +152,35 @@ def shingles_sql(tok_expr: str, w: int = SHINGLE_W) -> str:
 # --- MinHash -----------------------------------------------------------------
 
 
-def minhash_sig(shingle_col: Column) -> list[Column]:
+def minhash_sig(shingle_col: Column | str) -> list[Column]:
     """NUM_PERM MinHash values, each an independent permutation min.
 
     Per-row array math only (array_min over transform) — no explode, no
     shuffle; the signature computation is embarrassingly parallel and fuses
-    into the scan at any scale.
+    into the scan at any scale.  Accepts a Spark-SQL expression string for
+    the cached fast path (17 higher-order lambdas per DSL build, ~0.3 s of
+    py4j per query construction — see ``xp``).
     """
+    if isinstance(shingle_col, str):
+        return [
+            xp(s).alias(f"mh{j}")
+            for j, s in enumerate(minhash_sig_sx(shingle_col))
+        ]
     hashed = F.transform(shingle_col, lambda s: h56(s) % MINHASH_PRIME)
     return [
         F.array_min(
             F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
         ).alias(f"mh{j}")
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def minhash_sig_sx(shingle_expr: str) -> list[str]:
+    """Spark-SQL twin of :func:`minhash_sig` (unaliased expressions)."""
+    hashed = f"transform({shingle_expr}, s -> ({h56_sx('s')}) % {MINHASH_PRIME})"
+    return [
+        f"array_min(transform({hashed}, h -> ({a} * h + {b}) % {MINHASH_PRIME}))"
+        for a, b in zip(MINHASH_A, MINHASH_B)
     ]
 
 
@@ -138,8 +206,13 @@ def band_key_sql(j: int) -> str:
 # --- SimHash -----------------------------------------------------------------
 
 
-def token_hashes(tok: Column) -> Column:
-    """Per-token SIMHASH_BITS-bit hashes (hash once, reuse across all bits)."""
+def token_hashes(tok: Column | str) -> Column:
+    """Per-token SIMHASH_BITS-bit hashes (hash once, reuse across all bits).
+    Accepts a Spark-SQL expression string for the cached fast path."""
+    if isinstance(tok, str):
+        return xp(
+            f"transform({tok}, t -> ({h56_sx('t')}) % {1 << SIMHASH_BITS})"
+        )
     return F.transform(tok, lambda t: h56(t) % F.lit(1 << SIMHASH_BITS))
 
 
@@ -155,12 +228,15 @@ def _bit_ones(th: Column, k: int) -> Column:
     )
 
 
-def simhash_from_hashes(th: Column) -> Column:
+def simhash_from_hashes(th: Column | str) -> Column:
     """SIMHASH_BITS-bit SimHash from pre-hashed tokens (majority per bit).
 
     Callers must materialize ``token_hashes`` as a real column first so md5
-    runs once per token, not once per bit.
+    runs once per token, not once per bit.  Accepts a Spark-SQL expression
+    string for the cached fast path (32 aggregate lambdas per DSL build).
     """
+    if isinstance(th, str):
+        return xp(simhash_from_hashes_sx(th))
     n = F.size(th)
     out = F.lit(0).cast("long")
     for k in range(SIMHASH_BITS):
@@ -169,6 +245,22 @@ def simhash_from_hashes(th: Column) -> Column:
             F.lit(0).cast("long")
         )
     return out
+
+
+def simhash_from_hashes_sx(th_expr: str) -> str:
+    """Spark-SQL twin of :func:`simhash_from_hashes` — one parseable
+    string for all SIMHASH_BITS majority terms."""
+    terms = ["cast(0 as bigint)"]
+    for k in range(SIMHASH_BITS):
+        ones = (
+            f"aggregate({th_expr}, cast(0 as bigint), "
+            f"(acc, h) -> acc + shiftright(h, {k}) % 2)"
+        )
+        terms.append(
+            f"(case when ({ones}) * 2 > size({th_expr}) "
+            f"then cast({1 << k} as bigint) else cast(0 as bigint) end)"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def simhash_from_hashes_sql(th_expr: str) -> str:

@@ -256,7 +256,7 @@ def _token_sets(documents: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.array_distinct(
-                X.tokens_of(F.coalesce(F.col("text"), F.lit("")))
+                X.tokens_of("coalesce(text, '')")
             ).alias("tokset"),
         )
         .withColumn("nset", F.size("tokset"))
@@ -281,7 +281,7 @@ def band_rows_from_toksets(toks: DataFrame) -> DataFrame:
     through both, tokenizing each document exactly once per micro-batch —
     the batch twin (``_verified_star_edges``) shares its token sets the
     same way."""
-    sigs = toks.select("doc_id", *[c for c in X.minhash_sig(F.col("tokset"))])
+    sigs = toks.select("doc_id", *[c for c in X.minhash_sig("tokset")])
     return sigs.select(
         "doc_id",
         F.explode(
@@ -392,7 +392,7 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     # cluster variant below) share entries instead of stacking copies.
     reps, members = _exact_groups(documents)
     toks = _persist(_token_sets(reps))
-    sigs = toks.select("doc_id", *[c for c in X.minhash_sig(F.col("tokset"))])
+    sigs = toks.select("doc_id", *[c for c in X.minhash_sig("tokset")])
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -817,7 +817,20 @@ def connected_components(
                 return df.checkpoint()
             finally:
                 df.unpersist()
-        return df.localCheckpoint()
+        # LAZY local checkpoint (r14 optimization round, guide §1.2 "remove
+        # unnecessary passes"): eager=True ran one materialization job per
+        # truncate — 2 extra jobs per round whose only purpose was to fill
+        # the snapshot blocks the convergence action would fill anyway.
+        # With eager=False the round's single convergence action computes
+        # large+small once and the localCheckpoint machinery caches every
+        # partition as a side effect (LocalRDDCheckpointData backfills any
+        # partition the action skipped), so lineage is truncated exactly as
+        # before with one action per round instead of three.  The frames
+        # are deterministic (pure min/join algebra), so the lazy-checkpoint
+        # recompute caveat does not bite; the RELIABLE path above keeps
+        # eager persist+checkpoint — at cluster scale the FS snapshot must
+        # exist before anything builds on the frame.
+        return df.localCheckpoint(eager=False)
 
     def _snapshots() -> set:
         return _ckpt_entries(spark) if reliable else _local_ckpt_rdd_ids(spark)
@@ -1197,8 +1210,8 @@ def simhash_dedup(documents: DataFrame) -> DataFrame:
     nparts = documents.sparkSession.sparkContext.defaultParallelism
     sigs = (
         reps.repartition(nparts)
-        .select("doc_id", X.token_hashes(X.tokens("text")).alias("_th"))
-        .select("doc_id", X.simhash_from_hashes(F.col("_th")).alias("sh"))
+        .select("doc_id", X.token_hashes(X.tokens_sx("text")).alias("_th"))
+        .select("doc_id", X.simhash_from_hashes("_th").alias("sh"))
     )
     bands = sigs.select(
         "doc_id",
@@ -1489,7 +1502,7 @@ def ngram_jaccard_dedup(
     # constraints fold away instead of re-running the md5 pipeline inside a
     # pre-repartition scan filter (see _token_sets).
     nparts = documents.sparkSession.sparkContext.defaultParallelism
-    nn_text = F.coalesce(F.col("text"), F.lit(""))
+    chars = "split(lower(coalesce(text, '')), '')"
     grams = (
         documents.filter(F.length("text") >= 3)
         .repartition(nparts)
@@ -1497,9 +1510,8 @@ def ngram_jaccard_dedup(
             "doc_id",
             "source",
             F.array_distinct(
-                F.transform(
-                    X.shingles(F.split(F.lower(nn_text), ""), w=3),
-                    lambda s: X.h56(s),
+                X.xp(
+                    f"transform({X.shingles_sx(chars, w=3)}, s -> {X.h56_sx('s')})"
                 )
             ).alias("g3"),
         )
@@ -1621,13 +1633,13 @@ def embedding_cosine_dedup(
     nparts = embeddings.sparkSession.sparkContext.defaultParallelism
     e = embeddings.repartition(nparts).select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        X.xp("transform(embedding, x -> cast(x as double))").alias("emb"),
     )
     dot = lambda u, v: F.aggregate(  # noqa: E731
         F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     norms = e.select(
-        "vec_id", "emb", F.sqrt(dot(F.col("emb"), F.col("emb"))).alias("nrm")
+        "vec_id", "emb", X.xp("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x))").alias("nrm")
     ).filter(F.col("nrm") > 0)
     scored = (
         norms.alias("a")
@@ -1771,7 +1783,13 @@ def embedding_lsh_dedup(
 def _emb_dot(u, v):
     """Sequential per-row fold — bit-identical to DuckDB's
     ``list_dot_product`` (tests/test_functions.py), the property every
-    LSH bit below inherits."""
+    LSH bit below inherits.  String-string operands take the cached-expr
+    fast path (r14 — see functions.text.xp)."""
+    if isinstance(u, str) and isinstance(v, str):
+        return X.xp(
+            f"aggregate(zip_with({u}, {v}, (x, y) -> x * y), 0D, "
+            "(acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -1785,10 +1803,10 @@ def _hp_norms(embeddings: DataFrame) -> DataFrame:
     nparts = embeddings.sparkSession.sparkContext.defaultParallelism
     e = embeddings.repartition(nparts).select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        X.xp("transform(embedding, x -> cast(x as double))").alias("emb"),
     )
     return e.select(
-        "vec_id", "emb", F.sqrt(_emb_dot(F.col("emb"), F.col("emb"))).alias("nrm")
+        "vec_id", "emb", X.xp("sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x))").alias("nrm")
     ).filter(F.col("nrm") > 0)
 
 
@@ -1804,21 +1822,29 @@ def _hp_band_rows(
     comma-joined) — near-identical vectors share it exactly or almost,
     so a sig sort clusters them adjacently inside a coarse bucket."""
     rows_per_band = planes // bands
-    bits = [
-        F.when(
-            _emb_dot(
-                F.col("emb"), F.array(*[F.lit(v) for v in _hp_plane(p, dim)])
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
+    # Cached-expr build (r14 optimization round, functions.text.xp): the
+    # DSL form of the `planes` sign-bit folds was ~1000 py4j calls per
+    # construction (each plane is a 64-literal array + an aggregate
+    # lambda); the whole _keys array is ONE parseable string, built once
+    # per (dim, planes, bands) per process.  Literal dialect: `1.0D` =
+    # double (plain `1.0` would parse as DECIMAL and change the fold
+    # type); expressions below mirror the DSL ops 1:1, so the bits and
+    # band keys are bit-identical to the previous build.
+    bits_sx = [
+        "(case when aggregate(zip_with(emb, array("
+        + ", ".join(f"{v:.1f}D" for v in _hp_plane(p, dim))
+        + "), (x, y) -> x * y), 0D, (acc, x) -> acc + x) >= 0 "
+        "then 1 else 0 end)"
         for p in range(planes)
     ]
-    band_keys = [
-        sum(
-            (bits[b * rows_per_band + i].cast("long") * (1 << (rows_per_band - 1 - i))
-             for i in range(rows_per_band)),
-            start=F.lit(0).cast("long"),
+    band_keys_sx = [
+        " + ".join(
+            ["cast(0 as bigint)"]
+            + [
+                f"cast({bits_sx[b * rows_per_band + i]} as bigint)"
+                f" * {1 << (rows_per_band - 1 - i)}"
+                for i in range(rows_per_band)
+            ]
         )
         for b in range(bands)
     ]
@@ -1827,7 +1853,10 @@ def _hp_band_rows(
     # cannot share the plane-dot folds (different plan operators, no
     # CSE across them), so inlining band_keys twice ran the n x planes
     # projection twice per purge (r11 review)
-    keyed = norms.select("vec_id", F.array(*band_keys).alias("_keys"))
+    keyed = norms.select(
+        "vec_id",
+        X.xp("array(" + ", ".join(band_keys_sx) + ")").alias("_keys"),
+    )
     return keyed.select(
         "vec_id",
         F.posexplode("_keys").alias("band", "key"),
@@ -1853,7 +1882,7 @@ def _cosine_verified(
     scored = cands.join(ea, left).join(eb, right).select(
         left,
         right,
-        (_emb_dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))).alias("cos"),
+        (_emb_dot("_ea", "_eb") / (F.col("_na") * F.col("_nb"))).alias("cos"),
     )
     return filter_after_barrier(scored, left, F.col("cos") > cos_dup)
 

@@ -20,10 +20,12 @@ Scale notes:
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from cloudcomputing_flink_application_spark.sources.scan_cache import (
+    memo_parquet_scan,
+)
 
 TOP_SUPPLIERS_K = 3
 
@@ -41,23 +43,12 @@ TOP_SUPPLIERS_K = 3
 #: family where immutability is a contract, and that contract extends
 #: to EVERY caller of this module: rewriting a dir in place mid-session
 #: and re-querying it is unsupported (the pinned listing would read
-#: deleted part files).  Lock-guarded: concurrent first calls must not
-#: race the stale-app clear against an insert.
-_SCAN_CACHE: dict[tuple[str, str], DataFrame] = {}
-_SCAN_LOCK = threading.Lock()
-
-
+#: deleted part files).  r14 optimization round: the implementation moved
+#: to sources.scan_cache so the documents/embeddings/events registry
+#: scans (same write-once driver testdata, same ~135 ms per rebuild)
+#: share it; this wrapper keeps the OLAP-local name tests pin.
 def _scan(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    app = spark.sparkContext.applicationId
-    key = (app, f"{sf_dir}/{table}.parquet")
-    with _SCAN_LOCK:
-        df = _SCAN_CACHE.get(key)
-        if df is None:
-            if any(k[0] != app for k in _SCAN_CACHE):
-                _SCAN_CACHE.clear()
-            df = spark.read.parquet(key[1])
-            _SCAN_CACHE[key] = df
-        return df
+    return memo_parquet_scan(spark, f"{sf_dir}/{table}.parquet")
 
 
 def _revenue_cents() -> F.Column:

@@ -69,7 +69,7 @@ def decontaminate(documents: DataFrame, w: int = DECONTAM_W) -> DataFrame:
     # and re-inline the whole tokenize+md5 pipeline into a scan filter.
     nparts = documents.sparkSession.sparkContext.defaultParallelism
     shs = F.array_distinct(
-        X.shingles(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))), w)
+        X.shingles(X.tokens_sx("coalesce(text, '')"), w)
     )
     corpus = (
         documents.filter(F.col("doc_id") % BENCH_MOD != 0)
@@ -170,7 +170,7 @@ def contamination_report(documents: DataFrame, w: int = DECONTAM_W) -> DataFrame
     """
     nparts = documents.sparkSession.sparkContext.defaultParallelism
     shs = F.array_distinct(
-        X.shingles(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))), w)
+        X.shingles(X.tokens_sx("coalesce(text, '')"), w)
     )
     bench = (
         documents.filter(F.col("doc_id") % BENCH_MOD == 0)
@@ -279,7 +279,7 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             .select(
                 "doc_id",
                 F.explode_outer(
-                    X.shingles(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))), w)
+                    X.shingles(X.tokens_sx("coalesce(text, '')"), w)
                 ).alias("g"),
             )
             .filter(F.col("g").isNotNull())
@@ -375,7 +375,7 @@ def _n_tok_col(token_col: str | None):
     coalesce on text is load-bearing: Spark's non-ANSI size(NULL) is -1,
     which would corrupt the sums (and diverge from DuckDB's NULL)."""
     regex = (
-        F.size(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))))
+        F.size(X.tokens_of("coalesce(text, '')"))
         .cast("long")
     )
     if token_col is None:
@@ -542,7 +542,7 @@ def pack_bins(documents: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         (F.col("doc_id") / PACK_RANGE).cast("long").alias("pack_key"),
         # coalesce: size(NULL) is -1 in non-ANSI Spark — a negative load
         # would let an over-budget bin pass the capacity invariant
-        F.size(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))))
+        F.size(X.tokens_of("coalesce(text, '')"))
         .cast("long")
         .alias("n_tok"),
     )
@@ -1253,7 +1253,7 @@ def _span_window_rows(documents: DataFrame, w: int) -> DataFrame:
         .select(
             "doc_id",
             F.posexplode_outer(
-                X.shingles(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))), w)
+                X.shingles(X.tokens_sx("coalesce(text, '')"), w)
             ).alias("p0", "win"),
         )
         .filter(F.col("win").isNotNull())
@@ -1338,7 +1338,7 @@ def dup_span_stats(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
             F.sum("_gain").cast("long").alias("dup_tokens"),
         )
     )
-    n_tokens = F.size(X.tokens_of(F.coalesce(F.col("text"), F.lit(""))))
+    n_tokens = F.size(X.tokens_of("coalesce(text, '')"))
     base = documents.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
@@ -1439,7 +1439,7 @@ def scrub_dup_spans(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"))
     )
     toks = documents.select(
-        "doc_id", X.tokens_of(F.coalesce(F.col("text"), F.lit(""))).alias("tok")
+        "doc_id", X.tokens_of("coalesce(text, '')").alias("tok")
     )
     spans = F.coalesce(F.col("spans"), F.array().cast("array<struct<s:int,e:int>>"))
     joined = toks.join(islands, "doc_id", "left").select("doc_id", "tok", spans.alias("sp"))
@@ -1592,7 +1592,7 @@ def chunk_docs(
     if not 0 <= overlap < n:
         raise ValueError(f"overlap must be in [0, n) (got {overlap}, n={n})")
     stride = n - overlap
-    tok = X.tokens_of(F.coalesce(F.col("text"), F.lit("")))
+    tok = X.tokens_of("coalesce(text, '')")
     ntok = F.size(tok)
     starts = F.filter(
         F.when(ntok > 0, F.sequence(F.lit(1), ntok, F.lit(stride))).otherwise(

@@ -215,7 +215,20 @@ def release_cached(since: int = 0) -> None:
         frames.pop().unpersist()
 
 
-def _dot(u: Column, v: Column) -> Column:
+def _dot_sx(u: str, v: str) -> str:
+    """Spark-SQL twin of :func:`_dot` (``0D`` = double literal, matching
+    the DSL's ``F.lit(0.0)`` — plain SQL ``0.0`` would parse as DECIMAL)."""
+    return f"aggregate(zip_with({u}, {v}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _dot(u: Column | str, v: Column | str) -> Column:
+    # string-string pairs take the cached-expr fast path (r14 optimization
+    # round): the DSL lambda chain costs ~10-20 ms of py4j per build and
+    # the search arms rebuild dozens of dots per bench run — see
+    # functions.text.xp.  Column operands (lambda variables, struct
+    # fields) keep the DSL form.
+    if isinstance(u, str) and isinstance(v, str):
+        return X.xp(_dot_sx(u, v))
     return F.aggregate(
         F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -243,26 +256,49 @@ def _normed(embeddings: DataFrame, spread: bool = True) -> DataFrame:
     e = embeddings.select(
         "vec_id",
         "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        X.xp("transform(embedding, x -> cast(x as double))").alias("emb"),
     )
-    return e.withColumn("nrm", F.sqrt(_dot(F.col("emb"), F.col("emb")))).filter(
+    return e.withColumn("nrm", F.sqrt(_dot("emb", "emb"))).filter(
         F.col("nrm") > 0
     )
 
 
-def cosine_topk(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
+def _queries_normed(embeddings: DataFrame) -> DataFrame:
+    """The normed stride-filtered query branch every search arm shares.
+
+    Stride-filter BEFORE the norm pipeline: the query branch is a second
+    scan of the corpus, and filtering first means it folds 1/STRIDE of
+    the rows instead of all of them (the % predicate is cheap per row;
+    the 64-element dot fold is not).  Same row set either order.
+
+    r14 optimization round: the three search arms (and the recall
+    report's two) used to each rebuild this frame and ``_normed(corpus)``
+    from scratch — identical plans, rebuilt at ~0.1-0.2 s of driver-side
+    py4j/analysis each inside the bench's timed region.  The composition
+    entry points now build each ONCE and thread them through the arms
+    (``base=``/``queries=`` parameters below); single-arm calls are
+    unchanged.  Plan semantics are identical — the same expressions, just
+    constructed once."""
+    return _normed(
+        embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    k: int = TOPK,
+    base: DataFrame | None = None,
+    queries: DataFrame | None = None,
+) -> DataFrame:
     """Exact top-k cosine neighbors for every QUERY_STRIDE-th vector.
 
     Output: (query_id, neighbor_id, rank, cos) — rank 1..k by
-    (cos desc, neighbor_id asc), self excluded.
+    (cos desc, neighbor_id asc), self excluded.  ``base``/``queries``
+    optionally supply the shared normed frames (see _queries_normed).
     """
-    base = _normed(embeddings)
-    # Stride-filter BEFORE the norm pipeline: the query branch is a second
-    # scan of the corpus, and filtering first means it folds 1/STRIDE of
-    # the rows instead of all of them (the % predicate is cheap per row;
-    # the 64-element dot fold is not).  Same row set either order.
-    queries = _normed(
-        embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
+    base = _normed(embeddings) if base is None else base
+    queries = (
+        _queries_normed(embeddings) if queries is None else queries
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -274,7 +310,7 @@ def cosine_topk(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (_dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+            (_dot("qemb", "emb") / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -465,7 +501,7 @@ def _assign_to_centroids(
         joined = F.broadcast(centroids).join(base, how="cross")
     asg_scored = joined.select(
         "vec_id", "emb", "nrm", "cluster",
-        (_dot(F.col("cemb"), F.col("emb")) / (F.col("cnrm") * F.col("nrm"))).alias("ccos"),
+        (_dot("cemb", "emb") / (F.col("cnrm") * F.col("nrm"))).alias("ccos"),
     )
     wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cluster"))
     cols = ["vec_id", "emb", "nrm", "cluster"] + (["ccos"] if keep_score else [])
@@ -481,6 +517,8 @@ def cosine_topk_ivf(
     k: int = TOPK,
     nprobe: int = NPROBE,
     codebook: DataFrame | None = None,
+    base: DataFrame | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-pruned top-k: probe only the nprobe clusters nearest each query.
 
@@ -502,7 +540,7 @@ def cosine_topk_ivf(
     probed subset (ANN semantics: may differ from exact top-k; that is the
     operator's contract, and its oracle mirrors it).
     """
-    base = _normed(embeddings)
+    base = _normed(embeddings) if base is None else base
     # Codebook in ONE aggregation pass: min_by pulls the minimum-vec_id
     # row's vector directly, replacing r2's groupBy-min + join-back (two
     # corpus passes).  It is consumed twice (vector assignment + query
@@ -530,10 +568,10 @@ def cosine_topk_ivf(
     # written to storage; here it is consumed once, so no persist.
     assigned = _assign_to_centroids(base, centroids)
     # probing: every query -> its nprobe nearest clusters.  Stride-filter
-    # before the norm pipeline (see cosine_topk): this branch folds only
-    # 1/STRIDE of the corpus.
-    queries = _normed(
-        embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False
+    # before the norm pipeline (see _queries_normed): this branch folds
+    # only 1/STRIDE of the corpus.
+    queries = (
+        _queries_normed(embeddings) if queries is None else queries
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("qemb"),
@@ -541,7 +579,7 @@ def cosine_topk_ivf(
     )
     probe_scored = F.broadcast(centroids).join(queries, how="cross").select(
         "query_id", "qemb", "qnrm", "cluster",
-        (_dot(F.col("cemb"), F.col("qemb")) / (F.col("cnrm") * F.col("qnrm"))).alias("ccos"),
+        (_dot("cemb", "qemb") / (F.col("cnrm") * F.col("qnrm"))).alias("ccos"),
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cluster"))
     probes = (
@@ -557,7 +595,7 @@ def cosine_topk_ivf(
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (_dot(F.col("qemb"), F.col("emb")) / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        (_dot("qemb", "emb") / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
     )
     wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -665,7 +703,7 @@ def dequantize_codebook(sums: DataFrame) -> DataFrame:
         )
     )
     return cent.withColumn(
-        "cnrm", F.sqrt(_dot(F.col("cemb"), F.col("cemb")))
+        "cnrm", F.sqrt(_dot("cemb", "cemb"))
     ).filter(F.col("cnrm") > 0)
 
 
@@ -809,10 +847,15 @@ def ivf_recall_report(
     (here the stride set is already small); the join is per-query
     equi-join on tiny top-k frames.
     """
-    exact = cosine_topk(embeddings, k).select("query_id", "neighbor_id")
-    approx = cosine_topk_ivf(embeddings, k, nprobe, codebook).select(
+    # shared normed frames (r14 optimization round — see _queries_normed)
+    base = _normed(embeddings)
+    qn = _queries_normed(embeddings)
+    exact = cosine_topk(embeddings, k, base=base, queries=qn).select(
         "query_id", "neighbor_id"
     )
+    approx = cosine_topk_ivf(
+        embeddings, k, nprobe, codebook, base=base, queries=qn
+    ).select("query_id", "neighbor_id")
     totals = exact.groupBy("query_id").agg(
         F.count("*").cast("long").alias("n_exact")
     )
@@ -874,15 +917,19 @@ def topk_methods(embeddings: DataFrame, k: int = TOPK) -> DataFrame:
     query set + map-side partial top-k for brute, codebook-pruned
     candidate scan for IVF, scan-fused code lookup for PQ).
     """
-    brute = cosine_topk(embeddings, k).select(
+    # shared normed frames (r14 optimization round — see _queries_normed):
+    # one corpus frame + one query frame constructed for all three arms
+    base = _normed(embeddings)
+    qn = _queries_normed(embeddings)
+    brute = cosine_topk(embeddings, k, base=base, queries=qn).select(
         F.lit("brute").alias("method"), "query_id", "neighbor_id", "rank",
         F.col("cos").alias("score"),
     )
-    ivf = cosine_topk_ivf(embeddings, k=k).select(
+    ivf = cosine_topk_ivf(embeddings, k=k, base=base, queries=qn).select(
         F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank",
         F.col("cos").alias("score"),
     )
-    pq = pq_topk(embeddings, k=k).select(
+    pq = pq_topk(embeddings, k=k, base=base, queries=qn).select(
         F.lit("pq").alias("method"), "query_id", "neighbor_id", "rank",
         F.col("adc").alias("score"),
     )
@@ -1311,7 +1358,7 @@ def _auto_shortlist_for(coded: DataFrame) -> int:
     return _floor_shortlist(*_code_blob_stats(coded))
 
 
-def _pq_slice(emb: Column, sub: Column, m: int) -> Column:
+def _pq_slice(emb: Column, sub: Column | int, m: int) -> Column:
     """The ``sub``-th of ``m`` contiguous subvectors of ``emb``.  The
     divisibility guard is per row and loud (raise_error), mirroring
     ``_encode_cluster``: a corpus whose dim does not divide by m must
@@ -1362,7 +1409,7 @@ def _pq_seeds(base: DataFrame, m: int, ksub: int) -> DataFrame:
     ).select(
         F.col("sub").cast("int").alias("sub"),
         "code",
-        _pq_slice(F.col("emb"), F.col("sub"), m).alias("cemb"),
+        X.xp(_pq_slice_sx("emb", "sub", m)).alias("cemb"),
     )
 
 
@@ -1399,7 +1446,11 @@ def _pq_carry_forward(prev: DataFrame, stats: DataFrame) -> DataFrame:
 
 
 def _pq_train(
-    embeddings: DataFrame, m: int, ksub: int, iters: int
+    embeddings: DataFrame,
+    m: int,
+    ksub: int,
+    iters: int,
+    base: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(codebook, final_stats): ``iters`` Lloyd rounds from the
     deterministic seeds.  Intermediate codebooks are _persist-ed (each is
@@ -1419,7 +1470,7 @@ def _pq_train(
     oracle's row_number form)."""
     if iters < 1:
         raise ValueError(f"pq training needs iters >= 1, got {iters}")
-    base = _normed(embeddings)
+    base = _normed(embeddings) if base is None else base
     cb = _persist(_pq_seeds(base, m, ksub))
     cb_next, stats = None, None
     for it in range(iters):
@@ -1435,7 +1486,7 @@ def _pq_train(
                 F.col("sub").cast("int").alias("sub"),
                 "code",
                 F.posexplode(
-                    _pq_slice(F.col("emb"), F.col("sub"), m)
+                    X.xp(_pq_slice_sx("emb", "sub", m))
                 ).alias("pos", "val"),
             )
             .select(
@@ -1500,28 +1551,24 @@ def _pq_packed(codebook: DataFrame) -> DataFrame:
     POSITIONS as codes, corrupting every downstream join against the
     codebook.  Both levels raise per element instead (the module's
     loud-contract convention, like ``_pq_slice``/``_encode_cluster``)."""
+    # cached-expr build (r14 — functions.text.xp): the validation
+    # transforms are 1:1 SQL renderings of the previous DSL lambdas,
+    # raise_error messages byte-identical.
     per_sub = (
         codebook.groupBy("sub")
         .agg(F.array_sort(F.collect_list(F.struct("code", "cemb"))).alias("cc"))
         .select(
             "sub",
-            F.transform(
-                "cc",
-                lambda s, i: F.when(s["code"] == i, s["cemb"]).otherwise(
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "pq codebook codes must be dense 0..C-1 "
-                                "per sub; found code "
-                            ),
-                            s["code"].cast("string"),
-                            F.lit(" at position "),
-                            i.cast("string"),
-                        )
-                    )
-                ),
+            X.xp(
+                "transform(cc, (s, i) -> case when s.code = i then s.cemb "
+                "else raise_error(concat("
+                "'pq codebook codes must be dense 0..C-1 per sub; found code ', "
+                "cast(s.code as string), ' at position ', cast(i as string)"
+                ")) end)"
             ).alias("cl"),
-            F.transform("cc", lambda s: _dot(s["cemb"], s["cemb"])).alias("c2"),
+            X.xp(
+                f"transform(cc, s -> {_dot_sx('s.cemb', 's.cemb')})"
+            ).alias("c2"),
         )
     )
     return (
@@ -1532,32 +1579,45 @@ def _pq_packed(codebook: DataFrame) -> DataFrame:
             ).alias("sc")
         )
         .select(
-            F.transform(
-                "sc",
-                lambda s, i: F.when(s["sub"] == i, s["cl"]).otherwise(
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "pq codebook subs must be contiguous "
-                                "0..m-1; found sub "
-                            ),
-                            s["sub"].cast("string"),
-                            F.lit(" at position "),
-                            i.cast("string"),
-                        )
-                    )
-                ),
+            X.xp(
+                "transform(sc, (s, i) -> case when s.sub = i then s.cl "
+                "else raise_error(concat("
+                "'pq codebook subs must be contiguous 0..m-1; found sub ', "
+                "cast(s.sub as string), ' at position ', cast(i as string)"
+                ")) end)"
             ).alias("cbl"),
-            F.transform("sc", lambda s: s["c2"]).alias("ccl"),
+            X.xp("transform(sc, s -> s.c2)").alias("ccl"),
         )
     )
 
 
-def _pq_subs_expr(emb: Column, m: int) -> Column:
+def _pq_slice_sx(emb: str, sub: str, m: int) -> str:
+    """Spark-SQL twin of :func:`_pq_slice` (same per-row loud guard)."""
+    dsub = (
+        f"(case when size({emb}) > 0 and size({emb}) % {m} = 0 "
+        f"then cast(size({emb}) / {m} as int) "
+        f"else raise_error(concat("
+        f"'embedding dim must be a positive multiple of m={m}, got ', "
+        f"cast(size({emb}) as string))) end)"
+    )
+    return f"slice({emb}, {sub} * {dsub} + 1, {dsub})"
+
+
+def _pq_subs_sx(emb: str, m: int) -> str:
+    """Spark-SQL twin of :func:`_pq_subs_expr`."""
+    return (
+        f"transform(sequence(0, {m - 1}), mm -> {_pq_slice_sx(emb, 'mm', m)})"
+    )
+
+
+def _pq_subs_expr(emb: Column | str, m: int) -> Column:
     """All m slices of one vector as an array-of-arrays — hoisted out of
     the per-candidate lambdas so each slice is evaluated once per row,
     not once per (candidate, row) (interpreted higher-order functions do
-    no common-subexpression elimination inside lambdas)."""
+    no common-subexpression elimination inside lambdas).  String input
+    takes the cached-expr fast path (r14 — functions.text.xp)."""
+    if isinstance(emb, str):
+        return X.xp(_pq_subs_sx(emb, m))
     return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)), lambda mm: _pq_slice(emb, mm, m)
     )
@@ -1572,7 +1632,9 @@ def _let(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
-def _pq_code_expr(emb: Column, cbl: Column, ccl: Column, m: int) -> Column:
+def _pq_code_expr(
+    emb: Column | str, cbl: Column | str, ccl: Column | str, m: int
+) -> Column:
     """codes[sub] for one vector, as a pure column expression: per
     subspace, argmin code under L2.  The score is the TWO-term form
     ``dot(c,c) - 2*dot(s,c)`` (dropping the candidate-constant dot(s,s)
@@ -1582,7 +1644,20 @@ def _pq_code_expr(emb: Column, cbl: Column, ccl: Column, m: int) -> Column:
     wins, which IS the lowest code on exact ties, the same
     (score asc, code asc) order the oracle's row_number uses.  The
     oracle computes the identical two-term expression, so the doubles
-    compared are bit-equal across engines."""
+    compared are bit-equal across engines.  String operands take the
+    cached-expr fast path (r14 — functions.text.xp)."""
+    if isinstance(emb, str) and isinstance(cbl, str) and isinstance(ccl, str):
+        scores = (
+            f"zip_with(element_at({cbl}, mm + 1), element_at({ccl}, mm + 1), "
+            f"(ce, cc) -> cc - 2 * {_dot_sx('svec', 'ce')})"
+        )
+        let_body = (
+            f"element_at(transform(array({scores}), scores -> "
+            f"cast(array_position(scores, array_min(scores)) - 1 as int)), 1)"
+        )
+        return X.xp(
+            f"transform({_pq_subs_sx(emb, m)}, (svec, mm) -> {let_body})"
+        )
     return F.transform(
         _pq_subs_expr(emb, m),
         lambda svec, mm: _let(
@@ -1598,11 +1673,17 @@ def _pq_code_expr(emb: Column, cbl: Column, ccl: Column, m: int) -> Column:
     )
 
 
-def _pq_lut_expr(emb: Column, cbl: Column, m: int) -> Column:
+def _pq_lut_expr(emb: Column | str, cbl: Column | str, m: int) -> Column:
     """lut[sub][code] = dot(query_sub, centroid): the ADC lookup table as
     one nested-array expression.  The query slice is bound once per sub
     (zip_with lambda variable), not re-sliced per candidate — the same
-    no-CSE-inside-lambdas hazard ``_pq_subs_expr`` exists for."""
+    no-CSE-inside-lambdas hazard ``_pq_subs_expr`` exists for.  String
+    operands take the cached-expr fast path (r14)."""
+    if isinstance(emb, str) and isinstance(cbl, str):
+        return X.xp(
+            f"zip_with({_pq_subs_sx(emb, m)}, {cbl}, "
+            f"(svec, cl) -> transform(cl, ce -> {_dot_sx('svec', 'ce')}))"
+        )
     return F.zip_with(
         _pq_subs_expr(emb, m),
         cbl,
@@ -1618,7 +1699,7 @@ def _pq_encoded(
     tests/test_pq.py::test_encode_explicit_codebook_is_scan_fused)."""
     return base.join(F.broadcast(packed), how="cross").select(
         "vec_id",
-        _pq_code_expr(F.col("emb"), F.col("cbl"), F.col("ccl"), m).alias("codes"),
+        _pq_code_expr("emb", "cbl", "ccl", m).alias("codes"),
     )
 
 
@@ -1649,7 +1730,7 @@ def pq_encode(
     )
     packed = _pq_packed(cb)
     enc = base.join(F.broadcast(packed), how="cross")
-    codes = _pq_code_expr(F.col("emb"), F.col("cbl"), F.col("ccl"), m)
+    codes = _pq_code_expr("emb", "cbl", "ccl", m)
     return enc.select(
         "vec_id",
         F.size("emb").cast("int").alias("dim"),
@@ -1667,6 +1748,8 @@ def pq_topk(
     ksub: int = PQ_KSUB,
     iters: int = 1,
     codebook: DataFrame | None = None,
+    base: DataFrame | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """ADC top-k: approximate dot-product search over PQ codes.
 
@@ -1682,22 +1765,22 @@ def pq_topk(
     UNNORMALIZED approximate dot product (ANN semantics: ranks may
     differ from exact cosine top-k; ``pq_recall_report`` prices exactly
     that)."""
-    base = _normed(embeddings)
+    base = _normed(embeddings) if base is None else base
     cb = (
         codebook
         if codebook is not None
-        else _pq_train(embeddings, m, ksub, iters)[0]
+        else _pq_train(embeddings, m, ksub, iters, base=base)[0]
     )
     # consumed twice (corpus encode + query LUT) — persist, same rationale
     # as cosine_topk_ivf's codebook cache (one row here).
     packed = _persist(_pq_packed(cb))
     enc = _pq_encoded(base, packed, m)
     queries = (
-        _normed(embeddings.filter(F.col("vec_id") % QUERY_STRIDE == 0), spread=False)
+        (_queries_normed(embeddings) if queries is None else queries)
         .join(F.broadcast(packed), how="cross")
         .select(
             F.col("vec_id").alias("query_id"),
-            _pq_lut_expr(F.col("emb"), F.col("cbl"), m).alias("lut"),
+            _pq_lut_expr("emb", "cbl", m).alias("lut"),
         )
     )
     scored = (
@@ -1706,14 +1789,10 @@ def pq_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, mm: acc
-                + F.element_at(
-                    F.element_at(F.col("lut"), mm + 1),
-                    F.element_at(F.col("codes"), mm + 1) + 1,
-                ),
+            X.xp(
+                f"aggregate(sequence(0, {m - 1}), 0D, (acc, mm) -> acc + "
+                "element_at(element_at(lut, mm + 1), "
+                "element_at(codes, mm + 1) + 1))"
             ).alias("adc"),
         )
     )
@@ -1831,7 +1910,7 @@ def pq_topk_rerank(
             "query_id",
             "neighbor_id",
             (
-                _dot(F.col("qemb"), F.col("emb"))
+                _dot("qemb", "emb")
                 / (F.col("qnrm") * F.col("nrm"))
             ).alias("cos"),
         )
@@ -2127,7 +2206,7 @@ def ivfpq_index(
         "cluster",
         F.array_join(
             F.transform(
-                _pq_code_expr(F.col("emb"), F.col("cbl"), F.col("ccl"), m),
+                _pq_code_expr("emb", "cbl", "ccl", m),
                 lambda c: c.cast("string"),
             ),
             ",",
@@ -2244,7 +2323,7 @@ def _ivfpq_search(
     probe_scored = F.broadcast(cents).join(queries, how="cross").select(
         "query_id", "qemb", "cluster",
         (
-            _dot(F.col("cemb"), F.col("qemb"))
+            _dot("cemb", "qemb")
             / (F.col("cnrm") * F.col("qnrm"))
         ).alias("ccos"),
     )
@@ -2257,7 +2336,7 @@ def _ivfpq_search(
         .select(
             "query_id",
             "cluster",
-            _pq_lut_expr(F.col("qemb"), F.col("cbl"), m).alias("lut"),
+            _pq_lut_expr("qemb", "cbl", m).alias("lut"),
         )
     )
     # ADC over the probed inverted lists only: broadcast equi-join on
@@ -2269,14 +2348,10 @@ def _ivfpq_search(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, mm: acc
-                + F.element_at(
-                    F.element_at(F.col("lut"), mm + 1),
-                    F.element_at(F.col("codes"), mm + 1) + 1,
-                ),
+            X.xp(
+                f"aggregate(sequence(0, {m - 1}), 0D, (acc, mm) -> acc + "
+                "element_at(element_at(lut, mm + 1), "
+                "element_at(codes, mm + 1) + 1))"
             ).alias("adc"),
         )
     )
@@ -2329,7 +2404,7 @@ def _ivfpq_search(
             "query_id",
             "neighbor_id",
             (
-                _dot(F.col("qemb"), F.col("emb"))
+                _dot("qemb", "emb")
                 / (F.col("qnrm") * F.col("nrm"))
             ).alias("cos"),
         )

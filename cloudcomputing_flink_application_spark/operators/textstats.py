@@ -267,7 +267,7 @@ def doc_stats(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.length(txt).alias("n_chars"),
         F.lower(txt).alias("lo"),
-        X.tokens_of(txt).alias("tok"),
+        X.tokens_of("coalesce(text, '')").alias("tok"),
     )
     feats = toks.select(
         "doc_id",
@@ -389,7 +389,7 @@ def length_histogram(documents: DataFrame) -> DataFrame:
     # a NULL text row would make non-ANSI size(NULL) = -1, and conv('-1')'s
     # two's-complement string would land in a nonsense bucket 64 while the
     # DuckDB oracle yields NULL — coalescing pins both engines to bucket 1.
-    n = F.size(X.tokens_of(F.coalesce(F.col("text"), F.lit("")))).cast("long")
+    n = F.size(X.tokens_of("coalesce(text, '')")).cast("long")
     bucket = F.length(F.conv(n.cast("string"), 10, 2)).cast("int")
     return (
         documents.select("lang", bucket.alias("bucket"), n.alias("n"))
@@ -427,7 +427,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     # single-partition) scan before projecting.
     nparts = documents.sparkSession.sparkContext.defaultParallelism
     sh = documents.repartition(nparts).select(
-        "doc_id", X.shingles(X.tokens("text")).alias("sh")
+        "doc_id", X.shingles(X.tokens_sx("text")).alias("sh")
     )
     hashes = sh.select(
         "doc_id",
@@ -728,7 +728,7 @@ def oov_stats(documents: DataFrame, k: int = OOV_VOCAB_K) -> DataFrame:
         F.sort_array(F.collect_list("token")).alias("_vocab")
     )
     toks = documents.select(
-        "doc_id", X.tokens_of(F.coalesce(F.col("text"), F.lit(""))).alias("_tk")
+        "doc_id", X.tokens_of("coalesce(text, '')").alias("_tk")
     )
     n_tokens = F.size("_tk")
     n_oov = F.size(
@@ -791,7 +791,7 @@ def _profile_per_doc(documents: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         F.length(txt).cast("long").alias("len"),
-        F.size(X.tokens_of(txt)).cast("long").alias("ntok"),
+        F.size(X.tokens_of("coalesce(text, '')")).cast("long").alias("ntok"),
         F.md5(txt).alias("th"),
     )
 
@@ -804,7 +804,7 @@ def _profile_tokens(documents: DataFrame) -> DataFrame:
     tokenize identically (r11 review)."""
     return documents.select(
         "source",
-        F.explode(X.tokens_of(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
+        F.explode(X.tokens_of("coalesce(text, '')")).alias("tok"),
     )
 
 

