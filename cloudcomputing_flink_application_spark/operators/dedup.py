@@ -273,6 +273,39 @@ def band_rows(documents: DataFrame) -> DataFrame:
     return band_rows_from_toksets(_token_sets(documents))
 
 
+def _mh_sigs(toks: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, mh0..mh15) signatures with the token-hash array
+    MATERIALIZED ONCE between two projections (r14 optimization round,
+    guide §1.2 per-task work).  The previous single-projection form
+    inlined ``transform(tokset, md5-hash)`` into each of the NUM_PERM
+    permutation expressions, and higher-order functions are interpreted
+    (no cross-expression CSE), so md5 ran NUM_PERM times per token.  The
+    two-step projection hashes each token once; CollapseProject leaves it
+    alone because the producer expression is non-cheap and consumed
+    NUM_PERM times.  Same arithmetic, bit-identical signatures.
+
+    ``extra``: additional ``toks`` columns to carry through (e.g. nset
+    for the band join's size prune)."""
+    hashed = toks.select(
+        "doc_id",
+        *extra,
+        X.xp(
+            f"transform(tokset, s -> ({X.h56_sx('s')}) % {X.MINHASH_PRIME})"
+        ).alias("_hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        *extra,
+        *[
+            X.xp(
+                f"array_min(transform(_hs, h -> ({a} * h + {b}) % "
+                f"{X.MINHASH_PRIME}))"
+            ).alias(f"mh{j}")
+            for j, (a, b) in enumerate(zip(X.MINHASH_A, X.MINHASH_B))
+        ],
+    )
+
+
 def band_rows_from_toksets(toks: DataFrame) -> DataFrame:
     """``band_rows`` over an already-tokenized frame (``_token_sets``
     output).  Callers that need BOTH the token sets and the band rows of
@@ -281,7 +314,7 @@ def band_rows_from_toksets(toks: DataFrame) -> DataFrame:
     through both, tokenizing each document exactly once per micro-batch —
     the batch twin (``_verified_star_edges``) shares its token sets the
     same way."""
-    sigs = toks.select("doc_id", *[c for c in X.minhash_sig("tokset")])
+    sigs = _mh_sigs(toks)
     return sigs.select(
         "doc_id",
         F.explode(
@@ -392,9 +425,10 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     # cluster variant below) share entries instead of stacking copies.
     reps, members = _exact_groups(documents)
     toks = _persist(_token_sets(reps))
-    sigs = toks.select("doc_id", *[c for c in X.minhash_sig("tokset")])
+    sigs = _mh_sigs(toks, extra=("nset",))
     bands = sigs.select(
         "doc_id",
+        "nset",
         F.explode(
             F.array(
                 *[
@@ -403,15 +437,31 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    ).select("doc_id", "nset", "bk.band", "bk.key")
     bands = _persist(bands)
+    # Size-ratio prune in the band join (r14 optimization round, guide
+    # §2.3/§1.2): |I| <= min(|A|,|B|), so jaccard >= t is impossible
+    # unless (t_den+t_num)*min >= t_num*(|A|+|B|) — the same lossless
+    # integer prune the trigram arm has carried since its review, now on
+    # the band self-join too.  It runs BEFORE the distinct and the
+    # per-pair intersect, so provably-failing pairs never shuffle or
+    # verify.  Measured at sf0.1: 6.07M candidate pairs -> 2.89M (the
+    # remaining floor is the bucket fan-out the equi-join must enumerate
+    # before any residual predicate can run).  Emitted pairs unchanged:
+    # every dropped pair has jaccard < t by the bound above
+    # (boundary-exact in integers, >= kept).
+    t_num, t_den = int(MINHASH_JACCARD * 10), 10
+    size_prune = (t_den + t_num) * F.least(
+        F.col("a.nset"), F.col("b.nset")
+    ) >= t_num * (F.col("a.nset") + F.col("b.nset"))
     cands = (
         bands.alias("a")
         .join(
             bands.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_prune,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -1503,7 +1553,17 @@ def ngram_jaccard_dedup(
     # pre-repartition scan filter (see _token_sets).
     nparts = documents.sparkSession.sparkContext.defaultParallelism
     chars = "split(lower(coalesce(text, '')), '')"
-    grams = (
+    # Hash DISTINCT trigrams only (r14 optimization round, guide §1.2
+    # per-task work): the raw trigram list is ~len(text) entries but its
+    # distinct set is alphabet-bounded, and md5 per entry dominated the
+    # prep.  The inner array_distinct cuts the md5 count to the distinct
+    # trigrams; the OUTER array_distinct is kept so the value semantics
+    # are bit-identical to the previous build even under (astronomically
+    # unlikely) 56-bit hash collisions within one document.  The frame is
+    # _persist-ed because BOTH self-join sides consume it (the broadcast
+    # build and the probe); without the persist the md5 prep ran twice
+    # per action — same caching contract as the MinHash family.
+    grams = _persist(
         documents.filter(F.length("text") >= 3)
         .repartition(nparts)
         .select(
@@ -1511,7 +1571,8 @@ def ngram_jaccard_dedup(
             "source",
             F.array_distinct(
                 X.xp(
-                    f"transform({X.shingles_sx(chars, w=3)}, s -> {X.h56_sx('s')})"
+                    f"transform(array_distinct({X.shingles_sx(chars, w=3)}), "
+                    f"s -> {X.h56_sx('s')})"
                 )
             ).alias("g3"),
         )

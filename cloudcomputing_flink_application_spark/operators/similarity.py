@@ -159,17 +159,24 @@ def auto_subk(n: int, n_labels: int) -> int:
 
 
 def _corpus_sizing(embeddings: DataFrame) -> tuple[int, int]:
-    """(n, auto subk) from one cheap two-column aggregate over the corpus
-    (count + distinct labels) — on a cluster this would come from table
-    statistics; the single aggregate is the local stand-in.  The shared
-    sizing read for every codebook consumer (dedup.semantic_dedup
-    included), so the n/label conventions can never diverge per
-    caller."""
-    row = embeddings.agg(
-        F.count("*").alias("n"), F.countDistinct("label").alias("nl")
-    ).first()
-    n = int(row["n"])
-    return n, auto_subk(n, max(int(row["nl"] or 0), 1))
+    """(n, auto subk) from cheap aggregates over the corpus — on a
+    cluster this would come from table statistics; the aggregate is the
+    local stand-in.  The shared sizing read for every codebook consumer
+    (dedup.semantic_dedup included), so the n/label conventions can
+    never diverge per caller.
+
+    r14 optimization round (guide §1.2): ``auto_subk`` ignores the label
+    count at or below IVF_AUTO_COMPAT_N (the compat branch returns SUBK
+    unconditionally), so the distinct-label aggregate — a two-phase
+    expand the plain count doesn't need — only runs when the corpus is
+    big enough for it to matter.  Same (n, subk) for every input."""
+    n = int(embeddings.agg(F.count("*").alias("n")).first()["n"])
+    if n <= IVF_AUTO_COMPAT_N:
+        return n, auto_subk(n, 1)
+    nl = int(
+        embeddings.agg(F.countDistinct("label").alias("nl")).first()["nl"] or 0
+    )
+    return n, auto_subk(n, max(nl, 1))
 
 
 def _auto_subk_for(embeddings: DataFrame) -> int:
@@ -360,23 +367,38 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     excluded: x/0 diverges between the engines (Spark NULL vs DuckDB inf),
     and a zero vector has no meaningful quantization — the guard is the
     explicit convention, mirrored in the oracle.
+
+    r14 optimization round (guide §1.2 per-task work): the previous
+    single-projection form referenced ``scale`` — itself an
+    array_max-over-transform — INSIDE the per-element quantize lambda,
+    and interpreted higher-order functions do no CSE, so every element
+    re-reduced the whole vector: O(dim²) work per row (plus a rebuilt
+    cast-transform under it).  Staged projections materialize ``_emb``
+    and ``scale`` as columns first; per-element work is now O(1).  Same
+    arithmetic, bit-identical output.
     """
-    emb = F.transform("embedding", lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(emb, lambda x: F.abs(x)))
-    q = F.transform(
-        emb,
-        lambda x: (F.signum(x / scale * 127) * F.floor(F.abs(x / scale * 127))).cast("int"),
+    e = embeddings.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        X.xp("transform(embedding, x -> cast(x as double))").alias("_emb"),
     )
-    return (
-        embeddings.filter(
-            F.array_max(F.transform(emb, lambda x: F.abs(x))) > 0
-        )
-        .select(
-            "vec_id",
-            F.size("embedding").cast("int").alias("dim"),
-            scale.alias("scale"),
-            F.array_join(F.transform(q, lambda v: v.cast("string")), ",").alias("q_csv"),
-        )
+    scaled = e.select(
+        "vec_id",
+        "dim",
+        "_emb",
+        X.xp("array_max(transform(_emb, x -> abs(x)))").alias("scale"),
+    ).filter(F.col("scale") > 0)
+    q = (
+        "transform(_emb, x -> cast(signum(x / scale * 127) * "
+        "floor(abs(x / scale * 127)) as int))"
+    )
+    return scaled.select(
+        "vec_id",
+        "dim",
+        "scale",
+        X.xp(f"array_join(transform({q}, v -> cast(v as string)), ',')").alias(
+            "q_csv"
+        ),
     )
 
 

@@ -46,6 +46,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Prefer shuffled-hash over sort-merge when the planner's size
+        # conditions hold (r14 optimization round, guide §3.1/§9): both
+        # sides of the CC loop's exceptAll and several equi-joins were
+        # paying per-partition sorts a hash build avoids — measured
+        # −8..18% on the CC/purge family at sf0.1.  Scale stance: the
+        # planner only picks SHJ when one side's ESTIMATE fits a
+        # per-partition hash map (< autoBroadcastJoinThreshold x shuffle
+        # partitions) and is 3x smaller than the other; AQE skew-join
+        # stays on for the residual risk, and SPARK_GRAFT_PREFER_SMJ=true
+        # restores the sort-merge default for cluster profiles where
+        # estimates are untrustworthy.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Driver testdata stores TIMESTAMP(NANOS) parquet, which Spark's
         # vectorized reader rejects; read as epoch-nanos longs and convert
