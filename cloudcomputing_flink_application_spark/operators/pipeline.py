@@ -253,6 +253,34 @@ TOP2_NUM, TOP2_DEN = 1, 10
 DUP3_NUM, DUP3_DEN = 1, 10
 
 
+def _runstats_sx(col: str) -> str:
+    """Spark-SQL run-length fold over a SORTED copy of a string array:
+    returns ``struct(top, dup)`` where ``top`` is the count of the most
+    frequent element and ``dup`` the total count of elements whose count
+    is >= 2 — exactly the ``max(c)`` / ``sum(c) FILTER (c > 1)`` of a
+    groupBy over the array's elements, computed per row.  Equal elements
+    are adjacent after ``array_sort``, so one (prev, run, top, dup)
+    accumulator pass suffices; the finish clause folds the final run.
+    Empty arrays yield (0, 0) (``run`` stays 0 and ``greatest(0, 0)``/
+    ``+ 0`` are identities)."""
+    return (
+        f"aggregate(array_sort({col}), "
+        "named_struct('prev', cast(null as string), "
+        "'run', 0L, 'top', 0L, 'dup', 0L), "
+        "(acc, g) -> if(acc.run = 0L, "
+        "named_struct('prev', g, 'run', 1L, 'top', acc.top, 'dup', acc.dup), "
+        "if(g = acc.prev, "
+        "named_struct('prev', g, 'run', acc.run + 1L, "
+        "'top', acc.top, 'dup', acc.dup), "
+        "named_struct('prev', g, 'run', 1L, "
+        "'top', greatest(acc.top, acc.run), "
+        "'dup', acc.dup + if(acc.run > 1L, acc.run, 0L)))), "
+        "acc -> named_struct("
+        "'top', greatest(acc.top, acc.run), "
+        "'dup', acc.dup + if(acc.run > 1L, acc.run, 0L)))"
+    )
+
+
 def repetition_stats(documents: DataFrame) -> DataFrame:
     """Gopher-style per-document repetition metrics.
 
@@ -266,46 +294,37 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
 
     Docs too short to have 2-grams survive with zero fractions.  Gram tie
     handling is moot: only counts are aggregated, never gram identity.
+
+    r14 optimization round (guide §1.2, the distributed algorithm): both
+    metrics are DOC-LOCAL — no gram's count is ever compared across
+    documents — so the explode -> groupBy(doc_id, g) -> groupBy(doc_id)
+    -> join-back pipeline (per gram width: two hash Exchanges shuffling
+    every gram OCCURRENCE as a string, then a doc_id join) was shuffle
+    work for a per-row computation.  The fused form sorts each doc's
+    gram array and folds run lengths in one pass: top{w} is the longest
+    run, dup{w} the sum of runs >= 2, n{w} the array size — the same
+    integers the groupBy computed, now scan-fused with ZERO exchanges
+    beyond the gated ``_spread``.  A 100 TB corpus shuffles nothing
+    instead of ~2x its tokenized self.  Oracle SQL unchanged (the
+    groupBy form, independently stated); parity re-verified, and the
+    exact-fraction unit rows pin the fold's arithmetic.
     """
-
-    nparts = documents.sparkSession.sparkContext.defaultParallelism
-
-    def gram_agg(w: int, top: bool) -> DataFrame:
-        # Same plan hygiene as decontaminate: parallelize the per-row gram
-        # compute off the one-file scan, keep the shingle expression
-        # non-nullable, and dodge the inferred size()>0 recompute.
-        ex = (
-            documents.repartition(nparts)
-            .select(
-                "doc_id",
-                F.explode_outer(
-                    X.shingles(X.tokens_sx("coalesce(text, '')"), w)
-                ).alias("g"),
-            )
-            .filter(F.col("g").isNotNull())
-        )
-        per_gram = ex.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
-        aggs = [F.sum("c").cast("long").alias(f"n{w}")]
-        if top:
-            aggs.append(F.max("c").cast("long").alias(f"top{w}"))
-        else:
-            aggs.append(
-                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
-                .cast("long")
-                .alias(f"dup{w}")
-            )
-        return per_gram.groupBy("doc_id").agg(*aggs)
-
-    g2 = gram_agg(2, top=True)
-    g3 = gram_agg(3, top=False)
-    base = documents.select(
-        "doc_id", F.size(X.tokens("text")).cast("long").alias("n_tokens")
+    staged = _spread(documents).select(
+        "doc_id",
+        F.size(X.tokens("text")).cast("long").alias("n_tokens"),
+        X.xp(X.shingles_sx(X.tokens_sx("coalesce(text, '')"), 2)).alias("_g2"),
+        X.xp(X.shingles_sx(X.tokens_sx("coalesce(text, '')"), 3)).alias("_g3"),
     )
-    j = base.join(g2, "doc_id", "left").join(g3, "doc_id", "left")
-    n2 = F.coalesce("n2", F.lit(0))
-    top2 = F.coalesce("top2", F.lit(0))
-    n3 = F.coalesce("n3", F.lit(0))
-    dup3 = F.coalesce("dup3", F.lit(0))
+    j = staged.select(
+        "doc_id",
+        "n_tokens",
+        F.size("_g2").cast("long").alias("n2"),
+        X.xp(_runstats_sx("_g2")).alias("_s2"),
+        F.size("_g3").cast("long").alias("n3"),
+        X.xp(_runstats_sx("_g3")).alias("_s3"),
+    )
+    n2, top2 = F.col("n2"), F.col("_s2.top")
+    n3, dup3 = F.col("n3"), F.col("_s3.dup")
     return j.select(
         "doc_id",
         "n_tokens",
@@ -1305,12 +1324,19 @@ def _coverage_window(w: int):
     return dw, prev_end
 
 
-def dup_span_stats(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+def dup_span_stats(
+    documents: DataFrame, w: int = DUP_SPAN_W, starts: DataFrame | None = None
+) -> DataFrame:
     """Exact-substring duplication stats, the Lee-et-al-style span pass.
 
     For every document: how many of its token windows (width ``w``,
     stride 1) occur at least twice in the corpus, and how many of its
     tokens are covered by the union of those duplicated windows.
+
+    ``starts`` optionally supplies a shared ``_dup_span_starts`` frame
+    (the ``base=``/``queries=`` pattern the ANN arms use): ``span_pass``
+    computes the duplicated-start set once and feeds both components —
+    same expression tree, so results are identical by construction.
 
     Output, one row per document (including empty/short docs):
     ``(doc_id, n_tokens, n_windows, dup_windows, dup_tokens)`` — all exact
@@ -1330,7 +1356,7 @@ def dup_span_stats(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
         - F.greatest(F.coalesce(prev_end, F.col("p") - 1), F.col("p") - 1)
     )
     per_doc = (
-        _dup_span_starts(documents, w)
+        (_dup_span_starts(documents, w) if starts is None else starts)
         .select("doc_id", gain.alias("_gain"))
         .groupBy("doc_id")
         .agg(
@@ -1403,8 +1429,11 @@ LEFT JOIN covn c USING (doc_id)
 DUP_SPAN_STATS_SQL = dup_span_stats_sql()
 
 
-def scrub_dup_spans(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
+def scrub_dup_spans(
+    documents: DataFrame, w: int = DUP_SPAN_W, starts: DataFrame | None = None
+) -> DataFrame:
     """Remove duplicated spans from each document's token stream.
+    ``starts`` as in :func:`dup_span_stats`.
 
     The surgical form of exact-substring dedup: instead of dropping whole
     near-duplicate documents, drop only the tokens covered by some
@@ -1426,7 +1455,9 @@ def scrub_dup_spans(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     heavy text column never enters a shuffle keyed by anything but doc_id.
     """
     dw, prev_end = _coverage_window(w)
-    starts = _dup_span_starts(documents, w).withColumn(
+    starts = (
+        _dup_span_starts(documents, w) if starts is None else starts
+    ).withColumn(
         "_new", (F.col("p") > F.coalesce(prev_end, F.lit(0)) + 1).cast("int")
     )
     islands = (
@@ -1498,14 +1529,21 @@ def span_pass(documents: DataFrame, w: int = DUP_SPAN_W) -> DataFrame:
     removed_tokens == n_tokens`` and ``removed_tokens == dup_tokens``
     (the coverage union IS the removed set).
 
-    Scale: the duplicated-start set (the persisted
-    ``_dup_span_starts`` window rows) is computed ONCE — the
-    CacheManager shares the canonical plan between the two component
-    pipelines — then one doc_id-keyed join stitches stats and scrub;
-    every per-key exchange is doc_id (high-cardinality, uniform).
+    Scale: the duplicated-start set is computed ONCE and persisted
+    (r14 optimization round, guide §1.2/§2.4): previously only the
+    window rows were cached, so each component re-ran the corpus-wide
+    ``groupBy(h).count`` + semi-join pair per action.  ``starts`` is a
+    narrow (doc_id, p) frame — duplicated windows only, a small
+    fraction of the window rows — shared by both components through the
+    optional-``starts`` seam; then one doc_id-keyed join stitches stats
+    and scrub; every per-key exchange is doc_id (high-cardinality,
+    uniform).  Measured at sf0.1: composed 2.44 s -> see
+    OPTIMIZATION_r14.md.  Caller-releases contract unchanged
+    (``dedup.release_cached`` / ``clearCache``).
     """
-    return dup_span_stats(documents, w).join(
-        scrub_dup_spans(documents, w), "doc_id"
+    starts = _persist(_dup_span_starts(documents, w))
+    return dup_span_stats(documents, w, starts=starts).join(
+        scrub_dup_spans(documents, w, starts=starts), "doc_id"
     ).select(
         "doc_id", "n_tokens", "n_windows", "dup_windows", "dup_tokens",
         "clean_text", "kept_tokens", "removed_tokens",
