@@ -1054,21 +1054,29 @@ def clean_corpus(documents: DataFrame) -> DataFrame:
     rep = repetition_stats(documents).select("doc_id", "flagged")
     con = decontaminate(documents).select("doc_id", "contaminated")
     base = documents.filter(F.col("doc_id") % BENCH_MOD != 0).select("doc_id", "text")
+    # Project the window key and the split bucket BEFORE the text-hash
+    # exchange and drop ``text`` (r14 optimization round, guide §2.3
+    # "project before the exchange"): everything above the window needs
+    # only (doc_id, flags, _key, _bucket) — without the explicit
+    # projection the text payload itself crossed the md5-keyed shuffle
+    # just to have its two hashes taken on the far side.  Same values by
+    # construction (the expressions moved, not changed).
     flags = (
         base.join(rep, "doc_id")
         .join(con, "doc_id")
         .select(
             "doc_id",
-            "text",
             (textstats.quality_col(F.col("text")) >= CLEAN_QUALITY_MIN).alias("q_ok"),
             (~F.col("flagged")).alias("rep_ok"),
             (~F.col("contaminated")).alias("con_ok"),
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_key"),
+            (X.h56(F.col("text")) % 100).cast("int").alias("_bucket"),
         )
     )
-    w = Window.partitionBy(F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    w = Window.partitionBy("_key")
     passes = F.col("q_ok") & F.col("rep_ok") & F.col("con_ok")
     canon = F.min(F.when(passes, F.col("doc_id"))).over(w)
-    bucket = (X.h56(F.col("text")) % 100).cast("int")
+    bucket = F.col("_bucket")
     uniq = F.coalesce(F.col("doc_id") == F.col("_c"), F.lit(False))
     kept = passes & uniq
     return (

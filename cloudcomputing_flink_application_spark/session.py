@@ -46,6 +46,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing target (r14 optimization round, guide §2.2/§9):
+        # parameterized, DEFAULT UNCHANGED (Spark's 64m) — an interleaved
+        # 64m/256m/16m A/B at sf0.1 showed no signal (the local datasets
+        # coalesce to a handful of partitions under any target), so a
+        # different local default would be an untestable claim.  At
+        # cluster scale set 256m via the env: post-shuffle partitions in
+        # the 100 MB-1 GB band cut the quadratic shuffle-block growth
+        # (guide §2.2) and the per-task scheduling floor.
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
         # Prefer shuffled-hash over sort-merge when the planner's size
         # conditions hold (r14 optimization round, guide §3.1/§9): both
         # sides of the CC loop's exceptAll and several equi-joins were
