@@ -273,6 +273,29 @@ def band_rows(documents: DataFrame) -> DataFrame:
     return band_rows_from_toksets(_token_sets(documents))
 
 
+#: Raw 56-bit per-token hashes of a ``tokset`` column.  The VERIFY joins
+#: intersect these longs instead of the token strings (r14 optimization
+#: round 2nd session, guide §2.3 "shuffle keys and metadata instead of
+#: payloads" / §1.2 per-task work): set ops over fixed-width longs beat
+#: string hashing+equality per pair, and the cached prep frame shrinks
+#: ~4x.  |intersect| is unchanged unless two distinct tokens of one pair
+#: collide in 56 bits (P ~ n_tok^2/2^57 per pair — the same accepted
+#: envelope as the trigram arm's ``g3`` hashes, where both engines hash;
+#: here the DuckDB oracle KEEPS the string form, so parity additionally
+#: re-proves the no-collision fact on every run).  NOTE: the full-width
+#: hash is NOT the signatures' ``% MINHASH_PRIME`` value — that modulus
+#: is ~2^32, and at millions of verify pairs a 32-bit space would
+#: actually collide; the permutation inputs are derived from these longs
+#: elementwise instead (``_mh_sigs`` second projection).
+_TH_SX = f"transform(tokset, s -> {X.h56_sx('s')})"
+
+
+def _hashed_token_sets(toks: DataFrame) -> DataFrame:
+    """(doc_id, th, nset) from a ``_token_sets`` frame: the one md5 pass
+    both the MinHash signatures and the jaccard verify share."""
+    return toks.select("doc_id", X.xp(_TH_SX).alias("th"), "nset")
+
+
 def _mh_sigs(toks: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     """(doc_id, mh0..mh15) signatures with the token-hash array
     MATERIALIZED ONCE between two projections (r14 optimization round,
@@ -284,15 +307,27 @@ def _mh_sigs(toks: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
     alone because the producer expression is non-cheap and consumed
     NUM_PERM times.  Same arithmetic, bit-identical signatures.
 
-    ``extra``: additional ``toks`` columns to carry through (e.g. nset
+    Accepts either a ``_token_sets`` frame (tokset strings — hashed
+    here) or a ``_hashed_token_sets`` frame (th longs — the shared-md5
+    fast path; ``h56(s) % P`` == ``th % P`` elementwise, so the
+    permutation inputs and hence the signatures are bit-identical).
+
+    ``extra``: additional input columns to carry through (e.g. nset
     for the band join's size prune)."""
-    hashed = toks.select(
-        "doc_id",
-        *extra,
-        X.xp(
-            f"transform(tokset, s -> ({X.h56_sx('s')}) % {X.MINHASH_PRIME})"
-        ).alias("_hs"),
-    )
+    if "th" in toks.columns:
+        hashed = toks.select(
+            "doc_id",
+            *extra,
+            X.xp(f"transform(th, h -> h % {X.MINHASH_PRIME})").alias("_hs"),
+        )
+    else:
+        hashed = toks.select(
+            "doc_id",
+            *extra,
+            X.xp(
+                f"transform(tokset, s -> ({X.h56_sx('s')}) % {X.MINHASH_PRIME})"
+            ).alias("_hs"),
+        )
     return hashed.select(
         "doc_id",
         *extra,
@@ -424,7 +459,15 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     # and the CacheManager dedups by canonical plan so repeated calls (or the
     # cluster variant below) share entries instead of stacking copies.
     reps, members = _exact_groups(documents)
-    toks = _persist(_token_sets(reps))
+    # The persisted prep carries HASHED token sets (th, 56-bit longs —
+    # see _TH_SX): one md5 pass feeds both the signature pipeline and
+    # the verify intersect, the cache entry shrinks ~4x vs token
+    # strings, and the per-pair verify compares longs instead of
+    # strings.  |intersect| (and hence every emitted jaccard) is
+    # unchanged absent 56-bit collisions inside one pair — the
+    # unchanged string-form DuckDB oracle re-proves that on every
+    # parity run.
+    toks = _persist(_hashed_token_sets(_token_sets(reps)))
     sigs = _mh_sigs(toks, extra=("nset",))
     bands = sigs.select(
         "doc_id",
@@ -471,29 +514,53 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     # |union| = |A| + |B| - |I|, so one array_intersect per pair is the whole
     # verify cost — array_union would double it for no information.
     ta = toks.select(
-        F.col("doc_id").alias("doc_a"), F.col("tokset").alias("_ta"),
+        F.col("doc_id").alias("doc_a"), F.col("th").alias("_ta"),
         F.col("nset").alias("_na"),
     )
     tb = toks.select(
-        F.col("doc_id").alias("doc_b"), F.col("tokset").alias("_tb"),
+        F.col("doc_id").alias("doc_b"), F.col("th").alias("_tb"),
         F.col("nset").alias("_nb"),
     )
-    inter = F.size(F.array_intersect("_ta", "_tb"))
+    # Project the INTEGER intersect, filter on the cross-multiplied
+    # integer bound, and derive jaccard from the projected column
+    # afterwards (r14 optimization round 2nd session, guide §1.2).
+    # Interleaved A/B at sf0.1: 4.8 s -> 3.0 s for the pairs phase vs
+    # filtering on the projected double — the double form made the
+    # whole surviving projection (division included) part of the
+    # filter's input row, and the integer predicate additionally skips
+    # the divide for the ~99.6% of candidates that fail.  Exact
+    # equivalence: jaccard >= t  <=>  (t_den+t_num)*|I| >= t_num*(na+nb)
+    # for positive na+nb (integer cross-multiplication; the binary
+    # double 0.9 sits ~2e-17 from 9/10 while any candidate ratio is
+    # >= 1e-4 away — no realistic set size lands between), and the
+    # na+nb > 0 conjunct reproduces the old NULL-drop of the 0/0
+    # jaccard on empty-set pairs.
     scored = (
         cands.join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)).alias(
-                "jaccard"
-            ),
+            "_na",
+            "_nb",
+            F.size(F.array_intersect("_ta", "_tb")).alias("_i"),
         )
     )
-    # Barrier: without it the jaccard filter inlines into the verify join
-    # and each intersect evaluates up to 4x per candidate pair.
-    rep_pairs = filter_after_barrier(
-        scored, "doc_a", F.col("jaccard") >= MINHASH_JACCARD
+    # Barrier: without it the intersect inlines into the verify join
+    # condition and evaluates up to 4x per candidate pair.
+    kept = filter_after_barrier(
+        scored,
+        "doc_a",
+        ((t_den + t_num) * F.col("_i") >= t_num * (F.col("_na") + F.col("_nb")))
+        & (F.col("_na") + F.col("_nb") > 0),
+    )
+    rep_pairs = kept.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("_i").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_i"))
+        ).alias("jaccard"),
     )
     cross = _expand_pairs(rep_pairs, members, "jaccard")
     # Within a group every pair is an exact dup at jaccard 1.0 — but only
@@ -579,25 +646,53 @@ def jaccard_verified_edges(
     verify formula for the batch operators and both stream modes."""
     if rep_toks is None:
         rep_toks = toks
+    # Hash each side's token set to 56-bit longs before the per-pair
+    # intersect (r14 optimization round 2nd session — see _TH_SX for the
+    # collision envelope): md5 runs once per SIDE ROW (O(docs)), the
+    # intersect compares longs per PAIR (O(candidates)), and the verify
+    # filter is the integer cross-multiplied form with _j derived from
+    # the projected intersect (same restructure as minhash_lsh_dedup;
+    # exact-equivalence argument at that site).
+    def _th(frame: DataFrame):
+        # _hashed_token_sets frames carry th already (the shared-md5
+        # fast path); plain _token_sets frames (incl. the streaming
+        # tokset stores) are hashed here.
+        return F.col("th") if "th" in frame.columns else X.xp(_TH_SX)
+
     ta = toks.select(
-        F.col("doc_id"), F.col("tokset").alias("_ta"), F.col("nset").alias("_na")
+        F.col("doc_id"), _th(toks).alias("_ta"), F.col("nset").alias("_na")
     )
     tb = rep_toks.select(
         F.col("doc_id").alias("rep"),
-        F.col("tokset").alias("_tb"),
+        _th(rep_toks).alias("_tb"),
         F.col("nset").alias("_nb"),
     )
-    inter = F.size(F.array_intersect("_ta", "_tb"))
     scored = (
         star.join(ta, "doc_id")
         .join(tb, "rep")
         .select(
             "doc_id",
             "rep",
-            (inter.cast("double") / (F.col("_na") + F.col("_nb") - inter)).alias("_j"),
+            "_na",
+            "_nb",
+            F.size(F.array_intersect("_ta", "_tb")).alias("_i"),
         )
     )
-    return filter_after_barrier(scored, "rep", F.col("_j") >= MINHASH_JACCARD)
+    t_num, t_den = int(MINHASH_JACCARD * 10), 10
+    kept = filter_after_barrier(
+        scored,
+        "rep",
+        ((t_den + t_num) * F.col("_i") >= t_num * (F.col("_na") + F.col("_nb")))
+        & (F.col("_na") + F.col("_nb") > 0),
+    )
+    return kept.select(
+        "doc_id",
+        "rep",
+        (
+            F.col("_i").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_i"))
+        ).alias("_j"),
+    )
 
 
 def _verified_star_edges(documents: DataFrame) -> DataFrame:
@@ -609,11 +704,12 @@ def _verified_star_edges(documents: DataFrame) -> DataFrame:
     :func:`release_cached` / ``spark.catalog.clearCache()``, not by this
     function.
     """
-    # Same persist rationale as minhash_lsh_dedup: tokset feeds the band
-    # pipeline once and the ta/tb verify sides twice; the cached plan is
-    # identical to the LSH variant's, so a session running both shares ONE
-    # cache entry.
-    toks = _persist(_token_sets(documents))
+    # Same persist rationale as minhash_lsh_dedup: the hashed token-set
+    # frame feeds the band pipeline once and the ta/tb verify sides
+    # twice (one md5 pass total — see _hashed_token_sets); the cached
+    # plan is identical to the LSH variant's, so a session running both
+    # shares ONE cache entry.
+    toks = _persist(_hashed_token_sets(_token_sets(documents)))
     star = star_edges_from_bands(band_rows_from_toksets(toks))
     return jaccard_verified_edges(star, toks)
 
@@ -906,18 +1002,42 @@ def connected_components(
             out = _truncate(df)
             return out, _snapshots() - pre
 
+    def _edge_checksum(df: DataFrame) -> tuple:
+        # Order-independent edge-set fingerprint: (count, XOR of per-row
+        # 64-bit hashes — bit_xor, not sum: ANSI mode makes a long-sum
+        # overflow a runtime error, and XOR is commutative/associative
+        # with no overflow).  One narrow global aggregate — partial agg
+        # per partition, a 1-row final exchange — vs exceptAll's
+        # full-width shuffle of both frames.  The 1-row ``first()`` is a
+        # scalar decision read, same class as ``isEmpty()``.
+        row = df.agg(
+            F.count("*").alias("_n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("_h"),
+        ).first()
+        return (row["_n"], row["_h"])
+
     u, v = edges.columns[0], edges.columns[1]
     cur, cur_snaps = _truncate_tracked(
         edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    cur_sum = None  # computed lazily on the first round
     for _round in range(max_rounds):
         if round_log is not None:
             round_log.append(_round + 1)
         # large-star: every neighbor LARGER than u links to min(N(u) + {u}).
         nbrs = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = nbrs.groupBy("u").agg(F.min("v").alias("_mn"))
+        # No distinct on the large-star frame (r14 optimization round 2nd
+        # session, guide §2.4): its only consumer is the small-star round
+        # below, whose min-aggregates and final distinct are duplicate-
+        # blind — small's VALUE is identical either way — and duplicates
+        # cannot accumulate across rounds because every round's cur ends
+        # in small's distinct.  Dropping it removes one full-width
+        # exchange+aggregate of the edge frame per round; the checkpoint
+        # holds <= |nbrs| rows instead of the deduped set (bounded, one
+        # output row per nbrs row).
         large, large_snaps = _truncate_tracked(
             nbrs.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
@@ -926,7 +1046,6 @@ def connected_components(
                 F.least(F.col("u"), F.col("_mn")).alias("v"),
             )
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: orient (larger, smaller); relink every smaller
         # neighbor (and u itself) to the minimum of the oriented
@@ -943,10 +1062,25 @@ def connected_components(
             .distinct()
         )
         # Converged when the edge set is stable.  Both frames are distinct,
-        # so set equality == empty SYMMETRIC difference — one action per
-        # round (the old count()+exceptAll().isEmpty() pair ran two jobs).
-        # The action still reads cur, so dead snapshots are deleted AFTER.
-        converged = small.exceptAll(cur).union(cur.exceptAll(small)).isEmpty()
+        # so set equality == empty SYMMETRIC difference.  Checksum
+        # short-circuit (r14 optimization round 2nd session, guide §1.2):
+        # differing (count, sum-of-hash) fingerprints PROVE the sets
+        # differ — the usual non-terminal round costs one narrow
+        # aggregate per side (cur's carried from last round) instead of
+        # exceptAll's full-width shuffle of both frames; only equal
+        # fingerprints (the terminal round, or an astronomically
+        # unlikely 64-bit sum collision mid-run) fall through to the
+        # EXACT symmetric-difference check, so the convergence decision
+        # — and every returned row — is identical to the plain form.
+        # The checksum action also materializes small's lazy checkpoint
+        # blocks, exactly as the exceptAll action did.
+        if cur_sum is None:
+            cur_sum = _edge_checksum(cur)
+        small_sum = _edge_checksum(small)
+        converged = small_sum == cur_sum and (
+            small.exceptAll(cur).union(cur.exceptAll(small)).isEmpty()
+        )
+        cur_sum = small_sum
         # Dead after this round: the previous cur's snapshot and the
         # intermediate large-star's (small is checkpointed, so nothing
         # replays through them anymore).  Same release on both paths —
@@ -1587,7 +1721,6 @@ def ngram_jaccard_dedup(
     # semantics are unchanged.  |union| is derived from set sizes so one
     # intersect per pair is the entire verify cost.
     inter = F.size(F.array_intersect("a.g3", "b.g3"))
-    jac = inter.cast("double") / (F.col("a.n3") + F.col("b.n3") - inter)
     # Size-ratio prune: |I| <= min(|A|,|B|), so jaccard >= t requires
     # (1+t)*min >= t*(|A|+|B|).  A pure integer predicate evaluated in the
     # join, discarding mismatched-size pairs before any intersect runs.
@@ -1621,18 +1754,39 @@ def ngram_jaccard_dedup(
     est_bytes = _plan_size_bytes(documents)
     small_enough = est_bytes is not None and 0 < est_bytes <= budget
     build_side = F.broadcast(build) if small_enough else build
+    # Project the INTEGER intersect, barrier-filter on the cross-
+    # multiplied integer bound, then derive jaccard from the projected
+    # column (r14 optimization round 2nd session — the minhash_lsh_dedup
+    # restructure, exact-equivalence argument at that site; n3 >= 1 by
+    # the length filter so the na+nb > 0 guard is implied but kept for
+    # uniformity).
     pairs = (
         probe.alias("a")
         .join(build_side.alias("b"), join_cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            F.col("a.n3").alias("_na"),
+            F.col("b.n3").alias("_nb"),
+            inter.alias("_i"),
         )
     )
     # Barrier: keeps the intersect out of the join condition (one evaluation
     # per pair instead of up to four).
-    return filter_after_barrier(pairs, "doc_a", F.col("jaccard") >= TRIGRAM_JACCARD)
+    kept = filter_after_barrier(
+        pairs,
+        "doc_a",
+        ((t_den + t_num) * F.col("_i") >= t_num * (F.col("_na") + F.col("_nb")))
+        & (F.col("_na") + F.col("_nb") > 0),
+    )
+    return kept.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("_i").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_i"))
+        ).alias("jaccard"),
+    )
 
 
 NGRAM_JACCARD_SQL = f"""
