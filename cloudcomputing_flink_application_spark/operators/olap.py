@@ -858,14 +858,39 @@ def suite_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def suite_extra_arms(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, dsl: bool = False
 ) -> "dict[str, DataFrame]":
     """The fourteen :func:`suite_extra` arms as an ordered dict keyed by
     shape name — the EXACT frames the union composes (r14, VERDICT r13
     #2: per-arm cost was invisible inside the 14-arm union row, making
     drift unattributable; bench.py times each arm from this dict right
     after the union measurement, and tests/test_plans.py pins that the
-    union equals these arms so the trace measures the real thing)."""
+    union equals these arms so the trace measures the real thing).
+
+    Default construction path (r14 optimization round 2nd session, guide
+    §1.2 — driver-side work): each arm is ONE Spark-SQL statement parsed
+    JVM-side (``_suite_arm_sx``), instead of ~8.5k py4j round trips of
+    Column-DSL building per 14-arm rebuild (~measured 3-4 s per bench
+    run on a loaded gateway).  The statements mirror the DSL functions'
+    exact arithmetic (same exact-integer cents forms, same double
+    literals, same broadcast hints); equality with the DSL twins is
+    pinned row-for-row at two SFs in
+    tests/test_plans.py::test_suite_extra_sql_arms_equal_dsl, and each
+    DSL component keeps its own DuckDB parity gate in
+    tests/test_offregistry_parity.py.  ``dsl=True`` builds the original
+    Column-DSL frames (the reference twins)."""
+    if not dsl:
+        tables = {
+            t: _scan(spark, sf_dir, t)
+            for t in (
+                "lineitem", "orders", "customer", "supplier",
+                "nation", "region", "part",
+            )
+        }
+        return {
+            name: spark.sql(sx, **tables)
+            for name, sx in _suite_arm_sx().items()
+        }
     q5 = local_supplier_volume(spark, sf_dir).select(
         F.lit("q5_local_volume").alias("shape"),
         F.col("n_name").alias("k"),
@@ -1960,3 +1985,356 @@ SELECT 'q9_profit' AS shape,
        nation || '|' || CAST(o_year AS VARCHAR) AS k, sum_profit AS v
 FROM ({NATION_PROFIT_SQL}) q9
 """
+
+
+# --- Spark-SQL twins of the suite_extra arms (r14 optimization round) ---------
+#
+# One statement per arm, parsed JVM-side via ``spark.sql(sx, **tables)``
+# (``{table}`` placeholders bind the memoized ``_scan`` DataFrames — no
+# named temp views, no session state).  Each statement mirrors its DSL
+# twin's arithmetic EXACTLY: the same exact-integer cents expressions,
+# the same double literals/casts (``D`` suffixes where a bare literal
+# would parse as DECIMAL), the same join/filter structure and broadcast
+# hints; ORDER BY is kept only where a LIMIT makes it semantic (the
+# driver sorts rows, so a sort without a limit never changes the result
+# set).  Row-for-row equality with the DSL twins is pinned in
+# tests/test_plans.py::test_suite_extra_sql_arms_equal_dsl.
+
+_SUITE_ARM_SX: "dict[str, str] | None" = None
+
+#: exact-cents revenue (the _revenue_cents() twin)
+_REV_SX = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+)
+
+
+def _suite_arm_sx() -> "dict[str, str]":
+    global _SUITE_ARM_SX
+    if _SUITE_ARM_SX is not None:
+        return _SUITE_ARM_SX
+    rev = _REV_SX
+    disj_arm = " OR ".join(
+        f"(p_brand = '{brand}' AND p_size BETWEEN {s_lo} AND {s_hi}"
+        f" AND l_quantity BETWEEN {q_lo} AND {q_hi})"
+        for brand, (s_lo, s_hi), (q_lo, q_hi) in DISJ_ARMS
+    )
+    fc_lo = FORECAST_DISC_LO_C / 100.0 - 0.006
+    fc_hi = FORECAST_DISC_HI_C / 100.0 + 0.006
+    sizes = ", ".join(str(s) for s in SUPPCNT_SIZES)
+    _SUITE_ARM_SX = {
+        "q5_local_volume": f"""
+SELECT /*+ BROADCAST(cust, supp, ln) */
+       'q5_local_volume' AS shape, ln.n_name AS k,
+       CAST(sum({rev}) AS DOUBLE) / 10000.0D AS v
+FROM {{lineitem}} li
+JOIN (SELECT o_orderkey, o_custkey FROM {{orders}}
+      WHERE o_orderdate >= TIMESTAMP '{LOCAL_VOLUME_FROM}'
+        AND o_orderdate < TIMESTAMP '{LOCAL_VOLUME_TO}') o
+  ON li.l_orderkey = o.o_orderkey
+JOIN (SELECT c_custkey, c_nationkey FROM {{customer}}) cust
+  ON o.o_custkey = cust.c_custkey
+JOIN (SELECT s_suppkey, s_nationkey FROM {{supplier}}) supp
+  ON li.l_suppkey = supp.s_suppkey AND cust.c_nationkey = supp.s_nationkey
+JOIN (SELECT /*+ BROADCAST(r) */ n_nationkey, n_name
+      FROM {{nation}} n JOIN {{region}} r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = '{LOCAL_VOLUME_REGION}') ln
+  ON supp.s_nationkey = ln.n_nationkey
+GROUP BY ln.n_name
+""",
+        "q7_trade_volume": f"""
+SELECT /*+ BROADCAST(cust, supp, n1, n2) */
+       'q7_trade_volume' AS shape,
+       concat_ws('|', n1.n_name, n2.n_name,
+                 CAST(year(l_shipdate) AS STRING)) AS k,
+       CAST(sum({rev}) AS DOUBLE) / 10000.0D AS v
+FROM {{lineitem}} li
+JOIN (SELECT o_orderkey, o_custkey FROM {{orders}}) o
+  ON li.l_orderkey = o.o_orderkey
+JOIN (SELECT c_custkey, c_nationkey FROM {{customer}}) cust
+  ON o.o_custkey = cust.c_custkey
+JOIN (SELECT s_suppkey, s_nationkey FROM {{supplier}}) supp
+  ON li.l_suppkey = supp.s_suppkey
+JOIN (SELECT n_nationkey, n_name FROM {{nation}}
+      WHERE n_name IN ('{TRADE_NATION_A}', '{TRADE_NATION_B}')) n1
+  ON supp.s_nationkey = n1.n_nationkey
+JOIN (SELECT n_nationkey, n_name FROM {{nation}}
+      WHERE n_name IN ('{TRADE_NATION_A}', '{TRADE_NATION_B}')) n2
+  ON cust.c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{TRADE_NATION_A}' AND n2.n_name = '{TRADE_NATION_B}')
+   OR (n1.n_name = '{TRADE_NATION_B}' AND n2.n_name = '{TRADE_NATION_A}')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+""",
+        "q19_disjunctive": f"""
+SELECT 'q19_disjunctive' AS shape, '*' AS k,
+       CAST(_rev AS DOUBLE) / 10000.0D AS v
+FROM (
+  SELECT /*+ BROADCAST(p) */ sum({rev}) AS _rev, count(*) AS _n
+  FROM {{lineitem}} li
+  JOIN (SELECT p_partkey, p_brand, p_size FROM {{part}}) p
+    ON li.l_partkey = p.p_partkey
+  WHERE {disj_arm}
+) WHERE _n > 0
+""",
+        "q22_idle": f"""
+SELECT 'q22_idle' AS shape,
+       concat_ws('|', CAST(c_nationkey AS STRING), mv.m) AS k,
+       mv.v AS v
+FROM (
+  SELECT /*+ BROADCAST(ap) */ c_nationkey,
+         CAST(count(*) AS BIGINT) AS numcust,
+         CAST(sum(_cents) AS DOUBLE) / 100.0D AS totacctbal
+  FROM (SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS _cents
+        FROM {{customer}}) c
+  CROSS JOIN (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) / count(*)
+                     AS _avg_cents
+              FROM {{customer}} WHERE c_acctbal > 0) ap
+  LEFT ANTI JOIN (SELECT o_custkey FROM {{orders}}
+                  WHERE o_orderdate >= TIMESTAMP '{IDLE_CUTOFF}') o
+    ON c.c_custkey = o.o_custkey
+  WHERE _cents > _avg_cents
+  GROUP BY c_nationkey
+) LATERAL VIEW explode(array(
+    named_struct('m', 'numcust', 'v', CAST(numcust AS DOUBLE)),
+    named_struct('m', 'totacctbal', 'v', totacctbal))) t AS mv
+""",
+        "q6_forecast": f"""
+SELECT 'q6_forecast' AS shape, '*' AS k,
+       CAST(_rev AS DOUBLE) / 10000.0D AS v
+FROM (
+  SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS _rev,
+         count(*) AS _n
+  FROM {{lineitem}}
+  WHERE l_shipdate >= TIMESTAMP '{FORECAST_FROM}'
+    AND l_shipdate < TIMESTAMP '{FORECAST_TO}'
+    AND l_discount BETWEEN {fc_lo!r}D AND {fc_hi!r}D
+    AND CAST(round(l_discount * 100) AS BIGINT)
+        BETWEEN {FORECAST_DISC_LO_C} AND {FORECAST_DISC_HI_C}
+    AND l_quantity < {FORECAST_MAX_QTY}
+) WHERE _n > 0
+""",
+        "q10_returned": f"""
+SELECT 'q10_returned' AS shape, CAST(c_custkey AS STRING) AS k, v
+FROM (
+  SELECT /*+ BROADCAST(cust, n) */ cust.c_custkey,
+         CAST(pc._rev AS DOUBLE) / 10000.0D AS v, pc._rev AS _o
+  FROM (
+    SELECT o.o_custkey, sum({rev}) AS _rev
+    FROM {{lineitem}} li
+    JOIN (SELECT o_orderkey, o_custkey FROM {{orders}}
+          WHERE o_orderdate >= TIMESTAMP '{RETURNED_FROM}'
+            AND o_orderdate < TIMESTAMP '{RETURNED_TO}') o
+      ON li.l_orderkey = o.o_orderkey
+    WHERE li.l_returnflag = 'R'
+    GROUP BY o.o_custkey
+  ) pc
+  JOIN (SELECT c_custkey, c_nationkey FROM {{customer}}) cust
+    ON pc.o_custkey = cust.c_custkey
+  JOIN (SELECT n_nationkey FROM {{nation}}) n
+    ON cust.c_nationkey = n.n_nationkey
+  ORDER BY _o DESC, c_custkey ASC
+  LIMIT {RETURNED_K}
+)
+""",
+        "q14_promo": f"""
+SELECT 'q14_promo' AS shape, '*' AS k,
+       100.0D * CAST(_promo AS DOUBLE) / CAST(_total AS DOUBLE) AS v
+FROM (
+  SELECT /*+ BROADCAST(p) */
+         sum(CASE WHEN p.p_type = '{PROMO_TYPE}' THEN {rev} ELSE 0 END)
+           AS _promo,
+         sum({rev}) AS _total,
+         count(*) AS _n
+  FROM {{lineitem}} li
+  JOIN (SELECT p_partkey, p_type FROM {{part}}) p
+    ON li.l_partkey = p.p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{PROMO_FROM}'
+    AND l_shipdate < TIMESTAMP '{PROMO_TO}'
+) WHERE _n > 0
+""",
+        "q17_smallqty": f"""
+SELECT 'q17_smallqty' AS shape, '*' AS k,
+       CAST(_rev AS DOUBLE) / 100.0D / 7.0D AS v
+FROM (
+  SELECT sum(_ep) AS _rev, count(*) AS _n
+  FROM (
+    SELECT _qty, _ep,
+           sum(_qty) OVER (PARTITION BY l_partkey) AS _sum_qty,
+           count(*) OVER (PARTITION BY l_partkey) AS _cnt
+    FROM (
+      SELECT /*+ BROADCAST(p) */ li.l_partkey,
+             CAST(l_quantity AS BIGINT) AS _qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS _ep
+      FROM {{lineitem}} li
+      JOIN (SELECT p_partkey FROM {{part}}
+            WHERE p_brand = '{SMALLQTY_BRAND}') p
+        ON li.l_partkey = p.p_partkey
+    )
+  ) WHERE 5 * _qty * _cnt < _sum_qty
+) WHERE _n > 0
+""",
+        "q20_dominant": f"""
+SELECT 'q20_dominant' AS shape, s_name AS k,
+       CAST(n_dominant AS DOUBLE) AS v
+FROM (
+  SELECT /*+ BROADCAST(supp) */ supp.s_name,
+         CAST(count(*) AS BIGINT) AS n_dominant
+  FROM (
+    SELECT l_suppkey FROM (
+      SELECT l_suppkey, _qty,
+             sum(_qty) OVER (PARTITION BY l_partkey) AS _total
+      FROM (
+        SELECT /*+ BROADCAST(pr) */ l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS BIGINT)) AS _qty
+        FROM {{lineitem}} li
+        JOIN (SELECT p_partkey FROM {{part}}
+              WHERE startswith(p_name, '{DOMINANT_PREFIX}')) pr
+          ON li.l_partkey = pr.p_partkey
+        WHERE l_shipdate >= TIMESTAMP '{DOMINANT_FROM}'
+          AND l_shipdate < TIMESTAMP '{DOMINANT_TO}'
+        GROUP BY l_partkey, l_suppkey
+      )
+    ) WHERE 2 * _qty > _total
+  ) q
+  JOIN (SELECT s_suppkey, s_name FROM {{supplier}}) supp
+    ON q.l_suppkey = supp.s_suppkey
+  GROUP BY supp.s_name
+)
+""",
+        "q21_waiting": f"""
+SELECT 'q21_waiting' AS shape, s_name AS k, CAST(numwait AS DOUBLE) AS v
+FROM (
+  SELECT /*+ BROADCAST(supp) */ supp.s_name,
+         CAST(count(*) AS BIGINT) AS numwait
+  FROM (
+    SELECT l_suppkey FROM (
+      SELECT l_suppkey, _late,
+             size(collect_set(l_suppkey)
+                  OVER (PARTITION BY l_orderkey)) AS _n_supp,
+             size(collect_set(CASE WHEN _late THEN l_suppkey END)
+                  OVER (PARTITION BY l_orderkey)) AS _n_late
+      FROM (
+        SELECT li.l_orderkey, li.l_suppkey,
+               (li.l_shipdate >= o.o_orderdate
+                + INTERVAL {WAITING_LATE_DAYS} DAYS) AS _late
+        FROM (SELECT l_orderkey, l_suppkey, l_shipdate FROM {{lineitem}}) li
+        JOIN (SELECT o_orderkey, o_orderdate FROM {{orders}}
+              WHERE o_orderstatus = 'F') o
+          ON li.l_orderkey = o.o_orderkey
+      )
+    ) WHERE _late AND _n_supp > 1 AND _n_late = 1
+  ) q
+  JOIN (SELECT /*+ BROADCAST(n) */ s_suppkey, s_name
+        FROM {{supplier}} s
+        JOIN (SELECT n_nationkey FROM {{nation}}
+              WHERE n_name = '{WAITING_NATION}') n
+          ON s.s_nationkey = n.n_nationkey) supp
+    ON q.l_suppkey = supp.s_suppkey
+  GROUP BY supp.s_name
+  ORDER BY numwait DESC, s_name ASC
+  LIMIT {WAITING_K}
+)
+""",
+        "q8_mktshare": f"""
+SELECT 'q8_mktshare' AS shape, CAST(o_year AS STRING) AS k,
+       CAST(_nat AS DOUBLE) / CAST(_tot AS DOUBLE) AS v
+FROM (
+  SELECT o_year,
+         sum(CASE WHEN _supp_nation = '{MKT_NATION}' THEN _rev_q ELSE 0 END)
+           AS _nat,
+         sum(_rev_q) AS _tot
+  FROM (
+    SELECT /*+ BROADCAST(pk, sn) */ o.o_year, sn._supp_nation,
+           {rev} AS _rev_q
+    FROM {{lineitem}} li
+    JOIN (SELECT p_partkey FROM {{part}} WHERE p_type = '{MKT_TYPE}') pk
+      ON li.l_partkey = pk.p_partkey
+    JOIN (SELECT /*+ BROADCAST(cr) */ o_orderkey,
+                 CAST(year(o_orderdate) AS INT) AS o_year
+          FROM {{orders}} o2
+          JOIN (SELECT /*+ BROADCAST(nr) */ c_custkey
+                FROM {{customer}} c
+                JOIN (SELECT /*+ BROADCAST(r) */ n_nationkey
+                      FROM {{nation}} n
+                      JOIN {{region}} r ON n.n_regionkey = r.r_regionkey
+                      WHERE r.r_name = '{MKT_REGION}') nr
+                  ON c.c_nationkey = nr.n_nationkey) cr
+            ON o2.o_custkey = cr.c_custkey
+          WHERE o_orderdate >= TIMESTAMP '{MKT_FROM}'
+            AND o_orderdate < TIMESTAMP '{MKT_TO}') o
+      ON li.l_orderkey = o.o_orderkey
+    JOIN (SELECT /*+ BROADCAST(nn) */ s_suppkey, nn.n_name AS _supp_nation
+          FROM {{supplier}} s
+          JOIN (SELECT n_nationkey, n_name FROM {{nation}}) nn
+            ON s.s_nationkey = nn.n_nationkey) sn
+      ON li.l_suppkey = sn.s_suppkey
+  ) GROUP BY o_year
+)
+""",
+        "q15_topsupp": f"""
+SELECT 'q15_topsupp' AS shape, s_name AS k,
+       CAST(_rev_q AS DOUBLE) / 10000.0D AS v
+FROM (
+  SELECT /*+ BROADCAST(supp) */ supp.s_name, r._rev_q
+  FROM (
+    SELECT l_suppkey, _rev_q, max(_rev_q) OVER () AS _max_q
+    FROM (
+      SELECT l_suppkey, sum({rev}) AS _rev_q
+      FROM {{lineitem}}
+      WHERE l_shipdate >= TIMESTAMP '{TOPSUPP_FROM}'
+        AND l_shipdate < TIMESTAMP '{TOPSUPP_TO}'
+      GROUP BY l_suppkey
+    )
+  ) r
+  JOIN (SELECT s_suppkey, s_name FROM {{supplier}}) supp
+    ON r.l_suppkey = supp.s_suppkey
+  WHERE r._rev_q = r._max_q
+)
+""",
+        "q16_suppcnt": f"""
+SELECT 'q16_suppcnt' AS shape,
+       concat_ws('|', p_brand, p_type, CAST(p_size AS STRING)) AS k,
+       CAST(supplier_cnt AS DOUBLE) AS v
+FROM (
+  SELECT /*+ BROADCAST(p, bl) */ p_brand, p_type, p_size,
+         count(DISTINCT l_suppkey) AS supplier_cnt
+  FROM (SELECT l_partkey, l_suppkey FROM {{lineitem}}) li
+  JOIN (SELECT p_partkey, p_brand, p_type, p_size FROM {{part}}
+        WHERE p_brand <> '{SUPPCNT_EXCL_BRAND}'
+          AND p_type <> '{SUPPCNT_EXCL_TYPE}'
+          AND p_size IN ({sizes})) p
+    ON li.l_partkey = p.p_partkey
+  LEFT ANTI JOIN (SELECT s_suppkey FROM {{supplier}}
+                  WHERE s_acctbal < 0) bl
+    ON li.l_suppkey = bl.s_suppkey
+  GROUP BY p_brand, p_type, p_size
+)
+""",
+        "q9_profit": f"""
+SELECT 'q9_profit' AS shape,
+       concat_ws('|', nation, CAST(o_year AS STRING)) AS k, v
+FROM (
+  SELECT /*+ BROADCAST(p, sn) */ sn.nation, o.o_year,
+         CAST(sum({rev}
+                  - CAST(l_quantity AS BIGINT) * p._cost_c * 100)
+              AS DOUBLE) / 10000.0D AS v
+  FROM {{lineitem}} li
+  JOIN (SELECT p_partkey,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS _cost_c
+        FROM {{part}} WHERE contains(p_name, '{PROFIT_NAME_PART}')) p
+    ON li.l_partkey = p.p_partkey
+  JOIN (SELECT /*+ BROADCAST(nn) */ s_suppkey, nn.n_name AS nation
+        FROM {{supplier}} s
+        JOIN (SELECT n_nationkey, n_name FROM {{nation}}) nn
+          ON s.s_nationkey = nn.n_nationkey) sn
+    ON li.l_suppkey = sn.s_suppkey
+  JOIN (SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year
+        FROM {{orders}}) o
+    ON li.l_orderkey = o.o_orderkey
+  GROUP BY sn.nation, o.o_year
+)
+""",
+    }
+    return _SUITE_ARM_SX

