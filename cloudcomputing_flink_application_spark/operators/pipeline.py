@@ -1051,27 +1051,49 @@ def clean_corpus(documents: DataFrame) -> DataFrame:
     """
     from cloudcomputing_flink_application_spark.operators import textstats
 
-    rep = repetition_stats(documents).select("doc_id", "flagged")
     con = decontaminate(documents).select("doc_id", "contaminated")
     base = documents.filter(F.col("doc_id") % BENCH_MOD != 0).select("doc_id", "text")
-    # Project the window key and the split bucket BEFORE the text-hash
-    # exchange and drop ``text`` (r14 optimization round, guide §2.3
-    # "project before the exchange"): everything above the window needs
-    # only (doc_id, flags, _key, _bucket) — without the explicit
-    # projection the text payload itself crossed the md5-keyed shuffle
-    # just to have its two hashes taken on the far side.  Same values by
-    # construction (the expressions moved, not changed).
-    flags = (
-        base.join(rep, "doc_id")
-        .join(con, "doc_id")
-        .select(
-            "doc_id",
-            (textstats.quality_col(F.col("text")) >= CLEAN_QUALITY_MIN).alias("q_ok"),
-            (~F.col("flagged")).alias("rep_ok"),
-            (~F.col("contaminated")).alias("con_ok"),
-            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_key"),
-            (X.h56(F.col("text")) % 100).cast("int").alias("_bucket"),
-        )
+    # Scan-local flags in ONE projection (r14 optimization round 2nd
+    # session, guide §1.2/§2.4): quality, the repetition flag, and the
+    # two text hashes are all PER-ROW computations, so joining the
+    # repetition_stats frame back on doc_id shuffled the corpus once
+    # (plus a third documents scan) to attach a value the scan could
+    # compute in place.  The flag expression is the same _runstats_sx
+    # fold repetition_stats uses (same thresholds, cross-multiplied
+    # integer compare — bit-identical flag); the gram arrays are
+    # materialized between two projections so the fold and the size
+    # read them once (the repetition_stats staging pattern).  Only the
+    # decontamination frame — genuinely non-local (corpus x benchmark
+    # overlap) — still joins, narrow (doc_id, bool).
+    # Projecting the window key and split bucket here also keeps the
+    # text payload out of the md5-keyed window exchange (the earlier
+    # r14 change, unchanged).
+    staged = _spread(base).select(
+        "doc_id",
+        "text",
+        X.xp(X.shingles_sx(X.tokens_sx("coalesce(text, '')"), 2)).alias("_g2"),
+        X.xp(X.shingles_sx(X.tokens_sx("coalesce(text, '')"), 3)).alias("_g3"),
+    )
+    rep_flag = X.xp(
+        f"((({_runstats_sx('_g2')}).top * {TOP2_DEN}"
+        f" > cast(size(_g2) as bigint) * {TOP2_NUM})"
+        f" OR (({_runstats_sx('_g3')}).dup * {DUP3_DEN}"
+        f" > cast(size(_g3) as bigint) * {DUP3_NUM}))"
+    )
+    local = staged.select(
+        "doc_id",
+        (textstats.quality_col(F.col("text")) >= CLEAN_QUALITY_MIN).alias("q_ok"),
+        (~rep_flag).alias("rep_ok"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("_key"),
+        (X.h56(F.col("text")) % 100).cast("int").alias("_bucket"),
+    )
+    flags = local.join(con, "doc_id").select(
+        "doc_id",
+        "q_ok",
+        "rep_ok",
+        (~F.col("contaminated")).alias("con_ok"),
+        "_key",
+        "_bucket",
     )
     w = Window.partitionBy("_key")
     passes = F.col("q_ok") & F.col("rep_ok") & F.col("con_ok")
