@@ -54,8 +54,10 @@ def decontaminate(documents: DataFrame, w: int = DECONTAM_W) -> DataFrame:
     Benchmark side: distinct 56-bit shingle hashes of benchmark docs
     (``doc_id % BENCH_MOD == 0``), broadcast.  Corpus side: per-doc distinct
     shingles, exploded, left-joined against the broadcast set, re-aggregated
-    by doc_id.  Short docs (< w tokens, zero shingles) are preserved via a
-    join back onto the corpus doc list — n_shingles 0, never contaminated.
+    by doc_id.  Short docs (< w tokens, zero shingles) are preserved by the
+    explode_outer NULL row itself: it reaches the doc_id aggregate (NULL
+    hash never equi-joins, count(h)/count(_hit) skip it), so every corpus
+    doc has a group — n_shingles 0, never contaminated.
 
     Output: (doc_id, n_shingles, n_overlap, contaminated) — one row per
     non-benchmark document.
@@ -64,17 +66,21 @@ def decontaminate(documents: DataFrame, w: int = DECONTAM_W) -> DataFrame:
     # repartition BEFORE the shingle projection so the md5-per-shingle prep
     # parallelizes off the single-partition scan; coalesce(text,'') keeps
     # every derived expression non-nullable so inferred isnotnull constraints
-    # fold away; explode_outer + a cheap post-explode null filter instead of
-    # explode, because a bare explode makes Catalyst infer `size(shs) > 0`
-    # and re-inline the whole tokenize+md5 pipeline into a scan filter.
+    # fold away; explode_outer instead of explode, because a bare explode
+    # makes Catalyst infer `size(shs) > 0` and re-inline the whole
+    # tokenize+md5 pipeline into a scan filter.
+    #
+    # r14 optimization round (guide §2.4, remove shuffles outright): the
+    # corpus side previously FILTERED the explode_outer NULL rows out and
+    # joined the aggregate back onto a second corpus branch to recover
+    # zero-shingle docs.  Keeping the NULL row through the aggregate makes
+    # the groupBy itself cover every doc — the join-back (one corpus-wide
+    # doc_id join + a second scan branch) disappears; n_shingles counts
+    # non-NULL hashes (count(h)), identical to the old count(*) over the
+    # filtered rows, and the NULL hash never matches the broadcast set.
     nparts = documents.sparkSession.sparkContext.defaultParallelism
     shs = F.array_distinct(
         X.shingles(X.tokens_sx("coalesce(text, '')"), w)
-    )
-    corpus = (
-        documents.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .repartition(nparts)
-        .select("doc_id", shs.alias("shs"))
     )
     bench = (
         documents.filter(F.col("doc_id") % BENCH_MOD == 0)
@@ -89,31 +95,34 @@ def decontaminate(documents: DataFrame, w: int = DECONTAM_W) -> DataFrame:
         .withColumn("_hit", F.lit(True))
     )
     ex = (
-        corpus.select("doc_id", F.explode_outer("shs").alias("sh"))
-        .filter(F.col("sh").isNotNull())
-        .select("doc_id", F.coalesce(X.h56(F.col("sh")), F.lit(0)).alias("h"))
+        documents.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .repartition(nparts)
+        .select("doc_id", F.explode_outer(shs).alias("sh"))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("sh").isNotNull(),
+                F.coalesce(X.h56(F.col("sh")), F.lit(0)),
+            ).alias("h"),
+        )
     )
     ov = (
         ex.join(F.broadcast(bench), "h", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_shingles"),
+            F.count("h").cast("long").alias("n_shingles"),
             F.count("_hit").cast("long").alias("n_overlap"),
         )
     )
-    return (
-        corpus.select("doc_id")
-        .join(ov, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-            (
-                (F.coalesce("n_overlap", F.lit(0)) * DECONTAM_DEN
-                 >= F.coalesce("n_shingles", F.lit(0)) * DECONTAM_NUM)
-                & (F.coalesce("n_shingles", F.lit(0)) > 0)
-            ).alias("contaminated"),
-        )
+    return ov.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        (
+            (F.col("n_overlap") * DECONTAM_DEN
+             >= F.col("n_shingles") * DECONTAM_NUM)
+            & (F.col("n_shingles") > 0)
+        ).alias("contaminated"),
     )
 
 
@@ -1814,27 +1823,89 @@ def prep_corpus(documents: DataFrame) -> DataFrame:
     its parent doc's rare-token quality signal.
 
     Scale: the mixture rates and the OOV vocabulary are both tiny
-    broadcast frames (|sources| rows / one vocab-array row); chunking is
-    per-row array math; the only row-sized exchanges are the
-    doc_id-keyed joins stitching chunk rows to the per-doc columns
-    (high-cardinality, uniform key).
+    broadcast frames (|sources| rows / one vocab-array row); chunking,
+    acceptance, and the OOV probe are all per-row — ZERO row-sized
+    exchanges at any corpus size.
     """
-    from cloudcomputing_flink_application_spark.operators.textstats import oov_stats
+    from cloudcomputing_flink_application_spark.operators.textstats import (
+        OOV_VOCAB_K,
+        token_freq,
+    )
 
-    # ONE reference to the mixture subtree (ADVICE r7 low): the r7 form
-    # also pre-filtered chunk_docs' input through kept, embedding the
-    # source-count aggregation and acceptance scan twice in the plan with
-    # no guarantee of physical exchange reuse.  Chunking every doc and
-    # inner-joining kept once is equivalent (chunk rows depend only on
-    # their own doc — the oracle's shape) and plans the mixture exactly
-    # once; chunking the eventually-dropped docs is per-row array math,
-    # cheaper than a second aggregation pass over the corpus.
-    kept = mixture_sample(documents).select("doc_id", "keep_rate")
-    oov = oov_stats(documents).select("doc_id", "n_oov", "oov_ratio")
-    chunks = chunk_docs(documents)
-    return chunks.join(kept, "doc_id").join(oov, "doc_id").select(
-        "doc_id", "chunk_id", "chunk_text", "n_chunk_tokens",
-        "keep_rate", "n_oov", "oov_ratio",
+    # r14 optimization round (guide §2.4, remove shuffles outright): the
+    # composed form joined chunk rows back to mixture_sample and oov_stats
+    # on doc_id — two corpus-wide shuffles stitching values that are
+    # PER-ROW given the two broadcast frames (the acceptance predicate is
+    # a hash compare against the |sources|-row rate table; the OOV probe
+    # is array math against the one-row vocabulary).  The fusion computes
+    # both inline in the chunk scan: one corpus pass, two broadcast
+    # joins, no doc_id exchange.  Every expression is lifted verbatim
+    # from mixture_sample / oov_stats / chunk_docs (which stay public and
+    # individually parity-gated in tests/test_offregistry_parity.py), so
+    # values are bit-identical; the composed DuckDB oracle
+    # (PREP_CORPUS_SQL, the join form) is deliberately unchanged —
+    # chunk/oov rows depend only on their own doc, so filtering through
+    # the acceptance predicate first is the same row set the inner joins
+    # produced.
+    vocab = token_freq(documents, k=OOV_VOCAB_K).agg(
+        F.sort_array(F.collect_list("token")).alias("_vocab")
+    )
+    counts = documents.groupBy(F.col("source").alias("_k")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    rates = counts.join(F.broadcast(cmin)).select(
+        "_k",
+        F.sqrt(F.col("_cmin") / F.col("_c")).alias("keep_rate"),
+    )
+    u = (
+        X.h56(F.concat(F.lit(MIXTURE_SALT), F.col("doc_id").cast("string")))
+        % MIXTURE_BASIS
+    )
+    thresh = F.round(F.col("keep_rate") * MIXTURE_BASIS).cast("long")
+    base = _spread(documents).select("doc_id", "source", "text", u.alias("_u"))
+    staged = (
+        base.join(F.broadcast(rates), base["source"].eqNullSafe(rates["_k"]))
+        .filter(F.col("_u") < thresh)
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "keep_rate",
+            X.tokens_of("coalesce(text, '')").alias("_tk"),
+            "_vocab",
+        )
+    )
+    ntok = F.size("_tk")
+    n_oov = F.size(
+        F.filter(F.col("_tk"), lambda t: ~F.array_contains(F.col("_vocab"), t))
+    )
+    stride = CHUNK_N - CHUNK_OVERLAP
+    starts = F.filter(
+        F.when(ntok > 0, F.sequence(F.lit(1), ntok, F.lit(stride))).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda s: (s == 1) | (s - stride + (CHUNK_N - 1) < ntok),
+    )
+    ex = staged.select(
+        "doc_id",
+        "keep_rate",
+        n_oov.cast("long").alias("n_oov"),
+        F.when(ntok > 0, n_oov.cast("double") / ntok)
+        .otherwise(F.lit(0.0))
+        .alias("oov_ratio"),
+        "_tk",
+        F.posexplode_outer(starts).alias("_i", "_s"),
+    ).filter(F.col("_s").isNotNull())
+    return ex.select(
+        "doc_id",
+        F.col("_i").cast("int").alias("chunk_id"),
+        F.concat_ws(" ", F.slice("_tk", F.col("_s"), CHUNK_N)).alias("chunk_text"),
+        F.least(F.lit(CHUNK_N), F.size("_tk") - F.col("_s") + 1)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        "keep_rate",
+        "n_oov",
+        "oov_ratio",
     )
 
 
