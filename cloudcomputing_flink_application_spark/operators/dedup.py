@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from cloudcomputing_flink_application_spark.functions import text as X
 from cloudcomputing_flink_application_spark.plans.barrier import filter_after_barrier
+from cloudcomputing_flink_application_spark.plans.spread import _spread
 
 # thresholds (shared by Spark impls and SQL oracles)
 MINHASH_JACCARD = 0.9
@@ -239,20 +240,20 @@ def _intra_group_pairs(members: DataFrame, live_canon: DataFrame) -> DataFrame:
 
 
 def _token_sets(documents: DataFrame) -> DataFrame:
-    # Repartition BEFORE the tokenize/hash projection: a single-file parquet
+    # Spread BEFORE the tokenize/hash projection: a single-file parquet
     # scan is one partition, and computing per-doc arrays there would
-    # serialize the whole corpus prep.  Explicit numPartitions — AQE never
-    # coalesces a user repartition.  The non-empty check is the CHEAP
+    # serialize the whole corpus prep.  GATED via _spread (r14
+    # optimization round, guide §2.4): a many-split corpus scan at scale
+    # already carries full parallelism and skips what would be a full
+    # shuffle of the text column.  The non-empty check is the CHEAP
     # equivalent predicate (text has a non-whitespace char), applied before
     # the projection so pushdown can't re-inline the tokenize pipeline.
     # coalesce(text,'') makes every derived expression non-nullable, so the
     # isnotnull constraints the downstream joins infer fold to true instead
     # of dragging the whole tokenize+md5 pipeline into a pre-repartition
     # scan filter (observed: 10x slowdown from exactly that).
-    nparts = documents.sparkSession.sparkContext.defaultParallelism
     return (
-        documents.filter(F.col("text").rlike(r"\S"))
-        .repartition(nparts)
+        _spread(documents.filter(F.col("text").rlike(r"\S")))
         .select(
             "doc_id",
             F.array_distinct(
@@ -1685,7 +1686,6 @@ def ngram_jaccard_dedup(
     # coalesce(text,'') keeps g3/n3 non-nullable so inferred isnotnull join
     # constraints fold away instead of re-running the md5 pipeline inside a
     # pre-repartition scan filter (see _token_sets).
-    nparts = documents.sparkSession.sparkContext.defaultParallelism
     chars = "split(lower(coalesce(text, '')), '')"
     # Hash DISTINCT trigrams only (r14 optimization round, guide §1.2
     # per-task work): the raw trigram list is ~len(text) entries but its
@@ -1698,8 +1698,7 @@ def ngram_jaccard_dedup(
     # build and the probe); without the persist the md5 prep ran twice
     # per action — same caching contract as the MinHash family.
     grams = _persist(
-        documents.filter(F.length("text") >= 3)
-        .repartition(nparts)
+        _spread(documents.filter(F.length("text") >= 3))
         .select(
             "doc_id",
             "source",
@@ -1842,11 +1841,10 @@ def embedding_cosine_dedup(
             f"{max_rows} rows; use operators.similarity (ANN) for larger "
             f"corpora or pass max_rows=None to override explicitly"
         )
-    # CPU-heavy pair compute on byte-small input: repartition before the
+    # CPU-heavy pair compute on byte-small input: spread before the
     # projection so prep and probe both use full parallelism (see
-    # ngram_jaccard_dedup for the rationale).
-    nparts = embeddings.sparkSession.sparkContext.defaultParallelism
-    e = embeddings.repartition(nparts).select(
+    # ngram_jaccard_dedup for the rationale; gated — guide §2.4).
+    e = _spread(embeddings).select(
         "vec_id",
         X.xp("transform(embedding, x -> cast(x as double))").alias("emb"),
     )
@@ -2013,10 +2011,10 @@ def _emb_dot(u, v):
 def _hp_norms(embeddings: DataFrame) -> DataFrame:
     """``(vec_id, emb double[], nrm)`` with zero-norm rows dropped — the
     shared prologue of the hyperplane family.  CPU-heavy pair compute on
-    byte-small input: repartition before the projection so prep and
-    probe both use full parallelism (see ngram_jaccard_dedup)."""
-    nparts = embeddings.sparkSession.sparkContext.defaultParallelism
-    e = embeddings.repartition(nparts).select(
+    byte-small input: spread before the projection so prep and probe
+    both use full parallelism (see ngram_jaccard_dedup; gated —
+    guide §2.4)."""
+    e = _spread(embeddings).select(
         "vec_id",
         X.xp("transform(embedding, x -> cast(x as double))").alias("emb"),
     )

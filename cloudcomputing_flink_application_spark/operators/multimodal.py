@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cloudcomputing_flink_application_spark.plans.spread import _spread
+
 try:  # real decoders are not in this container — gate behind import-try
     from PIL import Image  # type: ignore  # noqa: F401
 
@@ -111,11 +113,11 @@ def with_binary_payload(documents: DataFrame) -> DataFrame:
     """Attach the opaque binary column (utf-8 payload stands in for media
     bytes; at production scale this is the parquet binary column itself).
 
-    Repartitioned to full parallelism: decode UDFs are CPU-bound and a
-    single-file scan would otherwise feed mapInPandas one partition.
+    Spread to full parallelism: decode UDFs are CPU-bound and a
+    single-file scan would otherwise feed mapInPandas one partition
+    (gated — guide §2.4: a many-split scan at scale skips the shuffle).
     """
-    nparts = documents.sparkSession.sparkContext.defaultParallelism
-    return documents.repartition(nparts).select(
+    return _spread(documents).select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
 

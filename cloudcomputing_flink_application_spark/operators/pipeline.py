@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 
 from cloudcomputing_flink_application_spark.functions import text as X
 from cloudcomputing_flink_application_spark.operators.dedup import _persist
+from cloudcomputing_flink_application_spark.plans.spread import (  # noqa: F401
+    _scan_shaped,
+    _spread,
+)
 
 # --- decontamination ---------------------------------------------------------
 
@@ -78,13 +82,16 @@ def decontaminate(documents: DataFrame, w: int = DECONTAM_W) -> DataFrame:
     # doc_id join + a second scan branch) disappears; n_shingles counts
     # non-NULL hashes (count(h)), identical to the old count(*) over the
     # filtered rows, and the NULL hash never matches the broadcast set.
-    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    # Both spreads are GATED (r14 optimization round, guide §2.4 — the
+    # `_spread` pattern the rest of this module already uses): locally the
+    # single-file scan still fans out to full parallelism; at scale a
+    # many-split corpus scan skips what would be a full shuffle of the
+    # text column on each side.
     shs = F.array_distinct(
         X.shingles(X.tokens_sx("coalesce(text, '')"), w)
     )
     bench = (
-        documents.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .repartition(nparts)
+        _spread(documents.filter(F.col("doc_id") % BENCH_MOD == 0))
         .select(F.explode_outer(shs).alias("sh"))
         .filter(F.col("sh").isNotNull())
         # coalesce: h56 of a non-null string is never null, but Catalyst
@@ -95,8 +102,7 @@ def decontaminate(documents: DataFrame, w: int = DECONTAM_W) -> DataFrame:
         .withColumn("_hit", F.lit(True))
     )
     ex = (
-        documents.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .repartition(nparts)
+        _spread(documents.filter(F.col("doc_id") % BENCH_MOD != 0))
         .select("doc_id", F.explode_outer(shs).alias("sh"))
         .select(
             "doc_id",
@@ -177,13 +183,12 @@ def contamination_report(documents: DataFrame, w: int = DECONTAM_W) -> DataFrame
     high-cardinality bench_id with map-side partial aggregation.
     All-integer output — full value-hash oracle.
     """
-    nparts = documents.sparkSession.sparkContext.defaultParallelism
+    # Gated spreads (r14 optimization round, guide §2.4): see decontaminate.
     shs = F.array_distinct(
         X.shingles(X.tokens_sx("coalesce(text, '')"), w)
     )
     bench = (
-        documents.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .repartition(nparts)
+        _spread(documents.filter(F.col("doc_id") % BENCH_MOD == 0))
         .select(F.col("doc_id").alias("bench_id"), shs.alias("shs"))
     )
     bex = (
@@ -194,8 +199,7 @@ def contamination_report(documents: DataFrame, w: int = DECONTAM_W) -> DataFrame
         .select("bench_id", F.coalesce(X.h56(F.col("sh")), F.lit(0)).alias("h"))
     )
     cex = (
-        documents.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .repartition(nparts)
+        _spread(documents.filter(F.col("doc_id") % BENCH_MOD != 0))
         .select("doc_id", F.explode_outer(shs).alias("sh"))
         .filter(F.col("sh").isNotNull())
         .select("doc_id", F.coalesce(X.h56(F.col("sh")), F.lit(0)).alias("h"))
@@ -1234,63 +1238,11 @@ GROUP BY source
 DUP_SPAN_W = 8
 
 
-def _spread(documents: DataFrame) -> DataFrame:
-    """Repartition a narrow scan up to full parallelism — but ONLY when the
-    input actually has fewer partitions than the session's parallelism.
-
-    The unconditional form existed for the local single-file parquet scans
-    (1 partition -> 32); on a many-file corpus at scale the scan already
-    carries >= defaultParallelism splits and the same repartition becomes a
-    full shuffle of the heaviest column for nothing (r6 VERDICT).
-
-    The gate applies ONLY to scan-shaped inputs (projections/filters over
-    relations — where ``.rdd.getNumPartitions()`` is a metadata read, 0
-    jobs).  For anything else (joins/aggregates — e.g. the kept-docs
-    frame ``prep_corpus`` chunks), converting to an RDD would EXECUTE the
-    AQE shuffle stages at plan-construction time, discard the results,
-    and recompute them in the real query (r7 review catch, reproduced: 5
-    eager jobs per call); those inputs keep the plain repartition, whose
-    exchange AQE folds into the plan it was already going to run.
-
-    Scan-shapedness is decided by walking the analyzed plan's NODE CLASS
-    NAMES against a whitelist, not substring-matching the rendered plan
-    (which false-positives on literals like ``source == 'Joint-...'`` and
-    false-negatives on node types outside a keyword list, e.g.
-    Deduplicate — second review catch).  Unknown node types conservatively
-    fall back to the unconditional repartition — always correct, never
-    eager.
-    """
-    nparts = documents.sparkSession.sparkContext.defaultParallelism
-    if _scan_shaped(documents) and documents.rdd.getNumPartitions() >= nparts:
-        return documents
-    return documents.repartition(nparts)
-
-
-#: Logical node class names (substrings) that cannot introduce a shuffle:
-#: the shapes where plan -> RDD conversion is a pure metadata read.
-_SCAN_SHAPED_NODES = (
-    "Project",
-    "Filter",
-    "SubqueryAlias",
-    "View",
-    "Relation",       # LogicalRelation / DataSourceV2Relation / LocalRelation
-    "LogicalRDD",
-    "Range",
-    "Limit",          # Global/LocalLimit
-)
-
-
-def _scan_shaped(df: DataFrame) -> bool:
-    stack = [df._jdf.queryExecution().analyzed()]
-    while stack:
-        node = stack.pop()
-        name = node.getClass().getSimpleName()
-        if not any(k in name for k in _SCAN_SHAPED_NODES):
-            return False
-        children = node.children()
-        for i in range(children.size()):
-            stack.append(children.apply(i))
-    return True
+#: ``_spread``/``_scan_shaped`` moved to ``plans.spread`` in the r14
+#: optimization round (the same ungated-repartition pattern existed in
+#: dedup/textstats/multimodal prep pipelines, and operator->operator
+#: imports would cycle through this module's ``dedup._persist`` import);
+#: re-exported here so existing callers and tests keep their import path.
 
 
 def _span_window_rows(documents: DataFrame, w: int) -> DataFrame:

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cloudcomputing_flink_application_spark.functions import text as X
+from cloudcomputing_flink_application_spark.plans.spread import _spread
 
 #: Marker stopword lists per language (n-gram-heuristic language ID).  The
 #: CASE precedence below resolves ties deterministically in this key order.
@@ -424,9 +425,9 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     equality is a strong near-dup signal (winnowing-lite).
     """
     # md5-per-shingle is the dominant cost; spread it off the (possibly
-    # single-partition) scan before projecting.
-    nparts = documents.sparkSession.sparkContext.defaultParallelism
-    sh = documents.repartition(nparts).select(
+    # single-partition) scan before projecting (gated — guide §2.4: a
+    # many-split scan at scale skips the shuffle).
+    sh = _spread(documents).select(
         "doc_id", X.shingles(X.tokens_sx("text")).alias("sh")
     )
     hashes = sh.select(
@@ -459,8 +460,7 @@ def token_freq(documents: DataFrame, k: int = TOKEN_FREQ_K) -> DataFrame:
 
     Output: (token, n, rank).
     """
-    nparts = documents.sparkSession.sparkContext.defaultParallelism
-    toks = documents.repartition(nparts).select(
+    toks = _spread(documents).select(
         F.explode(X.tokens("text")).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
@@ -655,8 +655,7 @@ def top_terms(documents: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
 
     Output: (doc_id, token, tf, df, score, rank).
     """
-    nparts = documents.sparkSession.sparkContext.defaultParallelism
-    toks = documents.repartition(nparts).select(
+    toks = _spread(documents).select(
         "doc_id", F.explode(X.tokens("text")).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))

@@ -864,3 +864,39 @@ def test_packed_training_rows_scrub_pii(spark):
     assert scrubbed[1] == "email <email> now"
     assert scrubbed[2] == "server <ip> port <num>"
     assert scrubbed[3] == plain[3]  # non-PII text byte-identical
+
+
+def test_spread_gate_skips_shuffle_on_parallel_scans(spark):
+    # r14 optimization round: the ungated repartition(defaultParallelism)
+    # prep pattern (dedup token sets, text exploders, decontaminate sides,
+    # the multimodal payload pass) moved to the gated _spread.  On an
+    # already-parallel scan-shaped input the converted operators must plan
+    # NO round-robin exchange (at scale that exchange is a full shuffle of
+    # the text column for nothing); on the local single-partition parquet
+    # scan the spread must still fan out — local plans unchanged.
+    from cloudcomputing_flink_application_spark.operators.dedup import (
+        _token_sets,
+    )
+    from cloudcomputing_flink_application_spark.operators.pipeline import (
+        decontaminate,
+    )
+    from cloudcomputing_flink_application_spark.operators.textstats import (
+        token_freq,
+    )
+    from tests.conftest import TESTDATA
+
+    nparts = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 64, 1, nparts).selectExpr(
+        "id AS doc_id",
+        "concat('tok', CAST(id % 7 AS STRING), ' alpha beta') AS text",
+        "'en' AS lang",
+        "CAST(id % 3 AS STRING) AS source",
+        "CAST(length('tok alpha beta') AS LONG) AS n_chars",
+    )
+    assert wide.rdd.getNumPartitions() >= nparts
+    for frame in (token_freq(wide), _token_sets(wide), decontaminate(wide)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" not in plan
+    narrow = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
+    plan = token_freq(narrow)._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan
