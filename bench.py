@@ -12,6 +12,20 @@ query to a single sample).
 Results are materialized with the noop sink — full execution of every
 operator, no driver-side row transfer in the measurement.
 
+r15 measurement-bug fixes (guide §1; OPTIMIZATION_r15.md records the
+before/after evidence — estimator and methodology unchanged):
+- An UNTIMED full-registry settling pass precedes the first probe: the
+  alphabetical sweep put the heaviest family (ann_*/dedup_*) in the
+  fresh JVM's JIT-settling window, inflating their rows 1.5-4x on any
+  first-boot run (the driver's situation every round).
+- HEAVY_SEC default 8 -> 30: no query reads over ~5 s quiet, so the
+  single-sample shortcut only ever fired ON contaminated runs — the r14
+  driver record shipped one 56.5 s contended sample for a 3.6 s query.
+- The diffuse retry pass now also fires when ``suspect`` is non-empty
+  (``retry_targets``): the r14 driver record flagged 48/50 queries
+  suspect and retried nothing, because diffuse — the only retry trigger
+  — is suppressed by a non-empty suspect set.
+
 Contention sentinel (r6, interleaved r10): a fixed-cost data-independent
 probe job (small range -> shuffle -> count, constant work regardless of
 SF) is timed BEFORE the first query, AFTER the last, and — new in r10 —
@@ -76,7 +90,18 @@ import sys
 import time
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-HEAVY_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SEC", "8"))
+#: Heavy cutoff raised 8 -> 30 (r15, measurement-bug fix, guide §1): the
+#: single-sample shortcut exists only to bound sweep wall time on
+#: genuinely heavy queries, but no registry query reads over ~5 s on a
+#: quiet session — the ONLY runs that ever crossed 8 s were JIT-settling
+#: or contended ones, i.e. exactly the samples a median-of-3 must absorb.
+#: The r14 driver record shipped dedup_text_pairs as ONE contended 56.5 s
+#: sample (its quiet median: 3.6 s) because warm-up and first run both
+#: crossed the old cutoff; a fresh-boot local sweep reproduced the
+#: mechanism (ann_ivf_recall 8.1 s single vs 3.7 s median one sweep
+#: later).  At 30 s the shortcut still bounds a real 10x regression's
+#: cost while every plausible reading keeps the documented estimator.
+HEAVY_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SEC", "30"))
 SENTINEL_EVERY = int(os.environ.get("SPARK_GRAFT_SENTINEL_EVERY", "8"))
 SUSPECT_RATIO = 1.5
 #: A probe inside the initial MONOTONE-DECAY prefix of the series is
@@ -257,6 +282,23 @@ def inflated_queries(
     )
 
 
+def retry_targets(
+    per_query: dict[str, float],
+    baselines: dict[str, float],
+    suspect: dict[str, float],
+    diffuse: dict | None,
+) -> list[str]:
+    """The re-run set for a self-flagged session (r15): ``diffuse`` OR
+    ``suspect`` triggers the retry pass.  The r14 driver record fired
+    suspect on 48/50 queries (max 2.89x) and retried nothing because the
+    retry was keyed on diffuse alone — and diffuse stays None whenever
+    suspect is non-empty, so the stronger contention evidence suppressed
+    the intervention entirely.  Pure."""
+    if diffuse is None and not suspect:
+        return []
+    return inflated_queries(per_query, baselines)
+
+
 def merge_retry(
     per_query: dict[str, float], retry: dict[str, float]
 ) -> dict[str, float]:
@@ -375,6 +417,29 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(app_name="cloudcomputing-flink-application-bench")
 
+    # Whole-session settling pass (r15, measurement-bug fix, guide §1):
+    # one UNTIMED materialization of every registry query before the
+    # first probe.  The sweep is alphabetical, so the ann_*/dedup_*
+    # family — the heaviest queries — ran while the fresh JVM was still
+    # JIT-compiling Spark's codegen/shuffle/parquet infrastructure and
+    # forking its first Python workers; a fresh-boot sweep measured that
+    # settling at 1.5-4x on the first ~10 queries (ann_ivf_recall 8.1 s
+    # vs 3.7 s one sweep later, dedup_embedding 12.1 vs 3.4,
+    # pipe_clean_corpus 11.8 vs 1.6 — same code, same data), and
+    # settle_sentinel only ever warmed the probe's own tiny shape.  This
+    # pass is the per-query warm-up the methodology always had, applied
+    # once at session scope; every TIMED run still computes cold-cache
+    # from parquet (clearCache precedes each), and the estimator —
+    # median of 3 cold noop-sink runs after a warm-up — is unchanged.
+    t0 = time.perf_counter()
+    for name in sorted(REGISTRY):
+        materialize(REGISTRY[name].fn(spark, sf_dir))
+    spark.catalog.clearCache()
+    print(
+        f"# settle pass: {round(time.perf_counter() - t0, 1)}s",
+        file=sys.stderr,
+    )
+
     settle_sentinel(spark)
     marks: list[tuple[int, float]] = [(0, sentinel_sec(spark))]
 
@@ -463,17 +528,28 @@ def main() -> None:
     )
     diffuse = diffuse_contention(per_query, baselines, suspect)
     retry_info = None
-    if diffuse is not None:
-        # ACT on the flag (r13, VERDICT r12 #3): r12's record fired
-        # diffuse 1.16 under documented host contention and the flag only
-        # advised.  Re-run each inflated query once and keep the per-query
-        # min — a contended first pass can only read high, so the merged
-        # record converges toward the quiet-session one instead of
-        # shipping machine state as workload numbers.
-        targets = inflated_queries(per_query, baselines)
+    # ACT on the flags (r13, VERDICT r12 #3; EXTENDED to ``suspect`` in
+    # r15): r12's record fired diffuse 1.16 under documented host
+    # contention and the flag only advised; the r14 DRIVER record then
+    # fired ``suspect`` on 48 of 50 queries (max 2.89x) and retried
+    # NOTHING, because the retry path was keyed on diffuse alone and
+    # diffuse stays None when suspect is non-empty ("strictly stronger
+    # evidence") — i.e. the strongest contention evidence suppressed the
+    # intervention.  Both flags now trigger the same re-run: each query
+    # reading above 1.15x its baseline row is re-measured with the SAME
+    # median-of-3 cold-cache estimator and the record keeps the per-query
+    # min of the two medians — a contended pass can only shift a median
+    # HIGH, so the merge converges toward the quiet-session number
+    # instead of shipping machine state as workload numbers.
+    targets = retry_targets(per_query, baselines, suspect, diffuse)
+    if targets:
+        why = (
+            f"diffuse {diffuse['ratio']}x"
+            if diffuse is not None
+            else f"suspect on {len(suspect)} queries"
+        )
         print(
-            f"# diffuse {diffuse['ratio']}x — retrying "
-            f"{len(targets)} inflated queries once",
+            f"# {why} — retrying {len(targets)} inflated queries once",
             file=sys.stderr,
         )
         retry: dict[str, float] = {}
@@ -501,7 +577,11 @@ def main() -> None:
             )
         per_query = merge_retry(per_query, retry)
         retry_info = {
-            "initial": diffuse,
+            "initial": diffuse
+            or {
+                "suspect_n": len(suspect),
+                "suspect_max": max(suspect.values()),
+            },
             "retried": targets,
             "retry_sec": retry,
         }

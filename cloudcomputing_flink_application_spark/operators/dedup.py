@@ -239,6 +239,78 @@ def _intra_group_pairs(members: DataFrame, live_canon: DataFrame) -> DataFrame:
     )
 
 
+def _tokset_groups(
+    toks: DataFrame, members: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Second-level collapse for the PAIRS pipeline: identical TOKEN SETS
+    (r15 optimization round, guide §1.2 "the distributed algorithm" /
+    §2.5 skew).
+
+    ``_exact_groups`` collapses identical texts, but banding, the size
+    prune, and the jaccard verify are all functions of the token SET
+    alone — distinct texts with equal toksets ("a b" vs "b  a" vs
+    "A b", or template docs differing only in token order/casing/
+    whitespace) carry identical signatures, land in identical buckets,
+    and score exactly 1.0 against each other (|I|/(2n-n) with na = nb =
+    |I|) and identically against everything else.  Measured at sf0.1:
+    4,992 unique texts hold only 3,935 distinct toksets with one
+    248-member group, and collapsing them cuts the band self-join's
+    enumerated pairs 10.77M -> 4.15M (the all-pairs cost inside a bucket
+    is quadratic in the duplicated mass, exactly the degenerate-corpus
+    argument ``_exact_groups`` already records).
+
+    ``toks``: a ``_token_sets`` frame over the TEXT-reps; ``members``:
+    the text-level member map.  Returns ``(rep_toks, comp)`` — one
+    ``(doc_id, tokset, nset)`` row per distinct tokset (min doc_id; the
+    min over text-reps IS the min over all originals, since each text-rep
+    is its group's min), and the COMPOSED member map ``(doc_id, canon,
+    gsize)`` over every original document whose text-rep tokenized
+    (whitespace-only/NULL-text groups drop out here exactly as the
+    banding's rlike filter drops them — they can never emit a pair).
+    The group key is md5 of the sorted tokens joined by a space: tokens
+    are split on whitespace, so the join is injective.
+    """
+    key = F.md5(F.array_join(F.array_sort("tokset"), " "))
+    nparts = toks.sparkSession.sparkContext.defaultParallelism
+    w = Window.partitionBy(key)
+    tagged = _persist(
+        toks.repartition(nparts, key).select(
+            "doc_id",
+            "tokset",
+            "nset",
+            F.min("doc_id").over(w).alias("_tcanon"),
+            F.count(F.lit(1)).over(w).alias("_tgsize"),
+        )
+    )
+    rep_toks = tagged.filter(F.col("doc_id") == F.col("_tcanon")).select(
+        "doc_id", "tokset", "nset"
+    )
+    link = tagged.select(
+        F.col("doc_id").alias("_rep"),
+        F.col("_tcanon").alias("_tc"),
+        F.col("_tgsize").alias("_tg"),
+    )
+    # The composed map needs no second window: downstream only ever asks
+    # ``gsize > 1`` (the duplicate-mass filters in _expand_pairs /
+    # _intra_group_pairs), and the composed group is multi-member iff the
+    # text group is (gsize > 1 — the tokset group is its superset) or at
+    # least two text-reps share the tokset (_tgsize > 1).  The surrogate
+    # 2/1 keeps the helpers' contract without shuffling the member map a
+    # second time.
+    comp = _persist(
+        members.join(link, members["canon"] == link["_rep"]).select(
+            "doc_id",
+            F.col("_tc").alias("canon"),
+            F.when(
+                (F.col("gsize") > 1) | (F.col("_tg") > 1), F.lit(2)
+            )
+            .otherwise(F.lit(1))
+            .alias("gsize"),
+        )
+    )
+    return rep_toks, comp
+
+
 def _token_sets(documents: DataFrame) -> DataFrame:
     # Spread BEFORE the tokenize/hash projection: a single-file parquet
     # scan is one partition, and computing per-doc arrays there would
@@ -460,6 +532,14 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     # and the CacheManager dedups by canonical plan so repeated calls (or the
     # cluster variant below) share entries instead of stacking copies.
     reps, members = _exact_groups(documents)
+    # Second collapse by TOKEN SET (r15 — see _tokset_groups): banding,
+    # pruning, and jaccard are functions of the tokset alone, so the
+    # pipeline sees one row per DISTINCT TOKSET and the member map
+    # composes both levels.  Emitted pairs are unchanged: equal-tokset
+    # pairs score exactly 1.0 (the intra expansion below) and everything
+    # else scores identically through the group rep (the unchanged
+    # DuckDB oracle re-proves this on every parity run).
+    rep_toks, comp = _tokset_groups(_token_sets(reps), members)
     # The persisted prep carries HASHED token sets (th, 56-bit longs —
     # see _TH_SX): one md5 pass feeds both the signature pipeline and
     # the verify intersect, the cache entry shrinks ~4x vs token
@@ -468,7 +548,7 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     # unchanged absent 56-bit collisions inside one pair — the
     # unchanged string-form DuckDB oracle re-proves that on every
     # parity run.
-    toks = _persist(_hashed_token_sets(_token_sets(reps)))
+    toks = _persist(_hashed_token_sets(rep_toks))
     sigs = _mh_sigs(toks, extra=("nset",))
     bands = sigs.select(
         "doc_id",
@@ -563,15 +643,18 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
             / (F.col("_na") + F.col("_nb") - F.col("_i"))
         ).alias("jaccard"),
     )
-    cross = _expand_pairs(rep_pairs, members, "jaccard")
-    # Within a group every pair is an exact dup at jaccard 1.0 — but only
-    # for groups the uncollapsed pipeline would band at all (nonempty
-    # tokset; an empty set yields NULL band keys and a NULL 0/0 jaccard,
-    # emitting nothing).
+    cross = _expand_pairs(rep_pairs, comp, "jaccard")
+    # Within a tokset group every pair scores exactly 1.0 — identical
+    # texts trivially, and distinct texts with equal toksets because the
+    # uncollapsed verify computes |I|/(na+nb-|I|) with na = nb = |I|.
+    # Only groups the uncollapsed pipeline would band at all emit
+    # (nonempty tokset; an empty set yields NULL band keys and a NULL
+    # 0/0 jaccard, emitting nothing) — ``comp`` carries exactly those by
+    # construction, the live gate stays as the defensive statement of it.
     live = toks.filter(F.col("nset") > 0).select(
         F.col("doc_id").alias("canon")
     )
-    intra = _intra_group_pairs(members, live).withColumn(
+    intra = _intra_group_pairs(comp, live).withColumn(
         "jaccard", F.lit(1.0)
     )
     return cross.unionByName(intra)

@@ -29,3 +29,20 @@ def scan_filters_containing(df: DataFrame, needle: str) -> int:
 def count_in_plan(df: DataFrame, needle: str, physical: bool = False) -> int:
     plan = physical_plan(df) if physical else optimized_plan(df)
     return plan.count(needle)
+
+
+def distinct_exchange_count(df: DataFrame, kind: str = "hashpartitioning") -> int:
+    """Number of DISTINCT Exchange operators in the executed plan (r15).
+
+    Substring counts over-count nested-persist pipelines: every consumer
+    of a persisted frame re-renders the frame's whole cachedPlan inside
+    its InMemoryRelation, so one real exchange can appear once per
+    consumer per nesting level in the string.  ``plan_id`` is stable
+    across renders of the same operator, so deduping on it counts the
+    exchanges that can actually execute."""
+    import re
+
+    plan = physical_plan(df)
+    return len(
+        set(re.findall(rf"Exchange {kind}[^\[]*\[plan_id=(\d+)\]", plan))
+    )

@@ -289,3 +289,26 @@ def test_baseline_rows_parses_the_real_table():
     assert all(v > 0 for v in rows.values())
     # unreadable file degrades to {} (advisory rule, never breaks bench)
     assert baseline_rows("/nonexistent/BASELINE.md") == {}
+
+
+def test_suspect_triggers_the_retry_pass():
+    # r15 measurement fix: the r14 DRIVER record fired suspect on 48/50
+    # queries (max 2.89x) and retried NOTHING — diffuse, the only retry
+    # trigger, is suppressed whenever suspect is non-empty.  Both flags
+    # now select the same inflated set for the median-of-3 re-run.
+    from bench import retry_targets
+
+    base = {"a": 1.0, "b": 2.0, "c": 4.0}
+    contended = {"a": 1.4, "b": 2.1, "c": 5.6}
+    # suspect non-empty, diffuse None (the r14 driver shape)
+    assert retry_targets(contended, base, {"a": 2.89, "c": 1.54}, None) == [
+        "a",
+        "c",
+    ]
+    # diffuse alone still triggers (the r13 behavior, unchanged)
+    flag = {"ratio": 1.3, "total_sec": 9.1, "baseline_sec": 7.0}
+    assert retry_targets(contended, base, {}, flag) == ["a", "c"]
+    # a clean session retries nothing
+    assert retry_targets(contended, base, {}, None) == []
+    # flags without baseline rows cannot select (advisory rule intact)
+    assert retry_targets({"zz": 9.9}, {}, {"zz": 2.0}, None) == []

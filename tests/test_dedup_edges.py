@@ -918,3 +918,49 @@ def test_dedup_method_report_hand_fixture(spark):
         ("minhash_cc", 4, 1, 2500),
         ("simhash", 4, 1, 2500),
     }
+
+
+def test_tokset_collapse_pairs_identical_to_oracle(spark):
+    # r15: minhash_lsh_dedup collapses by TOKEN SET above the text-level
+    # collapse.  Distinct texts with equal toksets ("a b" / "b  a" /
+    # "A b": order, whitespace, casing) must emit exactly the pairs the
+    # uncollapsed DuckDB oracle computes — intra-tokset pairs at exactly
+    # 1.0, cross pairs at the rep score — and whitespace-only duplicate
+    # texts must emit nothing (empty tokset never bands; its 0/0 jaccard
+    # is a NULL the oracle drops).
+    rows = [
+        (1, "a b"),
+        (2, "b  a"),          # same tokset as 1, different text
+        (3, "A b"),           # same tokset after lower()
+        (4, "a b"),           # exact dup of 1
+        (5, " "),             # whitespace-only
+        (6, "  "),            # whitespace-only, different text
+        (7, None),            # NULL text
+        (8, "q w e r t y u i"),   # unrelated
+        (9, "q w e r t y u x"),   # high-but-below-threshold neighbor of 8
+    ]
+    docs = spark.createDataFrame(rows, DOC_COLS)
+    got = {
+        (a, b, round(j, 9))
+        for a, b, j in dedup.minhash_lsh_dedup(docs).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, {'CAST(NULL AS VARCHAR)' if t is None else repr(t)})"
+        for i, t in rows
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM (VALUES {vals}) t(doc_id, text)"
+    )
+    want = {
+        (a, b, round(j, 9))
+        for a, b, j in con.execute(dedup.MINHASH_LSH_SQL).fetchall()
+    }
+    assert got == want
+    # the tokset group {1,2,3,4} pairs completely at exactly 1.0
+    assert {(a, b) for a, b, _ in got} >= {
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)
+    }
+    assert all(j == 1.0 for a, b, j in got if b <= 4)
+    # whitespace-only/NULL texts never pair
+    assert all(a not in (5, 6, 7) and b not in (5, 6, 7) for a, b, _ in got)

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from cloudcomputing_flink_application_spark.plans.inspect import (
     count_in_plan,
+    distinct_exchange_count,
     optimized_plan,
     physical_plan,
     scan_filters_containing,
@@ -304,15 +305,25 @@ def test_r7_composed_queries_plan_shapes(spark):
         # agg, Q9's fact-fact join + (nation,year) agg) — ceiling 18
         # (one spare).
         "olap_suite_extra": (18, 1),
-        "dedup_text_pairs": (15, 0),
+        # r15: the tokset-level second collapse nests persisted frames
+        # (comp embeds members AND the tokset-tagged frame), and every
+        # consumer re-renders each cachedPlan — substring counts became
+        # render counts, so this row pins DISTINCT exchanges instead
+        # (plan_id-deduped): 9 real hashpartitioning exchanges measured,
+        # one spare for AQE.  The other rows keep the (equivalent for
+        # their shallow-persist shapes) substring pin.
+        "dedup_text_pairs": (10, 0),
     }
     try:
         for name, (max_ex, max_bnlj) in budgets.items():
             df = REGISTRY[name].fn(spark, SF)
             plan = physical_plan(df)
             assert "CartesianProduct" not in plan, name
-            assert count_in_plan(df, "hashpartitioning", physical=True) <= max_ex, (
-                name, plan)
+            if name == "dedup_text_pairs":
+                got_ex = distinct_exchange_count(df)
+            else:
+                got_ex = count_in_plan(df, "hashpartitioning", physical=True)
+            assert got_ex <= max_ex, (name, got_ex, plan)
             assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, (name, plan)
         span = REGISTRY["text_span_scrub"].fn(spark, SF)
         assert physical_plan(span).count("InMemoryTableScan") >= 2
