@@ -239,34 +239,44 @@ def _intra_group_pairs(members: DataFrame, live_canon: DataFrame) -> DataFrame:
     )
 
 
-def _tokset_groups(
-    toks: DataFrame, members: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """Second-level collapse for the PAIRS pipeline: identical TOKEN SETS
+def _tokset_groups(toks: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The PAIRS pipeline's duplicate collapse, keyed on the TOKEN SET
     (r15 optimization round, guide §1.2 "the distributed algorithm" /
     §2.5 skew).
 
-    ``_exact_groups`` collapses identical texts, but banding, the size
+    ``_exact_groups`` collapsed identical texts, but banding, the size
     prune, and the jaccard verify are all functions of the token SET
     alone — distinct texts with equal toksets ("a b" vs "b  a" vs
     "A b", or template docs differing only in token order/casing/
     whitespace) carry identical signatures, land in identical buckets,
     and score exactly 1.0 against each other (|I|/(2n-n) with na = nb =
-    |I|) and identically against everything else.  Measured at sf0.1:
-    4,992 unique texts hold only 3,935 distinct toksets with one
-    248-member group, and collapsing them cuts the band self-join's
-    enumerated pairs 10.77M -> 4.15M (the all-pairs cost inside a bucket
-    is quadratic in the duplicated mass, exactly the degenerate-corpus
-    argument ``_exact_groups`` already records).
+    |I|) and identically against everything else.  Identical texts have
+    identical toksets, so a tokset-keyed collapse strictly subsumes the
+    text-keyed one at the same plan shape: one group window, one
+    expansion join, one intra self-join.  Measured at sf0.1: 4,992
+    unique texts hold only 3,935 distinct toksets with one 248-member
+    group, and collapsing them cuts the band self-join's enumerated
+    pairs 10.77M -> 4.15M (the all-pairs cost inside a bucket is
+    quadratic in the duplicated mass, exactly the degenerate-corpus
+    argument ``_exact_groups`` records for identical texts — a template
+    corpus re-orders and re-cases, and only this key catches it).
 
-    ``toks``: a ``_token_sets`` frame over the TEXT-reps; ``members``:
-    the text-level member map.  Returns ``(rep_toks, comp)`` — one
-    ``(doc_id, tokset, nset)`` row per distinct tokset (min doc_id; the
-    min over text-reps IS the min over all originals, since each text-rep
-    is its group's min), and the COMPOSED member map ``(doc_id, canon,
-    gsize)`` over every original document whose text-rep tokenized
-    (whitespace-only/NULL-text groups drop out here exactly as the
-    banding's rlike filter drops them — they can never emit a pair).
+    Two rejected shapes, both measured this round: a SECOND collapse
+    level over the text-reps added ~23 stages (extra window + either a
+    composed-map join the planner would not broadcast — 2 shuffles of
+    the ~1M-row expanded pair frame, +1,087 tasks — or a second
+    expansion level whose broadcast builds serialized on the critical
+    path); collapsing documents twice pays twice for what one
+    tokset-keyed window buys outright.
+
+    ``toks``: a ``_token_sets`` frame (normally over the raw documents).
+    Returns ``(rep_toks, members)`` — one ``(doc_id, tokset, nset)`` row
+    per distinct tokset (min doc_id of the group) and the member map
+    ``(doc_id, canon, gsize)`` in the exact shape ``_exact_groups``
+    returns, so the expansion machinery applies unchanged.  Documents
+    whose text never tokenizes (whitespace-only/NULL — the rlike filter
+    in ``_token_sets``) appear in NEITHER frame and can emit no pair,
+    matching the uncollapsed pipeline's NULL-band/NULL-jaccard drops.
     The group key is md5 of the sorted tokens joined by a space: tokens
     are split on whitespace, so the join is injective.
     """
@@ -278,37 +288,15 @@ def _tokset_groups(
             "doc_id",
             "tokset",
             "nset",
-            F.min("doc_id").over(w).alias("_tcanon"),
-            F.count(F.lit(1)).over(w).alias("_tgsize"),
+            F.min("doc_id").over(w).alias("canon"),
+            F.count(F.lit(1)).over(w).alias("gsize"),
         )
     )
-    rep_toks = tagged.filter(F.col("doc_id") == F.col("_tcanon")).select(
+    rep_toks = tagged.filter(F.col("doc_id") == F.col("canon")).select(
         "doc_id", "tokset", "nset"
     )
-    link = tagged.select(
-        F.col("doc_id").alias("_rep"),
-        F.col("_tcanon").alias("_tc"),
-        F.col("_tgsize").alias("_tg"),
-    )
-    # The composed map needs no second window: downstream only ever asks
-    # ``gsize > 1`` (the duplicate-mass filters in _expand_pairs /
-    # _intra_group_pairs), and the composed group is multi-member iff the
-    # text group is (gsize > 1 — the tokset group is its superset) or at
-    # least two text-reps share the tokset (_tgsize > 1).  The surrogate
-    # 2/1 keeps the helpers' contract without shuffling the member map a
-    # second time.
-    comp = _persist(
-        members.join(link, members["canon"] == link["_rep"]).select(
-            "doc_id",
-            F.col("_tc").alias("canon"),
-            F.when(
-                (F.col("gsize") > 1) | (F.col("_tg") > 1), F.lit(2)
-            )
-            .otherwise(F.lit(1))
-            .alias("gsize"),
-        )
-    )
-    return rep_toks, comp
+    members2 = tagged.select("doc_id", "canon", "gsize")
+    return rep_toks, members2
 
 
 def _token_sets(documents: DataFrame) -> DataFrame:
@@ -501,19 +489,22 @@ MINHASH_BAND_FLAGS_SQL = _minhash_band_flags_sql()
 def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact jaccard.
 
-    Pipeline: exact-duplicate collapse (one rep per distinct text) ->
-    token sets -> 16-perm MinHash signature (per-row array math, fuses
-    into the scan) -> 4 bands of 4 -> self-join per band bucket -> exact
-    jaccard >= 0.9 on the candidate set -> expand rep pairs back to all
-    member pairs.  Scale: the only joins are equi-joins on band keys over
-    UNIQUE texts, so bucket width is bounded by genuinely-distinct
-    near-dup texts — identical-text mass (the degenerate crawl corpus)
-    never enters a bucket and re-appears only as join fan-out in the
-    final expansion.  The verify join touches rep candidates only.
+    Pipeline: token sets -> duplicate collapse keyed on the TOKEN SET
+    (one rep per distinct tokset — r15, subsumes the old exact-text
+    collapse; see _tokset_groups) -> 16-perm MinHash signature (per-row
+    array math, fuses into the scan) -> 4 bands of 4 -> self-join per
+    band bucket -> exact jaccard >= 0.9 on the candidate set -> expand
+    rep pairs back to all member pairs.  Scale: the only joins are
+    equi-joins on band keys over UNIQUE TOKSETS, so bucket width is
+    bounded by genuinely-distinct near-dup content — identical-text AND
+    reordered/recased-template mass (the degenerate crawl corpus) never
+    enters a bucket and re-appears only as join fan-out in the final
+    expansion.  The verify join touches rep candidates only.
 
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b, de-duplicated across
-    bands.  Identical-text pairs carry jaccard 1.0 — exactly what the
-    uncollapsed pipeline computes for them (same token sets).
+    bands.  Equal-tokset pairs carry jaccard 1.0 — exactly what the
+    uncollapsed pipeline computes for them (|I|/(na+nb-|I|) with
+    na = nb = |I|).
 
     Caching contract: the token-set and band frames are ``persist()``-ed
     (see below) and deliberately NOT unpersisted here — the operator
@@ -531,15 +522,21 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
     # 56-bit longs / 3-int band rows); MEMORY_AND_DISK spills under pressure,
     # and the CacheManager dedups by canonical plan so repeated calls (or the
     # cluster variant below) share entries instead of stacking copies.
-    reps, members = _exact_groups(documents)
-    # Second collapse by TOKEN SET (r15 — see _tokset_groups): banding,
-    # pruning, and jaccard are functions of the tokset alone, so the
-    # pipeline sees one row per DISTINCT TOKSET and the member map
-    # composes both levels.  Emitted pairs are unchanged: equal-tokset
-    # pairs score exactly 1.0 (the intra expansion below) and everything
-    # else scores identically through the group rep (the unchanged
-    # DuckDB oracle re-proves this on every parity run).
-    rep_toks, comp = _tokset_groups(_token_sets(reps), members)
+    # Collapse by TOKEN SET instead of by exact text (r15 — see
+    # _tokset_groups): banding, the size prune, and the jaccard verify
+    # are all functions of the tokset alone, so the pipeline sees one
+    # row per DISTINCT TOKSET and every pair expands back through the
+    # tokset-group member map.  Identical texts have identical toksets,
+    # so this STRICTLY SUBSUMES the old `_exact_groups` text collapse at
+    # the same stage count — one group window, one expansion join, one
+    # intra self-join — while the group key costs tokenize+sort+md5 per
+    # document instead of md5(text) (same order, in-scan, parallel) and
+    # the group shuffle carries the deduplicated token array instead of
+    # the raw text.  Emitted pairs are unchanged: equal-tokset pairs
+    # score exactly 1.0 (the intra expansion below) and everything else
+    # scores identically through the group rep (the unchanged DuckDB
+    # oracle re-proves this on every parity run).
+    rep_toks, members = _tokset_groups(_token_sets(documents))
     # The persisted prep carries HASHED token sets (th, 56-bit longs —
     # see _TH_SX): one md5 pass feeds both the signature pipeline and
     # the verify intersect, the cache entry shrinks ~4x vs token
@@ -643,18 +640,19 @@ def minhash_lsh_dedup(documents: DataFrame) -> DataFrame:
             / (F.col("_na") + F.col("_nb") - F.col("_i"))
         ).alias("jaccard"),
     )
-    cross = _expand_pairs(rep_pairs, comp, "jaccard")
+    cross = _expand_pairs(rep_pairs, members, "jaccard")
     # Within a tokset group every pair scores exactly 1.0 — identical
     # texts trivially, and distinct texts with equal toksets because the
     # uncollapsed verify computes |I|/(na+nb-|I|) with na = nb = |I|.
     # Only groups the uncollapsed pipeline would band at all emit
     # (nonempty tokset; an empty set yields NULL band keys and a NULL
-    # 0/0 jaccard, emitting nothing) — ``comp`` carries exactly those by
-    # construction, the live gate stays as the defensive statement of it.
+    # 0/0 jaccard, emitting nothing) — whitespace-only/NULL texts never
+    # reach `members` (the _token_sets rlike filter), so they can emit
+    # neither cross nor intra pairs, exactly as before.
     live = toks.filter(F.col("nset") > 0).select(
         F.col("doc_id").alias("canon")
     )
-    intra = _intra_group_pairs(comp, live).withColumn(
+    intra = _intra_group_pairs(members, live).withColumn(
         "jaccard", F.lit(1.0)
     )
     return cross.unionByName(intra)

@@ -305,13 +305,13 @@ def test_r7_composed_queries_plan_shapes(spark):
         # agg, Q9's fact-fact join + (nation,year) agg) — ceiling 18
         # (one spare).
         "olap_suite_extra": (18, 1),
-        # r15: the tokset-level second collapse nests persisted frames
-        # (comp embeds members AND the tokset-tagged frame), and every
-        # consumer re-renders each cachedPlan — substring counts became
-        # render counts, so this row pins DISTINCT exchanges instead
-        # (plan_id-deduped): 9 real hashpartitioning exchanges measured,
-        # one spare for AQE.  The other rows keep the (equivalent for
-        # their shallow-persist shapes) substring pin.
+        # r15: the tokset-keyed collapse (one group window replacing the
+        # text-keyed one) nests persisted frames, and every consumer
+        # re-renders each cachedPlan — substring counts became render
+        # counts, so this row pins DISTINCT exchanges instead
+        # (plan_id-deduped): 2 real hashpartitioning exchanges measured
+        # at construction (the rest sit behind persisted subtrees /
+        # AQE), generous ceiling 10 for cache-state variation.
         "dedup_text_pairs": (10, 0),
     }
     try:
