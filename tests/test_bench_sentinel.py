@@ -283,8 +283,8 @@ def test_baseline_rows_parses_the_real_table():
     rows = baseline_rows(path)
     # the real file: 50 registry rows, total/header rows skipped
     assert len(rows) == 50, sorted(rows)
-    assert rows["q_speed"] == 0.44
-    assert rows["ann_ivf_recall"] == 4.15  # r13 re-record
+    assert rows["q_speed"] == 0.31  # r15 re-record
+    assert rows["ann_ivf_recall"] == 3.0  # r15 re-record
     assert "total" not in rows and "query" not in rows
     assert all(v > 0 for v in rows.values())
     # unreadable file degrades to {} (advisory rule, never breaks bench)
