@@ -972,11 +972,66 @@ def _unpersist_local_ckpts(spark, ids: set[int]) -> None:
 
 
 #: Serializes the snapshot-ledger diff windows of connected_components
-#: (see _truncate_tracked): the dead-snapshot sets are before/after
-#: ledger diffs, and a concurrent checkpoint landing inside a window
-#: would be mistaken for this round's snapshot and released (r14,
-#: ADVICE r13 — latent; all in-repo callers are sequential).
+#: (see _truncate_tracked) AND truncate_lineage (r15): the dead-snapshot
+#: sets are before/after ledger diffs, and a concurrent checkpoint
+#: landing inside a window would be mistaken for this window's snapshot
+#: and released (r14, ADVICE r13 — latent; all in-repo callers are
+#: sequential).
 _CC_SNAPSHOT_LOCK = threading.Lock()
+
+
+class _CkptRelease:
+    """A release-registry shim for :func:`truncate_lineage`'s snapshot
+    blocks: ``release_cached`` pops registry entries and calls
+    ``unpersist()``, and a checkpointed frame's blocks are RDD-level
+    persists the DataFrame-level unpersist would miss."""
+
+    def __init__(self, spark, ids: set[int]):
+        self._spark, self._ids = spark, ids
+
+    def unpersist(self) -> None:
+        _unpersist_local_ckpts(self._spark, self._ids)
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut a composed frame's LOGICAL lineage (r15, guide §3.3: "planning
+    time itself can become the bottleneck ... materialising an
+    intermediate result truncates the plan").
+
+    Deeply composed pipelines (clean -> purge -> semantic restriction)
+    nest persisted frames 6-8 levels, and consumers reference each level
+    several times (self-joins, verify sides); Catalyst re-analyzes the
+    whole nested tree at every downstream ``toRdd``, so PLANNING — pure
+    driver-side work — grew to ~22 s of a 57 s composed job at sf0.001
+    (cProfile: 12 in-loop ``localCheckpoint`` calls dominated by query
+    planning, not execution).  A driver that survives 100 TB plans must
+    not spend its time re-walking their description — the same class as
+    the r13 ``maxPlanStringLength`` fix, one layer deeper.
+
+    Same reliability dichotomy as ``connected_components._truncate``:
+    RELIABLE ``checkpoint()`` when the session has a checkpoint dir (a
+    lost executor replays from the FS snapshot; the returned frame's
+    snapshot outlives the call, subject to the cleaner conf / session
+    teardown — the CC contract), lazy ``localCheckpoint`` otherwise
+    (executor-local blocks, fine on local[n]); the local blocks are
+    registered in the module release registry so ``release_cached()`` /
+    module teardown frees them (the r12 leak class).  The input must be
+    deterministic (every caller here derives from parquet scans by pure
+    algebra) — the lazy-checkpoint recompute caveat documented at the CC
+    site."""
+    spark = df.sparkSession
+    if spark.sparkContext.getCheckpointDir() is not None:
+        df.persist()
+        try:
+            return df.checkpoint()
+        finally:
+            df.unpersist()
+    with _CC_SNAPSHOT_LOCK:
+        pre = _local_ckpt_rdd_ids(spark)
+        out = df.localCheckpoint(eager=False)
+        new = _local_ckpt_rdd_ids(spark) - pre
+    _frames().append(_CkptRelease(spark, new))
+    return out
 
 
 def connected_components(

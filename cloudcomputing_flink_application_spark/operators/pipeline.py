@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cloudcomputing_flink_application_spark.functions import text as X
-from cloudcomputing_flink_application_spark.operators.dedup import _persist
+from cloudcomputing_flink_application_spark.operators.dedup import (
+    _persist,
+    truncate_lineage,
+)
 from cloudcomputing_flink_application_spark.plans.spread import (  # noqa: F401
     _scan_shaped,
     _spread,
@@ -1884,16 +1887,24 @@ def semantic_pruned_ids(
 
     if tau is None:
         tau = SEMANTIC_COS
-    # PERSIST the restricted corpus (r12 bench): semantic_dedup reads its
+    # TRUNCATE the restricted corpus's lineage (r15, guide §3.3;
+    # previously a plain persist — r12 bench): semantic_dedup reads its
     # input many times (sizing aggregate, seed codebook, assignment, the
     # pair join's two sides, CC prep), and when ``docs`` carries the
-    # composed clean+purge lineage each unpersisted read would replay
-    # that whole plan — measured 79 s -> ~30 s on the sf0.1 composed job.
-    # Released by dedup.release_cached()/clearCache() as everywhere; the
-    # CLI and the parity harness release scoped after materializing
-    # (r13, VERDICT r12 #1 — the unscoped persists OOMed the shared
-    # test session).
-    emb = _persist(
+    # composed clean+purge lineage every one of its DOWNSTREAM frames
+    # still NESTED that whole plan inside its own — a persist caches
+    # data but Catalyst re-analyzes the full cached-plan tree at every
+    # toRdd, and the semantic stage multi-references each level
+    # (self-join candidate pair, two verify sides, identity edges), so
+    # PLANNING alone grew to ~22 s of the 57 s composed job at sf0.001
+    # (cProfile; the r12 persist had already cut the EXECUTION replay,
+    # 79 s -> ~30 s at sf0.1).  dedup.truncate_lineage replaces the
+    # nested tree with one LogicalRDD scan — measured 50.5/48.4 s ->
+    # 8.1/7.4 s on the interleaved composed job — and registers the
+    # snapshot blocks in the same release registry the persist used
+    # (reliable checkpoint() on cluster sessions with a checkpoint dir;
+    # the r13/r12 release discipline unchanged).
+    emb = truncate_lineage(
         embeddings.join(
             docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
         )

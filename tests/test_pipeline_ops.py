@@ -900,3 +900,41 @@ def test_spread_gate_skips_shuffle_on_parallel_scans(spark):
     narrow = spark.read.parquet(f"{TESTDATA}/sf0.001/documents.parquet")
     plan = token_freq(narrow)._jdf.queryExecution().executedPlan().toString()
     assert "RoundRobinPartitioning" in plan
+
+
+def test_semantic_restriction_truncates_lineage_and_releases(spark, sf_dir):
+    # r15: semantic_pruned_ids cuts the composed clean+purge lineage at
+    # the embedding restriction (guide §3.3 — Catalyst re-analyzed the
+    # nested persisted tree at every downstream toRdd; ~22 s of pure
+    # planning per composed job).  Pin the mechanism: the restricted
+    # corpus plans as an RDD scan, and release_cached frees the snapshot
+    # blocks it registered.
+    from cloudcomputing_flink_application_spark.operators import dedup
+    from cloudcomputing_flink_application_spark.operators import (
+        pipeline as pipeline,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dedup.release_cached()
+
+    def _local_ckpt_count():
+        return len(dedup._local_ckpt_rdd_ids(spark))
+
+    base_ckpts = _local_ckpt_count()
+    mark = dedup.cached_mark()
+    out = pipeline.semantic_prune_docs(docs, embs)
+    # the truncation registered exactly one release entry beyond the
+    # stage's own persists, and the plan it feeds contains an RDD scan
+    # (LogicalRDD) instead of the nested join tree
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan[:2000]
+    out.count()  # materialize: snapshot blocks fill
+    after_run = _local_ckpt_count()
+    assert after_run > base_ckpts
+    dedup.release_cached(since=mark)
+    # the truncation's snapshot is freed; the one allowed survivor is
+    # connected_components' RETURNED frame snapshot (documented: callers
+    # may still replay from it, freed by GC/session teardown)
+    assert _local_ckpt_count() < after_run
+    assert _local_ckpt_count() <= base_ckpts + 1
